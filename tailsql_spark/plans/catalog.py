@@ -1,0 +1,89 @@
+"""Table catalog over the driver's parquet testdata.
+
+The reference materializes per-window tables ``t0..tN`` inside an
+embedded engine (``/root/reference/sql/squeryer.go:239-277``). In batch
+mode our "database" is simply temp views over parquet-backed DataFrames
+— Catalyst then gets parquet column pruning + predicate pushdown for
+free, which is what makes the same query shapes viable at 100 TB.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import pyarrow.parquet as _pq
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _nanos_ts_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) (no Spark equivalent)."""
+    import pyarrow as pa
+
+    schema = _pq.read_schema(path)
+    return [
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one parquet table, normalizing nanosecond timestamps.
+
+    ``spark.sql.legacy.parquet.nanosAsLong`` makes the scan yield raw
+    nanos as LongType; exact integer division (``div 1000``) converts to
+    microsecond timestamps — never float math, which would lose
+    microseconds at epoch-nanos magnitudes.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    for c in _nanos_ts_columns(path):
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Read every testdata table and register it as a temp view.
+
+    Views make the DataFrame and SQL APIs interchangeable over the same
+    scan — both produce identical Catalyst plans.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    """One certified query: a Spark builder + its DuckDB oracle SQL.
+
+    ``oracle`` is ANSI SQL DuckDB runs over the same parquet views; the
+    driver hash-compares both results (column names must line up —
+    alias everything identically on both sides). ``oracle=None`` marks a
+    genuinely non-SQL-expressible operator (weaker rows-only check).
+    """
+
+    name: str
+    category: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""

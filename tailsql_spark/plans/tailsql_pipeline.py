@@ -1,0 +1,101 @@
+"""The flagship tailsql pipeline, end-to-end, as certified queries.
+
+This is the reference's whole reason to exist (``/root/reference/
+README.md:22-47``): raw log lines → regex-DSL parse (typed columns,
+drop-on-mismatch) → pre-window filter → SQL aggregation. Here the
+"log" is synthesized deterministically from the ``events`` table
+(testdata has no raw text files), the parse runs through our DSL
+compiler (:mod:`tailsql_spark.dsl` — pure JVM expressions), and the
+oracle recomputes the *intended* result relationally in DuckDB. If the
+parse/filter/aggregate pipeline is semantically right, the two agree —
+a differential test of the pipeline itself, not just of Spark SQL.
+
+Line format mirrors the README demo (``ts method status host:port
+time_used``): ``2024/04/12 22:47:42.506277 GETM SUCC localhost:7710 605``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tailsql_spark.dsl import compile_pattern
+from tailsql_spark.operators.rowfilter import apply_filter
+from tailsql_spark.plans.catalog import QuerySpec, load_tables
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+#: README-style regex DSL (cf. /root/reference/README.md:32): only
+#: click/view events against port 7710 match; others are dropped by the
+#: regex exactly like SETM/FAIL lines in the demo.
+DEMO_PATTERN = (
+    r".+ (?P<method__str>click|view) (?P<status__str>SUCC) "
+    r".+7710 (?P<cents__int>[0-9]+) (?P<eid__int>[0-9]+)"
+)
+
+_LINE_SQL = (
+    "concat(date_format(ts, 'yyyy/MM/dd HH:mm:ss.SSSSSS'), ' ', event_type, "
+    "' SUCC localhost:7710 ', cast(cast(round(value * 100) as bigint) as string), "
+    "' ', cast(event_id as string))"
+)
+
+
+def _lines_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["events"].select(F.expr(_LINE_SQL).alias("value"))
+
+
+def _pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = _lines_df(spark, sf_dir)
+    parsed = compile_pattern(DEMO_PATTERN).parse_lines(lines)
+    return apply_filter(parsed, "cents > 500")
+
+
+REGISTRY["tailsql_parse_pipeline"] = QuerySpec(
+    name="tailsql_parse_pipeline",
+    category="tailsql-pipeline",
+    build=lambda spark, sf_dir: (
+        _pipeline(spark, sf_dir)
+        .groupBy("method")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("eid").alias("min_eid"),
+            F.max("eid").alias("max_eid"),
+        )
+    ),
+    # The oracle recomputes the intended semantics relationally: regex
+    # match ≡ event_type in (click, view); cents ≡ round(value*100);
+    # the -F filter ≡ cents > 500.
+    oracle="""
+    SELECT event_type AS method,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_cents,
+           MIN(event_id) AS min_eid,
+           MAX(event_id) AS max_eid
+    FROM events
+    WHERE event_type IN ('click', 'view')
+      AND CAST(ROUND(value * 100) AS BIGINT) > 500
+    GROUP BY event_type
+    """,
+    doc="README demo pipeline (parse → filter → agg) differentially "
+    "tested against its relational meaning.",
+)
+
+
+REGISTRY["tailsql_parse_typed_rows"] = QuerySpec(
+    name="tailsql_parse_typed_rows",
+    category="tailsql-pipeline",
+    build=lambda spark, sf_dir: _pipeline(spark, sf_dir).select(
+        "method", "status", "cents", "eid"
+    ),
+    oracle="""
+    SELECT event_type AS method, 'SUCC' AS status,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents,
+           event_id AS eid
+    FROM events
+    WHERE event_type IN ('click', 'view')
+      AND CAST(ROUND(value * 100) AS BIGINT) > 500
+    """,
+    doc="Row-level parse output (typed columns, drop semantics) vs relational oracle.",
+)

@@ -1,0 +1,79 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local test runs use ``local[N]`` but every knob here is chosen so the
+same code runs unchanged on a multi-executor cluster at ~100 TB:
+
+* AQE on (runtime coalescing, skew-join splitting, dynamic join
+  strategy switches) — at scale the static plan is always wrong
+  somewhere; AQE fixes it from actual map-output statistics.
+* shuffle partitions sized from the env (cores locally; on a cluster
+  you would set ``spark.sql.shuffle.partitions`` ≈ 2-3× total cores and
+  let AQE coalesce down).
+* Arrow enabled — every Pandas-UDF operator in this repo moves data in
+  Arrow batches, never row-at-a-time.
+* session timezone pinned to UTC so results are reproducible and
+  comparable with the DuckDB oracle (DuckDB timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Defaults applied to every session this package creates. Callers can
+#: override any of them via the ``extra_conf`` argument.
+DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Files: 128 MB splits are the right granularity for large parquet
+    # scans; small local test files produce one partition each either way.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # Parquet scans: pushdown everything that can be pushed.
+    "spark.sql.parquet.filterPushdown": "true",
+    # The driver's testdata stores events.ts as TIMESTAMP(NANOS); Spark
+    # has no nanosecond timestamp type, so scan them as raw longs and
+    # let the catalog convert to microsecond timestamps (exact int div).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "tailsql_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the package defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``)
+    when no cluster master is configured; on a real cluster you submit
+    with ``--master`` and this factory leaves it alone.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if master is None:
+        master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = int(cpus)
+        except ValueError:
+            shuffle_partitions = os.cpu_count() or 8
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(DEFAULT_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if master.startswith("local"):
+        # Single-JVM mode: the driver is the only executor.
+        conf.setdefault("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
