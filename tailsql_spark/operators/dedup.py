@@ -1,0 +1,374 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Extensions beyond the reference surface (BASELINE.json north star):
+exact dedup, MinHash+LSH near-dup, SimHash fingerprinting, n-gram
+Jaccard, and embedding-cosine near-dup — each as a certified query with
+a DuckDB oracle over the ``documents`` / ``embeddings`` testdata.
+
+Scale design (the point of building these on Spark):
+
+* **exact** — one hash-shuffle on ``md5(text)``; at 100 TB this is the
+  cheapest possible full-corpus dedup (map-side partial aggregation
+  first, AQE coalesces the reduce side).
+* **minhash+LSH** — the classic shingle → minhash signature → band →
+  bucket-equi-join pipeline. Everything is a *linear* pass + ONE
+  equi-join shuffle on the band key; candidate verification joins the
+  (small) candidate set back to shingle sets. No O(n²) stage ever
+  materializes, which is what makes it viable at 1e9+ docs. Skewed
+  bands (e.g. boilerplate) are handled by AQE skew-join splitting.
+* **simhash** — a linear aggregation producing one 64-bit fingerprint
+  per doc; near-dup detection is then hamming distance over fingerprint
+  prefixes (bucketable the same way as LSH bands).
+* **cross-engine determinism** — hash functions are md5 *hex strings*
+  (identical in Spark and DuckDB; lexicographic MIN over fixed-width
+  hex ≡ numeric min), so every stage is differential-testable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tailsql_spark.plans.catalog import QuerySpec, load_tables
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+JACCARD_THRESHOLD = 0.8
+
+
+def query(name: str, category: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(
+            name=name, category=category, build=fn, oracle=oracle, doc=doc or (fn.__doc__ or "")
+        )
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# shared shingling
+# ---------------------------------------------------------------------------
+
+def shingles_col(text: Column) -> Column:
+    """Distinct word 3-gram shingles of lowercased text (JVM-side only).
+
+    Guarded so <3-token docs yield an empty array (Spark ``sequence``
+    would otherwise produce a *descending* range).
+    """
+    toks = F.split(F.lower(text), " ")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - 3),
+        lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
+    )
+    return F.array_distinct(F.when(n >= 3, grams).otherwise(F.array().cast("array<string>")))
+
+
+def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id", shingles_col(F.col("text")).alias("shingles")
+    )
+
+
+#: DuckDB equivalent of :func:`shingles_col` (1-based list indexing).
+_DUCK_SHINGLES = """
+    SELECT doc_id,
+           list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                          FOR i IN range(1, len(ws) - 1)]) AS shingles
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 1. exact dedup
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    "dedup",
+    """
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id, text FROM documents
+    )
+    SELECT md5(text) AS fingerprint,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM corpus GROUP BY md5(text)
+    """,
+    doc="Exact dedup by content hash over a corpus with planted duplicates "
+    "(the 500-doc table unioned with itself, ids offset): one shuffle, "
+    "keep min-id canonical representative.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    )
+    return corpus.groupBy(F.md5(F.col("text").cast("binary")).alias("fingerprint")).agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, h0..h15): per-permutation minima of md5(i ':' shingle).
+
+    One explode + one groupBy — the signature computation is a single
+    shuffle on doc_id regardless of N_HASHES.
+    """
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")).cast("binary"))).alias(f"h{i}")
+        for i in range(N_HASHES)
+    ]
+    return ex.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Band the signature and self-join per band → candidate id pairs."""
+    bands = [
+        F.md5(
+            F.concat_ws("", *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)])
+        ).alias(f"b{b}")
+        for b in range(N_BANDS)
+    ]
+    banded = sig.select("doc_id", *bands)
+    stack_args = ", ".join(f"{b}, b{b}" for b in range(N_BANDS))
+    long = banded.selectExpr(
+        "doc_id", f"stack({N_BANDS}, {stack_args}) AS (band_idx, band_hash)"
+    )
+    a, b = long.alias("a"), long.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+_MINHASH_ORACLE = f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    sig AS (
+        SELECT doc_id,
+               {", ".join(f"MIN(md5('{i}:' || s)) AS h{i}" for i in range(N_HASHES))}
+        FROM ex GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id,
+               {", ".join(
+                   "md5(" + " || ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)) + f") AS b{b}"
+                   for b in range(N_BANDS))}
+        FROM sig
+    ),
+    long AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, b{b} AS band_hash FROM banded" for b in range(N_BANDS))}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM long a JOIN long b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+                 (len(sa.shingles) + len(sb.shingles)
+                  - len(list_intersect(sa.shingles, sb.shingles))), 4) AS jaccard
+    FROM cand c
+    JOIN sh sa ON c.id_a = sa.doc_id
+    JOIN sh sb ON c.id_b = sb.doc_id
+    WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+          (len(sa.shingles) + len(sb.shingles)
+           - len(list_intersect(sa.shingles, sb.shingles))) >= {JACCARD_THRESHOLD}
+"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    "dedup",
+    _MINHASH_ORACLE,
+    doc="MinHash(16)+LSH(4 bands × 4 rows) near-duplicate pairs, verified "
+    "at true Jaccard ≥ 0.8. shingle→signature→band→bucket-join: linear "
+    "passes + one equi-join; no O(n²) stage.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = doc_shingles(spark, sf_dir)
+    sig = minhash_signatures(sh)
+    cand = lsh_candidate_pairs(sig)
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter / union
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. n-gram Jaccard (direct, no LSH — the exhaustive small-corpus check)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_ngram_jaccard",
+    "dedup",
+    f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+    SELECT p.id_a, p.id_b,
+           ROUND(p.n_common * 1.0 / (sa.n + sb.n - p.n_common), 4) AS jaccard
+    FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id
+                 JOIN sizes sb ON p.id_b = sb.doc_id
+    WHERE p.n_common * 1.0 / (sa.n + sb.n - p.n_common) >= 0.5
+    """,
+    doc="Exhaustive n-gram Jaccard pairs ≥ 0.5 via shingle equi-join "
+    "(inverted-index style: only docs sharing a shingle ever meet).",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = doc_shingles(spark, sf_dir)
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        pairs.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .filter(jac >= 0.5)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. SimHash fingerprints
+# ---------------------------------------------------------------------------
+
+def _simhash_sql(table: str) -> str:
+    """64-bit SimHash as 16 hex chars; identical SQL for Spark & DuckDB.
+
+    Per distinct token: 64 bits from the first 16 hex chars of md5.
+    Per bit: majority vote across tokens. Bit b of nibble k extracted
+    with arithmetic only (``floor(nib / 2^p) % 2``) — both dialects
+    lack a shared shift operator.
+    """
+    nib = lambda k: f"(instr('0123456789abcdef', substr(h, {k + 1}, 1)) - 1)"
+    bit = lambda k, p: f"(CAST(FLOOR({nib(k)} / {2 ** p}) AS BIGINT) % 2)"
+    sums = ", ".join(
+        f"SUM({bit(k, p)}) AS c{k * 4 + (3 - p)}"
+        for k in range(16)
+        for p in (3, 2, 1, 0)
+    )
+    # majority per bit → nibble value → hex char
+    nib_val = lambda k: " + ".join(
+        f"(CASE WHEN 2 * c{k * 4 + j} > n THEN {2 ** (3 - j)} ELSE 0 END)" for j in range(4)
+    )
+    hex_chars = ", ".join(
+        f"substr('0123456789abcdef', ({nib_val(k)}) + 1, 1)" for k in range(16)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, tok
+        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM {table}) t
+        WHERE tok <> ''
+    ),
+    hashed AS (SELECT doc_id, substr(md5(tok), 1, 16) AS h FROM toks),
+    counts AS (SELECT doc_id, COUNT(*) AS n, {sums} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, concat({hex_chars}) AS simhash FROM counts
+    """
+
+
+_SIMHASH_SPARK_SQL = _simhash_sql("documents").replace(
+    "unnest(string_split(lower(text), ' '))", "explode(split(lower(text), ' '))"
+)
+
+
+@query(
+    "dedup_simhash",
+    "dedup",
+    _simhash_sql("documents"),
+    doc="64-bit SimHash fingerprint per document (majority vote over "
+    "md5-derived token bits) — linear aggregation, one shuffle; near-dup "
+    "pairs then come from hamming distance over fingerprint buckets.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_SIMHASH_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# 5. embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_embedding_cosine",
+    "dedup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND((SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                  FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y))
+                 / (sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                          FROM (SELECT unnest(a.embedding) AS x)))
+                    * sqrt((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+                            FROM (SELECT unnest(b.embedding) AS y)))), 4) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+           FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y))
+          / (sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                   FROM (SELECT unnest(a.embedding) AS x)))
+             * sqrt((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+                     FROM (SELECT unnest(b.embedding) AS y)))) >= 0.42
+    """,
+    doc="Embedding-cosine near-dup pairs (≥ 0.42 on this corpus; the "
+    "threshold is corpus-relative). Brute pair join here; the scale "
+    "path is LSH bucketing first — see operators/similarity.py.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    emb = emb.withColumn("norm", norm)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_raw", cos)
+        .filter(F.col("cosine_raw") >= 0.42)
+        .select("id_a", "id_b", F.round("cosine_raw", 4).alias("cosine"))
+    )

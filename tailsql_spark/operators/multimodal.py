@@ -1,0 +1,174 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Extension operators (BASELINE.json north star). Image/audio/video
+content is carried as an opaque ``binary`` column with typed metadata;
+decode / feature-extraction / frame-sampling run as Arrow-batched
+``mapInPandas`` stages so payload bytes never round-trip through
+row-at-a-time Python.
+
+The container has no image/audio libs, so the *decoders* are stubbed
+(see :func:`decode_image`): the Spark-side plumbing — schema, binary
+Arrow transfer, batch iteration, partition layout, UDF signature — is
+real and oracle-tested end-to-end via deterministic fake decodes
+(pure arithmetic on byte length, reproducible in SQL).
+
+Scale notes: binary payloads dominate bytes, not rows — at 100 TB the
+working rules are (1) keep metadata in separate, narrow columns so
+metadata-only queries never touch the blobs (parquet column pruning
+does this for free); (2) size partitions by bytes not rows
+(``maxPartitionBytes``); (3) never ``collect``/``groupBy`` raw blobs —
+aggregate extracted features instead.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tailsql_spark.plans.catalog import QuerySpec, load_tables
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+MEDIA_TYPES = ("image", "audio", "video")
+
+
+def query(name: str, category: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(
+            name=name, category=category, build=fn, oracle=oracle, doc=doc or (fn.__doc__ or "")
+        )
+        return fn
+
+    return deco
+
+
+def decode_image(payload: bytes) -> dict:
+    """Decode an image payload to (width, height, mode).
+
+    STUB — the real implementation needs PIL/libvips, absent from this
+    container. The deterministic fake below keys off byte length so the
+    full pipeline stays testable; swap the body (not the signature) when
+    a codec is available.
+    """
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError:
+        n = len(payload)
+        return {"width": 16 + n % 64, "height": 16 + (n // 7) % 64}
+    raise NotImplementedError("real image decode not wired yet (PIL found)")
+
+
+def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic binary corpus: documents' utf-8 bytes as payloads,
+    media type round-robined by doc_id. Stands in for real blobs with
+    identical plumbing."""
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.element_at(
+            F.array(*[F.lit(m) for m in MEDIA_TYPES]),
+            (F.col("doc_id") % len(MEDIA_TYPES) + 1).cast("int"),
+        ).alias("media_type"),
+    )
+
+
+@query(
+    "multimodal_metadata",
+    "multimodal",
+    """
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+               AS media_type,
+           CAST(length(text) AS BIGINT)          AS n_bytes,
+           md5(text)                             AS content_md5,
+           CAST(16 + length(text) % 64 AS BIGINT)        AS width,
+           CAST(16 + (length(text) // 7) % 64 AS BIGINT) AS height,
+           CAST(1 + length(text) % 30 AS BIGINT)         AS n_frames
+    FROM documents
+    """,
+    doc="Binary decode/feature-extract stage: Arrow-batched mapInPandas "
+    "over (doc_id, payload, media_type) emitting typed metadata; decode "
+    "stubbed deterministically (no codecs in container), plumbing real.",
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synth_media(spark, sf_dir)
+
+    def extract(batches):
+        for pdf in batches:
+            payloads = pdf["payload"]
+            n_bytes = payloads.map(len)
+            decoded = payloads.map(decode_image)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": n_bytes.astype("int64"),
+                    "content_md5": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
+                    "width": decoded.map(lambda d: d["width"]).astype("int64"),
+                    "height": decoded.map(lambda d: d["height"]).astype("int64"),
+                    "n_frames": (1 + n_bytes % 30).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(
+        extract,
+        schema=(
+            "doc_id long, media_type string, n_bytes long, content_md5 string, "
+            "width long, height long, n_frames long"
+        ),
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    "multimodal",
+    """
+    SELECT doc_id, CAST(unnest(range(0, 1 + length(text) % 30, 5)) AS BIGINT) AS frame_idx
+    FROM documents
+    WHERE CAST(doc_id % 3 AS INT) = 2
+    """,
+    doc="Frame sampling for video payloads: every 5th frame index "
+    "exploded to rows (the shape a frame-decode stage consumes).",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    meta = multimodal_metadata(spark, sf_dir)
+    return (
+        meta.filter(F.col("media_type") == "video")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(5))).alias("frame_idx"),
+        )
+        .select("doc_id", F.col("frame_idx").cast("long"))
+    )
+
+
+@query(
+    "multimodal_stats_by_type",
+    "multimodal",
+    """
+    SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+               AS media_type,
+           COUNT(*) AS n,
+           SUM(CAST(length(text) AS BIGINT)) AS total_bytes,
+           CAST(MAX(length(text)) AS BIGINT) AS max_bytes
+    FROM documents GROUP BY 1
+    """,
+    doc="Metadata-only aggregation: must never touch payload bytes "
+    "(column pruning keeps the scan narrow).",
+)
+def multimodal_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synth_media(spark, sf_dir)
+    return (
+        media.select("media_type", F.length("payload").cast("long").alias("nb"))
+        .groupBy("media_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("nb").alias("total_bytes"),
+            F.max("nb").alias("max_bytes"),
+        )
+    )

@@ -1,0 +1,287 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Extension operators (BASELINE.json north star): brute-force cosine
+top-k as the correctness baseline, and an IVF (inverted-file) variant
+as the scale path.
+
+Scale design:
+
+* **brute force** — broadcast the (small) query block against the
+  corpus: one linear scan, no shuffle on the corpus side; top-k via a
+  rank window partitioned by query. Right up to ~1e4 queries this is
+  the honest baseline and the thing every ANN method is verified
+  against. The hot loop is JVM-side ``zip_with``/``aggregate``; the
+  bench variant uses an Arrow-batched numpy matmul (see
+  :func:`ann_topk_pandas_df`) — same results, ~10× the throughput.
+* **IVF** — assign every vector to its nearest coarse centroid (here:
+  the first 8 corpus vectors as deterministic seeds; a real pipeline
+  would k-means them), then search only the query's own cell. Turns
+  O(N·Q) into O(N·Q/C) with one extra equi-join on the cell id —
+  exactly the partition-pruning shape that scales: at 100 TB the
+  corpus is *stored* partitioned by cell, so a query touches 1/C of
+  the files.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from tailsql_spark.plans.catalog import QuerySpec, load_tables
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+N_CELLS = 8  # IVF coarse cells (seeded by vec_id < 8)
+
+
+def query(name: str, category: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(
+            name=name, category=category, build=fn, oracle=oracle, doc=doc or (fn.__doc__ or "")
+        )
+        return fn
+
+    return deco
+
+
+def as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+
+
+_DUCK_DOT = (
+    "(SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) "
+    "FROM (SELECT unnest({a}) AS x, unnest({b}) AS y))"
+)
+_DUCK_NORM = (
+    "sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) "
+    "FROM (SELECT unnest({a}) AS x)))"
+)
+
+_BRUTE_ORACLE = f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND({_DUCK_DOT.format(a='q.embedding', b='c.embedding')}
+                     / ({_DUCK_NORM.format(a='q.embedding')}
+                        * {_DUCK_NORM.format(a='c.embedding')}), 4) AS cosine
+        FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= {TOP_K}
+"""
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    cos = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    return (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(cos, 4).alias("cosine"))
+    )
+
+
+@query(
+    "ann_cosine_topk",
+    "similarity",
+    _BRUTE_ORACLE,
+    doc="Brute-force cosine top-5 for 10 query vectors: broadcast query "
+    "block × linear corpus scan, rank window per query. The ANN "
+    "correctness baseline.",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        _scored(spark, sf_dir)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+def ann_topk_pandas_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched numpy variant of the brute-force scorer (bench path).
+
+    The query block is closed over (it is tiny); each corpus partition
+    arrives as pandas batches and scores against all queries with one
+    matmul — the 100 TB-friendly shape for brute-force re-ranking.
+    """
+    import numpy as np
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    qrows = emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
+    q_ids = np.array([r.vec_id for r in qrows])
+    q_mat = np.array([r.embedding for r in qrows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            c_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = q_mat @ c_mat.T  # (Q, B)
+            n_q, n_b = sims.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, n_b),
+                    "neighbor_id": np.tile(pdf["vec_id"].to_numpy(), n_q),
+                    "cosine": sims.round(4).ravel(),
+                }
+            )
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        score, schema="query_id long, neighbor_id long, cosine double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+REGISTRY["ann_cosine_topk_arrow"] = QuerySpec(
+    name="ann_cosine_topk_arrow",
+    category="similarity",
+    build=ann_topk_pandas_df,
+    oracle=_BRUTE_ORACLE,
+    doc="Same top-k as ann_cosine_topk but scored via Arrow-batched numpy "
+    "matmul (mapInPandas) — the vectorized bench path, verified against "
+    "the same oracle.",
+)
+
+
+# ---------------------------------------------------------------------------
+# IVF
+# ---------------------------------------------------------------------------
+
+_DUCK_CELLS = f"""
+    cells AS (
+        SELECT e.vec_id,
+               (SELECT min(s.vec_id)
+                FROM embeddings s
+                WHERE s.vec_id < {N_CELLS}
+                  AND {_DUCK_DOT.format(a='e.embedding', b='s.embedding')}
+                      / ({_DUCK_NORM.format(a='e.embedding')} * {_DUCK_NORM.format(a='s.embedding')})
+                      = (SELECT max({_DUCK_DOT.format(a='e.embedding', b='s2.embedding')}
+                                    / ({_DUCK_NORM.format(a='e.embedding')} * {_DUCK_NORM.format(a='s2.embedding')}))
+                         FROM embeddings s2 WHERE s2.vec_id < {N_CELLS})
+               ) AS cell
+        FROM embeddings e
+    )
+"""
+
+
+@query(
+    "ann_ivf_assign",
+    "similarity",
+    f"WITH {_DUCK_CELLS} SELECT vec_id, cell FROM cells",
+    doc="IVF coarse quantization: every vector assigned to its "
+    "max-cosine seed cell (ties → lowest seed id). At scale this is "
+    "the storage partitioning key.",
+)
+def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    seeds = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("seed_id"), F.col("v").alias("sv"), F.col("nrm").alias("sn")
+    )
+    cos = dot(F.col("v"), F.col("sv")) / (F.col("nrm") * F.col("sn"))
+    scored = emb.join(F.broadcast(seeds)).withColumn("cos", cos)
+    w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("seed_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("seed_id").alias("cell"))
+    )
+
+
+@query(
+    "ann_ivf_topk",
+    "similarity",
+    f"""
+    WITH {_DUCK_CELLS},
+    q AS (SELECT c.vec_id, c.cell, e.embedding
+          FROM cells c JOIN embeddings e USING (vec_id) WHERE c.vec_id < {N_QUERIES}),
+    corp AS (SELECT c.vec_id, c.cell, e.embedding
+             FROM cells c JOIN embeddings e USING (vec_id)),
+    scored AS (
+        SELECT q.vec_id AS query_id, corp.vec_id AS neighbor_id,
+               ROUND({_DUCK_DOT.format(a='q.embedding', b='corp.embedding')}
+                     / ({_DUCK_NORM.format(a='q.embedding')}
+                        * {_DUCK_NORM.format(a='corp.embedding')}), 4) AS cosine
+        FROM q JOIN corp ON q.cell = corp.cell AND corp.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+    """,
+    doc="IVF search: probe only the query's own cell (cell equi-join "
+    "replaces the full cross product) → top-3. The recall/latency "
+    "trade is the standard IVF one; verified cell-for-cell vs DuckDB.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cells = ann_ivf_assign(spark, sf_dir)
+    emb = t["embeddings"].select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    both = emb.join(cells, "vec_id")
+    q = both.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cell"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    c = both.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cell").alias("ccell"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    scored = (
+        F.broadcast(q)
+        .join(c, (F.col("cell") == F.col("ccell")) & (F.col("neighbor_id") != F.col("query_id")))
+        .select("query_id", "neighbor_id", F.round(cos, 4).alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )

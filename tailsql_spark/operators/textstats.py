@@ -1,0 +1,211 @@
+"""Text analysis operators: language-ID, quality scoring, token
+counting, document fingerprinting.
+
+Extensions beyond the reference surface (BASELINE.json north star),
+each a linear, shuffle-free projection over ``documents`` — the ideal
+100 TB shape (pure map; Catalyst fuses everything into one codegen
+stage over the parquet scan, reading only ``doc_id``/``text``).
+
+All heuristics are deliberately closed-form (regexp counts + arithmetic)
+so the DuckDB oracle certifies them exactly; swapping in a model-based
+scorer later only changes the Pandas-UDF body, not the plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tailsql_spark.plans.catalog import QuerySpec, load_tables
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+#: tiny per-language stopword profiles for the n-gram/stopword
+#: language-ID heuristic (language with the highest hit DENSITY wins;
+#: ties → alphabetical, deterministically).
+LANG_PROFILES: dict[str, list[str]] = {
+    "de": ["der", "die", "und", "das", "ist", "nicht"],
+    "en": ["the", "and", "of", "to", "is", "a"],
+    "es": ["el", "los", "que", "y", "una", "por"],
+    "fr": ["le", "la", "les", "et", "est", "une"],
+}
+
+_PUNCT_RE = r"[.,!?;:]"
+_BPE_TOKEN_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+
+def query(name: str, category: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(
+            name=name, category=category, build=fn, oracle=oracle, doc=doc or (fn.__doc__ or "")
+        )
+        return fn
+
+    return deco
+
+
+def _profile_re(words: list[str]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def _hits(text: Column, words: list[str]) -> Column:
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(_profile_re(words)), F.lit(0)))
+
+
+@query(
+    "text_langid",
+    "text-analysis",
+    # language = argmax over stopword hit counts; ties broken by
+    # alphabetical language code via the CASE evaluation order.
+    f"""
+    WITH hits AS (
+        SELECT doc_id,
+               {", ".join(
+                   f"len(regexp_extract_all(lower(text), '{_profile_re(ws)}')) AS n_{lang}"
+                   for lang, ws in sorted(LANG_PROFILES.items()))}
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE
+               WHEN n_de >= n_en AND n_de >= n_es AND n_de >= n_fr THEN 'de'
+               WHEN n_en >= n_es AND n_en >= n_fr THEN 'en'
+               WHEN n_es >= n_fr THEN 'es'
+               ELSE 'fr'
+           END AS predicted_lang,
+           {", ".join(f"n_{lang}" for lang in sorted(LANG_PROFILES))}
+    FROM hits
+    """,
+    doc="Stopword-profile language ID: per-language hit counts via one "
+    "regexp pass each, argmax with deterministic tie-break.",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    langs = sorted(LANG_PROFILES)
+    hit_cols = [
+        _hits(F.col("text"), LANG_PROFILES[lang]).cast("long").alias(f"n_{lang}")
+        for lang in langs
+    ]
+    scored = docs.select("doc_id", *hit_cols)
+    pred = (
+        F.when(
+            (F.col("n_de") >= F.col("n_en"))
+            & (F.col("n_de") >= F.col("n_es"))
+            & (F.col("n_de") >= F.col("n_fr")),
+            "de",
+        )
+        .when((F.col("n_en") >= F.col("n_es")) & (F.col("n_en") >= F.col("n_fr")), "en")
+        .when(F.col("n_es") >= F.col("n_fr"), "es")
+        .otherwise("fr")
+    )
+    return scored.select("doc_id", pred.alias("predicted_lang"), *[f"n_{l}" for l in langs])
+
+
+@query(
+    "text_quality_score",
+    "text-analysis",
+    f"""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_m,
+               CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
+               CAST(len(regexp_extract_all(text, '{_PUNCT_RE}')) AS BIGINT) AS n_punct,
+               CAST(len(regexp_extract_all(lower(text), '{_profile_re(LANG_PROFILES["en"])}')) AS BIGINT) AS n_stop
+        FROM documents
+    )
+    SELECT doc_id, n_chars_m, n_words, n_punct, n_stop,
+           ROUND(n_punct * 1.0 / n_chars_m, 6) AS punct_ratio,
+           ROUND(n_stop * 1.0 / n_words, 6) AS stopword_ratio,
+           ROUND((n_chars_m - n_words + 1) * 1.0 / n_words, 6) AS avg_word_len,
+           ROUND(LEAST(1.0, n_words / 100.0) * 0.5
+                 + LEAST(1.0, n_stop * 5.0 / n_words) * 0.3
+                 + (1.0 - LEAST(1.0, n_punct * 10.0 / n_chars_m)) * 0.2, 6) AS quality
+    FROM m
+    """,
+    doc="Closed-form quality score: length / punctuation / stopword-"
+    "density mix in [0,1]; the components are the standard heuristic "
+    "pre-filters of LLM data pipelines.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    text = F.col("text")
+    m = t["documents"].select(
+        "doc_id",
+        F.length(text).cast("long").alias("n_chars_m"),
+        F.size(F.regexp_extract_all(text, F.lit(r"\S+"), F.lit(0))).cast("long").alias("n_words"),
+        F.size(F.regexp_extract_all(text, F.lit(_PUNCT_RE), F.lit(0))).cast("long").alias("n_punct"),
+        _hits(text, LANG_PROFILES["en"]).cast("long").alias("n_stop"),
+    )
+    quality = (
+        F.least(F.lit(1.0), F.col("n_words") / 100.0) * 0.5
+        + F.least(F.lit(1.0), F.col("n_stop") * 5.0 / F.col("n_words")) * 0.3
+        + (1.0 - F.least(F.lit(1.0), F.col("n_punct") * 10.0 / F.col("n_chars_m"))) * 0.2
+    )
+    return m.select(
+        "doc_id",
+        "n_chars_m",
+        "n_words",
+        "n_punct",
+        "n_stop",
+        F.round(F.col("n_punct") / F.col("n_chars_m"), 6).alias("punct_ratio"),
+        F.round(F.col("n_stop") / F.col("n_words"), 6).alias("stopword_ratio"),
+        F.round((F.col("n_chars_m") - F.col("n_words") + 1) / F.col("n_words"), 6).alias(
+            "avg_word_len"
+        ),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+@query(
+    "text_token_count",
+    "text-analysis",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_TOKEN_RE}')) AS BIGINT) AS bpe_ish_tokens,
+           CAST(CEIL(length(text) / 4.0) AS BIGINT) AS chars_div4
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokens, a BPE-ish word/punct regex "
+    "split, and the chars/4 rule-of-thumb — the three standard budget "
+    "estimators.",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    text = F.col("text")
+    return t["documents"].select(
+        "doc_id",
+        F.size(F.regexp_extract_all(text, F.lit(r"\S+"), F.lit(0))).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(text, F.lit(_BPE_TOKEN_RE), F.lit(0)))
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+        F.ceil(F.length(text) / 4.0).cast("long").alias("chars_div4"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    "text-analysis",
+    """
+    SELECT doc_id,
+           md5(lower(text)) AS content_md5,
+           md5(array_to_string(list_sort(list_distinct(
+               regexp_extract_all(lower(text), '[a-z0-9]+'))), ' ')) AS shuffle_invariant_md5
+    FROM documents
+    """,
+    doc="Document fingerprints: raw content hash + a word-order-"
+    "invariant hash (sorted distinct token bag) that catches shuffled "
+    "near-copies exact dedup misses.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    low = F.lower(F.col("text"))
+    bag = F.array_join(
+        F.array_sort(F.array_distinct(F.regexp_extract_all(low, F.lit("[a-z0-9]+"), F.lit(0)))),
+        " ",
+    )
+    return t["documents"].select(
+        "doc_id",
+        F.md5(low.cast("binary")).alias("content_md5"),
+        F.md5(bag.cast("binary")).alias("shuffle_invariant_md5"),
+    )

@@ -1,0 +1,220 @@
+"""Event-time windowed queries over the ``events`` stream table.
+
+The reference's windows are processing-time buffers with a broken
+event-time path (SURVEY §2A bug note: ``sql/squeryer.go:172-181``
+uses ``Nanosecond()`` within-second offsets). These queries implement
+the *intended* semantics with real event time — ``F.window`` tumbling /
+sliding assignment, ``F.session_window`` sessionization — certified
+against a relational DuckDB oracle (epoch-bucket arithmetic).
+
+Batch and streaming share these plan shapes: the same ``F.window``
+aggregation runs unchanged under ``readStream`` + watermark (see
+tailsql_spark/streaming). The batch forms here are what the driver can
+differentially check.
+
+Determinism notes:
+* window starts are computed from epoch-floor on both sides —
+  microsecond-vs-nanosecond truncation can never move a row across a
+  whole-second bucket boundary (truncation only moves values toward
+  the bucket start);
+* sessionization pre-truncates timestamps to whole seconds on BOTH
+  sides, making gap comparisons integer-exact; a gap equal to the
+  threshold starts a new session (Spark's [start, last+gap) interval
+  semantics, mirrored as ``>=`` in the oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tailsql_spark.operators.asof import asof_join_backward
+from tailsql_spark.plans.catalog import QuerySpec, load_tables
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, category: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(
+            name=name, category=category, build=fn, oracle=oracle, doc=doc or (fn.__doc__ or "")
+        )
+        return fn
+
+    return deco
+
+
+@query(
+    "events_tumbling_1h",
+    "event-time-windows",
+    """
+    SELECT make_timestamp(CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600 * 1000000) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 1h event-time window ≡ reference `-w 3600:0:IDX` done right (F.window).",
+)
+def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "value_cents",
+        )
+    )
+
+
+@query(
+    "events_sliding_30m_10m",
+    "event-time-windows",
+    """
+    WITH offs AS (SELECT * FROM (VALUES (0), (1), (2)) AS t(k))
+    SELECT make_timestamp(
+               (CAST(FLOOR(epoch(ts) / 600) AS BIGINT) - k) * 600 * 1000000) AS window_start,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events CROSS JOIN offs
+    GROUP BY 1
+    """,
+    doc="Sliding 30-min window, 10-min slide: every event belongs to 3 "
+    "windows (reference multi-membership, sql/squeryer.go:183-195).",
+)
+def events_sliding_30m_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "30 minutes", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users"))
+        .select(F.col("w.start").alias("window_start"), "n", "n_users")
+    )
+
+
+@query(
+    "events_session_30m",
+    "event-time-windows",
+    """
+    WITH e AS (
+        SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, ts_s,
+               CASE WHEN ts_s - LAG(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s)
+                         >= INTERVAL 30 MINUTE
+                    OR LAG(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e
+    ),
+    sess AS (
+        SELECT user_id, ts_s,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_s
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts_s) AS session_start,
+           MAX(ts_s) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="Session windows (30-min gap) — a strict extension over the "
+    "reference (SURVEY §2E: absent there). F.session_window vs "
+    "gaps-and-islands oracle.",
+)
+def events_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    e = t["events"].select(
+        "user_id", F.date_trunc("second", F.col("ts")).alias("ts_s")
+    )
+    return (
+        e.groupBy("user_id", F.session_window("ts_s", "30 minutes").alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "asof_join_latest_order",
+    "joins",
+    """
+    WITH r AS (
+        SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, r.o_orderkey,
+           CAST(r.o_orderdate AS TIMESTAMP) AS matched_date
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_id < 2000) e
+    ASOF JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    """,
+    doc="As-of backward join (DuckDB ASOF JOIN parity) via the scalable "
+    "union-merge plan in operators/asof.py — one shuffle, one sort.",
+)
+def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    left = t["events"].filter(F.col("event_id") < 2000).select("event_id", "user_id", "ts")
+    right = (
+        t["orders"]
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    out = asof_join_backward(
+        left,
+        right,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_payload=["o_orderkey", "o_orderdate"],
+        inner=True,
+    )
+    return out.select(
+        "event_id", "user_id", "o_orderkey", F.col("o_orderdate").alias("matched_date")
+    )
+
+
+@query(
+    "range_join_error_purchase",
+    "joins",
+    """
+    SELECT e.user_id, e.event_id AS error_id, f.event_id AS purchase_id
+    FROM events e JOIN events f
+      ON e.user_id = f.user_id
+     AND f.ts > e.ts AND f.ts <= e.ts + INTERVAL 10 MINUTE
+    WHERE e.event_type = 'error' AND f.event_type = 'purchase'
+    """,
+    doc="Time-band range join: purchases within 10 min after an error, "
+    "per user. Equi-join on user co-partitions; band predicate filters "
+    "post-join (at scale: bucketize ts and equi-join on bucket too).",
+)
+def range_join_error_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    e = t["events"].filter(F.col("event_type") == "error").alias("e")
+    f_ = t["events"].filter(F.col("event_type") == "purchase").alias("f")
+    return (
+        e.join(
+            f_,
+            (F.col("e.user_id") == F.col("f.user_id"))
+            & (F.col("f.ts") > F.col("e.ts"))
+            & (F.col("f.ts") <= F.col("e.ts") + F.expr("INTERVAL 10 MINUTE")),
+        )
+        .select(
+            F.col("e.user_id").alias("user_id"),
+            F.col("e.event_id").alias("error_id"),
+            F.col("f.event_id").alias("purchase_id"),
+        )
+    )
