@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the flagship queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query is materialized with a full collect() (results are small
+aggregates/top-k sets). A warmup action amortizes JVM/codegen startup
+out of the per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: The headline set: one per major operator family (scan-agg, star join,
+#: top-k, distinct-agg, event-time windows, sessionization, as-of join,
+#: dedup, ANN, text). Names must exist in the registry.
+HEADLINE = [
+    "q1_pricing_summary",
+    "join_star_5way",
+    "q3_shipping_priority",
+    "agg_count_distinct",
+    "window_topk_per_group",
+    "events_tumbling_1h",
+    "events_session_30m",
+    "asof_join_latest_order",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk_arrow",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = -1.0
+
+    from tailsql_spark.plans.registry import REGISTRY
+    from tailsql_spark.session import get_spark
+
+    spark = get_spark(app_name="tailsql_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM start, parquet footers, and the scan→shuffle→agg
+    # codegen paths, all out of the measured numbers
+    from pyspark.sql import functions as F
+
+    from tailsql_spark.plans.catalog import load_tables
+
+    tables = load_tables(spark, sf_dir)
+    tables["lineitem"].groupBy("l_returnflag").agg(
+        F.count("*"), F.sum("l_quantity")
+    ).collect()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = REGISTRY[name]
+        t0 = time.perf_counter()
+        df = spec.build(spark, sf_dir)
+        n = len(df.collect())
+        per_query[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {per_query[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

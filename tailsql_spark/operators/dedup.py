@@ -70,9 +70,15 @@ def shingles_col(text: Column) -> Column:
 
 def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    return t["documents"].select(
-        "doc_id", shingles_col(F.col("text")).alias("shingles")
-    )
+    # Shingling is CPU-bound (higher-order fns are interpreted, not
+    # codegen'd): spread it across all cores. A 100 TB corpus arrives
+    # pre-split into many file partitions; a small local file reads as
+    # ONE partition and would serialize the whole pipeline without this.
+    par = spark.sparkContext.defaultParallelism
+    docs = t["documents"]
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    return docs.select("doc_id", shingles_col(F.col("text")).alias("shingles"))
 
 
 #: DuckDB equivalent of :func:`shingles_col` (1-based list indexing).
@@ -121,16 +127,33 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 2. MinHash + LSH near-dup
 # ---------------------------------------------------------------------------
 
-def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """(doc_id, h0..h15): per-permutation minima of md5(i ':' shingle).
+#: MinHash permutation constants h_i(x) = (a_i·x + b_i) mod P over a
+#: single md5-derived base hash — one md5 per shingle, then 16 integer
+#: ops, instead of 16 md5s (12× cheaper; identical in both engines).
+MINHASH_P = 2_147_483_647  # 2^31 - 1
+MINHASH_COEFFS: tuple[tuple[int, int], ...] = tuple(
+    (2 * i + 3, 7919 * (i + 1) % MINHASH_P) for i in range(N_HASHES)
+)
 
-    One explode + one groupBy — the signature computation is a single
-    shuffle on doc_id regardless of N_HASHES.
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, h0..h15): per-permutation minima over shingles.
+
+    Base hash = first 15 hex chars of md5(shingle) as int (< 2^60);
+    permutations are (a·(base mod P) + b) mod P with a < 2^31, so the
+    product stays under 2^62 — no overflow in either engine. One
+    explode + one groupBy: a single shuffle on doc_id regardless of
+    N_HASHES.
     """
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    base = (
+        F.conv(F.substring(F.md5(F.col("s").cast("binary")), 1, 15), 16, 10)
+        .cast("long") % MINHASH_P
+    )
+    ex = ex.select("doc_id", base.alias("x"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")).cast("binary"))).alias(f"h{i}")
-        for i in range(N_HASHES)
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
     ]
     return ex.groupBy("doc_id").agg(*aggs)
 
@@ -139,7 +162,13 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     """Band the signature and self-join per band → candidate id pairs."""
     bands = [
         F.md5(
-            F.concat_ws("", *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)])
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"h{b * ROWS_PER_BAND + r}").cast("string")
+                    for r in range(ROWS_PER_BAND)
+                ],
+            ).cast("binary")
         ).alias(f"b{b}")
         for b in range(N_BANDS)
     ]
@@ -163,16 +192,18 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
 
 _MINHASH_ORACLE = f"""
     WITH sh AS ({_DUCK_SHINGLES}),
-    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    ex AS (SELECT doc_id,
+                  CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % {MINHASH_P} AS x
+           FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) u),
     sig AS (
         SELECT doc_id,
-               {", ".join(f"MIN(md5('{i}:' || s)) AS h{i}" for i in range(N_HASHES))}
+               {", ".join(f"MIN(({a} * x + {b}) % {MINHASH_P}) AS h{i}" for i, (a, b) in enumerate(MINHASH_COEFFS))}
         FROM ex GROUP BY doc_id
     ),
     banded AS (
         SELECT doc_id,
                {", ".join(
-                   "md5(" + " || ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)) + f") AS b{b}"
+                   "md5(concat_ws(','" + "".join(f", CAST(h{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)) + f")) AS b{b}"
                    for b in range(N_BANDS))}
         FROM sig
     ),
@@ -207,7 +238,14 @@ _MINHASH_ORACLE = f"""
     "passes + one equi-join; no O(n²) stage.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = doc_shingles(spark, sf_dir)
+    # The shingle set feeds three pipeline stages (signature, and both
+    # sides of candidate verification); persist it AND materialize
+    # eagerly — branches of a single job cannot share in-flight cache,
+    # so without the count() every branch would re-tokenize. At cluster
+    # scale this is a checkpoint of the shingle table, the standard
+    # shape for petabyte dedup runs.
+    sh = doc_shingles(spark, sf_dir).persist()
+    sh.count()
     sig = minhash_signatures(sh)
     cand = lsh_candidate_pairs(sig)
     sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
