@@ -1,0 +1,83 @@
+"""CLI: ``python -m tailsql_spark.cli query -f FILE -r REGEX ... 'SQL'``.
+
+Flag surface mirrors the reference (``/root/reference/cmd/query.go:
+21-67``): ``-c/--config``, ``-f/--files-to-follow``, ``-r/--regexes``,
+``-F/--filters``, ``-w/--winopt``, ``-t/--throttlers``, ``-o/--formatter``,
+``-T/--do-not-tail``, ``-s/--sink``, plus ``--duration`` (ours: bounded
+runs; the reference only stops on SIGINT, ``sql/squeryer.go:34-45``).
+
+``-d/--db-engine`` is accepted and ignored (engine is Spark SQL).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="tailsql-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    q = sub.add_parser("query", help="tail files and run SQL per window")
+    q.add_argument("sql", help="SQL to run per window (tables t0..tN)")
+    q.add_argument("-c", "--config", default="", help="YAML config file")
+    q.add_argument("-f", "--files-to-follow", action="append", default=[], dest="files")
+    q.add_argument("-r", "--regexes", action="append", default=[], dest="regexes")
+    q.add_argument("-F", "--filters", action="append", default=[], dest="filters")
+    q.add_argument("-w", "--winopt", default="10:5:-1")
+    q.add_argument("-t", "--throttlers", action="append", default=[], dest="throttlers")
+    q.add_argument("-o", "--formatter", default="raw", choices=["raw", "rawv", "table"])
+    q.add_argument("-s", "--sink", default="stdout")
+    q.add_argument("-T", "--do-not-tail", action="store_true")
+    q.add_argument("-d", "--db-engine", default="spark", help="accepted for compat; always Spark SQL")
+    q.add_argument("-l", "--log-level", default="warn")
+    q.add_argument("--duration", type=float, default=None, help="run for N seconds then exit")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from tailsql_spark import config as cfg_mod
+    from tailsql_spark.session import get_spark
+    from tailsql_spark.streaming.squeryer import SourceSpec, StreamQueryer, run_batch
+
+    if args.config:
+        cfg = cfg_mod.from_yaml(args.config, args.sql)
+    else:
+        cfg = cfg_mod.from_flags(
+            sql=args.sql,
+            files=args.files or ["/dev/stdin"],
+            regexes=args.regexes,
+            filters=args.filters,
+            winopt=args.winopt,
+            throttlers=args.throttlers,
+            formatter=args.formatter,
+            do_not_tail=args.do_not_tail,
+        )
+
+    spark = get_spark(app_name="tailsql_spark_cli")
+    sources = [
+        SourceSpec(
+            path=f.path,
+            pattern=f.regex,
+            filter_expr=f.filter,
+            kind="tail",
+            seek_to_end=not f.do_not_tail,
+        )
+        for f in cfg.files
+    ]
+
+    if all(f.do_not_tail for f in cfg.files):
+        print(run_batch(spark, sources, cfg.sql, cfg.formatter))
+        return 0
+
+    sq = StreamQueryer(spark, sources, cfg.window, cfg.sql, cfg.formatter)
+    try:
+        sq.run(duration_sec=args.duration)
+    except KeyboardInterrupt:
+        sq.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,185 @@
+"""``tail -f`` / stdin / FIFO streaming sources via the PySpark Python
+Data Source API.
+
+Spark's built-in file stream ingests *new files*, not appended bytes
+(the reference tails a single growing file: ``/root/reference/source/
+fs.go:14-71`` with ``ReOpen: true`` rotation handling at
+``sql/squeryer.go:96-101``). This module implements true append
+semantics as a :class:`SimpleDataSourceStreamReader`:
+
+* offsets are byte positions — replayable and checkpointable, so a
+  restarted query resumes exactly where it stopped (a strict upgrade
+  over the reference, which has no recovery);
+* rotation-aware: when the file shrinks below the recorded offset the
+  reader re-opens from 0 (tail ``ReOpen``);
+* ``seek_to_end`` mirrors tail's default start-at-EOF; ``False``
+  reads from the beginning (``--do-not-tail`` still ultimately maps to
+  plain batch ``spark.read.text``);
+* stdin and FIFOs are the same reader over a non-seekable stream —
+  offsets then count *lines consumed* (reference: ``source/stdin.go``,
+  ``source/namedpipe.go``; a FIFO is just a blocking line stream,
+  ``utils/utils.go:7-13``).
+
+Scale note: one tailed file is inherently a serial byte stream, so this
+reader is single-partition by design; horizontal scale comes from many
+files (use N ``tailf`` sources or the directory file-source). The
+simple-reader API executes on the driver and prefetches; per-batch data
+volume is a tail stream's line rate — small by construction.
+
+Usage::
+
+    spark.dataSource.register(TailDataSource)
+    df = (spark.readStream.format("tailf")
+          .option("path", "/var/log/app.log")
+          .option("seek_to_end", "false").load())
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.types import StringType, StructField, StructType
+
+LINE_SCHEMA = StructType([StructField("value", StringType(), True)])
+
+
+class TailStreamReader(SimpleDataSourceStreamReader):
+    """Byte-offset tail reader for a regular file."""
+
+    def __init__(self, path: str, seek_to_end: bool, max_bytes_per_batch: int):
+        self.path = path
+        self.seek_to_end = seek_to_end
+        self.max_bytes = max_bytes_per_batch
+
+    def initialOffset(self) -> dict:
+        if self.seek_to_end and os.path.exists(self.path):
+            return {"pos": os.path.getsize(self.path)}
+        return {"pos": 0}
+
+    def _read_from(self, pos: int) -> tuple[list[tuple[str]], int]:
+        if not os.path.exists(self.path):
+            return [], pos
+        size = os.path.getsize(self.path)
+        if size < pos:  # rotation/truncation → re-open from start
+            pos = 0
+        if size == pos:
+            return [], pos
+        with open(self.path, "rb") as f:
+            f.seek(pos)
+            chunk = f.read(self.max_bytes)
+        new_pos = pos + len(chunk)
+        lines = chunk.split(b"\n")
+        if not chunk.endswith(b"\n"):
+            # incomplete trailing line: leave its bytes unconsumed — the
+            # offset only ever advances past complete lines, so the
+            # reader is stateless and restart-safe
+            partial = lines.pop()
+            new_pos -= len(partial)
+        rows = [
+            (ln.decode("utf-8", errors="replace"),) for ln in lines if ln != b""
+        ]
+        return rows, new_pos
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        rows, new_pos = self._read_from(int(start["pos"]))
+        return iter(rows), {"pos": new_pos}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        # replay for recovery: deterministic re-read of [start, end)
+        pos, end_pos = int(start["pos"]), int(end["pos"])
+        if not os.path.exists(self.path) or end_pos <= pos:
+            return iter([])
+        with open(self.path, "rb") as f:
+            f.seek(pos)
+            data = f.read(end_pos - pos)
+        return iter(
+            (ln.decode("utf-8", errors="replace"),)
+            for ln in data.split(b"\n")
+            if ln != b""
+        )
+
+
+class PipeStreamReader(SimpleDataSourceStreamReader):
+    """Line reader over a non-seekable stream (stdin or a named pipe).
+
+    The stream is consumed exactly once; offsets count lines consumed.
+    Replay (`readBetweenOffsets`) cannot re-produce consumed pipe data —
+    restarts resume from "now", matching the reference's semantics
+    (no recovery, ``source/stdin.go:31-46``).
+    """
+
+    def __init__(self, path: str | None):
+        self.path = path  # None → stdin
+        self._fh = None
+        self._n = 0
+        self._buf = b""
+
+    def initialOffset(self) -> dict:
+        return {"line": 0}
+
+    def _handle(self):
+        if self._fh is None:
+            if self.path is None:
+                import sys
+
+                self._fh = sys.stdin.buffer
+            else:
+                # non-blocking FIFO open so an idle pipe never stalls a batch
+                fd = os.open(self.path, os.O_RDONLY | os.O_NONBLOCK)
+                self._fh = os.fdopen(fd, "rb")
+        return self._fh
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        fh = self._handle()
+        rows: list[tuple[str]] = []
+        try:
+            while True:
+                chunk = fh.read(65536)
+                if not chunk:
+                    break
+                self._buf += chunk
+                if len(self._buf) > 1 << 26:
+                    break
+        except (BlockingIOError, ValueError):
+            pass
+        if b"\n" in self._buf:
+            *lines, self._buf = self._buf.split(b"\n")
+        else:
+            lines = []
+        out = [(ln.decode("utf-8", errors="replace"),) for ln in lines if ln != b""]
+        self._n += len(out)
+        return iter(out), {"line": self._n}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return iter([])  # consumed pipe data is gone (documented divergence)
+
+
+class TailDataSource(DataSource):
+    """``format("tailf")`` — tail a file, stdin, or FIFO as a stream.
+
+    Options: ``path`` (file/FIFO path; omit or ``-`` for stdin),
+    ``seek_to_end`` (default true, tail semantics), ``max_bytes_per_batch``.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "tailf"
+
+    def schema(self) -> StructType:
+        return LINE_SCHEMA
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        path = self.options.get("path")
+        if path in (None, "", "-"):
+            return PipeStreamReader(None)
+        import stat
+
+        if os.path.exists(path) and stat.S_ISFIFO(os.stat(path).st_mode):
+            return PipeStreamReader(path)
+        return TailStreamReader(
+            path,
+            seek_to_end=str(self.options.get("seek_to_end", "true")).lower() == "true",
+            max_bytes_per_batch=int(self.options.get("max_bytes_per_batch", 1 << 24)),
+        )

@@ -1,0 +1,244 @@
+"""The streaming query harness: per-window SQL over tailed line streams.
+
+Re-expresses the reference's whole dataflow (``/root/reference/sql/
+squeryer.go:354-439``) on Structured Streaming:
+
+* one streaming query per source pumps micro-batches through
+  parse (regex DSL) → filter → into a windowed buffer
+  (≡ source → Map parse → Filter chain, ``squeryer.go:399-406``);
+* a window clock emits every SLIDE (or SIZE) seconds: the buffer is
+  evicted to the window span, each source's rows become temp view
+  ``t0..tN`` (≡ Clean+Insert, ``squeryer.go:261-276`` — view
+  replacement IS the Clean/Insert cycle), the user's SQL runs
+  verbatim through Spark SQL (≡ ``engine.Query``,
+  ``engine.go:256-258``), and the result renders to the sink
+  (``sink/stdout.go:67-89``);
+* buffered micro-batches stay DISTRIBUTED: each batch is spooled to a
+  parquet segment (executors write in parallel; no driver collect) and
+  the window view is a scan over the live segments. foreachBatch hands
+  the callback a DataFrame bound to a CLONED SparkSession whose temp
+  views/plans are invisible to the main session — the spool decouples
+  the two, doubles as a restart-safe window buffer (bounded by SIZE),
+  and at cluster scale is simply a scratch object-store prefix;
+* a lock serializes buffer mutation against emission, exactly the
+  reference's engine mutex (``squeryer.go:55,262,285``);
+* empty sources still get (empty) views so multi-table joins stay
+  valid (``squeryer.go:429-431``).
+
+Windows here are processing-time (the reference default, ``IDX_OF_TS
+= -1``). Event-time windows done right are the streaming aggregation
+path (``F.window`` + ``withWatermark``) shown in
+:mod:`tailsql_spark.plans.streaming_sql` and tests.
+
+The batch path (``--do-not-tail`` ≡ the vestigial ``TableParser``,
+``sql/ptable.go:129-160``) is :func:`run_batch`: read whole files,
+one parse, one SQL, one render.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tailsql_spark.dsl import CompiledPattern, compile_pattern
+from tailsql_spark.operators.rowfilter import apply_filter
+from tailsql_spark.operators.windows import WindowSpec
+from tailsql_spark.sinks.formatters import render
+
+
+@dataclass
+class SourceSpec:
+    """One followed source: path + regex DSL + optional row filter.
+
+    ``kind``: ``tail`` (tailf data source: file/FIFO/stdin), ``dir``
+    (idiomatic Spark file-stream of new files), ``batch`` (read once).
+    """
+
+    path: str
+    pattern: str
+    filter_expr: str | None = None
+    kind: str = "tail"
+    seek_to_end: bool = False
+    compiled: CompiledPattern = field(init=False)
+
+    def __post_init__(self) -> None:
+        self.compiled = compile_pattern(self.pattern)
+
+
+@dataclass
+class _Buffered:
+    ts: float
+    path: str
+    n: int
+
+
+class StreamQueryer:
+    """Drives N sources into per-window ``t0..tN`` views + SQL + sink."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        sources: list[SourceSpec],
+        window: WindowSpec,
+        sql_text: str,
+        formatter: str = "raw",
+        sink=None,
+    ):
+        self.spark = spark
+        self.sources = sources
+        self.window = window
+        self.sql_text = sql_text
+        self.formatter = formatter
+        self.sink = sink if sink is not None else print
+        self._buffers: dict[int, list[_Buffered]] = {i: [] for i in range(len(sources))}
+        self._lock = threading.Lock()
+        self._queries = []
+        self._emissions = 0
+        self._batch_seq = 0
+        import tempfile
+
+        # Window spool: scratch prefix for buffered batch segments.
+        # Local: a temp dir; cluster: point at HDFS/S3 scratch.
+        self._spool_dir = tempfile.mkdtemp(prefix="tailsql_spool_")
+
+    # ------------------------------------------------------------------
+    # ingest
+    # ------------------------------------------------------------------
+    def _parsed_stream(self, idx: int) -> DataFrame:
+        src = self.sources[idx]
+        if src.kind == "dir":
+            lines = self.spark.readStream.format("text").load(src.path)
+        else:
+            from tailsql_spark.sources.tail import TailDataSource
+
+            self.spark.dataSource.register(TailDataSource)
+            lines = (
+                self.spark.readStream.format("tailf")
+                .option("path", src.path)
+                .option("seek_to_end", str(src.seek_to_end).lower())
+                .load()
+            )
+        parsed = src.compiled.parse_lines(lines)
+        return apply_filter(parsed, src.filter_expr)
+
+    def process_batch(self, idx: int, df: DataFrame, now: float | None = None) -> None:
+        """foreachBatch callback body; public so tests can pump
+        deterministic batches with a frozen clock.
+
+        ``df`` may be bound to the streaming clone session — spooling to
+        parquet is the session-neutral handoff (and the executors write
+        the segment in parallel; nothing funnels through the driver).
+        """
+        now = time.time() if now is None else now
+        df = df.persist()
+        n = df.count()
+        try:
+            if n == 0:
+                return
+            with self._lock:
+                seq = self._batch_seq
+                self._batch_seq += 1
+            path = f"{self._spool_dir}/s{idx}_b{seq}"
+            df.write.mode("overwrite").parquet(path)
+            with self._lock:
+                self._buffers[idx].append(_Buffered(now, path, n))
+        finally:
+            df.unpersist()
+
+    def start(self, trigger_sec: float = 1.0) -> None:
+        for i in range(len(self.sources)):
+            q = (
+                self._parsed_stream(i)
+                .writeStream.outputMode("append")
+                .foreachBatch(lambda df, _epoch, i=i: self.process_batch(i, df))
+                .trigger(processingTime=f"{trigger_sec} seconds")
+                .start()
+            )
+            self._queries.append(q)
+
+    # ------------------------------------------------------------------
+    # window emission (≡ Clean + Insert + Query + print)
+    # ------------------------------------------------------------------
+    def _drop(self, b: _Buffered) -> None:
+        import shutil
+
+        shutil.rmtree(b.path, ignore_errors=True)
+
+    def _evict(self, now: float) -> None:
+        horizon = now - self.window.size_sec
+        for idx, buf in self._buffers.items():
+            keep: list[_Buffered] = []
+            for b in buf:
+                if b.ts > horizon:
+                    keep.append(b)
+                else:
+                    self._drop(b)
+            self._buffers[idx] = keep
+
+    def emit(self, now: float | None = None) -> str:
+        """Evict to the window span, rebuild views, run the SQL, render."""
+        now = time.time() if now is None else now
+        with self._lock:
+            self._evict(now)
+            for idx, src in enumerate(self.sources):
+                paths = [b.path for b in self._buffers[idx] if b.n > 0]
+                if paths:
+                    view = self.spark.read.schema(src.compiled.schema).parquet(*paths)
+                else:
+                    view = self.spark.createDataFrame([], src.compiled.schema)
+                view.createOrReplaceTempView(f"t{idx}")
+            result = self.spark.sql(self.sql_text)
+            out = render(result, self.formatter)
+            if self.window.is_tumbling:
+                # tumbling boundary: next window starts empty (Clean)
+                for buf in self._buffers.values():
+                    for b in buf:
+                        self._drop(b)
+                    buf.clear()
+        self._emissions += 1
+        self.sink(out)
+        return out
+
+    def run(self, duration_sec: float | None = None) -> None:
+        """Wall-clock loop: emit every SLIDE (sliding) / SIZE (tumbling)
+        seconds, like the reference's window ticker."""
+        period = self.window.slide_sec if not self.window.is_tumbling else self.window.size_sec
+        self.start(trigger_sec=min(1.0, period / 2))
+        t_end = None if duration_sec is None else time.time() + duration_sec
+        nxt = time.time() + period
+        try:
+            while t_end is None or time.time() < t_end:
+                time.sleep(max(0.0, nxt - time.time()))
+                self.emit()
+                nxt += period
+        finally:
+            self.stop()
+
+    def stop(self) -> None:
+        import shutil
+
+        for q in self._queries:
+            try:
+                q.stop()
+            except Exception:
+                pass
+        self._queries.clear()
+        shutil.rmtree(self._spool_dir, ignore_errors=True)
+
+
+def run_batch(
+    spark: SparkSession,
+    sources: list[SourceSpec],
+    sql_text: str,
+    formatter: str = "raw",
+) -> str:
+    """One-shot batch mode (≡ ``--do-not-tail`` / TableParser path):
+    read each file fully, parse, register ``t0..tN``, run the SQL once."""
+    for idx, src in enumerate(sources):
+        lines = spark.read.text(src.path)
+        parsed = apply_filter(src.compiled.parse_lines(lines), src.filter_expr)
+        parsed.createOrReplaceTempView(f"t{idx}")
+    return render(spark.sql(sql_text), formatter)

@@ -1,0 +1,199 @@
+"""Streaming layer tests: tail source, window harness, batch path,
+event-time aggregation with watermark (FIXTURES.md F1/F5)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tailsql_spark.operators.windows import WindowSpec
+from tailsql_spark.streaming.squeryer import SourceSpec, StreamQueryer, run_batch
+
+README_RE = r".+ (?P<method__str>GETM) (?P<status__str>SUCC) .+7710 (?P<time__int>[0-9]+).*"
+
+LINES = [
+    "2024/04/12 22:47:42.506277 GETM SUCC localhost:7710 605",
+    "2024/04/12 22:47:43.012345 GETM SUCC localhost:7710 12500",
+    "2024/04/12 22:47:43.523456 SETM FAIL localhost:7711 98",
+    "2024/04/12 22:47:44.000001 GETM SUCC localhost:7710 13000",
+]
+
+
+def _write(path, lines):
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+
+def test_run_batch_readme_demo(spark, tmp_path):
+    """--do-not-tail ≡ TableParser path: one parse, one SQL, one render."""
+    log = tmp_path / "demo.log"
+    _write(log, LINES)
+    out = run_batch(
+        spark,
+        [SourceSpec(path=str(log), pattern=README_RE, kind="batch")],
+        "select count(1) as n from t0 where time > 12275",
+    )
+    assert out == "n\n2"
+
+
+def test_tail_source_reads_appended_lines(spark, tmp_path):
+    """True tail -f: bytes appended after stream start are ingested."""
+    log = tmp_path / "grow.log"
+    _write(log, LINES[:1])
+    from tailsql_spark.sources.tail import TailDataSource
+
+    spark.dataSource.register(TailDataSource)
+    got: list = []
+    df = (
+        spark.readStream.format("tailf")
+        .option("path", str(log))
+        .option("seek_to_end", "false")
+        .load()
+    )
+    q = (
+        df.writeStream.outputMode("append")
+        .foreachBatch(lambda b, _e: got.extend(r.value for r in b.collect()))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while len(got) < 1 and time.time() < deadline:
+            time.sleep(0.5)
+        with open(log, "a") as fh:
+            fh.write(LINES[1] + "\n")
+        while len(got) < 2 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert got[:2] == [LINES[0], LINES[1]]
+
+
+def test_tail_source_rotation(tmp_path):
+    """File truncation → reader restarts from 0 (tail ReOpen)."""
+    from tailsql_spark.sources.tail import TailStreamReader
+
+    log = tmp_path / "rot.log"
+    _write(log, ["aaa", "bbb"])
+    r = TailStreamReader(str(log), seek_to_end=False, max_bytes_per_batch=1 << 20)
+    rows, off = r._read_from(0)
+    assert [x[0] for x in rows] == ["aaa", "bbb"]
+    _write(log, ["ccc"])  # rewrite smaller → rotation
+    rows, off = r._read_from(off)
+    assert [x[0] for x in rows] == ["ccc"]
+
+
+def test_tail_source_partial_line_carry(tmp_path):
+    from tailsql_spark.sources.tail import TailStreamReader
+
+    log = tmp_path / "part.log"
+    with open(log, "w") as fh:
+        fh.write("complete\nhalf")
+    r = TailStreamReader(str(log), seek_to_end=False, max_bytes_per_batch=1 << 20)
+    rows, off = r._read_from(0)
+    assert [x[0] for x in rows] == ["complete"]
+    with open(log, "a") as fh:
+        fh.write("line\n")
+    rows, off = r._read_from(off)
+    assert [x[0] for x in rows] == ["halfline"]
+
+
+def test_window_harness_sliding_eviction(spark, tmp_path):
+    """Deterministic pump: rows older than SIZE leave the window; rows
+    within SIZE appear in multiple sliding emissions (F5)."""
+    spec = WindowSpec(size_sec=10, slide_sec=5)
+    sq = StreamQueryer(
+        spark,
+        [SourceSpec(path="unused", pattern=README_RE)],
+        spec,
+        "select count(1) as n from t0",
+        formatter="raw",
+        sink=lambda s: None,
+    )
+    lines = spark.createDataFrame([(l,) for l in LINES], ["value"])
+    parsed = sq.sources[0].compiled.parse_lines(lines)  # 3 GETM rows
+    t0 = 1000.0
+    sq.process_batch(0, parsed, now=t0)
+    assert sq.emit(now=t0 + 1) == "n\n3"  # in window
+    assert sq.emit(now=t0 + 6) == "n\n3"  # still in (sliding overlap)
+    assert sq.emit(now=t0 + 11) == "n\n0"  # evicted after SIZE
+
+    # empty view still answers joins (squeryer.go:429-431)
+    sq2 = StreamQueryer(
+        spark,
+        [SourceSpec(path="u1", pattern=README_RE), SourceSpec(path="u2", pattern=README_RE)],
+        spec,
+        "select count(1) as n from t0 join t1 using (time)",
+        sink=lambda s: None,
+    )
+    sq2.process_batch(0, parsed, now=t0)
+    assert sq2.emit(now=t0 + 1) == "n\n0"
+
+
+def test_window_harness_tumbling_clears(spark):
+    spec = WindowSpec(size_sec=10, slide_sec=0)
+    sq = StreamQueryer(
+        spark,
+        [SourceSpec(path="unused", pattern=README_RE)],
+        spec,
+        "select count(1) as n from t0",
+        sink=lambda s: None,
+    )
+    lines = spark.createDataFrame([(l,) for l in LINES], ["value"])
+    parsed = sq.sources[0].compiled.parse_lines(lines)
+    t0 = 2000.0
+    sq.process_batch(0, parsed, now=t0)
+    assert sq.emit(now=t0 + 1) == "n\n3"
+    # tumbling boundary: buffer cleared, next window empty
+    assert sq.emit(now=t0 + 2) == "n\n0"
+
+
+def test_event_time_stream_with_watermark(spark, sf_dir):
+    """Event-time tumbling agg under readStream + watermark (the
+    reference's broken event-time path done right, SURVEY §2A)."""
+    from tailsql_spark.plans.catalog import load_table
+
+    batch = load_table(spark, sf_dir, "events")
+    # stream the events table through a staged parquet dir deterministically
+    events = batch.select("ts", "event_type", "value")
+    src = events.repartition(4)
+    src.write.mode("overwrite").parquet("/tmp/_stream_events")
+    stream = spark.readStream.schema(events.schema).parquet("/tmp/_stream_events")
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("evt_windows")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = spark.sql("select sum(n) as total from evt_windows").collect()[0].total
+    # append mode emits only windows older than the watermark; the final
+    # (open) windows are withheld — total ≤ row count, > 0
+    n_events = events.count()
+    assert got is not None and 0 < got <= n_events
+
+
+def test_formatters():
+    from tailsql_spark.sinks.formatters import format_raw, format_rawv, format_table
+
+    cols = ["a", "bb"]
+    rows = [(1, None), (2, "x")]
+    assert format_raw(cols, rows) == "a bb\n1 NULL\n2 x"
+    v = format_rawv(cols, rows)
+    assert "1. row" in v and " a: 1" in v and "bb: NULL" in v
+    t = format_table(cols, rows)
+    assert t.splitlines()[0].startswith("+") and "| a " in t.splitlines()[1]
+    assert "NULL" in t
