@@ -1,0 +1,291 @@
+"""Second-wave coverage: remaining §2B/§2C surface + iterative algorithms.
+
+* ``setop_except_all``      — multiset EXCEPT ALL (vs set EXCEPT in core).
+* ``window_first_last``     — FIRST_VALUE/LAST_VALUE over a full frame.
+* ``percentile_exact``      — exact interpolated percentiles (Spark
+  ``percentile`` ≡ DuckDB ``quantile_cont``).
+* ``agg_approx_sketches``   — approx_count_distinct / approx quantiles
+  (sketch outputs are engine-specific → rows-only check, no oracle).
+* ``json_struct_parse``     — ``from_json`` typed struct extraction.
+* ``text_ngram_topk``       — corpus-level top-k bigrams.
+* ``tailsql_filter_expr``   — the reference's ``-F`` filter surface
+  (qlbridge expression dialect, SURVEY §2C) through ``apply_filter``.
+* ``dedup_clusters``        — connected components over near-dup pairs:
+  an iterative label-propagation loop in Spark (driver-coordinated
+  joins, the Pregel-lite shape) vs a recursive-CTE transitive closure
+  in DuckDB. This is the canonical "non-SQL iterative algorithm" the
+  engine must still express — and it IS differential-testable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from tailsql_spark.operators.dedup import REGISTRY as _DEDUP_REGISTRY
+from tailsql_spark.operators.rowfilter import apply_filter
+from tailsql_spark.plans.catalog import QuerySpec, load_tables
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, category: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(
+            name=name, category=category, build=fn, oracle=oracle, doc=doc or (fn.__doc__ or "")
+        )
+        return fn
+
+    return deco
+
+
+@query(
+    "setop_except_all",
+    "set-operations",
+    """
+    SELECT k FROM (
+        SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9000
+        EXCEPT ALL
+        SELECT s_nationkey AS k FROM supplier WHERE s_acctbal > 5000
+    )
+    """,
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].filter(F.col("c_acctbal") > 9000).select(F.col("c_nationkey").alias("k"))
+    s = t["supplier"].filter(F.col("s_acctbal") > 5000).select(F.col("s_nationkey").alias("k"))
+    return c.exceptAll(s)
+
+
+@query(
+    "window_first_last",
+    "window-functions",
+    """
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+           LAST_VALUE(o_orderkey)  OVER w AS last_ok,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_in_cust
+    FROM orders WHERE o_custkey <= 40
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        t["orders"]
+        .filter(F.col("o_custkey") <= 40)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_orderkey").over(w).alias("first_ok"),
+            F.last("o_orderkey").over(w).alias("last_ok"),
+            F.count("*").over(w).cast("long").alias("n_in_cust"),
+        )
+    )
+
+
+@query(
+    "percentile_exact",
+    "aggregation",
+    """
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
+           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Exact interpolated percentiles: Spark `percentile` and DuckDB "
+    "`quantile_cont` share the p·(n−1) linear-interpolation definition.",
+)
+def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["orders"].groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+@query(
+    "agg_approx_sketches",
+    "aggregation",
+    None,  # sketch estimates are engine-specific — rows-only check
+    doc="Approximate aggregates (HLL distinct count, approximate "
+    "quantiles): the 100 TB substitutes for exact DISTINCT/percentile. "
+    "No oracle — estimates legitimately differ between engines.",
+)
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_p50"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "json_struct_parse",
+    "scalar-functions",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+           (CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL) AS has_k
+    FROM events WHERE event_id < 1000
+    """,
+    doc="Typed JSON parsing: Spark from_json to a struct vs DuckDB "
+    "json_extract casts — the sources/formats surface beyond regex lines.",
+)
+def json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    parsed = F.from_json(F.col("props"), "k BIGINT")
+    return (
+        t["events"]
+        .filter(F.col("event_id") < 1000)
+        .select(
+            "event_id",
+            parsed.getField("k").alias("k_val"),
+            parsed.getField("k").isNotNull().alias("has_k"),
+        )
+    )
+
+
+@query(
+    "text_ngram_topk",
+    "text-analysis",
+    """
+    WITH toks AS (
+        SELECT doc_id, ws, len(ws) AS n
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents)
+    ),
+    bigrams AS (
+        SELECT unnest([ws[i] || ' ' || ws[i+1] FOR i IN range(1, n)]) AS bg
+        FROM toks
+    )
+    SELECT bg, COUNT(*) AS cnt
+    FROM bigrams GROUP BY bg
+    ORDER BY cnt DESC, bg ASC LIMIT 10
+    """,
+    doc="Corpus top-10 bigrams: the n-gram frequency table every "
+    "text-dedup/quality pipeline starts from. One explode + one agg + "
+    "top-k (TakeOrderedAndProject, no global sort).",
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    toks = F.split(F.lower(F.col("text")), " ")
+    n = F.size(toks)
+    bigrams = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(0), n - 2), lambda i: F.concat_ws(" ", toks[i], toks[i + 1])
+    )).otherwise(F.array().cast("array<string>"))
+    return (
+        t["documents"]
+        .select(F.explode(bigrams).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bg").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "tailsql_filter_expr",
+    "tailsql-pipeline",
+    """
+    SELECT event_id, event_type, value
+    FROM events
+    WHERE event_type = 'click' AND value > 50 AND contains(props, '9')
+    """,
+    doc="The -F filter surface (qlbridge expression dialect, SURVEY "
+    "§2C): `==` equality, boolean ops, string helpers — all valid "
+    "Spark SQL via apply_filter.",
+)
+def tailsql_filter_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    filtered = apply_filter(
+        t["events"], 'event_type == "click" AND value > 50 AND contains(props, "9")'
+    )
+    return filtered.select("event_id", "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+_MINHASH_ORACLE = _DEDUP_REGISTRY["dedup_minhash_lsh"].oracle
+
+_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE
+    mh AS (SELECT id_a, id_b FROM ({_MINHASH_ORACLE}) q),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM mh
+        UNION
+        SELECT id_b AS a, id_a AS b FROM mh
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+    FROM reach GROUP BY a
+"""
+
+
+@query(
+    "dedup_clusters",
+    "dedup",
+    _CLUSTERS_ORACLE,
+    doc="Duplicate-cluster assignment: connected components over the "
+    "MinHash-LSH near-dup graph. Spark side is iterative min-label "
+    "propagation (driver loop over distributed joins — the Pregel "
+    "shape, O(diameter) rounds); oracle is a recursive-CTE transitive "
+    "closure. Canonical doc per cluster = min doc_id.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _DEDUP_REGISTRY["dedup_minhash_lsh"].build(spark, sf_dir).select("id_a", "id_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("id_a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(20):  # diameter bound; near-dup clusters are shallow
+        neighbor_min = (
+            edges.join(labels, edges.id_b == labels.node)
+            .groupBy(F.col("id_a").alias("node2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    edges.unpersist()
+    return out

@@ -12,6 +12,7 @@ REGISTRY.update(_CORE)
 # down the core surface.
 for _mod in (
     "tailsql_spark.plans.streaming_sql",
+    "tailsql_spark.plans.extra_sql",
     "tailsql_spark.operators.dedup",
     "tailsql_spark.operators.similarity",
     "tailsql_spark.operators.textstats",
