@@ -63,6 +63,11 @@ def main(argv: list[str] | None = None) -> int:
             filter_expr=f.filter,
             kind="tail",
             seek_to_end=not f.do_not_tail,
+            max_rows_per_sec=(
+                f.throttle.max_elements / f.throttle.period_seconds
+                if f.throttle.max_elements > 0 and f.throttle.period_seconds > 0
+                else 0.0
+            ),
         )
         for f in cfg.files
     ]

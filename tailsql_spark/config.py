@@ -69,6 +69,19 @@ class JobCfg:
         return self
 
 
+def _resolve_ts_field(idx: int, first_regex: str) -> str | None:
+    """Resolve the reference's IDX_OF_TS column index against the first
+    source's parsed schema (event-time windows; -1 → processing time)."""
+    if idx < 0:
+        return None
+    from tailsql_spark.dsl import compile_pattern
+
+    fields = compile_pattern(first_regex).fields
+    if idx >= len(fields):
+        raise ValueError(f"IDX_OF_TS {idx} out of range for {[f.name for f in fields]}")
+    return fields[idx].name
+
+
 def _broadcast(values: list, n: int, what: str) -> list:
     """Reference rule: per-file lists must match the file count; a
     single value broadcasts; empty means none (config.go:142-160)."""
@@ -102,7 +115,9 @@ def from_yaml(path: str, sql: str) -> JobCfg:
     window = WindowSpec(
         size_sec=int(w.get("size_seconds", 10)),
         slide_sec=int(w.get("sliding_interval_seconds", 0)),
-        ts_field=None,  # idx resolved against parsed schema by the runner
+        ts_field=_resolve_ts_field(
+            int(w.get("idx_of_ts_field", -1)), files[0].regex if files else ""
+        ),
     )
     sink = raw.get("sink") or {}
     return JobCfg(
@@ -129,6 +144,13 @@ def from_flags(
     regexes = _broadcast(regexes, n, "regex")
     filts = _broadcast(filters or [], n, "filter")
     thr = _broadcast([ThrottleCfg.parse(t) for t in (throttlers or [])], n, "throttler")
+    parts = winopt.split(":")
+    idx = int(parts[2]) if len(parts) > 2 else -1
+    window = WindowSpec(
+        size_sec=int(parts[0]),
+        slide_sec=int(parts[1]) if len(parts) > 1 else 0,
+        ts_field=_resolve_ts_field(idx, regexes[0] or ""),
+    )
     return JobCfg(
         files=[
             FileCfg(
@@ -140,7 +162,7 @@ def from_flags(
             )
             for p, r, f, t in zip(files, regexes, filts, thr)
         ],
-        window=WindowSpec.parse(winopt),
+        window=window,
         sql=sql,
         formatter=formatter,
     ).validate()

@@ -40,6 +40,12 @@ class WindowSpec:
     slide_sec: int = 0  # 0 → tumbling
     ts_field: str | None = None  # None → processing time
 
+    def __post_init__(self) -> None:
+        if self.size_sec <= 0:
+            raise ValueError("window SIZE must be > 0")
+        if self.slide_sec < 0 or self.slide_sec > self.size_sec:
+            raise ValueError("window SLIDE must be in [0, SIZE]")
+
     @property
     def is_tumbling(self) -> bool:
         return self.slide_sec == 0 or self.slide_sec == self.size_sec
@@ -61,10 +67,6 @@ class WindowSpec:
                 if columns is None or idx >= len(columns):
                     raise ValueError(f"IDX_OF_TS {idx} out of range for {columns}")
                 ts_field = columns[idx]
-        if size <= 0:
-            raise ValueError("window SIZE must be > 0")
-        if slide < 0 or slide > size:
-            raise ValueError("window SLIDE must be in [0, SIZE]")
         return cls(size_sec=size, slide_sec=slide, ts_field=ts_field)
 
 

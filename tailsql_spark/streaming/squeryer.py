@@ -55,6 +55,10 @@ class SourceSpec:
 
     ``kind``: ``tail`` (tailf data source: file/FIFO/stdin), ``dir``
     (idiomatic Spark file-stream of new files), ``batch`` (read once).
+
+    ``max_rows_per_sec``: lossy throttle budget (reference operator #7,
+    ``sql/squeryer.go:343-352``) — overflow is shed by uniform sampling
+    (see operators/throttle.py for why sampling, not drop-tail).
     """
 
     path: str
@@ -62,6 +66,7 @@ class SourceSpec:
     filter_expr: str | None = None
     kind: str = "tail"
     seek_to_end: bool = False
+    max_rows_per_sec: float = 0.0  # 0 → no throttle
     compiled: CompiledPattern = field(init=False)
 
     def __post_init__(self) -> None:
@@ -73,6 +78,7 @@ class _Buffered:
     ts: float
     path: str
     n: int
+    max_event_ts: int | None = None  # epoch micros; event-time mode only
 
 
 class StreamQueryer:
@@ -98,6 +104,7 @@ class StreamQueryer:
         self._queries = []
         self._emissions = 0
         self._batch_seq = 0
+        self._last_batch_ts: dict[int, float] = {}
         import tempfile
 
         # Window spool: scratch prefix for buffered batch segments.
@@ -138,13 +145,36 @@ class StreamQueryer:
         try:
             if n == 0:
                 return
+            src = self.sources[idx]
+            if src.max_rows_per_sec > 0:
+                # lossy throttle: shed to the per-trigger budget by
+                # uniform sampling (squeryer.go:343-352 discard semantics)
+                last = self._last_batch_ts.get(idx)
+                dt = max(now - last, 0.2) if last is not None else 1.0
+                budget = src.max_rows_per_sec * dt
+                if n > budget:
+                    from pyspark.sql import functions as F
+
+                    df2 = df.filter(F.rand() < budget / n).persist()
+                    df.unpersist()
+                    df = df2
+                    n = df.count()
+            self._last_batch_ts[idx] = now
+            max_ev: float | None = None
+            if self.window.ts_field:
+                from pyspark.sql import functions as F
+
+                row = df.agg(
+                    F.max(F.unix_micros(F.col(self.window.ts_field))).alias("m")
+                ).collect()[0]
+                max_ev = row.m  # epoch micros
             with self._lock:
                 seq = self._batch_seq
                 self._batch_seq += 1
             path = f"{self._spool_dir}/s{idx}_b{seq}"
             df.write.mode("overwrite").parquet(path)
             with self._lock:
-                self._buffers[idx].append(_Buffered(now, path, n))
+                self._buffers[idx].append(_Buffered(now, path, n, max_ev))
         finally:
             df.unpersist()
 
@@ -179,14 +209,55 @@ class StreamQueryer:
             self._buffers[idx] = keep
 
     def emit(self, now: float | None = None) -> str:
-        """Evict to the window span, rebuild views, run the SQL, render."""
+        """Evict to the window span, rebuild views, run the SQL, render.
+
+        Processing-time mode (``ts_field`` unset, the reference default):
+        the window is the last SIZE seconds of *arrival*. Event-time
+        mode (``IDX_OF_TS >= 0``): the window is ``(wm - SIZE, wm]`` of
+        the PARSED timestamp column, where the watermark ``wm`` is the
+        max event time observed across sources — the semantics the
+        reference intended and got wrong (SURVEY §2A bug note).
+        """
+        from pyspark.sql import functions as F
+
         now = time.time() if now is None else now
         with self._lock:
-            self._evict(now)
+            wm_us: int | None = None
+            if self.window.ts_field:
+                maxes = [
+                    b.max_event_ts
+                    for buf in self._buffers.values()
+                    for b in buf
+                    if b.max_event_ts is not None
+                ]
+                wm_us = max(maxes, default=None)
+                if wm_us is not None:
+                    horizon_us = wm_us - self.window.size_sec * 1_000_000
+                    for idx, buf in self._buffers.items():
+                        keep = []
+                        for b in buf:
+                            if b.max_event_ts is not None and b.max_event_ts <= horizon_us:
+                                self._drop(b)
+                            else:
+                                keep.append(b)
+                        self._buffers[idx] = keep
+            else:
+                self._evict(now)
             for idx, src in enumerate(self.sources):
                 paths = [b.path for b in self._buffers[idx] if b.n > 0]
                 if paths:
                     view = self.spark.read.schema(src.compiled.schema).parquet(*paths)
+                    # reference constraint: IDX_OF_TS with multiple tables
+                    # requires a shared schema (cmd/query.go winopt help);
+                    # sources lacking the field keep arrival semantics
+                    if wm_us is not None and any(
+                        f.name == self.window.ts_field for f in src.compiled.fields
+                    ):
+                        ts_us = F.unix_micros(F.col(self.window.ts_field))
+                        view = view.filter(
+                            (ts_us > wm_us - self.window.size_sec * 1_000_000)
+                            & (ts_us <= wm_us)
+                        )
                 else:
                     view = self.spark.createDataFrame([], src.compiled.schema)
                 view.createOrReplaceTempView(f"t{idx}")

@@ -197,3 +197,85 @@ def test_formatters():
     t = format_table(cols, rows)
     assert t.splitlines()[0].startswith("+") and "| a " in t.splitlines()[1]
     assert "NULL" in t
+
+
+def test_window_harness_event_time(spark):
+    """IDX_OF_TS >= 0 → the window is (wm - SIZE, wm] of the PARSED
+    timestamp, independent of arrival time (the reference's intended —
+    and broken — event-time path, done right)."""
+    re_ts = r"(?P<ts__date>\S+) (?P<v__int>\d+)"
+    spec = WindowSpec(size_sec=60, slide_sec=30, ts_field="ts")
+    sq = StreamQueryer(
+        spark,
+        [SourceSpec(path="unused", pattern=re_ts)],
+        spec,
+        "select count(1) as n, min(v) as lo, max(v) as hi from t0",
+        sink=lambda s: None,
+    )
+    lines1 = spark.createDataFrame(
+        [(f"2024-04-12T10:00:{s:02d} {i}",) for i, s in enumerate([0, 20, 40])], ["value"]
+    )
+    sq.process_batch(0, sq.sources[0].compiled.parse_lines(lines1), now=1000.0)
+    # wm = 10:00:40 → window (09:59:40, 10:00:40] holds all 3
+    assert sq.emit(now=1001.0) == "n lo hi\n3 0 2"
+
+    # late batch arrives MUCH later (arrival time irrelevant): events at
+    # 10:01:30/10:01:50 push wm to 10:01:50 → window (10:00:50, 10:01:50]
+    lines2 = spark.createDataFrame(
+        [("2024-04-12T10:01:30 3",), ("2024-04-12T10:01:50 4",)], ["value"]
+    )
+    sq.process_batch(0, sq.sources[0].compiled.parse_lines(lines2), now=9999.0)
+    assert sq.emit(now=10000.0) == "n lo hi\n2 3 4"
+
+
+def test_harness_lossy_throttle(spark):
+    """max_rows_per_sec sheds overflow by sampling (operator #7)."""
+    spec = WindowSpec(size_sec=100, slide_sec=50)
+    sq = StreamQueryer(
+        spark,
+        [SourceSpec(path="unused", pattern=r"(?P<v__int>\d+)", max_rows_per_sec=100)],
+        spec,
+        "select count(1) as n from t0",
+        sink=lambda s: None,
+    )
+    big = spark.createDataFrame([(str(i),) for i in range(5000)], ["value"])
+    parsed = sq.sources[0].compiled.parse_lines(big)
+    sq.process_batch(0, parsed, now=100.0)   # first batch: dt≈1s budget≈100
+    kept = sum(b.n for b in sq._buffers[0])
+    assert 30 <= kept <= 250, kept  # sampled to ≈100, not 5000
+
+
+def test_streaming_batch_equivalence_tumbling(spark, sf_dir):
+    """Golden equivalence: the SAME F.window tumbling aggregation gives
+    identical results run as a stream (complete mode) and as a batch —
+    the property that lets one plan serve both modes."""
+    from tailsql_spark.plans.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    events.write.mode("overwrite").parquet("/tmp/_stream_eq")
+
+    def agg(df):
+        return (
+            df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("ws"), "event_type", "n")
+        )
+
+    batch = {(r.ws, r.event_type): r.n for r in agg(events).collect()}
+    stream = spark.readStream.schema(events.schema).parquet("/tmp/_stream_eq")
+    q = (
+        agg(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("eq_windows")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    streamed = {
+        (r.ws, r.event_type): r.n for r in spark.sql("select * from eq_windows").collect()
+    }
+    assert streamed == batch and len(batch) > 100
