@@ -13,6 +13,7 @@ REGISTRY.update(_CORE)
 for _mod in (
     "tailsql_spark.plans.streaming_sql",
     "tailsql_spark.plans.extra_sql",
+    "tailsql_spark.plans.tpch_more",
     "tailsql_spark.operators.dedup",
     "tailsql_spark.operators.skew",
     "tailsql_spark.operators.similarity",

@@ -279,3 +279,41 @@ def test_streaming_batch_equivalence_tumbling(spark, sf_dir):
         (r.ws, r.event_type): r.n for r in spark.sql("select * from eq_windows").collect()
     }
     assert streamed == batch and len(batch) > 100
+
+
+def test_stateful_running_user_stats(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running totals across micro-batches equal the batch ground truth."""
+    from tailsql_spark.plans.catalog import load_table
+    from tailsql_spark.streaming.stateful import running_user_stats
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "value")
+    events.write.mode("overwrite").parquet("/tmp/_stateful_events")
+    stream = spark.readStream.schema(events.schema).parquet("/tmp/_stateful_events")
+    q = (
+        running_user_stats(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("user_stats")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql("select * from user_stats").collect()
+    }
+    want = {
+        r.user_id: (r.n, r.s)
+        for r in events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(want) and len(want) >= 10
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        # pandas-per-batch vs JVM summation order differ in the last ulps
+        assert abs(got[k][1] - want[k][1]) < 1e-6, k

@@ -50,11 +50,14 @@ def norm_rows(cols: list[str], rows) -> list[tuple]:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    args: list[str] = []
     sf_dir = SF_DIR
-    for i, a in enumerate(sys.argv):
+    it = iter(sys.argv[1:])
+    for a in it:
         if a == "--sf":
-            sf_dir = sys.argv[i + 1]
+            sf_dir = next(it)
+        elif not a.startswith("--"):
+            args.append(a)
 
     from tailsql_spark.plans.registry import REGISTRY
     from tailsql_spark.session import get_spark
