@@ -1,0 +1,121 @@
+"""Source coverage: FIFO, pipe reader, checkpoint-resume, file formats
+(reference: source/fs.go, source/stdin.go, source/namedpipe.go)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_pipe_reader_fifo(tmp_path):
+    """Named-pipe line source (source/namedpipe.go): non-blocking reads,
+    line-count offsets."""
+    fifo = str(tmp_path / "p.fifo")
+    os.mkfifo(fifo)
+    fd = os.open(fifo, os.O_RDWR)  # keep a writer open so reads don't EOF
+    try:
+        from tailsql_spark.sources.tail import PipeStreamReader
+
+        r = PipeStreamReader(fifo)
+        rows, off = r.read(r.initialOffset())
+        assert list(rows) == [] and off == {"line": 0}
+        os.write(fd, b"one\ntwo\npartial")
+        rows, off = r.read(off)
+        assert [x[0] for x in rows] == ["one", "two"]
+        assert off == {"line": 2}
+        os.write(fd, b"_done\n")
+        rows, off = r.read(off)
+        assert [x[0] for x in rows] == ["partial_done"]
+        assert off == {"line": 3}
+    finally:
+        os.close(fd)
+
+
+def test_fifo_detection_dispatch(tmp_path):
+    """TailDataSource routes FIFOs to the pipe reader and regular files
+    to the byte-offset tailer (utils/utils.go:7-13 dispatch)."""
+    from tailsql_spark.sources.tail import PipeStreamReader, TailDataSource, TailStreamReader
+
+    fifo = str(tmp_path / "f.fifo")
+    os.mkfifo(fifo)
+    reg = str(tmp_path / "r.log")
+    open(reg, "w").write("x\n")
+
+    ds = TailDataSource(options={"path": fifo})
+    assert isinstance(ds.simpleStreamReader(ds.schema()), PipeStreamReader)
+    ds = TailDataSource(options={"path": reg})
+    assert isinstance(ds.simpleStreamReader(ds.schema()), TailStreamReader)
+    ds = TailDataSource(options={"path": "-"})
+    assert isinstance(ds.simpleStreamReader(ds.schema()), PipeStreamReader)
+
+
+def test_tailf_checkpoint_resume(spark, tmp_path):
+    """Restart-with-checkpoint: offsets resume exactly — no loss, no
+    duplicates (a strict upgrade over the reference, which has no
+    recovery at all, SURVEY §2E 'delivery')."""
+    from tailsql_spark.sources.tail import TailDataSource
+
+    spark.dataSource.register(TailDataSource)
+    log = tmp_path / "ckpt.log"
+    log.write_text("a1\na2\n")
+    ckpt = str(tmp_path / "ckpt_dir")
+    out: list[str] = []
+
+    def start():
+        df = (
+            spark.readStream.format("tailf")
+            .option("path", str(log))
+            .option("seek_to_end", "false")
+            .load()
+        )
+        return (
+            df.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(lambda b, _e: out.extend(r.value for r in b.collect()))
+            .trigger(processingTime="1 seconds")
+            .start()
+        )
+
+    q = start()
+    deadline = time.time() + 30
+    while len(out) < 2 and time.time() < deadline:
+        time.sleep(0.3)
+    q.stop()
+    assert out == ["a1", "a2"]
+
+    # while the stream is DOWN, more lines arrive
+    with open(log, "a") as fh:
+        fh.write("b1\nb2\n")
+
+    q = start()
+    deadline = time.time() + 30
+    while len(out) < 4 and time.time() < deadline:
+        time.sleep(0.3)
+    q.stop()
+    # resumed from the checkpointed byte offset: b-lines exactly once
+    assert out == ["a1", "a2", "b1", "b2"]
+
+
+def test_formats_csv_json_roundtrip(spark, sf_dir, tmp_path):
+    """CSV/JSON sources (free with Spark, absent in the reference):
+    explicit-schema read-back preserves the data."""
+    from tailsql_spark.plans.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    csv_dir, json_dir = str(tmp_path / "csv"), str(tmp_path / "json")
+    events.write.mode("overwrite").option("header", True).csv(csv_dir)
+    events.write.mode("overwrite").json(json_dir)
+
+    schema = "event_id long, user_id long, event_type string, value double"
+    back_csv = spark.read.schema(schema).option("header", True).csv(csv_dir)
+    back_json = spark.read.schema(schema).json(json_dir)
+
+    want = sorted((r.event_id, r.event_type, r.value) for r in events.collect())
+    assert sorted((r.event_id, r.event_type, r.value) for r in back_csv.collect()) == want
+    assert sorted((r.event_id, r.event_type, r.value) for r in back_json.collect()) == want
