@@ -1,0 +1,114 @@
+"""Scale-discipline tests: the plan properties that matter at 100 TB.
+
+These assert the *physical plan shapes* — pushdown, pruning, broadcast,
+top-k, bucketed co-location — so a regression that silently de-optimizes
+a query fails CI, not a cluster bill.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_filter_pushdown_and_pruning(spark, oracle_sf_dir):
+    from tailsql_spark.plans.registry import REGISTRY
+
+    p = _plan(REGISTRY["q1_pricing_summary"].build(spark, oracle_sf_dir))
+    assert "PushedFilters" in p and "l_shipdate" in p.split("PushedFilters", 1)[1][:200]
+    # column pruning: the scan must not read unused columns
+    read_schema = p.split("ReadSchema", 1)[1][:400]
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_star_join_broadcasts_dimensions(spark, oracle_sf_dir):
+    from tailsql_spark.plans.registry import REGISTRY
+
+    p = _plan(REGISTRY["join_star_5way"].build(spark, oracle_sf_dir))
+    assert p.count("BroadcastHashJoin") >= 3
+
+
+def test_topk_uses_take_ordered(spark, oracle_sf_dir):
+    from tailsql_spark.plans.registry import REGISTRY
+
+    p = _plan(REGISTRY["q3_shipping_priority"].build(spark, oracle_sf_dir))
+    assert "TakeOrderedAndProject" in p  # no global sort for ORDER BY+LIMIT
+
+
+def test_partitioned_write_prunes(spark, oracle_sf_dir, tmp_path):
+    """Hive-style partitioned layout: a partition filter must prune at
+    planning time (the 100 TB idiom: partition by time bucket)."""
+    from tailsql_spark.plans.catalog import load_table
+
+    events = load_table(spark, oracle_sf_dir, "events")
+    out = str(tmp_path / "events_by_day")
+    (
+        events.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(F.col("day") == "2024-01-05")
+    n_all = spark.read.parquet(out).count()
+    n_day = back.count()
+    assert 0 < n_day < n_all
+    p = _plan(back)
+    # partition filter handled by the catalog, not the row scan
+    assert "day" in p.split("PartitionFilters", 1)[1][:200]
+
+
+def test_bucketed_join_skips_shuffle(spark, oracle_sf_dir, tmp_path):
+    """bucketBy co-location: a join on the bucket key needs NO exchange
+    on either side — the petabyte-join idiom."""
+    from tailsql_spark.plans.catalog import load_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = load_table(spark, oracle_sf_dir, "orders")
+        customer = load_table(spark, oracle_sf_dir, "customer")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+        (
+            orders.write.mode("overwrite")
+            .bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .saveAsTable("b_orders")
+        )
+        (
+            customer.withColumnRenamed("c_custkey", "o_custkey")
+            .write.mode("overwrite")
+            .bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .saveAsTable("b_customer")
+        )
+        joined = spark.table("b_orders").join(spark.table("b_customer"), "o_custkey")
+        p = _plan(joined)
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+        assert "Exchange" not in p, p  # co-located: zero shuffle
+        # sanity: result matches the unbucketed join
+        n = joined.count()
+        n_plain = orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        ).count()
+        assert n == n_plain > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_aqe_enabled_defaults(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"

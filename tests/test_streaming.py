@@ -317,3 +317,73 @@ def test_stateful_running_user_stats(spark, sf_dir):
         assert got[k][0] == want[k][0], k
         # pandas-per-batch vs JVM summation order differ in the last ulps
         assert abs(got[k][1] - want[k][1]) < 1e-6, k
+
+
+def test_run_batch_two_file_join(spark, tmp_path):
+    """FIXTURES.md F3: requests ⋈ upstream-calls on request id across
+    two differently-shaped log files (README.md:10 use case)."""
+    req = tmp_path / "requests.log"
+    ups = tmp_path / "upstream.log"
+    req.write_text(
+        "2024-04-12T22:47:42 req-1 /api/users 200 35\n"
+        "2024-04-12T22:47:43 req-2 /api/items 500 99\n"
+        "2024-04-12T22:47:44 req-3 /api/users 200 12\n"
+    )
+    ups.write_text(
+        "2024-04-12T22:47:42 req-1 db-primary 12\n"
+        "2024-04-12T22:47:42 req-1 cache 1\n"
+        "2024-04-12T22:47:43 req-2 db-primary 88\n"
+    )
+    out = run_batch(
+        spark,
+        [
+            SourceSpec(
+                path=str(req),
+                pattern=r"(?P<ts__date>\S+) (?P<rid__str>req-\d+) (?P<path__str>\S+) (?P<code__int>\d+) (?P<ms__int>\d+)",
+                kind="batch",
+            ),
+            SourceSpec(
+                path=str(ups),
+                pattern=r"(?P<ts__date>\S+) (?P<rid__str>req-\d+) (?P<backend__str>\S+) (?P<ms__int>\d+)",
+                kind="batch",
+            ),
+        ],
+        """
+        select t0.rid, t0.code, count(t1.backend) as n_calls, sum(t1.ms) as backend_ms
+        from t0 left join t1 on t0.rid = t1.rid
+        group by t0.rid, t0.code order by t0.rid
+        """,
+    )
+    assert out.splitlines() == [
+        "rid code n_calls backend_ms",
+        "req-1 200 2 13",
+        "req-2 500 1 88",
+        "req-3 200 0 NULL",
+    ]
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """Streaming exact-dedup: duplicate events injected into the stream
+    are dropped by keyed streaming state (the streaming counterpart of
+    the batch dedup_exact operator)."""
+    from tailsql_spark.plans.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    doubled = events.unionByName(events)  # every event twice
+    src = str(tmp_path / "dup_events")
+    doubled.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(doubled.schema).parquet(src)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    n = spark.sql("select count(*) as n from dedup_stream").collect()[0].n
+    assert n == events.count()  # duplicates gone, originals intact
