@@ -62,6 +62,8 @@ def main() -> None:
     tables["lineitem"].groupBy("l_returnflag").agg(
         F.count("*"), F.sum("l_quantity")
     ).collect()
+    # spin up the Arrow/Python worker pool (session setup, not query cost)
+    spark.range(32).mapInPandas(lambda it: it, schema="id long").count()
 
     per_query: dict[str, float] = {}
     for name in HEADLINE:

@@ -71,13 +71,22 @@ def shingles_col(text: Column) -> Column:
 def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     # Shingling is CPU-bound (higher-order fns are interpreted, not
-    # codegen'd): spread it across all cores. A 100 TB corpus arrives
-    # pre-split into many file partitions; a small local file reads as
-    # ONE partition and would serialize the whole pipeline without this.
-    par = spark.sparkContext.defaultParallelism
+    # codegen'd). A 100 TB corpus arrives pre-split into many file
+    # partitions; a small local file reads as ONE partition and would
+    # serialize the pipeline. Size the split from input BYTES, not core
+    # count: per-task scheduling overhead dominates below ~128 KB of
+    # compressed text per task (measured: 8 partitions beat 32 at sf0.1).
+    import os
+
     docs = t["documents"]
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    try:
+        nbytes = os.path.getsize(f"{sf_dir}/documents.parquet")
+    except OSError:
+        nbytes = 0
+    par = spark.sparkContext.defaultParallelism
+    target = max(2, min(par, nbytes // (128 * 1024) or 2))
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(int(target))
     return docs.select("doc_id", shingles_col(F.col("text")).alias("shingles"))
 
 
