@@ -285,3 +285,91 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# sign-LSH (random hyperplane) bucketing
+# ---------------------------------------------------------------------------
+
+N_LSH_TABLES = 4  # L hash tables ...
+PLANES_PER_TABLE = 4  # ... of k sign bits each
+
+#: Collision math (why multi-table): P[bit agrees] = 1 − θ/π; a single
+#: k-bit table recalls pᵏ (3% at cos≈0.42 with k=8 — measured), while
+#: L tables recall 1 − (1 − pᵏ)ᴸ (~50% here) at candidate rate
+#: ≈ L·2⁻ᵏ for random pairs. k trades precision, L buys recall.
+
+
+def _plane_seeds(emb: DataFrame) -> DataFrame:
+    """Deterministic pseudo-hyperplanes: the first L·k corpus vectors
+    (a real pipeline would sample Gaussian planes; seeding from the
+    corpus keeps the oracle reproducible with zero literals)."""
+    n = N_LSH_TABLES * PLANES_PER_TABLE
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("plane_id"), F.col("v").alias("pv")
+    )
+
+
+def _duck_table_bucket(table: int) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) "
+        f"FROM (SELECT unnest(e.embedding) AS x, unnest((SELECT embedding FROM embeddings WHERE vec_id = {table * PLANES_PER_TABLE + p}) ) AS y)) >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(PLANES_PER_TABLE)
+    )
+    return f"SELECT vec_id, {table} AS tbl, {bits} AS bucket FROM embeddings e"
+
+
+_DUCK_SIGN_BUCKETS = " UNION ALL ".join(
+    _duck_table_bucket(t) for t in range(N_LSH_TABLES)
+)
+
+
+@query(
+    "ann_signlsh_bucket_pairs",
+    "similarity",
+    f"""
+    WITH buckets AS ({_DUCK_SIGN_BUCKETS})
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM buckets a JOIN buckets b
+      ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    """,
+    doc="Random-hyperplane (sign) LSH, multi-table (L=4 tables × k=4 "
+    "bits): candidates = pairs colliding in ANY table. O(n·L) "
+    "bucketing + equi-join on (table, bucket) replaces the O(n²) "
+    "cosine cross product — the embedding near-dup scale path.",
+)
+def ann_signlsh_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    planes = _plane_seeds(emb)
+    d = dot(F.col("v"), F.col("pv"))
+    tbl = (F.col("plane_id") / PLANES_PER_TABLE).cast("int")
+    bit_pos = F.col("plane_id") % PLANES_PER_TABLE
+    signed = (
+        emb.join(F.broadcast(planes))
+        .select(
+            "vec_id",
+            tbl.alias("tbl"),
+            (F.when(d >= 0, F.expr(f"shiftleft(1, CAST(plane_id % {PLANES_PER_TABLE} AS INT))"))
+             .otherwise(F.lit(0))).alias("bit"),
+        )
+        .groupBy("vec_id", "tbl")
+        .agg(F.sum("bit").cast("long").alias("bucket"))
+    )
+    a = signed.select(F.col("vec_id").alias("id_a"), "tbl", "bucket")
+    b = signed.select(
+        F.col("vec_id").alias("id_b"), F.col("tbl").alias("t2"), F.col("bucket").alias("b2")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("tbl") == F.col("t2"))
+            & (F.col("bucket") == F.col("b2"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )

@@ -363,3 +363,76 @@ def window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@query(
+    "scalar_string_funcs2",
+    "scalar-functions",
+    """
+    SELECT p_partkey,
+           regexp_replace(p_name, '[aeiou]', '_', 'g')   AS devowelled,
+           lpad(CAST(p_size AS VARCHAR), 4, '0')          AS size_padded,
+           rpad(p_brand, 12, '.')                         AS brand_padded,
+           split_part(p_type, ' ', 1)                     AS type_head,
+           reverse(p_brand)                               AS brand_rev,
+           repeat(SUBSTR(p_name, 1, 2), 2)                AS head_twice,
+           translate(p_brand, '#', '-')                   AS brand_dash,
+           CAST(strpos(p_name, 'a') AS BIGINT)            AS first_a
+    FROM part WHERE p_partkey <= 150
+    """,
+    doc="String surface wave 2: regexp_replace/pads/split_part/reverse/"
+    "repeat/translate/position.",
+)
+def scalar_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["part"]
+        .filter(F.col("p_partkey") <= 150)
+        .select(
+            "p_partkey",
+            F.regexp_replace("p_name", "[aeiou]", "_").alias("devowelled"),
+            F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+            F.rpad(F.col("p_brand"), 12, ".").alias("brand_padded"),
+            F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+            F.reverse(F.col("p_brand")).alias("brand_rev"),
+            F.repeat(F.substring("p_name", 1, 2), 2).alias("head_twice"),
+            F.translate(F.col("p_brand"), "#", "-").alias("brand_dash"),
+            F.instr(F.col("p_name"), "a").cast("long").alias("first_a"),
+        )
+    )
+
+
+@query(
+    "scalar_date_funcs2",
+    "scalar-functions",
+    """
+    SELECT o_orderkey,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT)
+               AS days_since_epoch_start,
+           CAST(last_day(o_orderdate) AS TIMESTAMP)        AS month_end,
+           o_orderdate + INTERVAL 1 MONTH                  AS next_month,
+           CAST(date_part('quarter', o_orderdate) AS BIGINT) AS qtr,
+           CAST(date_part('dow', o_orderdate) AS BIGINT)     AS dow_sun0
+    FROM orders WHERE o_orderkey < 200
+    """,
+    doc="Date surface wave 2: datediff/last_day/add_months/quarter/"
+    "day-of-week (dialects aligned: Spark dayofweek is 1-based Sunday, "
+    "DuckDB dow is 0-based Sunday).",
+)
+def scalar_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    od = F.col("o_orderdate")
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") < 200)
+        .select(
+            "o_orderkey",
+            F.datediff(od, F.lit("1995-01-01").cast("timestamp")).cast("long").alias(
+                "days_since_epoch_start"
+            ),
+            F.last_day(od).cast("timestamp").alias("month_end"),
+            (od + F.expr("INTERVAL 1 MONTH")).alias("next_month"),
+            F.quarter(od).cast("long").alias("qtr"),
+            (F.dayofweek(od) - 1).cast("long").alias("dow_sun0"),
+        )
+    )
