@@ -289,3 +289,45 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
     edges.unpersist()
     return out
+
+
+from tailsql_spark.operators.textstats import REGISTRY as _TEXT_REGISTRY
+
+_QUALITY_ORACLE = _TEXT_REGISTRY["text_quality_score"].oracle
+
+_CANONICAL_ORACLE = f"""
+    WITH clusters AS (SELECT * FROM ({_CLUSTERS_ORACLE}) zc),
+    q AS (SELECT doc_id, quality FROM ({_QUALITY_ORACLE}) zq)
+    SELECT cluster_id, doc_id AS canonical_doc_id, n_members
+    FROM (
+        SELECT c.cluster_id, c.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY q.quality DESC, c.doc_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+        FROM clusters c JOIN q ON c.doc_id = q.doc_id
+    ) WHERE rn = 1
+"""
+
+
+@query(
+    "dedup_canonical_selection",
+    "dedup",
+    _CANONICAL_ORACLE,
+    doc="End-to-end dedup policy: near-dup graph (MinHash-LSH) → "
+    "connected components → keep the highest-QUALITY member per "
+    "cluster (tie → lowest id). Demonstrates operator composition: "
+    "dedup, clustering, and text-quality scoring in one certified plan.",
+)
+def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tailsql_spark.operators.textstats import REGISTRY as _TR
+
+    clusters = REGISTRY["dedup_clusters"].build(spark, sf_dir)
+    quality = _TR["text_quality_score"].build(spark, sf_dir).select("doc_id", "quality")
+    joined = clusters.join(quality, "doc_id")
+    w = W.partitionBy("cluster_id").orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(W.partitionBy("cluster_id")))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", F.col("doc_id").alias("canonical_doc_id"), "n_members")
+    )

@@ -6,9 +6,8 @@ from __future__ import annotations
 import os
 import time
 
-import pytest
 
-from pyspark.sql import functions as F
+
 
 
 def test_pipe_reader_fifo(tmp_path):

@@ -3,10 +3,8 @@ event-time aggregation with watermark (FIXTURES.md F1/F5)."""
 
 from __future__ import annotations
 
-import os
 import time
 
-import pytest
 
 from pyspark.sql import functions as F
 
