@@ -14,6 +14,7 @@ for _mod in (
     "tailsql_spark.plans.streaming_sql",
     "tailsql_spark.plans.extra_sql",
     "tailsql_spark.plans.tpch_more",
+    "tailsql_spark.plans.tpch_full",
     "tailsql_spark.plans.streaming_exec",
     "tailsql_spark.operators.dedup",
     "tailsql_spark.operators.skew",
