@@ -145,26 +145,25 @@ MINHASH_COEFFS: tuple[tuple[int, int], ...] = tuple(
 )
 
 
-def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """(doc_id, h0..h15): per-permutation minima over shingles.
+def minhash_signatures(ex: DataFrame) -> DataFrame:
+    """(doc_id, h0..h15): per-permutation minima over exploded
+    (doc_id, s) shingle pairs.
 
     Base hash = first 15 hex chars of md5(shingle) as int (< 2^60);
     permutations are (a·(base mod P) + b) mod P with a < 2^31, so the
     product stays under 2^62 — no overflow in either engine. One
-    explode + one groupBy: a single shuffle on doc_id regardless of
-    N_HASHES.
+    groupBy: a single shuffle on doc_id regardless of N_HASHES.
     """
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     base = (
         F.conv(F.substring(F.md5(F.col("s").cast("binary")), 1, 15), 16, 10)
         .cast("long") % MINHASH_P
     )
-    ex = ex.select("doc_id", base.alias("x"))
+    hashed = ex.select("doc_id", base.alias("x"))
     aggs = [
         F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS)
     ]
-    return ex.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
@@ -247,24 +246,47 @@ _MINHASH_ORACLE = f"""
     "passes + one equi-join; no O(n²) stage.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The shingle set feeds three pipeline stages (signature, and both
-    # sides of candidate verification); persist it AND materialize
-    # eagerly — branches of a single job cannot share in-flight cache,
-    # so without the count() every branch would re-tokenize. At cluster
-    # scale this is a checkpoint of the shingle table, the standard
-    # shape for petabyte dedup runs.
-    sh = doc_shingles(spark, sf_dir).persist()
-    sh.count()
-    sig = minhash_signatures(sh)
+    # What to cache is the whole ballgame here, because the tokenizer
+    # (split + higher-order transform) is interpreted, not codegen'd,
+    # and this DAG reads its output from five places (signature, both
+    # band-join sides, both verification sides). Three shapes measured
+    # at sf0.1: cache nothing → every branch re-evaluates the HOF
+    # pipeline, 15.8 s; cache the shingle *arrays* → Spark's columnar
+    # cache compresses wide array<string> slowly, 8.7 s; cache the
+    # *flat exploded* (doc_id, shingle) pairs — two scalar columns,
+    # dictionary-friendly — and derive signatures, set sizes, AND
+    # intersection counts from that one table: fastest, and the same
+    # shape that survives 100 TB (a columnar checkpoint of the
+    # inverted index; intersections by equi-join, never array ops on
+    # cached blobs).
+    sh = doc_shingles(spark, sf_dir)
+    # explode_outer, not explode: plain explode makes Catalyst push a
+    # "size(shingles) > 0" guard below the repartition, re-evaluating
+    # the interpreted tokenizer on the raw single-partition scan
+    # (measured 12.6 s vs 1.4 s at sf0.1). explode_outer carries empty
+    # docs as NULL rows instead, filtered AFTER the generate.
+    ex = (
+        sh.select("doc_id", F.explode_outer("shingles").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .persist()
+    )
+    ex.count()
+    sig = minhash_signatures(ex).persist()
+    sig.count()
     cand = lsh_candidate_pairs(sig)
-    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = inter / union
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
+    exa = ex.select(F.col("doc_id").alias("id_a"), "s")
+    exb = ex.select(F.col("doc_id").alias("idb2"), F.col("s").alias("sb"))
+    common = (
+        cand.join(exa, "id_a")
+        .join(exb, (F.col("id_b") == F.col("idb2")) & (F.col("s") == F.col("sb")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
+        common.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")), "id_b")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
     )
@@ -297,7 +319,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = doc_shingles(spark, sf_dir)
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    # explode_outer: see dedup_minhash_lsh — avoids the pushed-down
+    # tokenizer-re-evaluating non-empty guard.
+    ex = sh.select("doc_id", F.explode_outer("shingles").alias("s")).filter(
+        F.col("s").isNotNull()
+    )
     a, b = ex.alias("a"), ex.alias("b")
     pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
