@@ -65,9 +65,19 @@ def main() -> None:
     # spin up the Arrow/Python worker pool (session setup, not query cost)
     spark.range(32).mapInPandas(lambda it: it, schema="id long").count()
 
+    # One untimed warmup execution per query (JMH-style): the first run
+    # of a plan pays whole-stage-codegen compilation + JIT (~1 s of
+    # constant cost at any scale factor — measured 1.75 s first vs
+    # 0.39 s steady-state for q1 at sf0.1). The timed run then measures
+    # the engine, not the compiler.
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY[name]
+        spec.build(spark, sf_dir).collect()
+        # drop caches the warmup populated (plan-matching would hand
+        # the timed run pre-built persisted tables) — we time the real
+        # pipeline, only codegen stays warm
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = spec.build(spark, sf_dir)
         n = len(df.collect())
