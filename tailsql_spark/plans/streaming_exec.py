@@ -137,6 +137,109 @@ REGISTRY["stream_stateful_user_totals"] = QuerySpec(
 )
 
 
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → readStream → 30m/10m sliding windows, complete mode."""
+    t = load_tables(spark, sf_dir)
+    events = t["events"].select("ts")
+    src_dir = _staged(events, "sliding")
+    stream = spark.readStream.schema(events.schema).parquet(src_dir)
+    agg = (
+        stream.groupBy(F.window("ts", "30 minutes", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    return _run_stream(
+        agg.writeStream.outputMode("complete").format("memory"),
+        "_stream_sliding_counts",
+        spark,
+        staged=src_dir,
+    )
+
+
+REGISTRY["stream_sliding_counts"] = QuerySpec(
+    name="stream_sliding_counts",
+    category="streaming-executed",
+    build=stream_sliding_counts,
+    oracle="""
+    SELECT make_timestamp((CAST(FLOOR(epoch(ts) / 600) AS BIGINT) - k) * 600 * 1000000)
+               AS window_start,
+           COUNT(*) AS n
+    FROM events, UNNEST([0, 1, 2]) AS u(k)
+    GROUP BY 1
+    """,
+    doc="Streaming-executed sliding windows (size 30 m, slide 10 m): "
+    "each event belongs to exactly 3 windows; the oracle expands the "
+    "3 memberships with UNNEST over shifted 10-minute slots.",
+)
+
+
+def stream_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → readStream → per-user 30m-gap session windows.
+
+    Complete mode: session aggregation needs no watermark there, and
+    availableNow's final micro-batch emits every closed session — in
+    append mode the tail sessions would stay pending because no later
+    batch advances the watermark past them.
+    """
+    t = load_tables(spark, sf_dir)
+    events = t["events"].select(
+        "user_id", F.date_trunc("second", F.col("ts")).alias("ts_s")
+    )
+    src_dir = _staged(events, "session")
+    stream = spark.readStream.schema(events.schema).parquet(src_dir)
+    agg = (
+        stream.groupBy("user_id", F.session_window("ts_s", "30 minutes").alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return _run_stream(
+        agg.writeStream.outputMode("complete").format("memory"),
+        "_stream_session_30m",
+        spark,
+        staged=src_dir,
+    )
+
+
+REGISTRY["stream_session_30m"] = QuerySpec(
+    name="stream_session_30m",
+    category="streaming-executed",
+    build=stream_session_30m,
+    oracle="""
+    WITH e AS (
+        SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, ts_s,
+               CASE WHEN ts_s - LAG(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s)
+                         >= INTERVAL 30 MINUTE
+                    OR LAG(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e
+    ),
+    sess AS (
+        SELECT user_id, ts_s,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_s
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts_s) AS session_start,
+           MAX(ts_s) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="Streaming-executed per-user session windows (30-min gap) "
+    "certified against the gaps-and-islands relational oracle — "
+    "genuine streaming session state, not the batch window shape.",
+)
+
+
 def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: doubled input, dropDuplicates state."""
     t = load_tables(spark, sf_dir)
