@@ -436,3 +436,97 @@ def scalar_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.dayofweek(od) - 1).cast("long").alias("dow_sun0"),
         )
     )
+
+
+@query(
+    "scalar_bitwise_funcs",
+    "scalar-functions",
+    """
+    SELECT o_orderkey,
+           o_orderkey & 255                    AS band,
+           o_orderkey | 4096                   AS bor,
+           xor(o_orderkey, o_custkey)          AS bxor,
+           o_orderkey << 3                     AS shl,
+           o_orderkey >> 2                     AS shr,
+           ~o_orderkey                         AS bnot
+    FROM orders WHERE o_orderkey < 300
+    """,
+    doc="Bitwise surface: and/or/xor/shifts/not. Dialect note: DuckDB "
+    "spells xor as a function (its ^ is exponentiation); Spark SQL's "
+    "^ is bitwise xor.",
+)
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    return (
+        t["orders"]
+        .filter(k < 300)
+        .select(
+            "o_orderkey",
+            k.bitwiseAND(F.lit(255)).alias("band"),
+            k.bitwiseOR(F.lit(4096)).alias("bor"),
+            k.bitwiseXOR(c).alias("bxor"),
+            F.shiftleft(k, 3).alias("shl"),
+            F.shiftright(k, 2).alias("shr"),
+            F.expr("~o_orderkey").alias("bnot"),
+        )
+    )
+
+
+@query(
+    "scalar_hash_funcs",
+    "scalar-functions",
+    """
+    SELECT p_partkey,
+           md5(p_name)                          AS name_md5,
+           sha256(p_brand)                      AS brand_sha256,
+           md5(concat(p_brand, '|', p_type))    AS combo_md5
+    FROM part WHERE p_partkey <= 200
+    """,
+    doc="Hashing surface: md5 / sha-256 hex digests (Spark sha2(x,256) "
+    "= DuckDB sha256) — the primitives under every dedup/fingerprint "
+    "operator in this repo.",
+)
+def scalar_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["part"]
+        .filter(F.col("p_partkey") <= 200)
+        .select(
+            "p_partkey",
+            F.md5(F.col("p_name").cast("binary")).alias("name_md5"),
+            F.sha2(F.col("p_brand").cast("binary"), 256).alias("brand_sha256"),
+            F.md5(F.concat_ws("|", "p_brand", "p_type").cast("binary")).alias("combo_md5"),
+        )
+    )
+
+
+@query(
+    "scalar_conditional_funcs",
+    "scalar-functions",
+    """
+    SELECT s_suppkey,
+           COALESCE(NULLIF(s_name, 'Supplier#000000001'), '<masked>')   AS masked_name,
+           GREATEST(CAST(ROUND(s_acctbal * 100) AS BIGINT), 0)          AS bal_floor_cents,
+           LEAST(s_nationkey, 10)                                       AS nk_cap,
+           CASE WHEN s_acctbal < 0 THEN 'debt'
+                WHEN s_acctbal = 0 THEN 'zero'
+                ELSE 'credit' END                                       AS bal_class,
+           IFNULL(NULLIF(s_nationkey, 0), -1)                           AS nk_or_neg1
+    FROM supplier
+    """,
+    doc="Conditional surface: coalesce/nullif/greatest/least/ifnull + "
+    "searched CASE.",
+)
+def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    bal = F.col("s_acctbal")
+    return t["supplier"].select(
+        "s_suppkey",
+        F.coalesce(F.nullif(F.col("s_name"), F.lit("Supplier#000000001")), F.lit("<masked>"))
+            .alias("masked_name"),
+        F.greatest(_cents("s_acctbal"), F.lit(0).cast("long")).alias("bal_floor_cents"),
+        F.least(F.col("s_nationkey"), F.lit(10)).alias("nk_cap"),
+        F.when(bal < 0, "debt").when(bal == 0, "zero").otherwise("credit").alias("bal_class"),
+        F.ifnull(F.nullif(F.col("s_nationkey"), F.lit(0)), F.lit(-1)).alias("nk_or_neg1"),
+    )
