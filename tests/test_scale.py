@@ -111,3 +111,34 @@ def test_aqe_enabled_defaults(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_q8_broadcasts_every_dimension(spark, oracle_sf_dir):
+    """Q8's 8-way join: part/supplier/nation×2/region are broadcast;
+    only the fact-fact joins (lineitem-orders-customer) may shuffle."""
+    from tailsql_spark.plans.registry import REGISTRY
+
+    p = _plan(REGISTRY["q8_market_share"].build(spark, oracle_sf_dir))
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in p
+
+
+def test_q17_decorrelated_single_agg_scan(spark, oracle_sf_dir):
+    """The correlated-AVG is rewritten as one grouped scan joined back
+    on the part key — no nested-loop re-aggregation per outer row."""
+    from tailsql_spark.plans.registry import REGISTRY
+
+    p = _plan(REGISTRY["q17_small_qty_revenue"].build(spark, oracle_sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_q21_semi_anti_joins(spark, oracle_sf_dir):
+    """EXISTS / NOT EXISTS self-joins must decorrelate to semi / anti
+    hash joins, never nested-loop subquery execution."""
+    from tailsql_spark.plans.registry import REGISTRY
+
+    p = _plan(REGISTRY["q21_waiting_supplier"].build(spark, oracle_sf_dir))
+    low = p.lower()
+    assert "leftsemi" in low or "left semi" in low
+    assert "leftanti" in low or "left anti" in low
+    assert "CartesianProduct" not in p
