@@ -27,6 +27,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "join_star_5way",
     "q3_shipping_priority",
+    "q8_market_share",
+    "q9_product_profit",
+    "q21_waiting_supplier",
     "agg_count_distinct",
     "window_topk_per_group",
     "events_tumbling_1h",
@@ -76,12 +79,17 @@ def main() -> None:
         spec.build(spark, sf_dir).collect()
         # drop caches the warmup populated (plan-matching would hand
         # the timed run pre-built persisted tables) — we time the real
-        # pipeline, only codegen stays warm
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        df = spec.build(spark, sf_dir)
-        n = len(df.collect())
-        per_query[name] = round(time.perf_counter() - t0, 3)
+        # pipeline, only codegen stays warm. Two timed runs, report the
+        # min: local-mode scheduling of many small stages is noisy and
+        # a single outlier run would misrepresent the plan.
+        best, n = float("inf"), 0
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df = spec.build(spark, sf_dir)
+            n = len(df.collect())
+            best = min(best, time.perf_counter() - t0)
+        per_query[name] = round(best, 3)
         print(f"# {name}: {per_query[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(per_query.values()), 3)
