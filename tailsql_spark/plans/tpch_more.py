@@ -530,3 +530,71 @@ def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(bal < 0, "debt").when(bal == 0, "zero").otherwise("credit").alias("bal_class"),
         F.ifnull(F.nullif(F.col("s_nationkey"), F.lit(0)), F.lit(-1)).alias("nk_or_neg1"),
     )
+
+
+_LATERAL_SQL = """
+    SELECT n_name, t.s_name, t.bal_cents
+    FROM nation,
+    LATERAL (SELECT s_name, CAST(ROUND(s_acctbal * 100) AS BIGINT) AS bal_cents
+             FROM supplier WHERE s_nationkey = n_nationkey
+             ORDER BY s_acctbal DESC, s_name LIMIT 2) t
+"""
+
+
+@query(
+    "join_lateral_topk",
+    "joins",
+    _LATERAL_SQL,
+    doc="Correlated LATERAL subquery (top-2 suppliers per nation) — "
+    "the modern per-group-top-k form; Catalyst decorrelates it to a "
+    "ranked window join, same plan as the window_topk shape.",
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
+
+
+_GROUPING_ID_SQL = """
+    SELECT r_name, n_name,
+           GROUPING(n_name) AS g_n, GROUPING(r_name) AS g_r,
+           CAST(GROUPING_ID(r_name, n_name) AS BIGINT) AS gid,
+           COUNT(*) AS n
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
+@query(
+    "agg_grouping_id",
+    "aggregation",
+    _GROUPING_ID_SQL,
+    doc="GROUPING()/GROUPING_ID() markers over ROLLUP — distinguishes "
+    "real NULL group keys from subtotal rows (argument order must "
+    "match the rollup order; both engines then agree bit-for-bit).",
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_GROUPING_ID_SQL)
+
+
+_TIME_RANGE_SQL = """
+    SELECT o_orderkey, o_custkey,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+               AS rolling7d_cents
+    FROM orders WHERE o_custkey < 50
+"""
+
+
+@query(
+    "window_time_range_rolling",
+    "window-functions",
+    _TIME_RANGE_SQL,
+    doc="Time-interval RANGE frame: per-customer rolling 7-day spend — "
+    "the event-time sliding aggregate expressed as a window frame "
+    "(one shuffle on the partition key + one sort, no self-join).",
+)
+def window_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_TIME_RANGE_SQL)
