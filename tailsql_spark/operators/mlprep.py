@@ -1,0 +1,156 @@
+"""Training-data preparation operators (extension surface).
+
+Ops a large-scale training pipeline runs between raw corpus and model
+input, beyond dedup/similarity/textstats:
+
+* **deterministic hash split** — reproducible train/val/test
+  assignment from a content-stable hash, never `rand()`: re-running
+  the pipeline (or re-running it on 100 TB after adding one shard)
+  keeps every existing document in the same split.
+* **centroid update** — one k-means/IVF refinement step: element-wise
+  mean of member embeddings per cell. The shuffle is (cell, dim) —
+  64 dims × n_cells groups regardless of corpus size, so the reduce
+  side is constant-width at any scale.
+* **regression stats** — built-in second-moment aggregates
+  (corr / covar / regr_slope / regr_intercept), the screening stats
+  for feature-target relationships; one map-side-combinable pass.
+
+Cross-engine determinism: centroid sums are computed over scaled
+BIGINTs (×1e6) so the order-dependent double summation can't perturb
+the oracle hash; one final division + round per element.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tailsql_spark.plans.catalog import QuerySpec, load_tables
+from tailsql_spark.operators.similarity import N_CELLS, _DUCK_CELLS
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+EMBED_DIM = 64
+
+
+def query(name: str, category: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(
+            name=name, category=category, build=fn, oracle=oracle, doc=doc or (fn.__doc__ or "")
+        )
+        return fn
+
+    return deco
+
+
+@query(
+    "sample_hash_split",
+    "ml-prep",
+    """
+    SELECT doc_id,
+           CASE WHEN h < '1a' THEN 'test'
+                WHEN h < '34' THEN 'val'
+                ELSE 'train' END AS split
+    FROM (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h
+          FROM documents)
+    """,
+    doc="Deterministic train/val/test split by md5(doc_id) band "
+    "(~10%/10%/80%). Content-stable: adding data never reassigns "
+    "existing docs, unlike rand()-based sampling; embarrassingly "
+    "parallel, no shuffle at all.",
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    h = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
+    return t["documents"].select(
+        "doc_id",
+        F.when(h < "1a", "test").when(h < "34", "val").otherwise("train").alias("split"),
+    )
+
+
+@query(
+    "ann_centroid_update",
+    "ml-prep",
+    f"""
+    WITH {_DUCK_CELLS},
+    m AS (SELECT c.cell, e.embedding
+          FROM cells c JOIN embeddings e USING (vec_id)),
+    ex AS (SELECT cell, CAST(t.i AS BIGINT) AS pos,
+                  CAST(ROUND(CAST(embedding[t.i + 1] AS DOUBLE) * 1000000) AS BIGINT)
+                      AS scaled
+           FROM m CROSS JOIN range({EMBED_DIM}) t(i)),
+    agg AS (SELECT cell, pos, SUM(scaled) AS s, COUNT(*) AS n
+            FROM ex GROUP BY 1, 2)
+    SELECT cell,
+           list(ROUND(s / (n * 1000000.0), 6) ORDER BY pos) AS centroid,
+           MAX(n) AS n_members
+    FROM agg GROUP BY cell
+    """,
+    doc="One k-means/IVF centroid refinement step: element-wise mean "
+    "of member embeddings per cell. Sums are ×1e6 BIGINTs (exact under "
+    "any summation order); the shuffle key is (cell, dim) so reduce "
+    "width is constant in corpus size. Iterating this query IS "
+    "distributed k-means.",
+)
+def ann_centroid_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tailsql_spark.operators.similarity import REGISTRY as _SIM
+
+    t = load_tables(spark, sf_dir)
+    cells = _SIM["ann_ivf_assign"].build(spark, sf_dir)
+    m = cells.join(t["embeddings"].select("vec_id", "embedding"), "vec_id")
+    ex = m.select(
+        "cell",
+        F.posexplode("embedding").alias("pos_i", "x"),
+    ).select(
+        "cell",
+        F.col("pos_i").cast("long").alias("pos"),
+        F.round(F.col("x").cast("double") * 1000000, 0).cast("long").alias("scaled"),
+    )
+    agg = ex.groupBy("cell", "pos").agg(
+        F.sum("scaled").alias("s"), F.count("*").alias("n")
+    )
+    per_el = agg.withColumn("val", F.round(F.col("s") / (F.col("n") * 1000000.0), 6))
+    return per_el.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "val"))), lambda st: st["val"]
+        ).alias("centroid"),
+        F.max("n").alias("n_members"),
+    )
+
+
+@query(
+    "agg_regression_stats",
+    "ml-prep",
+    """
+    SELECT o_orderpriority,
+           ROUND(corr(o_totalprice, day_x), 6)                AS price_day_corr,
+           ROUND(covar_pop(o_totalprice, day_x), 4)           AS price_day_covar,
+           ROUND(regr_slope(o_totalprice, day_x), 6)          AS slope,
+           ROUND(regr_intercept(o_totalprice, day_x), 4)      AS intercept,
+           COUNT(*) AS n
+    FROM (SELECT o_orderpriority, o_totalprice,
+                 CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+                      AS DOUBLE) AS day_x
+          FROM orders)
+    GROUP BY o_orderpriority
+    """,
+    doc="Feature-screening second-moment aggregates: corr / covar_pop "
+    "/ regr_slope / regr_intercept of price against order age — all "
+    "built-in, map-side combinable, one pass.",
+)
+def agg_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    src = t["orders"].select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("double")
+        .alias("day_x"),
+    )
+    return src.groupBy("o_orderpriority").agg(
+        F.round(F.corr("o_totalprice", "day_x"), 6).alias("price_day_corr"),
+        F.round(F.covar_pop("o_totalprice", "day_x"), 4).alias("price_day_covar"),
+        F.round(F.regr_slope("o_totalprice", "day_x"), 6).alias("slope"),
+        F.round(F.regr_intercept("o_totalprice", "day_x"), 4).alias("intercept"),
+        F.count("*").alias("n"),
+    )
