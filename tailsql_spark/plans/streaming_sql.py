@@ -218,3 +218,78 @@ def range_join_error_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("f.event_id").alias("purchase_id"),
         )
     )
+
+
+_FUNNEL_SQL = """
+    WITH f AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END)     AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END)    AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS stage_view,
+           SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                         AND t_click <= t_view + INTERVAL 24 HOUR
+                    THEN 1 ELSE 0 END) AS stage_click_24h,
+           SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                         AND t_click <= t_view + INTERVAL 24 HOUR
+                         AND t_purchase > t_click
+                    THEN 1 ELSE 0 END) AS stage_purchase
+    FROM f
+"""
+
+
+@query(
+    "events_funnel_conversion",
+    "event-analytics",
+    _FUNNEL_SQL,
+    doc="Ordered conversion funnel (view → click within 24 h → "
+    "purchase): one grouped pass builds per-user first-touch "
+    "timestamps, one reduce counts the stages — no self-joins, no "
+    "row explosion, the only shuffle is the user_id groupBy.",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(_FUNNEL_SQL)
+
+
+_RETENTION_SQL = """
+    WITH first AS (
+        SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort
+        FROM events GROUP BY user_id
+    ),
+    act AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+        FROM events
+    )
+    SELECT cohort,
+           CAST(date_diff('day', cohort, wk) / 7 AS BIGINT) AS week_n,
+           COUNT(*) AS n_active
+    FROM first JOIN act USING (user_id)
+    GROUP BY 1, 2
+"""
+
+
+@query(
+    "events_retention_cohorts",
+    "event-analytics",
+    _RETENTION_SQL,
+    doc="Weekly retention cohorts: cohort = week of first activity, "
+    "counted per subsequent active week. Week difference computed as "
+    "day-diff/7 of week-truncated stamps (exact integer) because the "
+    "engines' native week-diff semantics differ.",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    e = t["events"]
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    act = e.select("user_id", F.date_trunc("week", F.col("ts")).alias("wk")).distinct()
+    return (
+        first.join(act, "user_id")
+        .groupBy("cohort", (F.datediff("wk", "cohort") / 7).cast("long").alias("week_n"))
+        .agg(F.count("*").alias("n_active"))
+    )
