@@ -172,3 +172,86 @@ def multimodal_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("nb").alias("max_bytes"),
         )
     )
+
+
+@query(
+    "multimodal_resize_plan",
+    "multimodal",
+    """
+    SELECT doc_id,
+           CAST(16 + length(text) % 64 AS BIGINT)        AS width,
+           CAST(16 + (length(text) // 7) % 64 AS BIGINT) AS height,
+           CAST(CASE WHEN greatest(16 + length(text) % 64, 16 + (length(text) // 7) % 64) > 48
+                     THEN (16 + length(text) % 64) * 48
+                          // greatest(16 + length(text) % 64, 16 + (length(text) // 7) % 64)
+                     ELSE 16 + length(text) % 64 END AS BIGINT) AS out_w,
+           CAST(CASE WHEN greatest(16 + length(text) % 64, 16 + (length(text) // 7) % 64) > 48
+                     THEN (16 + (length(text) // 7) % 64) * 48
+                          // greatest(16 + length(text) % 64, 16 + (length(text) // 7) % 64)
+                     ELSE 16 + (length(text) // 7) % 64 END AS BIGINT) AS out_h
+    FROM documents WHERE CAST(doc_id % 3 AS INT) = 0
+    """,
+    doc="Resize stage for image payloads: aspect-preserving max-edge-48 "
+    "target computed in exact integer math (w·48 // max(w,h)). The "
+    "actual pixel resample is the stubbed codec step; the dimension "
+    "plan, batch shape, and Arrow path are the real plumbing.",
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    meta = multimodal_metadata(spark, sf_dir)
+    images = meta.filter(F.col("media_type") == "image")
+
+    def plan_resize(batches):
+        target = 48
+        for pdf in batches:
+            w, h = pdf["width"], pdf["height"]
+            mx = pd.concat([w, h], axis=1).max(axis=1)
+            scale_needed = mx > target
+            out_w = w.where(~scale_needed, (w * target) // mx)
+            out_h = h.where(~scale_needed, (h * target) // mx)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w,
+                    "height": h,
+                    "out_w": out_w.astype("int64"),
+                    "out_h": out_h.astype("int64"),
+                }
+            )
+
+    return images.mapInPandas(
+        plan_resize,
+        schema="doc_id long, width long, height long, out_w long, out_h long",
+    )
+
+
+@query(
+    "multimodal_feature_extract",
+    "multimodal",
+    """
+    SELECT doc_id,
+           [CAST(concat('0x', substr(md5(text), 1 + 4 * k, 4)) AS BIGINT)
+            FOR k IN range(0, 4)] AS features
+    FROM documents
+    """,
+    doc="Feature-extraction stage: payload → fixed-width integer "
+    "feature vector (deterministic md5-derived fake standing in for a "
+    "real encoder; a production encoder swaps the batch body, not the "
+    "schema). Output is array<bigint> — the same column shape the "
+    "similarity/ANN operators consume.",
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synth_media(spark, sf_dir)
+
+    def extract(batches):
+        for pdf in batches:
+            digests = pdf["payload"].map(lambda b: hashlib.md5(b).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "features": digests.map(
+                        lambda d: [int(d[4 * k : 4 * k + 4], 16) for k in range(4)]
+                    ),
+                }
+            )
+
+    return media.mapInPandas(extract, schema="doc_id long, features array<bigint>")
