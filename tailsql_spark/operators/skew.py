@@ -92,3 +92,44 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("p_max").alias("max_ok"),
         ],
     )
+
+
+_SALTED_JOIN_ORACLE = """
+    SELECT p_brand, SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS total_qty,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+"""
+
+
+@query(
+    "join_salted_skew",
+    "skew",
+    _SALTED_JOIN_ORACLE,
+    doc="Salted skew join: the probe side gets a deterministic salt, "
+    "the build side is replicated once per salt value, and the join "
+    "key becomes (key, salt) — a hot key's rows now spread over "
+    "N_SALTS reducers instead of one. Result is EXACTLY the plain "
+    "join (the oracle computes it unsalted). This is the manual form "
+    "of what AQE skew-join does adaptively; at 100 TB you use it when "
+    "skew is known ahead of time (e.g. null-ish default keys).",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].withColumn(
+        "__salt", F.pmod(F.crc32(F.col("l_orderkey").cast("string")), F.lit(N_SALTS))
+    )
+    part_rep = t["part"].select(
+        "p_partkey", "p_brand", F.explode(F.sequence(F.lit(0), F.lit(N_SALTS - 1))).alias("__salt")
+    )
+    return (
+        li.join(
+            part_rep,
+            (F.col("l_partkey") == F.col("p_partkey")) & (li["__salt"] == part_rep["__salt"]),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.round(F.col("l_quantity"), 0).cast("long")).alias("total_qty"),
+            F.count("*").alias("n"),
+        )
+    )

@@ -331,3 +331,59 @@ def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("cluster_id", F.col("doc_id").alias("canonical_doc_id"), "n_members")
     )
+
+
+@query(
+    "dedup_keep_first_event",
+    "dedup",
+    """
+    SELECT user_id, event_id AS first_event_id, ts AS first_ts
+    FROM (
+        SELECT user_id, event_id, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    doc="Keep-first-by-time dedup: one row per key, earliest event "
+    "(deterministic tiebreak on id). One shuffle on the key; at scale "
+    "this is the standard latest/earliest-record compaction shape.",
+)
+def dedup_keep_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        t["events"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts").alias("first_ts"),
+        )
+    )
+
+
+@query(
+    "scalar_edit_distance",
+    "scalar-functions",
+    """
+    SELECT p_partkey,
+           CAST(levenshtein(p_name, p_type) AS BIGINT)        AS name_type_dist,
+           CAST(levenshtein(p_brand, 'Brand#1') AS BIGINT)    AS brand_dist
+    FROM part WHERE p_partkey <= 200
+    """,
+    doc="Edit-distance surface (levenshtein) — the approximate string "
+    "matching primitive under fuzzy dedup.",
+)
+def scalar_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["part"]
+        .filter(F.col("p_partkey") <= 200)
+        .select(
+            "p_partkey",
+            F.levenshtein("p_name", "p_type").cast("long").alias("name_type_dist"),
+            F.levenshtein(F.col("p_brand"), F.lit("Brand#1")).cast("long").alias("brand_dist"),
+        )
+    )
