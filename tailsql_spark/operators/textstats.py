@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from tailsql_spark.plans.catalog import QuerySpec, load_tables
 
@@ -208,4 +209,65 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(low.cast("binary")).alias("content_md5"),
         F.md5(bag.cast("binary")).alias("shuffle_invariant_md5"),
+    )
+
+
+_TFIDF_SQL = """
+    WITH toks AS (
+        SELECT doc_id, tok
+        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents) u
+        WHERE tok <> ''
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks),
+    scored AS (
+        SELECT tf.doc_id, tf.tok,
+               ROUND(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+        FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    )
+    SELECT doc_id, tok, tfidf, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+"""
+
+
+@query(
+    "text_tfidf_topk",
+    "text-analysis",
+    _TFIDF_SQL,
+    doc="TF-IDF top-3 terms per document. Three aggregations (term "
+    "frequency, document frequency, corpus size) + one equi-join on "
+    "term + one per-doc top-k window — every stage shuffles on a "
+    "bounded key space (terms or docs), nothing quadratic. The corpus "
+    "size is a 1-row broadcast. ln() rounded to 6 dp for cross-engine "
+    "determinism.",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    toks = (
+        t["documents"]
+        .select("doc_id", F.explode_outer(F.split(F.lower(F.col("text")), " ")).alias("tok"))
+        .filter((F.col("tok").isNotNull()) & (F.col("tok") != ""))
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df_, "tok")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(F.col("tf") * F.log(F.col("n_docs") * 1.0 / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "tok", "tfidf", F.col("rnk").cast("long").alias("rnk"))
     )

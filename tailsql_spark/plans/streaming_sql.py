@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from tailsql_spark.operators.asof import asof_join_backward
 from tailsql_spark.plans.catalog import QuerySpec, load_tables
@@ -292,4 +293,38 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         first.join(act, "user_id")
         .groupBy("cohort", (F.datediff("wk", "cohort") / 7).cast("long").alias("week_n"))
         .agg(F.count("*").alias("n_active"))
+    )
+
+
+_TRANSITION_SQL = """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    )
+    SELECT event_type, next_type, COUNT(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+"""
+
+
+@query(
+    "events_transition_matrix",
+    "event-analytics",
+    _TRANSITION_SQL,
+    doc="Event-to-event transition counts (first-order Markov matrix) "
+    "per user session stream: one shuffle+sort on user_id for the "
+    "LEAD window, one bounded aggregation (|types|² keys).",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t["events"].select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
     )
