@@ -142,3 +142,13 @@ def test_q21_semi_anti_joins(spark, oracle_sf_dir):
     assert "leftsemi" in low or "left semi" in low
     assert "leftanti" in low or "left anti" in low
     assert "CartesianProduct" not in p
+
+
+def test_minhash_pipeline_no_quadratic_stage(spark, oracle_sf_dir):
+    """The LSH pipeline must stay linear+equi-join: no cartesian or
+    nested-loop stage may appear even though it self-joins twice."""
+    from tailsql_spark.plans.registry import REGISTRY
+
+    p = _plan(REGISTRY["dedup_minhash_lsh"].build(spark, oracle_sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
