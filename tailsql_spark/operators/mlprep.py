@@ -154,3 +154,59 @@ def agg_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept("o_totalprice", "day_x"), 4).alias("intercept"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "grouped_zscore_pandas",
+    "ml-prep",
+    """
+    WITH m AS (
+        SELECT c_nationkey,
+               SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS s1,
+               SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                   * CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS s2,
+               COUNT(*) AS n
+        FROM customer GROUP BY c_nationkey
+    )
+    SELECT c_custkey, c.c_nationkey,
+           ROUND((CAST(ROUND(c_acctbal * 100) AS BIGINT) - s1 * 1.0 / n)
+                 / sqrt(GREATEST(s2 * 1.0 / n - (s1 * 1.0 / n) * (s1 * 1.0 / n), 1e-9)),
+                 6) AS zscore
+    FROM customer c JOIN m ON c.c_nationkey = m.c_nationkey
+    """,
+    doc="Per-group feature normalization (z-score) as a grouped Pandas "
+    "transform (applyInPandas): the whole group arrives as one Arrow "
+    "batch, moments are computed from exact integer-cents sums "
+    "(order-independent), so the Python path hash-matches the "
+    "relational oracle. The partitioning contract is groupBy-key "
+    "shuffle; group size bounds executor memory (nation-sized groups "
+    "here; salt the key first if a group can exceed a partition).",
+)
+def grouped_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir)
+    src = t["customer"].select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = pdf["cents"].astype("int64")
+        n = len(c)
+        s1 = int(c.sum())
+        s2 = int((c * c).sum())
+        mean = s1 / n
+        var = max(s2 / n - mean * mean, 1e-9)
+        return pd.DataFrame(
+            {
+                "c_custkey": pdf["c_custkey"],
+                "c_nationkey": pdf["c_nationkey"],
+                "zscore": ((c - mean) / (var ** 0.5)).round(6),
+            }
+        )
+
+    return src.groupBy("c_nationkey").applyInPandas(
+        zscore, schema="c_custkey long, c_nationkey int, zscore double"
+    )
