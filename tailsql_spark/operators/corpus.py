@@ -1,0 +1,282 @@
+"""Corpus-pipeline composition operators (extension surface).
+
+These compose the individual text/dedup/ML-prep primitives into the
+shapes a production training-data pipeline actually runs end-to-end —
+the reference's pipeline model (regex parse → filter → window → SQL,
+``/root/reference/sql/squeryer.go:130-199``) generalized to corpus
+curation:
+
+* **clean pipeline** — quality gate → exact dedup (keep-min doc) →
+  tokenize + deterministic split, one declarative chain. Catalyst
+  fuses the filter+project stages into the parquet scan; the only
+  shuffle is the dedup groupBy on the content fingerprint.
+* **stratified hash sampling** — per-language rebalancing with a
+  content-stable hash threshold instead of ``rand()``: reproducible
+  across reruns and shard additions, zero shuffles.
+* **feature hashing** — the hashing trick: term → fixed bucket space
+  via md5 prefix, so the feature matrix width is constant regardless
+  of vocabulary size (no vocabulary broadcast / dictionary join).
+* **int8 quantization** — per-vector max-abs scaling of embeddings to
+  int8, 4× memory reduction for ANN serving; elementwise, no shuffle.
+* **two-level rollup** — hourly pre-aggregate feeding a daily
+  aggregate (hypertable-style): at 100 TB the hourly layer is the
+  materialization point; the daily layer reads aggregated rows (~5
+  orders of magnitude smaller), never raw events.
+
+Cross-engine determinism: all hash bands use md5 hex prefixes
+(lexicographic on fixed-width hex ≡ numeric); quantization uses
+``floor(x + 0.5)`` (identical half-up in both engines, unlike
+``round`` whose half-even/half-up policy differs per type); money and
+sums travel as integer cents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tailsql_spark.plans.catalog import QuerySpec, load_tables
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, category: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(
+            name=name, category=category, build=fn, oracle=oracle, doc=doc or (fn.__doc__ or "")
+        )
+        return fn
+
+    return deco
+
+
+@query(
+    "corpus_clean_pipeline",
+    "corpus-pipeline",
+    """
+    WITH q AS (
+        SELECT doc_id, lang, text
+        FROM documents
+        WHERE n_chars >= 100
+          AND length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) * 1.0
+              / length(text) >= 0.6
+    ),
+    fp AS (
+        SELECT doc_id, lang, text, md5(text) AS fingerprint FROM q
+    ),
+    keep AS (
+        SELECT fingerprint,
+               MIN(doc_id) AS doc_id,
+               arg_min(lang, doc_id) AS lang,
+               arg_min(text, doc_id) AS text
+        FROM fp GROUP BY fingerprint
+    )
+    SELECT doc_id, lang,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'test'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '34' THEN 'val'
+                ELSE 'train' END AS split
+    FROM keep
+    """,
+    doc="End-to-end corpus curation in one declarative chain: quality "
+    "gate (length + alpha ratio) → exact dedup keeping the lowest "
+    "doc_id per content fingerprint → whitespace token count + "
+    "deterministic hash split. The quality filter and fingerprint "
+    "projection fuse into the parquet scan stage; the single shuffle "
+    "is the dedup groupBy on md5(text) — uniformly distributed by "
+    "construction, so no skew at any scale.",
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    alpha_ratio = (
+        F.length(F.regexp_replace("text", "[^A-Za-z ]", "")) / F.length("text")
+    )
+    q = d.filter((F.col("n_chars") >= 100) & (alpha_ratio >= 0.6))
+    fp = q.select(
+        "doc_id", "lang", "text", F.md5(F.col("text").cast("binary")).alias("fingerprint")
+    )
+    keep = fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("lang", "doc_id").alias("lang"),
+        F.min_by("text", "doc_id").alias("text"),
+    )
+    h = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
+    return keep.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        F.when(h < "1a", "test").when(h < "34", "val").otherwise("train").alias("split"),
+    )
+
+
+@query(
+    "sample_stratified_hash",
+    "corpus-pipeline",
+    """
+    SELECT doc_id, lang
+    FROM (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+                   / 16777216.0 AS u,
+               CASE WHEN lang = 'en' THEN 0.2 ELSE 1.0 END AS rate
+        FROM documents
+    )
+    WHERE u < rate
+    """,
+    doc="Stratified rebalancing sample: English (the majority class) "
+    "down-sampled to 20%, minority languages kept whole — the standard "
+    "language-rebalance step before tokenizer training. The per-row "
+    "uniform comes from an md5 prefix of doc_id, not rand(): the keep "
+    "set is reproducible run-over-run and stable when new shards "
+    "arrive. Pure map-side filter, zero shuffles at any scale.",
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 6),
+            16,
+            10,
+        ).cast("long")
+        / 16777216.0
+    )
+    rate = F.when(F.col("lang") == "en", 0.2).otherwise(1.0)
+    return (
+        t["documents"]
+        .select("doc_id", "lang", u.alias("u"), rate.alias("rate"))
+        .filter(F.col("u") < F.col("rate"))
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "feature_hashing",
+    "corpus-pipeline",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(term), 1, 4)) AS BIGINT) % 64 AS bucket,
+           COUNT(*) AS tf
+    FROM toks
+    WHERE term <> ''
+    GROUP BY 1, 2
+    """,
+    doc="Hashing-trick featurization: every term maps to one of 64 "
+    "buckets via an md5 prefix, giving a fixed-width sparse feature "
+    "matrix with NO vocabulary dictionary — at 100 TB there is no "
+    "vocab broadcast, no dictionary join, and the (doc, bucket) "
+    "shuffle key is bounded at 64 rows per document. Tokenization via "
+    "explode_outer (explode pushes a non-codegen size()>0 guard into "
+    "the scan — see dedup.py MinHash notes).",
+)
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    toks = (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.explode_outer(F.split(F.lower("text"), "[^a-z]+")).alias("term"),
+        )
+        .filter(F.col("term").isNotNull() & (F.col("term") != ""))
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term").cast("binary")), 1, 4), 16, 10)
+        .cast("long")
+        % 64
+    )
+    return toks.groupBy("doc_id", bucket.alias("bucket")).agg(F.count("*").alias("tf"))
+
+
+@query(
+    "embedding_quantize_int8",
+    "corpus-pipeline",
+    """
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) / ROUND(scale, 6) * 127 + 0.5)
+                         AS INTEGER)) AS q
+    FROM (
+        SELECT vec_id, embedding,
+               GREATEST(list_max(list_transform(embedding,
+                            x -> abs(CAST(x AS DOUBLE)))), 1e-12) AS scale
+        FROM embeddings
+    )
+    """,
+    doc="Per-vector max-abs int8 quantization of the embedding column: "
+    "4× smaller vectors for the ANN serving path (dedup.py / "
+    "similarity.py consume these). Elementwise map, zero shuffles; the "
+    "scale is rounded to 6 dp BEFORE the divide so both engines "
+    "quantize against bit-identical scales, and floor(x+0.5) replaces "
+    "round() (whose half-even vs half-up policy differs per engine).",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    scale = F.greatest(
+        F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))),
+        F.lit(1e-12),
+    )
+    with_scale = t["embeddings"].select(
+        "vec_id", "embedding", F.round(scale, 6).alias("scale")
+    )
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") / F.col("scale") * 127 + 0.5).cast("int"),
+    )
+    return with_scale.select("vec_id", "scale", q.alias("q"))
+
+
+@query(
+    "events_rollup_two_level",
+    "event-analytics",
+    """
+    WITH hourly AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+               event_type,
+               COUNT(*) AS n,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT CAST(date_trunc('day', hour) AS TIMESTAMP) AS day,
+           event_type,
+           SUM(n) AS n_events,
+           SUM(value_cents) AS value_cents,
+           COUNT(*) AS active_hours
+    FROM hourly
+    GROUP BY 1, 2
+    """,
+    doc="Hypertable-style two-level rollup: raw events → hourly "
+    "pre-aggregate → daily aggregate. The hourly layer is the "
+    "materialization point at scale — the daily pass reads "
+    "~24×|event_type| rows per day instead of raw events (5 orders of "
+    "magnitude less I/O at 100 TB), and counts/sums compose exactly "
+    "(cents are integers). Spark's partial aggregation makes the "
+    "hourly groupBy map-side combinable; both levels share the "
+    "date_trunc key lineage so AQE coalesces the second shuffle.",
+)
+def events_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    hourly = (
+        t["events"]
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("value_cents"),
+        )
+    )
+    return (
+        hourly.groupBy(F.date_trunc("day", "hour").alias("day"), "event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("value_cents").alias("value_cents"),
+            F.count("*").alias("active_hours"),
+        )
+    )

@@ -22,6 +22,7 @@ for _mod in (
     "tailsql_spark.operators.textstats",
     "tailsql_spark.operators.multimodal",
     "tailsql_spark.operators.mlprep",
+    "tailsql_spark.operators.corpus",
     "tailsql_spark.plans.tailsql_pipeline",
 ):
     try:

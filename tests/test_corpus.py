@@ -1,0 +1,100 @@
+"""Corpus-pipeline operator tests: semantics + plan discipline.
+
+The oracle gate (tools/check_oracle.py) certifies values; these tests
+pin the properties the oracle can't see — determinism across runs,
+value bounds, and the zero-shuffle plan shapes the 100 TB design
+depends on.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_clean_pipeline_dedups_and_splits(spark, oracle_sf_dir):
+    from tailsql_spark.plans.registry import REGISTRY
+
+    out = REGISTRY["corpus_clean_pipeline"].build(spark, oracle_sf_dir)
+    rows = out.collect()
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids))  # one survivor per fingerprint
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    assert all(r.n_tokens > 0 for r in rows)
+    # the quality gate must actually drop something at this SF
+    n_docs = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet").count()
+    assert out.count() < n_docs
+
+
+def test_stratified_hash_sample_is_deterministic(spark, oracle_sf_dir):
+    from tailsql_spark.plans.registry import REGISTRY
+
+    spec = REGISTRY["sample_stratified_hash"]
+    a = {r.doc_id for r in spec.build(spark, oracle_sf_dir).collect()}
+    b = {r.doc_id for r in spec.build(spark, oracle_sf_dir).collect()}
+    assert a == b  # content-hash sampling, not rand()
+    docs = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet")
+    en_total = docs.filter(F.col("lang") == "en").count()
+    en_kept = (
+        spec.build(spark, oracle_sf_dir).filter(F.col("lang") == "en").count()
+    )
+    assert 0.1 * en_total < en_kept < 0.3 * en_total  # ~20% band
+
+
+def test_stratified_sample_has_no_shuffle(spark, oracle_sf_dir):
+    from tailsql_spark.plans.registry import REGISTRY
+
+    p = _plan(REGISTRY["sample_stratified_hash"].build(spark, oracle_sf_dir))
+    assert "Exchange" not in p  # pure map-side filter
+
+
+def test_feature_hashing_bucket_space(spark, oracle_sf_dir):
+    from tailsql_spark.plans.registry import REGISTRY
+
+    out = REGISTRY["feature_hashing"].build(spark, oracle_sf_dir)
+    stats = out.agg(
+        F.min("bucket").alias("lo"),
+        F.max("bucket").alias("hi"),
+        F.countDistinct("bucket").alias("nb"),
+        F.min("tf").alias("min_tf"),
+    ).collect()[0]
+    assert 0 <= stats.lo and stats.hi < 64
+    # the synthetic corpus has ~31 distinct terms; buckets can't exceed that
+    assert 1 < stats.nb <= 64
+    assert stats.min_tf >= 1
+
+
+def test_quantize_int8_bounds_and_no_shuffle(spark, oracle_sf_dir):
+    from tailsql_spark.plans.registry import REGISTRY
+
+    df = REGISTRY["embedding_quantize_int8"].build(spark, oracle_sf_dir)
+    p = _plan(df)
+    assert "Exchange" not in p  # elementwise map, zero shuffles
+    stats = df.select(
+        F.array_min("q").alias("lo"), F.array_max("q").alias("hi")
+    ).agg(F.min("lo").alias("lo"), F.max("hi").alias("hi")).collect()[0]
+    assert -127 <= stats.lo and stats.hi <= 127
+    # max-abs scaling: every vector's extreme element hits ±127
+    at_limit = df.filter(
+        (F.array_max("q") == 127) | (F.array_min("q") == -127)
+    ).count()
+    assert at_limit == df.count()
+
+
+def test_two_level_rollup_composes_exactly(spark, oracle_sf_dir):
+    from tailsql_spark.plans.registry import REGISTRY
+    from tailsql_spark.plans.catalog import load_table
+
+    out = REGISTRY["events_rollup_two_level"].build(spark, oracle_sf_dir)
+    total = out.agg(F.sum("n_events").alias("n")).collect()[0].n
+    raw = load_table(spark, oracle_sf_dir, "events").count()
+    assert total == raw  # rollup loses nothing
