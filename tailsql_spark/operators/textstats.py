@@ -271,3 +271,119 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "tok", "tfidf", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+@query(
+    "text_boilerplate_ngrams",
+    "text-analysis",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ws,
+               len(string_split(lower(text), ' ')) AS n
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                       || ws[i+3] || ' ' || ws[i+4] FOR i IN range(1, n - 3)]) AS g
+        FROM toks WHERE n >= 5
+    ),
+    docfreq AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g)
+    SELECT doc_id,
+           COUNT(*) AS n_grams,
+           SUM(CASE WHEN df >= 5 THEN 1 ELSE 0 END) AS n_boiler,
+           ROUND(SUM(CASE WHEN df >= 5 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+               AS boiler_pct
+    FROM grams JOIN docfreq USING (g)
+    GROUP BY doc_id
+    """,
+    doc="Cross-document boilerplate detection (the C4/RefinedWeb "
+    "recipe): a word 5-gram appearing in >= 5 distinct documents is "
+    "boilerplate; each doc is scored by the share of its distinct "
+    "5-grams that are boilerplate. Two shuffles — distinct (doc, gram) "
+    "pairs, then gram doc-frequency — both keyed on uniformly-hashed "
+    "strings. The (doc, gram) pair set is cached because the DAG reads "
+    "it twice (df build + rejoin); at 100 TB you'd materialize it "
+    "columnar instead. Mirrors the reference's per-window regex "
+    "filtering generalized to corpus statistics.",
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ws = F.split(F.lower(F.col("text")), " ")
+    n = F.size(ws)
+    gram_arr = F.when(
+        n >= 5,
+        F.transform(
+            F.sequence(F.lit(0), n - 5),
+            lambda i: F.concat_ws(" ", ws[i], ws[i + 1], ws[i + 2], ws[i + 3], ws[i + 4]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (
+        t["documents"]
+        .select("doc_id", F.explode_outer(gram_arr).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .distinct()
+        .cache()
+    )
+    docfreq = grams.groupBy("g").agg(F.count("*").alias("df"))
+    return (
+        grams.join(docfreq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("df") >= 5, 1).otherwise(0)).alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_boiler",
+            F.round(F.col("n_boiler") * 1.0 / F.col("n_grams"), 6).alias("boiler_pct"),
+        )
+    )
+
+
+@query(
+    "text_unigram_surprisal",
+    "text-analysis",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+    ),
+    clean AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    vocab AS (SELECT term, COUNT(*) AS cnt FROM clean GROUP BY term),
+    tot AS (SELECT SUM(cnt) AS total FROM vocab)
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(AVG(ln(total * 1.0 / cnt)), 6) AS avg_surprisal_nats
+    FROM clean JOIN vocab USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    doc="Unigram language-model quality score: average per-token "
+    "surprisal -ln p(term) under the corpus unigram distribution — the "
+    "cheap perplexity proxy used to rank documents before an expensive "
+    "model pass. The unigram table is vocabulary-sized (tiny vs the "
+    "corpus) so Spark broadcasts it; the corpus total is a 1-row "
+    "broadcast; scoring is then map-side — the only real shuffle is "
+    "the final per-doc aggregation.",
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    toks = (
+        t["documents"]
+        .select("doc_id", F.explode_outer(F.split(F.lower(F.col("text")), " ")).alias("term"))
+        .filter((F.col("term").isNotNull()) & (F.col("term") != ""))
+    )
+    vocab = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("total"))
+    return (
+        toks.join(F.broadcast(vocab), "term")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("total") * 1.0 / F.col("cnt"))), 6).alias(
+                "avg_surprisal_nats"
+            ),
+        )
+    )

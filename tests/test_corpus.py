@@ -98,3 +98,35 @@ def test_two_level_rollup_composes_exactly(spark, oracle_sf_dir):
     total = out.agg(F.sum("n_events").alias("n")).collect()[0].n
     raw = load_table(spark, oracle_sf_dir, "events").count()
     assert total == raw  # rollup loses nothing
+
+
+def test_boilerplate_scores_bounded(spark, oracle_sf_dir):
+    from tailsql_spark.plans.registry import REGISTRY
+
+    out = REGISTRY["text_boilerplate_ngrams"].build(spark, oracle_sf_dir)
+    bad = out.filter(
+        (F.col("boiler_pct") < 0)
+        | (F.col("boiler_pct") > 1)
+        | (F.col("n_boiler") > F.col("n_grams"))
+    ).count()
+    assert bad == 0
+
+
+def test_surprisal_broadcasts_vocab(spark, oracle_sf_dir):
+    from tailsql_spark.plans.registry import REGISTRY
+
+    df = REGISTRY["text_unigram_surprisal"].build(spark, oracle_sf_dir)
+    p = _plan(df)
+    assert "BroadcastHashJoin" in p  # vocab + total are broadcast, not shuffled
+    row = df.agg(F.min("avg_surprisal_nats").alias("lo")).collect()[0]
+    assert row.lo > 0  # -ln p is positive for p < 1
+
+
+def test_stream_rollup_matches_batch_rollup(spark, oracle_sf_dir):
+    from tailsql_spark.plans.registry import REGISTRY
+
+    batch = REGISTRY["events_rollup_two_level"].build(spark, oracle_sf_dir)
+    stream = REGISTRY["stream_hourly_rollup_daily"].build(spark, oracle_sf_dir)
+    b = {tuple(r) for r in batch.collect()}
+    s = {tuple(r) for r in stream.collect()}
+    assert b == s  # stream ≡ batch at every composed level
