@@ -37,13 +37,26 @@ def asof_join_backward(
     right_ts: str,
     right_payload: list[str],
     inner: bool = True,
+    prune_right: bool = False,
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest
     ``right_ts <= left_ts`` within the same ``on`` key.
 
     ``right`` must already be unique per (on, right_ts); callers dedupe
     with their own tiebreak to keep results engine-deterministic.
+
+    ``prune_right``: semi-join the right side down to keys that exist on
+    the left before the merge. When the left is selective (a filtered
+    probe against a large history table — the common as-of shape), this
+    keeps the single shuffle+sort proportional to the MATCHED key set
+    instead of the full right table; Spark plans the semi join as a
+    broadcast when the left is small enough, so the prune itself adds
+    no shuffle. Leave off when left keys ≈ right keys (pure overhead).
     """
+    if prune_right:
+        right = right.join(
+            F.broadcast(left.select(on).distinct()), on, "left_semi"
+        )
     lcols = left.columns
     l = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
     r = right.select(

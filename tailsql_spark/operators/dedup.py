@@ -74,8 +74,10 @@ def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codegen'd). A 100 TB corpus arrives pre-split into many file
     # partitions; a small local file reads as ONE partition and would
     # serialize the pipeline. Size the split from input BYTES, not core
-    # count: per-task scheduling overhead dominates below ~128 KB of
-    # compressed text per task (measured: 8 partitions beat 32 at sf0.1).
+    # count: ~32 KB of compressed text per task keeps every core busy
+    # on the interpreted tokenizer while staying above the per-task
+    # scheduling floor (measured at sf0.1: 4 parts 1.5 s, 8 parts
+    # 0.84 s, 16 parts 0.55 s, 32 parts 0.52 s — capped at cores).
     import os
 
     docs = t["documents"]
@@ -84,7 +86,7 @@ def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     except OSError:
         nbytes = 0
     par = spark.sparkContext.defaultParallelism
-    target = max(2, min(par, nbytes // (128 * 1024) or 2))
+    target = max(2, min(par, nbytes // (32 * 1024) or 2))
     if docs.rdd.getNumPartitions() < target:
         docs = docs.repartition(int(target))
     return docs.select("doc_id", shingles_col(F.col("text")).alias("shingles"))

@@ -182,6 +182,9 @@ def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="o_orderdate",
         right_payload=["o_orderkey", "o_orderdate"],
         inner=True,
+        # the probe side is a 2000-event slice; prune the order history
+        # to its users so the merge sort never sees unmatched keys
+        prune_right=True,
     )
     return out.select(
         "event_id", "user_id", "o_orderkey", F.col("o_orderdate").alias("matched_date")
