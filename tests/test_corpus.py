@@ -130,3 +130,18 @@ def test_stream_rollup_matches_batch_rollup(spark, oracle_sf_dir):
     b = {tuple(r) for r in batch.collect()}
     s = {tuple(r) for r in stream.collect()}
     assert b == s  # stream ≡ batch at every composed level
+
+
+def test_int8_ann_topk_shape(spark, oracle_sf_dir):
+    from tailsql_spark.plans.registry import REGISTRY
+
+    out = REGISTRY["ann_cosine_topk_int8"].build(spark, oracle_sf_dir)
+    rows = out.collect()
+    assert len(rows) == 30  # 10 query vectors × top-3
+    assert all(r.q_id != r.neighbor_id for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.q_id, []).append(r)
+    for q, rs in per_q.items():
+        scores = [r.score for r in sorted(rs, key=lambda r: r.rnk)]
+        assert scores == sorted(scores, reverse=True)  # rank order matches score
