@@ -165,7 +165,9 @@ def minhash_signatures(ex: DataFrame) -> DataFrame:
         F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS)
     ]
-    return hashed.groupBy("doc_id").agg(*aggs)
+    # shingle-set size rides along in the SAME groupBy — the verifier
+    # needs |A| and |B| and this saves it a second full pass over ex
+    return hashed.groupBy("doc_id").agg(*aggs, F.count("*").alias("n_sh"))
 
 
 def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
@@ -188,6 +190,11 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
         "doc_id", f"stack({N_BANDS}, {stack_args}) AS (band_idx, band_hash)"
     )
     a, b = long.alias("a"), long.alias("b")
+    # the band table is |docs|×N_BANDS narrow rows — broadcast one side
+    # so the self-join never shuffles. At a scale where even this
+    # doesn't fit a broadcast, drop the hint and the same plan runs as
+    # a shuffled equi-join (AQE splits any boilerplate-hot buckets).
+    b = F.broadcast(b)
     return (
         a.join(
             b,
@@ -276,11 +283,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signatures(ex).persist()
     sig.count()
     cand = lsh_candidate_pairs(sig)
-    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # |A|,|B| come from the signature groupBy (n_sh), not a second full
+    # pass over ex; the candidate set is band-collision-sized (tiny vs
+    # the corpus), so it broadcasts through both verification joins and
+    # the big inverted index is probed in place, never shuffled.
+    sizes = sig.select("doc_id", F.col("n_sh").alias("n"))
     exa = ex.select(F.col("doc_id").alias("id_a"), "s")
     exb = ex.select(F.col("doc_id").alias("idb2"), F.col("s").alias("sb"))
+    a_side = exa.join(F.broadcast(cand), "id_a")
     common = (
-        cand.join(exa, "id_a")
+        F.broadcast(a_side)
         .join(exb, (F.col("id_b") == F.col("idb2")) & (F.col("s") == F.col("sb")))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
