@@ -331,3 +331,119 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "next_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "events_anomaly_hours",
+    "event-analytics",
+    """
+    WITH hourly AS (
+        SELECT event_type,
+               make_timestamp(CAST(FLOOR(epoch(ts) / 3600) AS BIGINT)
+                              * 3600 * 1000000) AS hour,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type,
+               AVG(n) AS mean_n,
+               stddev_pop(n) AS sd_n
+        FROM hourly GROUP BY event_type
+    )
+    SELECT h.event_type, h.hour, h.n,
+           ROUND((h.n - s.mean_n) / s.sd_n, 6) AS z
+    FROM hourly h JOIN stats s USING (event_type)
+    WHERE s.sd_n > 0 AND abs((h.n - s.mean_n) / s.sd_n) > 2
+    """,
+    doc="Volume-anomaly detection: hourly event counts per type, "
+    "flagged where the count sits more than 2 population-stddevs from "
+    "that type's mean — the monitoring query a log-triage tool like "
+    "the reference exists to feed. Built on the rollup layer: the "
+    "stats table is |event_type|-row tiny (broadcast), so the flagging "
+    "join is map-side over the already-aggregated hourly rows.",
+)
+def events_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    hourly = (
+        t["events"]
+        .groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select("event_type", F.col("w.start").alias("hour"), "n")
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("n").alias("mean_n"), F.stddev_pop("n").alias("sd_n")
+    )
+    z = (F.col("n") - F.col("mean_n")) / F.col("sd_n")
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter((F.col("sd_n") > 0) & (F.abs(z) > 2))
+        .select("event_type", "hour", "n", F.round(z, 6).alias("z"))
+    )
+
+
+@query(
+    "window_cumulative_share_cut",
+    "window-functions",
+    """
+    WITH rev AS (
+        SELECT p_brand, p_partkey,
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS rev_cents
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT p_brand, p_partkey, rev_cents,
+               SUM(rev_cents) OVER (PARTITION BY p_brand
+                                    ORDER BY rev_cents DESC, p_partkey ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_cents,
+               SUM(rev_cents) OVER (PARTITION BY p_brand) AS tot_cents
+        FROM rev
+    )
+    SELECT p_brand, p_partkey, rev_cents,
+           ROUND(cum_cents * 1.0 / tot_cents, 6) AS cum_share
+    FROM ranked
+    WHERE cum_cents - rev_cents < CAST(0.8 * tot_cents AS BIGINT) + 1
+    """,
+    doc="Pareto / nucleus-style cumulative-share cut: per brand, the "
+    "smallest prefix of parts (by revenue, deterministic tiebreak) "
+    "whose cumulative revenue reaches 80% of the brand total — the "
+    "same top-p pattern used for nucleus sampling cuts over token "
+    "distributions. Exact integer cents make the 80% boundary "
+    "bit-identical across engines; one shuffle on the groupBy key, "
+    "one window sort per brand.",
+)
+def window_cumulative_share_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t["lineitem"]
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_partkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
+                "rev_cents"
+            )
+        )
+    )
+    w_cum = (
+        W.partitionBy("p_brand")
+        .orderBy(F.col("rev_cents").desc(), F.col("p_partkey").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_tot = W.partitionBy("p_brand")
+    ranked = rev.select(
+        "p_brand",
+        "p_partkey",
+        "rev_cents",
+        F.sum("rev_cents").over(w_cum).alias("cum_cents"),
+        F.sum("rev_cents").over(w_tot).alias("tot_cents"),
+    )
+    return ranked.filter(
+        F.col("cum_cents") - F.col("rev_cents")
+        < (F.lit(0.8) * F.col("tot_cents")).cast("long") + 1
+    ).select(
+        "p_brand",
+        "p_partkey",
+        "rev_cents",
+        F.round(F.col("cum_cents") * 1.0 / F.col("tot_cents"), 6).alias("cum_share"),
+    )
