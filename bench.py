@@ -79,11 +79,12 @@ def main() -> None:
         spec.build(spark, sf_dir).collect()
         # drop caches the warmup populated (plan-matching would hand
         # the timed run pre-built persisted tables) — we time the real
-        # pipeline, only codegen stays warm. Two timed runs, report the
-        # min: local-mode scheduling of many small stages is noisy and
-        # a single outlier run would misrepresent the plan.
+        # pipeline, only codegen stays warm. Three timed runs, report
+        # the min: local-mode scheduling of many small stages is noisy
+        # (observed 2× outliers) and a single bad run would
+        # misrepresent the plan.
         best, n = float("inf"), 0
-        for _ in range(2):
+        for _ in range(3):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = spec.build(spark, sf_dir)
