@@ -387,3 +387,109 @@ def scalar_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein(F.col("p_brand"), F.lit("Brand#1")).cast("long").alias("brand_dist"),
         )
     )
+
+
+@query(
+    "array_hof_ops",
+    "array-map-functions",
+    """
+    WITH per_order AS (
+        SELECT l_orderkey,
+               list_sort(list(CAST(l_quantity AS BIGINT))) AS qtys
+        FROM lineitem WHERE l_orderkey < 500
+        GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           len(qtys)                                              AS n_items,
+           len(list_filter(qtys, x -> x >= 25))                   AS n_big,
+           len(list_filter(qtys, x -> x >= 45)) > 0               AS has_ge_45,
+           len(list_filter(qtys, x -> x < 5)) = 0                 AS all_ge_5,
+           list_sum(qtys)                                         AS total_qty,
+           list_transform(qtys, x -> x * 2)[1]                    AS min_doubled
+    FROM per_order
+    """,
+    doc="Higher-order array functions (SURVEY §2B array/map row): "
+    "filter / exists / forall / aggregate / transform over a "
+    "deterministically sorted per-order quantity array. HOFs are "
+    "interpreted (outside whole-stage codegen) — fine off the hot "
+    "path; hot-path pipelines flatten to scalar columns instead "
+    "(see dedup.py caching note).",
+)
+def array_hof_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    per_order = (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") < 500)
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.col("l_quantity").cast("long"))
+            ).alias("qtys")
+        )
+    )
+    a = F.col("qtys")
+    return per_order.select(
+        "l_orderkey",
+        F.size(a).cast("long").alias("n_items"),
+        F.size(F.filter(a, lambda x: x >= 25)).cast("long").alias("n_big"),
+        F.exists(a, lambda x: x >= 45).alias("has_ge_45"),
+        F.forall(a, lambda x: x >= 5).alias("all_ge_5"),
+        F.aggregate(a, F.lit(0).cast("long"), lambda acc, x: acc + x).alias("total_qty"),
+        F.element_at(F.transform(a, lambda x: x * 2), 1).alias("min_doubled"),
+    )
+
+
+@query(
+    "map_ops",
+    "array-map-functions",
+    """
+    WITH per_line AS (
+        SELECT l_orderkey, l_linenumber,
+               SUM(CAST(l_quantity AS BIGINT)) AS qty
+        FROM lineitem WHERE l_orderkey < 500
+        GROUP BY 1, 2
+    )
+    SELECT l_orderkey,
+           MAX(CASE WHEN l_linenumber = 1 THEN qty END) AS first_line_qty,
+           COUNT(*)                                     AS n_lines,
+           MAX(l_linenumber)                            AS max_line,
+           SUM(qty)                                     AS qty_sum
+    FROM per_line
+    GROUP BY l_orderkey
+    """,
+    doc="Map-typed column surface: per order, build "
+    "map<linenumber, qty> with map_from_entries, then read it back "
+    "with element_at / size / map_keys / map_values+aggregate. The "
+    "oracle states the same facts relationally — DuckDB's MAP "
+    "extraction semantics differ, and the certified contract is "
+    "values, not dialect.",
+)
+def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    per_line = (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") < 500)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    per_order = per_line.groupBy("l_orderkey").agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_linenumber").alias("k"), F.col("qty").alias("v")
+                    )
+                )
+            )
+        ).alias("mp")
+    )
+    mp = F.col("mp")
+    return per_order.select(
+        "l_orderkey",
+        F.element_at(mp, 1).alias("first_line_qty"),
+        F.size(mp).cast("long").alias("n_lines"),
+        F.array_max(F.map_keys(mp)).cast("long").alias("max_line"),
+        F.aggregate(
+            F.map_values(mp), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("qty_sum"),
+    )
