@@ -493,3 +493,35 @@ def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.map_values(mp), F.lit(0).cast("long"), lambda acc, x: acc + x
         ).alias("qty_sum"),
     )
+
+
+@query(
+    "scalar_regexp_funcs2",
+    "scalar-functions",
+    """
+    SELECT event_id,
+           len(regexp_extract_all(props, '[0-9]+'))            AS n_numbers,
+           regexp_extract_all(props, '[0-9]+')                 AS numbers,
+           regexp_matches(props, '"k"')                        AS has_k,
+           regexp_replace(props, '[0-9]', '#', 'g')            AS masked
+    FROM events WHERE event_id < 500
+    """,
+    doc="Regexp surface wave 2: regexp_extract_all (list of every "
+    "match), match-count, boolean regexp test, global replace — the "
+    "log-line mining toolkit the reference's regex-DSL parse stage "
+    "(sql/lparser.go:89-149) implies. All JVM-side built-ins; the "
+    "extract_all list is deterministic (match order).",
+)
+def scalar_regexp_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .filter(F.col("event_id") < 500)
+        .select(
+            "event_id",
+            F.size(F.regexp_extract_all("props", F.lit("[0-9]+"), 0)).cast("long").alias("n_numbers"),
+            F.regexp_extract_all("props", F.lit("[0-9]+"), 0).alias("numbers"),
+            F.col("props").rlike('"k"').alias("has_k"),
+            F.regexp_replace("props", "[0-9]", "#").alias("masked"),
+        )
+    )
