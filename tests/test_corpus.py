@@ -145,3 +145,11 @@ def test_int8_ann_topk_shape(spark, oracle_sf_dir):
     for q, rs in per_q.items():
         scores = [r.score for r in sorted(rs, key=lambda r: r.rnk)]
         assert scores == sorted(scores, reverse=True)  # rank order matches score
+
+
+def test_clean_pipeline_pushes_quality_filter_to_scan(spark, oracle_sf_dir):
+    from tailsql_spark.plans.registry import REGISTRY
+
+    p = _plan(REGISTRY["corpus_clean_pipeline"].build(spark, oracle_sf_dir))
+    pushed = p.split("PushedFilters", 1)[1][:200]
+    assert "GreaterThanOrEqual(n_chars,100)" in pushed  # length gate at the scan
