@@ -360,3 +360,52 @@ def ann_cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+@query(
+    "corpus_mix_budget",
+    "corpus-pipeline",
+    """
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'test'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '34' THEN 'val'
+                    ELSE 'train' END AS split,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        FROM documents
+    ),
+    agg AS (
+        SELECT lang, split, COUNT(*) AS n_docs, SUM(n_tokens) AS tokens
+        FROM toks GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(tokens) AS total FROM agg)
+    SELECT lang, split, n_docs, tokens,
+           ROUND(tokens * 1.0 / total, 6) AS token_share
+    FROM agg CROSS JOIN tot
+    """,
+    doc="Training-mix accounting: documents and whitespace tokens per "
+    "(language, split) with each cell's share of the corpus token "
+    "budget — the planning query behind dataset mixing ratios. One "
+    "map-side tokenize+count pass, one small-keyspace groupBy, a "
+    "1-row broadcast total; output is |langs|×3 rows at any corpus "
+    "size.",
+)
+def corpus_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    h = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
+    toks = t["documents"].select(
+        "lang",
+        F.when(h < "1a", "test").when(h < "34", "val").otherwise("train").alias("split"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    agg = toks.groupBy("lang", "split").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("tokens")
+    )
+    tot = agg.agg(F.sum("tokens").alias("total"))
+    return agg.join(F.broadcast(tot)).select(
+        "lang",
+        "split",
+        "n_docs",
+        "tokens",
+        F.round(F.col("tokens") * 1.0 / F.col("total"), 6).alias("token_share"),
+    )
