@@ -244,8 +244,8 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(date_trunc('day', hour) AS TIMESTAMP) AS day,
            event_type,
-           SUM(n) AS n_events,
-           SUM(value_cents) AS value_cents,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(value_cents) AS BIGINT) AS value_cents,
            COUNT(*) AS active_hours
     FROM hourly
     GROUP BY 1, 2
@@ -304,7 +304,7 @@ _QUANT_SQL = """
     ),
     pairs AS (
         SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
-               list_sum([a.q[i] * b.q[i] FOR i IN range(1, 65)]) AS dot_int,
+               CAST(list_sum([a.q[i] * b.q[i] FOR i IN range(1, 65)]) AS BIGINT) AS dot_int,
                a.scale * b.scale AS ss
         FROM quant a JOIN quant b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
     ),
@@ -375,7 +375,7 @@ def ann_cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ),
     agg AS (
-        SELECT lang, split, COUNT(*) AS n_docs, SUM(n_tokens) AS tokens
+        SELECT lang, split, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tokens
         FROM toks GROUP BY 1, 2
     ),
     tot AS (SELECT SUM(tokens) AS total FROM agg)

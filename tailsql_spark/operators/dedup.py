@@ -170,7 +170,25 @@ def minhash_signatures(ex: DataFrame) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*aggs, F.count("*").alias("n_sh"))
 
 
-def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+# Above this input size the banded signature table (|docs| x N_BANDS
+# narrow rows) stops being a safe driver-side broadcast; the same plan
+# then runs as a shuffled equi-join and AQE splits hot buckets.
+BROADCAST_INPUT_BYTES = 256 << 20
+
+
+def _small_input(sf_dir: str, table: str = "documents") -> bool:
+    """Plan-time size gate from the source parquet footprint — the
+    stand-in for catalog statistics on a real cluster.  Never runs a
+    Spark job."""
+    import os
+
+    try:
+        return os.path.getsize(os.path.join(sf_dir, f"{table}.parquet")) < BROADCAST_INPUT_BYTES
+    except OSError:
+        return False
+
+
+def lsh_candidate_pairs(sig: DataFrame, hint_broadcast: bool = True) -> DataFrame:
     """Band the signature and self-join per band → candidate id pairs."""
     bands = [
         F.md5(
@@ -190,11 +208,14 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
         "doc_id", f"stack({N_BANDS}, {stack_args}) AS (band_idx, band_hash)"
     )
     a, b = long.alias("a"), long.alias("b")
-    # the band table is |docs|×N_BANDS narrow rows — broadcast one side
-    # so the self-join never shuffles. At a scale where even this
-    # doesn't fit a broadcast, drop the hint and the same plan runs as
-    # a shuffled equi-join (AQE splits any boilerplate-hot buckets).
-    b = F.broadcast(b)
+    # the band table is |docs|×N_BANDS narrow rows — broadcasting one
+    # side makes the self-join shuffle-free, but the table grows with
+    # the corpus, so the hint is applied only under the caller's
+    # plan-time size gate (see _small_input). Without it the same plan
+    # runs as a shuffled equi-join and AQE splits boilerplate-hot
+    # buckets.
+    if hint_broadcast:
+        b = F.broadcast(b)
     return (
         a.join(
             b,
@@ -282,7 +303,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex.count()
     sig = minhash_signatures(ex).persist()
     sig.count()
-    cand = lsh_candidate_pairs(sig)
+    small = _small_input(sf_dir)
+    cand = lsh_candidate_pairs(sig, hint_broadcast=small)
     # |A|,|B| come from the signature groupBy (n_sh), not a second full
     # pass over ex; the candidate set is band-collision-sized (tiny vs
     # the corpus), so it broadcasts through both verification joins and
@@ -291,8 +313,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exa = ex.select(F.col("doc_id").alias("id_a"), "s")
     exb = ex.select(F.col("doc_id").alias("idb2"), F.col("s").alias("sb"))
     a_side = exa.join(F.broadcast(cand), "id_a")
+    # a_side (candidate docs × their shingles) is corpus-proportional in
+    # the worst case — hint only under the same size gate; the cand
+    # broadcast above is always collision-sized and stays.
     common = (
-        F.broadcast(a_side)
+        (F.broadcast(a_side) if small else a_side)
         .join(exb, (F.col("id_b") == F.col("idb2")) & (F.col("s") == F.col("sb")))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))

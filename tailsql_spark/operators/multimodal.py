@@ -154,7 +154,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
                AS media_type,
            COUNT(*) AS n,
-           SUM(CAST(length(text) AS BIGINT)) AS total_bytes,
+           CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_bytes,
            CAST(MAX(length(text)) AS BIGINT) AS max_bytes
     FROM documents GROUP BY 1
     """,

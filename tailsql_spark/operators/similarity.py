@@ -340,6 +340,11 @@ _DUCK_SIGN_BUCKETS = " UNION ALL ".join(
     "cosine cross product — the embedding near-dup scale path.",
 )
 def ann_signlsh_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sign_bucket_pairs(spark, sf_dir)
+
+
+def _sign_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared core: multi-table sign-LSH candidate pairs (id_a < id_b)."""
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"].select(
         "vec_id", as_double(F.col("embedding")).alias("v")
@@ -347,8 +352,9 @@ def ann_signlsh_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = _plane_seeds(emb)
     d = dot(F.col("v"), F.col("pv"))
     tbl = (F.col("plane_id") / PLANES_PER_TABLE).cast("int")
-    bit_pos = F.col("plane_id") % PLANES_PER_TABLE
     signed = (
+        # planes is a CONSTANT-size table (L*k = 16 rows) — the hint is
+        # always safe, unlike a corpus-proportional side.
         emb.join(F.broadcast(planes))
         .select(
             "vec_id",
@@ -372,4 +378,59 @@ def ann_signlsh_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+COSINE_DUP_THRESHOLD = 0.42  # same corpus-relative cut as dedup_embedding_cosine
+
+
+@query(
+    "dedup_embedding_lsh_verified",
+    "dedup",
+    f"""
+    WITH buckets AS ({_DUCK_SIGN_BUCKETS}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM buckets a JOIN buckets b
+          ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND({_DUCK_DOT.format(a='ea.embedding', b='eb.embedding')}
+                 / ({_DUCK_NORM.format(a='ea.embedding')}
+                    * {_DUCK_NORM.format(a='eb.embedding')}), 4) AS cosine
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.id_a
+    JOIN embeddings eb ON eb.vec_id = c.id_b
+    WHERE {_DUCK_DOT.format(a='ea.embedding', b='eb.embedding')}
+          / ({_DUCK_NORM.format(a='ea.embedding')}
+             * {_DUCK_NORM.format(a='eb.embedding')}) >= {COSINE_DUP_THRESHOLD}
+    """,
+    doc="Scale-safe embedding near-dup: sign-LSH bucket candidates "
+    "(O(n·L) + equi-join, never all-pairs) → exact-cosine verify at "
+    "the same 0.42 cut as dedup_embedding_cosine. This is the shape "
+    "that survives 1e9 docs where the brute-force theta join cannot; "
+    "recall is bounded by the L=4×k=4 table family (candidates only). "
+    "Ref parity: dispensable/tailsql has no ANN surface — LLM-pipeline "
+    "extension per the build brief.",
+)
+def dedup_embedding_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cand = _sign_bucket_pairs(spark, sf_dir)
+    emb = t["embeddings"].select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("v"),
+    ).withColumn("nrm", norm(F.col("v")))
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    # Two equi-joins on the candidate ids: the candidate set is tiny
+    # relative to the corpus (LSH pruned), so AQE turns these into
+    # broadcasts when they fit; no hint — at 1e9 docs the candidate
+    # table is legitimately large and must shuffle.
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("cosine_raw", cos)
+        .filter(F.col("cosine_raw") >= COSINE_DUP_THRESHOLD)
+        .select("id_a", "id_b", F.round("cosine_raw", 4).alias("cosine"))
     )

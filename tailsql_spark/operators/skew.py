@@ -60,7 +60,7 @@ def query(name: str, category: str, oracle: str | None, doc: str = ""):
     SELECT l_returnflag,
            COUNT(*) AS n,
            CAST(SUM(l_quantity) AS BIGINT) AS qty,
-           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS amt_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS amt_cents,
            MIN(l_orderkey) AS min_ok,
            MAX(l_orderkey) AS max_ok
     FROM lineitem GROUP BY l_returnflag
@@ -95,7 +95,7 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SALTED_JOIN_ORACLE = """
-    SELECT p_brand, SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS total_qty,
+    SELECT p_brand, CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty,
            COUNT(*) AS n
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand

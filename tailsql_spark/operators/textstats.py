@@ -291,7 +291,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docfreq AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g)
     SELECT doc_id,
            COUNT(*) AS n_grams,
-           SUM(CASE WHEN df >= 5 THEN 1 ELSE 0 END) AS n_boiler,
+           CAST(SUM(CASE WHEN df >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
            ROUND(SUM(CASE WHEN df >= 5 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
                AS boiler_pct
     FROM grams JOIN docfreq USING (g)

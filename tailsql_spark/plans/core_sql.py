@@ -69,12 +69,12 @@ def query(name: str, category: str, oracle: str | None, doc: str = ""):
     """
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(l_quantity) AS BIGINT)                                  AS sum_qty,
-           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))                AS sum_base_price_cents,
-           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))           AS sum_disc_price_e4,
-           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_price_e4,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
-               * (100 + CAST(ROUND(l_tax * 100) AS BIGINT)))                AS sum_charge_e6,
+               * (100 + CAST(ROUND(l_tax * 100) AS BIGINT))) AS BIGINT)     AS sum_charge_e6,
            ROUND(AVG(l_quantity), 4)        AS avg_qty,
            ROUND(AVG(l_extendedprice), 4)   AS avg_price,
            ROUND(AVG(l_discount), 4)        AS avg_disc,
@@ -110,7 +110,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderstatus,
            COUNT(*)                                          AS n,
-           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))    AS total_cents,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
            ROUND(AVG(o_totalprice), 4)                       AS mean,
            MIN(o_totalprice)                                 AS lo,
            MAX(o_totalprice)                                 AS hi,
@@ -157,7 +157,7 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregation",
     """
     SELECT o_custkey, COUNT(*) AS n_orders,
-           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS spend_cents
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents
     FROM orders GROUP BY o_custkey
     HAVING COUNT(*) >= 15 AND SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) > 150000000
     """,
@@ -200,7 +200,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregation",
     """
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS amt_cents
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS amt_cents
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
 )
@@ -617,8 +617,8 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     "joins",
     """
     SELECT r_name, n_name, COUNT(*) AS n_li,
-           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS revenue_e4
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -650,8 +650,8 @@ def join_star_5way(spark: SparkSession, sf_dir: str) -> DataFrame:
     "joins",
     """
     SELECT l_orderkey, o_orderdate,
-           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS revenue_e4
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
     WHERE c_mktsegment = 'BUILDING'
@@ -685,8 +685,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     "joins",
     """
-    SELECT n_name, SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS revenue_e4
+    SELECT n_name, CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -798,9 +798,9 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window-functions",
     """
     SELECT o_custkey, o_orderkey,
-           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
     FROM orders WHERE o_custkey <= 50
     """,
 )
@@ -996,8 +996,8 @@ def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-                   * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS total_rev_e4
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_rev_e4
         FROM lineitem GROUP BY l_suppkey
     )
     SELECT s_suppkey, s_name, total_rev_e4

@@ -404,7 +404,7 @@ def scalar_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(list_filter(qtys, x -> x >= 25))                   AS n_big,
            len(list_filter(qtys, x -> x >= 45)) > 0               AS has_ge_45,
            len(list_filter(qtys, x -> x < 5)) = 0                 AS all_ge_5,
-           list_sum(qtys)                                         AS total_qty,
+           CAST(list_sum(qtys) AS BIGINT)                         AS total_qty,
            list_transform(qtys, x -> x * 2)[1]                    AS min_doubled
     FROM per_order
     """,
@@ -445,7 +445,7 @@ def array_hof_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH per_line AS (
         SELECT l_orderkey, l_linenumber,
-               SUM(CAST(l_quantity AS BIGINT)) AS qty
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
         FROM lineitem WHERE l_orderkey < 500
         GROUP BY 1, 2
     )
@@ -453,7 +453,7 @@ def array_hof_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(CASE WHEN l_linenumber = 1 THEN qty END) AS first_line_qty,
            COUNT(*)                                     AS n_lines,
            MAX(l_linenumber)                            AS max_line,
-           SUM(qty)                                     AS qty_sum
+           CAST(SUM(qty) AS BIGINT)                     AS qty_sum
     FROM per_line
     GROUP BY l_orderkey
     """,

@@ -128,7 +128,7 @@ REGISTRY["stream_stateful_user_totals"] = QuerySpec(
     build=stream_stateful_user_totals,
     oracle="""
     SELECT user_id, COUNT(*) AS n_events,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_cents
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM events GROUP BY user_id
     """,
     doc="Custom stateful streaming operator certified against the "
@@ -323,8 +323,8 @@ REGISTRY["stream_hourly_rollup_daily"] = QuerySpec(
     )
     SELECT CAST(date_trunc('day', hour) AS TIMESTAMP) AS day,
            event_type,
-           SUM(n) AS n_events,
-           SUM(value_cents) AS value_cents,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(value_cents) AS BIGINT) AS value_cents,
            COUNT(*) AS active_hours
     FROM hourly GROUP BY 1, 2
     """,

@@ -52,7 +52,7 @@ def query(name: str, category: str, oracle: str | None, doc: str = ""):
     SELECT make_timestamp(CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600 * 1000000) AS window_start,
            event_type,
            COUNT(*) AS n,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
     FROM events
     GROUP BY 1, 2
     """,
@@ -233,14 +233,14 @@ _FUNNEL_SQL = """
         FROM events GROUP BY user_id
     )
     SELECT COUNT(*) AS n_users,
-           SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS stage_view,
-           SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage_view,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
                          AND t_click <= t_view + INTERVAL 24 HOUR
-                    THEN 1 ELSE 0 END) AS stage_click_24h,
-           SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    THEN 1 ELSE 0 END) AS BIGINT) AS stage_click_24h,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
                          AND t_click <= t_view + INTERVAL 24 HOUR
                          AND t_purchase > t_click
-                    THEN 1 ELSE 0 END) AS stage_purchase
+                    THEN 1 ELSE 0 END) AS BIGINT) AS stage_purchase
     FROM f
 """
 
@@ -387,7 +387,7 @@ def events_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH rev AS (
         SELECT p_brand, p_partkey,
-               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS rev_cents
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY 1, 2
     ),

@@ -70,7 +70,7 @@ REGISTRY["tailsql_parse_pipeline"] = QuerySpec(
     oracle="""
     SELECT event_type AS method,
            COUNT(*) AS n,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_cents,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
            MIN(event_id) AS min_eid,
            MAX(event_id) AS max_eid
     FROM events

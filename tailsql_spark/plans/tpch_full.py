@@ -167,8 +167,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q6_forecast_revenue",
     "aggregation",
     f"""
-    SELECT SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-               * CAST(ROUND(l_discount * 100) AS BIGINT)) AS revenue_e4,
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_e4,
            COUNT(*) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -263,8 +263,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregation",
     f"""
     SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-           SUM({_REV_E4_SQL}
-               - {_QTY_SQL} * CAST(ROUND(p_retailprice * 100) AS BIGINT) * 50)
+           CAST(SUM({_REV_E4_SQL}
+               - {_QTY_SQL} * CAST(ROUND(p_retailprice * 100) AS BIGINT) * 50) AS BIGINT)
                AS profit_e4
     FROM lineitem
     JOIN part     ON p_partkey = l_partkey
@@ -302,7 +302,7 @@ _Q11_VALUE = "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
     "q11_important_stock",
     "subqueries",
     f"""
-    SELECT l_partkey AS partkey, SUM({_Q11_VALUE}) AS value_cents
+    SELECT l_partkey AS partkey, CAST(SUM({_Q11_VALUE}) AS BIGINT) AS value_cents
     FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
                   JOIN nation   ON s_nationkey = n_nationkey
     WHERE n_name = 'NATION_3'
@@ -342,9 +342,9 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregation",
     """
     SELECT l_linestatus AS linestatus,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
                AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
                AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -414,7 +414,7 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "subqueries",
     f"""
     WITH revenue AS (
-        SELECT l_suppkey AS supplier_no, SUM({_REV_E4_SQL}) AS total_revenue_e4
+        SELECT l_suppkey AS supplier_no, CAST(SUM({_REV_E4_SQL}) AS BIGINT) AS total_revenue_e4
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'

@@ -58,7 +58,7 @@ def _rev_e4():
     f"""
     SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
            CAST(year(l_shipdate) AS BIGINT) AS ship_year,
-           SUM({_REV_E4_SQL}) AS revenue_e4
+           CAST(SUM({_REV_E4_SQL}) AS BIGINT) AS revenue_e4
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -104,7 +104,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "joins",
     f"""
     SELECT c_custkey, c_name, n_name,
-           SUM({_REV_E4_SQL}) AS revenue_e4
+           CAST(SUM({_REV_E4_SQL}) AS BIGINT) AS revenue_e4
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -231,7 +231,7 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q19_disjunctive",
     "predicates",
     f"""
-    SELECT SUM({_REV_E4_SQL}) AS revenue_e4, COUNT(*) AS n
+    SELECT CAST(SUM({_REV_E4_SQL}) AS BIGINT) AS revenue_e4, COUNT(*) AS n
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
        OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
@@ -263,7 +263,7 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT SUBSTR(c_name, 18, 1) AS name_digit,
            COUNT(*) AS numcust,
-           SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS totacctbal_cents
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_cents
     FROM customer c
     WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
@@ -279,7 +279,7 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT SUBSTR(c_name, 18, 1) AS name_digit,
                COUNT(*) AS numcust,
-               SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS totacctbal_cents
+               CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_cents
         FROM customer c
         WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
           AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
@@ -579,9 +579,9 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TIME_RANGE_SQL = """
     SELECT o_orderkey, o_custkey,
-           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate
-               RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+               RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW) AS BIGINT)
                AS rolling7d_cents
     FROM orders WHERE o_custkey < 50
 """

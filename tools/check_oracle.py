@@ -4,6 +4,13 @@ Spark AND its DuckDB oracle SQL, compare row count + column names +
 order-insensitive values. Mirrors the driver's CORRECTNESS check so
 failures surface before a round ends.
 
+Driver-strict since round 2: both sides are fetched through pandas
+(the driver's path), cells are compared with TYPE TAGS and FULL float
+precision.  This is what exposes DuckDB's HUGEINT-for-SUM(BIGINT)
+(float64 via pandas) against Spark's LongType (int64) — the sole root
+cause of the 12 round-1 hash failures.  The mirror must be at least as
+strict as the thing it mirrors.
+
 Usage: python tools/check_oracle.py [query_name ...] [--sf DIR]
 """
 
@@ -12,6 +19,7 @@ from __future__ import annotations
 import datetime
 import math
 import sys
+from decimal import Decimal
 
 import duckdb
 
@@ -24,22 +32,71 @@ TABLES = (
 
 
 def norm_cell(v):
+    """Type-tagged, full-precision cell normalization.
+
+    int vs float vs Decimal are DISTINCT (the driver's hash is
+    type-sensitive); floats use repr() (shortest round-trip = full
+    precision).  Temporal values normalize representation (Timestamp vs
+    datetime, ns vs us) but not type-vs-value — the driver demonstrably
+    accepts equal timestamps across engines (scalar_date_funcs green in
+    r01).
+    """
+    # NaN floats first (NaN != NaN breaks tuple comparison)
+    if isinstance(v, float) and math.isnan(v):
+        return "nan"
     if v is None:
         return "NULL"
     if isinstance(v, bool):
-        return str(v)
+        return f"bool:{v}"
+    if isinstance(v, int):
+        return f"int:{v}"
     if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        # queries pre-round; this collapses representation noise only
-        return f"{v:.6g}" if v == v else "nan"
+        return f"float:{v!r}"
+    if isinstance(v, Decimal):
+        # Normalize trailing zeros so 3.50 == 3.5, but keep the tag
+        # distinct from float: a Decimal on one side only is a bug.
+        return f"dec:{v.normalize()}"
     if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        return "ts:" + v.replace(tzinfo=None).isoformat()
     if isinstance(v, datetime.date):
-        return v.isoformat()
+        return "date:" + v.isoformat()
+    if isinstance(v, bytes):
+        return "bytes:" + v.hex()
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
-    return str(v)
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}={norm_cell(x)}" for k, x in sorted(v.items())) + "}"
+    return "str:" + str(v)
+
+
+def _df_to_cells(df) -> list[list]:
+    """pandas DataFrame -> list of python-typed rows.
+
+    .tolist() per column converts numpy scalars to native python
+    (int64->int, float64->float) while preserving the int/float dtype
+    distinction — which is exactly where HUGEINT-vs-LongType surfaces.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cols = []
+    for c in df.columns:
+        s = df[c]
+        if str(s.dtype).startswith("datetime64"):
+            cols.append([None if pd.isnull(x) else x.to_pydatetime() for x in s])
+        else:
+            vals = s.tolist()
+            out = []
+            for x in vals:
+                if isinstance(x, np.ndarray):
+                    x = x.tolist()
+                elif isinstance(x, pd.Timestamp):
+                    x = x.to_pydatetime()
+                elif x is pd.NaT:
+                    x = None
+                out.append(x)
+            cols.append(out)
+    return [list(row) for row in zip(*cols)] if cols else []
 
 
 def norm_rows(cols: list[str], rows) -> list[tuple]:
@@ -79,19 +136,18 @@ def main() -> int:
         try:
             sdf = spec.build(spark, sf_dir)
             scols = sdf.columns
-            srows = sdf.collect()
+            spdf = sdf.toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
         if spec.oracle is None:
-            print(f"SKIP {name}: no oracle (rows-only, {len(srows)} rows)")
+            print(f"SKIP {name}: no oracle (rows-only, {len(spdf)} rows)")
             n_skip += 1
             continue
         try:
-            res = con.execute(spec.oracle)
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dpdf = con.execute(spec.oracle).df()
+            dcols = list(dpdf.columns)
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
@@ -99,21 +155,24 @@ def main() -> int:
         problems = []
         if sorted(scols) != sorted(dcols):
             problems.append(f"columns spark={sorted(scols)} duck={sorted(dcols)}")
-        if len(srows) != len(drows):
-            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if len(spdf) != len(dpdf):
+            problems.append(f"rowcount spark={len(spdf)} duck={len(dpdf)}")
         if not problems:
-            s_n = norm_rows(scols, [[r[c] for c in scols] for r in srows])
-            d_n = norm_rows(dcols, drows)
+            s_n = norm_rows(scols, _df_to_cells(spdf[scols]))
+            d_n = norm_rows(dcols, _df_to_cells(dpdf[dcols]))
             if s_n != d_n:
                 diffs = [(a, b) for a, b in zip(s_n, d_n) if a != b][:3]
-                only_s = [r for r in s_n if r not in set(d_n)][:2]
-                only_d = [r for r in d_n if r not in set(s_n)][:2]
-                problems.append(f"values differ; first diffs={diffs} only_spark={only_s} only_duck={only_d}")
+                sset, dset = set(d_n), set(s_n)
+                only_s = [r for r in s_n if r not in sset][:2]
+                only_d = [r for r in d_n if r not in dset][:2]
+                problems.append(
+                    f"values differ; first diffs={diffs} only_spark={only_s} only_duck={only_d}"
+                )
         if problems:
             print(f"FAIL {name}: " + " | ".join(problems))
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(srows)} rows)")
+            print(f"PASS {name} ({len(spdf)} rows)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only")
     return 1 if n_fail else 0
