@@ -71,7 +71,21 @@ DATE_LAYOUTS: tuple[str, ...] = (
     "MM/dd/yyyy HH:mm:ss",
     "MM/dd/yyyy",
     "dd MMM yyyy HH:mm:ss",
+    "dd/MMM/yyyy:HH:mm:ss xx",  # Apache common-log `02/Jan/2006:15:04:05 -0700`
+    "yyyyMMdd",
 )
+
+#: Layouts parsed after stripping a leading weekday token — Spark's
+#: DateTimeFormatter cannot PARSE ``E`` (day-of-week), so ctime /
+#: RFC-1123 forms (`Mon Jan  2 15:04:05 2006`, `Mon, 02 Jan 2006
+#: 15:04:05 -0700`) are matched by dropping ``Mon,?`` first.
+DAYLESS_LAYOUTS: tuple[str, ...] = (
+    "MMM d HH:mm:ss yyyy",          # Go ANSIC / ctime
+    "dd MMM yyyy HH:mm:ss xx",      # RFC 1123 with numeric zone
+    "dd MMM yyyy HH:mm:ss",
+)
+
+_WEEKDAY_PREFIX = r"^(Mon|Tue|Wed|Thu|Fri|Sat|Sun),? "
 
 _GROUP_RE = re.compile(r"\(\?P<([A-Za-z_][A-Za-z0-9_]*)>")
 
@@ -132,8 +146,24 @@ class CompiledPattern:
                 .otherwise(F.lit(None).cast(T.BooleanType()))
             )
         if spec.tail_type == "date":
+            # Fuzzy multi-layout chain (dateparse.ParseAny parity,
+            # sql/lparser.go:134). Entirely JVM-side: epoch guards are
+            # rlike + timestamp_seconds/millis; layout trials are
+            # try_to_timestamp; ctime double-space alignment is
+            # collapsed before matching.
+            norm = F.regexp_replace(F.trim(raw), "  +", " ")
+            noday = F.regexp_replace(norm, _WEEKDAY_PREFIX, "")
             return F.coalesce(
-                *[F.try_to_timestamp(raw, F.lit(fmt)) for fmt in DATE_LAYOUTS]
+                F.when(
+                    raw.rlike(r"^[0-9]{12,13}$"),
+                    F.timestamp_millis(raw.cast(T.LongType())),
+                ),
+                F.when(
+                    raw.rlike(r"^[0-9]{9,11}$"),
+                    F.timestamp_seconds(raw.cast(T.LongType())),
+                ),
+                *[F.try_to_timestamp(norm, F.lit(fmt)) for fmt in DATE_LAYOUTS],
+                *[F.try_to_timestamp(noday, F.lit(fmt)) for fmt in DAYLESS_LAYOUTS],
             )
         raise ValueError(f"unknown tailsql type: {spec.tail_type}")
 

@@ -112,38 +112,44 @@ class PipeStreamReader(SimpleDataSourceStreamReader):
 
     def __init__(self, path: str | None):
         self.path = path  # None → stdin
-        self._fh = None
+        self._fd: int | None = None
         self._n = 0
         self._buf = b""
 
     def initialOffset(self) -> dict:
         return {"line": 0}
 
-    def _handle(self):
-        if self._fh is None:
+    def _handle(self) -> int:
+        if self._fd is None:
             if self.path is None:
                 import sys
 
-                self._fh = sys.stdin.buffer
+                # stdin MUST be non-blocking too: a buffered
+                # BufferedReader.read(65536) blocks until 64 KiB
+                # accumulate or EOF, so a live low-rate `app | tailsql`
+                # stream would stall the micro-batch indefinitely and
+                # windows would never fill. Raw os.read on a
+                # non-blocking fd returns whatever bytes are available
+                # each batch instead.
+                self._fd = sys.stdin.buffer.fileno()
+                os.set_blocking(self._fd, False)
             else:
                 # non-blocking FIFO open so an idle pipe never stalls a batch
-                fd = os.open(self.path, os.O_RDONLY | os.O_NONBLOCK)
-                self._fh = os.fdopen(fd, "rb")
-        return self._fh
+                self._fd = os.open(self.path, os.O_RDONLY | os.O_NONBLOCK)
+        return self._fd
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
-        fh = self._handle()
-        rows: list[tuple[str]] = []
+        fd = self._handle()
         try:
             while True:
-                chunk = fh.read(65536)
+                chunk = os.read(fd, 65536)
                 if not chunk:
                     break
                 self._buf += chunk
                 if len(self._buf) > 1 << 26:
                     break
-        except (BlockingIOError, ValueError):
-            pass
+        except BlockingIOError:
+            pass  # EAGAIN: no more bytes available right now
         if b"\n" in self._buf:
             *lines, self._buf = self._buf.split(b"\n")
         else:

@@ -110,6 +110,10 @@ class StreamQueryer:
         # Window spool: scratch prefix for buffered batch segments.
         # Local: a temp dir; cluster: point at HDFS/S3 scratch.
         self._spool_dir = tempfile.mkdtemp(prefix="tailsql_spool_")
+        # INT96 parquet timestamps carry no min/max statistics; the
+        # spool's footer stats ARE the per-batch event-time bookkeeping
+        # (see _spool_stats), so write INT64 micros.
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
     # ------------------------------------------------------------------
     # ingest
@@ -140,15 +144,18 @@ class StreamQueryer:
         the segment in parallel; nothing funnels through the driver).
         """
         now = time.time() if now is None else now
-        df = df.persist()
-        n = df.count()
+        src = self.sources[idx]
+        persisted = False
         try:
-            if n == 0:
-                return
-            src = self.sources[idx]
             if src.max_rows_per_sec > 0:
-                # lossy throttle: shed to the per-trigger budget by
-                # uniform sampling (squeryer.go:343-352 discard semantics)
+                # lossy throttle: shedding must be sized BEFORE the
+                # write, so this (rare) path keeps its count job
+                # (squeryer.go:343-352 discard semantics)
+                df = df.persist()
+                persisted = True
+                n = df.count()
+                if n == 0:
+                    return
                 last = self._last_batch_ts.get(idx)
                 dt = max(now - last, 0.2) if last is not None else 1.0
                 budget = src.max_rows_per_sec * dt
@@ -158,25 +165,63 @@ class StreamQueryer:
                     df2 = df.filter(F.rand() < budget / n).persist()
                     df.unpersist()
                     df = df2
-                    n = df.count()
             self._last_batch_ts[idx] = now
-            max_ev: float | None = None
-            if self.window.ts_field:
-                from pyspark.sql import functions as F
-
-                row = df.agg(
-                    F.max(F.unix_micros(F.col(self.window.ts_field))).alias("m")
-                ).collect()[0]
-                max_ev = row.m  # epoch micros
             with self._lock:
                 seq = self._batch_seq
                 self._batch_seq += 1
             path = f"{self._spool_dir}/s{idx}_b{seq}"
             df.write.mode("overwrite").parquet(path)
+            # Row count AND max event time come from the parquet footers
+            # the write job just produced — ONE Spark job per micro-batch
+            # instead of count + agg/collect + write (round-1 verdict #7).
+            n, max_ev = self._spool_stats(path)
+            if n == 0:
+                import shutil
+
+                shutil.rmtree(path, ignore_errors=True)
+                return
             with self._lock:
                 self._buffers[idx].append(_Buffered(now, path, n, max_ev))
         finally:
-            df.unpersist()
+            if persisted:
+                df.unpersist()
+
+    def _spool_stats(self, path: str) -> tuple[int, int | None]:
+        """Row count + max event time (epoch micros) from the spool
+        segment's parquet footers.  Driver-local metadata reads — no
+        Spark job; the executors already computed both during the
+        write.  Requires INT64 timestamps (set in ``__init__``): INT96
+        columns carry no min/max statistics."""
+        import datetime as dt
+        import glob
+
+        import pyarrow.parquet as pq
+
+        n = 0
+        mx = None
+        ts_field = self.window.ts_field
+        for part in glob.glob(f"{path}/part-*"):
+            md = pq.read_metadata(part)
+            n += md.num_rows
+            if not ts_field or ts_field not in md.schema.names:
+                continue
+            ci = md.schema.names.index(ts_field)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is not None and st.has_min_max:
+                    v = st.max
+                    if mx is None or v > mx:
+                        mx = v
+        if mx is None:
+            return n, None
+        if isinstance(mx, int):
+            # integer event-time column: epoch seconds (Spark's
+            # long→timestamp cast semantics) → micros
+            return n, mx * 1_000_000
+        if mx.tzinfo is None:
+            mx = mx.replace(tzinfo=dt.timezone.utc)
+        epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+        return n, (mx - epoch) // dt.timedelta(microseconds=1)
 
     def start(self, trigger_sec: float = 1.0) -> None:
         for i in range(len(self.sources)):

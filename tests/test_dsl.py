@@ -107,3 +107,46 @@ def test_bool_accepts_go_parsebool_set_only(spark):
     got = cp.parse_lines(df).count()
     assert got == 7  # yes/no/Y dropped
     assert vals == {True, False}
+
+
+@pytest.mark.parametrize(
+    "raw, y, mo, d",
+    [
+        # epoch seconds / millis (dateparse accepts unix timestamps)
+        ("1712962062", 2024, 4, 12),
+        ("1712962062506", 2024, 4, 12),
+        # ctime / Go ANSIC, incl. the double-space day alignment
+        ("Fri Apr 12 22:47:42 2024", 2024, 4, 12),
+        ("Tue Apr  2 05:04:05 2024", 2024, 4, 2),
+        # RFC 1123 with numeric zone
+        ("Fri, 12 Apr 2024 22:47:42 +0000", 2024, 4, 12),
+        # Apache common-log
+        ("12/Apr/2024:22:47:42 +0000", 2024, 4, 12),
+        # bare yyyymmdd
+        ("20240412", 2024, 4, 12),
+    ],
+)
+def test_fuzzy_date_layouts_round2(spark, raw, y, mo, d):
+    """Round-2 widening toward dateparse.ParseAny
+    (/root/reference/sql/lparser.go:134): epoch strings, ctime,
+    RFC-1123, CLF."""
+    cp = compile_pattern(r"^(?P<ts__date>.+)$")
+    df = spark.createDataFrame([(raw,)], ["value"])
+    rows = cp.parse_lines(df).collect()
+    assert len(rows) == 1, f"layout not accepted: {raw}"
+    assert (rows[0].ts.year, rows[0].ts.month, rows[0].ts.day) == (y, mo, d)
+
+
+def test_fuzzy_date_documented_divergences(spark):
+    """Layouts dateparse.ParseAny accepts that we deliberately DROP
+    (documented divergence): named-timezone forms (Spark cannot parse
+    'MST'), and year-less syslog stamps (dateparse guesses the current
+    year — non-deterministic, so we refuse rather than guess)."""
+    cp = compile_pattern(r"^(?P<ts__date>.+)$")
+    dropped = [
+        "Mon Jan  2 15:04:05 MST 2006",   # Go UnixDate: named zone
+        "Mon, 02 Jan 2006 15:04:05 MST",  # RFC1123: named zone
+        "Apr 12 22:47:42",                # syslog, no year
+    ]
+    df = spark.createDataFrame([(v,) for v in dropped], ["value"])
+    assert cp.parse_lines(df).count() == 0

@@ -34,6 +34,49 @@ def test_pipe_reader_fifo(tmp_path):
         os.close(fd)
 
 
+def test_pipe_reader_stdin_live_low_rate(monkeypatch):
+    """A live `app | tailsql` stream at low rate: ONE short line must
+    emit on the next batch. The old BufferedReader.read(65536) blocked
+    until 64 KiB accumulated or EOF, stalling micro-batches
+    indefinitely (round-1 ADVICE). Raw non-blocking os.read returns
+    what's available."""
+    import io
+    import sys
+    import threading
+
+    from tailsql_spark.sources.tail import PipeStreamReader
+
+    r_fd, w_fd = os.pipe()
+    try:
+        fake_stdin = type(
+            "FakeStdin", (), {"buffer": io.FileIO(r_fd, "rb", closefd=False)}
+        )()
+        monkeypatch.setattr(sys, "stdin", fake_stdin)
+
+        reader = PipeStreamReader(None)  # None → stdin path
+        os.write(w_fd, b"only one line\n")
+
+        result: dict = {}
+
+        def batch():
+            rows, off = reader.read(reader.initialOffset())
+            result["rows"], result["off"] = list(rows), off
+
+        t = threading.Thread(target=batch, daemon=True)
+        t.start()
+        t.join(timeout=5)  # old blocking read would hang here forever
+        assert not t.is_alive(), "stdin read blocked on a short line"
+        assert [x[0] for x in result["rows"]] == ["only one line"]
+        assert result["off"] == {"line": 1}
+
+        # idle pipe: next batch returns immediately with nothing
+        rows, off = reader.read(result["off"])
+        assert list(rows) == [] and off == {"line": 1}
+    finally:
+        os.close(r_fd)
+        os.close(w_fd)
+
+
 def test_fifo_detection_dispatch(tmp_path):
     """TailDataSource routes FIFOs to the pipe reader and regular files
     to the byte-offset tailer (utils/utils.go:7-13 dispatch)."""

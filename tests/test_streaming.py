@@ -132,6 +132,35 @@ def test_window_harness_sliding_eviction(spark, tmp_path):
     assert sq2.emit(now=t0 + 1) == "n\n0"
 
 
+def test_process_batch_is_one_spark_job(spark):
+    """The spool write is the ONLY job per micro-batch: row count and
+    max event time come from the parquet footers it produced, not from
+    extra count/agg jobs (round-1 verdict #8)."""
+    spec = WindowSpec(size_sec=60, slide_sec=30, ts_field="ts")
+    sq = StreamQueryer(
+        spark,
+        [SourceSpec(path="unused", pattern=r"(?P<ts__date>\S+) (?P<v__int>\d+)")],
+        spec,
+        "select count(1) as n from t0",
+        sink=lambda s: None,
+    )
+    lines = spark.createDataFrame(
+        [(f"2024-04-12T10:00:{s:02d} {i}",) for i, s in enumerate([0, 20, 40])], ["value"]
+    )
+    parsed = sq.sources[0].compiled.parse_lines(lines)
+    sc = spark.sparkContext
+    sc.setJobGroup("one_job_probe", "spool write only")
+    try:
+        sq.process_batch(0, parsed, now=1000.0)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("one_job_probe")
+    assert len(jobs) == 1, f"expected exactly the write job, got {len(jobs)}"
+    # and the footer stats really did fill the event-time bookkeeping
+    b = sq._buffers[0][-1]
+    assert b.n == 3 and b.max_event_ts is not None
+
+
 def test_window_harness_tumbling_clears(spark):
     spec = WindowSpec(size_sec=10, slide_sec=0)
     sq = StreamQueryer(
