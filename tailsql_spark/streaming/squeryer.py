@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from tailsql_spark.dsl import CompiledPattern, compile_pattern
 from tailsql_spark.operators.rowfilter import apply_filter
+from tailsql_spark.plans.dialect import translate_sql
 from tailsql_spark.operators.windows import WindowSpec
 from tailsql_spark.sinks.formatters import render
 
@@ -306,7 +307,7 @@ class StreamQueryer:
                 else:
                     view = self.spark.createDataFrame([], src.compiled.schema)
                 view.createOrReplaceTempView(f"t{idx}")
-            result = self.spark.sql(self.sql_text)
+            result = self.spark.sql(translate_sql(self.sql_text))
             out = render(result, self.formatter)
             if self.window.is_tumbling:
                 # tumbling boundary: next window starts empty (Clean)
@@ -357,4 +358,4 @@ def run_batch(
         lines = spark.read.text(src.path)
         parsed = apply_filter(src.compiled.parse_lines(lines), src.filter_expr)
         parsed.createOrReplaceTempView(f"t{idx}")
-    return render(spark.sql(sql_text), formatter)
+    return render(spark.sql(translate_sql(sql_text)), formatter)

@@ -1,0 +1,56 @@
+"""DuckDB/SQLite → Spark dialect shim (SURVEY §7.3#5 policy: Spark
+dialect authoritative; known idioms rewritten for verbatim configs)."""
+
+from __future__ import annotations
+
+from tailsql_spark.plans.dialect import translate_sql
+
+
+def test_strftime_duckdb_order():
+    assert (
+        translate_sql("SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') FROM t0")
+        == "SELECT date_format(ts, 'yyyy-MM-dd HH:mm:ss') FROM t0"
+    )
+
+
+def test_strftime_sqlite_order():
+    assert (
+        translate_sql("SELECT strftime('%Y-%m', ts) FROM t0")
+        == "SELECT date_format(ts, 'yyyy-MM') FROM t0"
+    )
+
+
+def test_epoch_functions():
+    assert translate_sql("WHERE epoch(ts) > 5") == "WHERE unix_timestamp(ts) > 5"
+    assert translate_sql("WHERE epoch_ms(ts) > 5") == "WHERE unix_millis(ts) > 5"
+
+
+def test_regexp_matches():
+    assert (
+        translate_sql("WHERE regexp_matches(msg, 'GET /m')")
+        == "WHERE regexp_like(msg, 'GET /m')"
+    )
+
+
+def test_spark_sql_passes_through():
+    q = "SELECT date_format(ts, 'yyyy'), unix_timestamp(ts), msg RLIKE 'x' FROM t0"
+    assert translate_sql(q) == q
+
+
+def test_shimmed_sql_executes(spark):
+    """End-to-end: a verbatim DuckDB-style query runs through the batch
+    path against a parsed tailsql table."""
+    import tempfile
+
+    from tailsql_spark.streaming.squeryer import SourceSpec, run_batch
+
+    with tempfile.NamedTemporaryFile("w", suffix=".log", delete=False) as fh:
+        fh.write("2024-04-12T10:00:00 a\n2024-04-12T11:00:00 b\n")
+        path = fh.name
+    out = run_batch(
+        spark,
+        [SourceSpec(path=path, pattern=r"(?P<ts__date>\S+) (?P<msg>\w+)")],
+        "select strftime(ts, '%Y-%m-%d %H') as h, count(1) as n "
+        "from t0 where regexp_matches(msg, '[ab]') group by h order by h",
+    )
+    assert out == "h n\n2024-04-12 10 1\n2024-04-12 11 1"
