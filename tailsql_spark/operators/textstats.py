@@ -387,3 +387,197 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round-2 additions: repetition, PII scrubbing, contamination
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_repetition_score",
+    "text-analysis",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ws,
+               len(string_split(lower(text), ' ')) AS n
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN range(1, n - 1)]
+                   AS grams
+        FROM toks WHERE n >= 3
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+           ROUND(1.0 - len(list_distinct(grams)) * 1.0 / len(grams), 6) AS dup_frac
+    FROM g WHERE len(grams) > 0
+    """,
+    doc="Intra-document repetition (Gopher quality signal): share of "
+    "word 3-grams that are repeats of an earlier 3-gram in the same "
+    "doc. PURE MAP — per-row array building and dedup inside one "
+    "codegen stage over the scan; zero shuffles at any corpus size.",
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ws = F.split(F.lower(F.col("text")), " ")
+    n = F.size(ws)
+    grams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.concat_ws(" ", ws[i], ws[i + 1], ws[i + 2]),
+        ),
+    )
+    return (
+        t["documents"]
+        .select("doc_id", grams.alias("grams"))
+        .filter(F.col("grams").isNotNull() & (F.size("grams") > 0))
+        .select(
+            "doc_id",
+            F.size("grams").cast("long").alias("n_grams"),
+            F.size(F.array_distinct("grams")).cast("long").alias("n_distinct"),
+            F.round(
+                1.0 - F.size(F.array_distinct("grams")) * 1.0 / F.size("grams"), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
+# Identical regex set on both engines (RE2 and Java agree on this
+# subset). Counts run on the raw text; scrubbing is sequential
+# email -> ip -> phone so digit runs inside an already-scrubbed IP are
+# not double-counted in the output string.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b"
+_PII_PHONE = r"\b[0-9]{7,12}\b"
+
+
+@query(
+    "text_pii_scrub",
+    "text-analysis",
+    f"""
+    WITH seeded AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.7 tel 5551' || CAST(1000000 + doc_id AS VARCHAR) AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS BIGINT)  AS n_ipv4,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+           md5(regexp_replace(
+                   regexp_replace(
+                       regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                       '{_PII_IPV4}', '<IP>', 'g'),
+                   '{_PII_PHONE}', '<PHONE>', 'g')) AS scrubbed_md5
+    FROM seeded
+    """,
+    doc="PII scrubbing for training corpora: count + redact emails, "
+    "IPv4s, long digit runs. The deterministic seeded suffix (built "
+    "from doc_id on BOTH engines) guarantees non-trivial matches on "
+    "synthetic text; the scrubbed md5 proves byte-identical "
+    "replacement. Pure map over the scan - no shuffle.",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    seeded = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 tel 5551"),
+        (F.col("doc_id") + 1000000).cast("string"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(seeded, _PII_EMAIL, "<EMAIL>"), _PII_IPV4, "<IP>"
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return t["documents"].select(
+        "doc_id",
+        F.size(F.regexp_extract_all(seeded, F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("long").alias("n_email"),
+        F.size(F.regexp_extract_all(seeded, F.lit(_PII_IPV4), F.lit(0)))
+        .cast("long").alias("n_ipv4"),
+        F.size(F.regexp_extract_all(seeded, F.lit(_PII_PHONE), F.lit(0)))
+        .cast("long").alias("n_phone"),
+        F.md5(scrubbed.cast("binary")).alias("scrubbed_md5"),
+    )
+
+
+@query(
+    "text_contamination_overlap",
+    "text-analysis",
+    """
+    WITH split AS (
+        SELECT doc_id, text,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' AS is_test
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, is_test, string_split(lower(text), ' ') AS ws,
+               len(string_split(lower(text), ' ')) AS n
+        FROM split
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, is_test,
+               unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                       || ws[i+3] || ' ' || ws[i+4] FOR i IN range(1, n - 3)]) AS g
+        FROM toks WHERE n >= 5
+    ),
+    train_grams AS (SELECT DISTINCT g FROM grams WHERE NOT is_test)
+    SELECT t.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hit,
+           ROUND(SUM(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS contamination_pct
+    FROM grams t LEFT JOIN train_grams tr USING (g)
+    WHERE t.is_test
+    GROUP BY t.doc_id
+    """,
+    doc="Train/test contamination audit: share of each TEST doc's "
+    "distinct word 5-grams that appear anywhere in the TRAIN split "
+    "(same md5 band rule as sample_hash_split). Inverted-index "
+    "equi-join on the gram string - the decontamination shape that "
+    "scales: distinct (doc,gram) pairs, distinct train grams, one "
+    "hash join; nothing quadratic, skew split by AQE.",
+)
+def text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ws = F.split(F.lower(F.col("text")), " ")
+    n = F.size(ws)
+    gram_arr = F.when(
+        n >= 5,
+        F.transform(
+            F.sequence(F.lit(0), n - 5),
+            lambda i: F.concat_ws(" ", ws[i], ws[i + 1], ws[i + 2], ws[i + 3], ws[i + 4]),
+        ),
+    )
+    is_test = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2) < "1a"
+    grams = (
+        t["documents"]
+        .select("doc_id", is_test.alias("is_test"), F.explode_outer(gram_arr).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .distinct()
+    )
+    train_grams = grams.filter(~F.col("is_test")).select("g").distinct()
+    return (
+        grams.filter(F.col("is_test"))
+        .join(train_grams.withColumn("hit", F.lit(1)), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce(F.sum("hit"), F.lit(0)) * 1.0 / F.count("*"), 6
+            ).alias("contamination_pct"),
+        )
+    )

@@ -332,3 +332,60 @@ REGISTRY["stream_hourly_rollup_daily"] = QuerySpec(
     "the continuous-aggregate (hypertable) pattern certified end-to-end "
     "against the relational two-level oracle.",
 )
+
+
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENUINE stream-stream inner interval join (§2E gap the harness
+    path can't express): views and clicks as two independent streams,
+    joined per user within a 1-hour event-time interval.
+
+    Scale shape: both sides shuffle once on user_id; state is bounded
+    by the watermark (2 h of per-user rows), and INNER join emits each
+    match the micro-batch it forms — availableNow therefore produces
+    the complete, deterministic pair set regardless of batch slicing.
+    """
+    t = load_tables(spark, sf_dir)
+    events = t["events"].select("ts", "user_id", "event_type")
+    src_dir = _staged(events, "ij")
+    views = (
+        spark.readStream.schema(events.schema).parquet(src_dir)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "2 hours")
+    )
+    clicks = (
+        spark.readStream.schema(events.schema).parquet(src_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            "user_id = c_user AND click_ts > view_ts "
+            "AND click_ts <= view_ts + INTERVAL 1 HOUR"
+        ),
+    ).select("user_id", "view_ts", "click_ts")
+    return _run_stream(
+        joined.writeStream.outputMode("append").format("memory"),
+        "_stream_interval_join",
+        spark,
+        staged=src_dir,
+    )
+
+
+REGISTRY["stream_interval_join"] = QuerySpec(
+    name="stream_interval_join",
+    category="streaming-executed",
+    build=stream_interval_join,
+    oracle="""
+    SELECT v.user_id, v.ts AS view_ts, c.ts AS click_ts
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+    doc="Stream-stream inner interval join executed through "
+    "availableNow micro-batches with watermarked two-sided state, "
+    "certified equal to the relational theta-join oracle.",
+)
