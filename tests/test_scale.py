@@ -152,3 +152,55 @@ def test_minhash_pipeline_no_quadratic_stage(spark, oracle_sf_dir):
     p = _plan(REGISTRY["dedup_minhash_lsh"].build(spark, oracle_sf_dir))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_embedding_lsh_verified_no_quadratic_stage(spark, oracle_sf_dir):
+    """The scale-safe embedding near-dup (sign-LSH candidates →
+    exact-cosine verify) must contain no all-pairs stage — that is the
+    whole point vs dedup_embedding_cosine."""
+    from tailsql_spark.plans.registry import REGISTRY
+
+    p = _plan(REGISTRY["dedup_embedding_lsh_verified"].build(spark, oracle_sf_dir))
+    assert "CartesianProduct" not in p
+    # exactly one nested-loop is LEGAL: the O(n·L) fan-out against the
+    # CONSTANT 16-row plane-seed broadcast. Candidate bucketing and the
+    # two cosine-verify joins must all be hash equi-joins.
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+    assert p.count("CartesianProduct") == 0
+
+
+def test_repetition_score_is_pure_map(spark, oracle_sf_dir):
+    """Intra-doc repetition is a projection: ZERO exchanges — the plan
+    must be scan → project, whole-stage fused."""
+    from tailsql_spark.plans.registry import REGISTRY
+
+    p = _plan(REGISTRY["text_repetition_score"].build(spark, oracle_sf_dir))
+    assert "Exchange" not in p, p
+
+
+def test_contamination_no_quadratic_stage(spark, oracle_sf_dir):
+    from tailsql_spark.plans.registry import REGISTRY
+
+    p = _plan(REGISTRY["text_contamination_overlap"].build(spark, oracle_sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_lsh_band_broadcast_size_gated(spark, oracle_sf_dir):
+    """The minhash band-table broadcast hint must follow the plan-time
+    size gate: hinted under the threshold, shuffled equi-join above it
+    (round-1 verdict #6)."""
+    from tailsql_spark.operators import dedup
+
+    sh = dedup.doc_shingles(spark, oracle_sf_dir)
+    ex = sh.select("doc_id", F.explode_outer("shingles").alias("s")).filter(
+        F.col("s").isNotNull()
+    )
+    sig = dedup.minhash_signatures(ex)
+    hinted = _plan(dedup.lsh_candidate_pairs(sig, hint_broadcast=True))
+    unhinted = _plan(dedup.lsh_candidate_pairs(sig, hint_broadcast=False))
+    assert "BroadcastHashJoin" in hinted
+    assert "BroadcastHashJoin" not in unhinted  # falls back to shuffled join
+    assert "CartesianProduct" not in unhinted
+    # and the gate itself: sf0.01 documents are far below the threshold
+    assert dedup._small_input(oracle_sf_dir) is True
