@@ -364,7 +364,16 @@ def _sign_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("vec_id", "tbl")
         .agg(F.sum("bit").cast("long").alias("bucket"))
+        # The bucket table self-joins below.  Without a persist the
+        # O(n·L·d) plane fan-out — the one interpreted-HOF stage in this
+        # pipeline — is planned AND COMPUTED once per join side (the
+        # round-1 minhash lesson, dedup.py: never cache nothing when a
+        # DAG self-joins).  Three narrow scalar columns (vec_id, tbl,
+        # bucket): cheap to cache at any corpus size, and the columnar
+        # checkpoint you'd write to scratch storage at 1e9 docs.
+        .persist()
     )
+    signed.count()
     a = signed.select(F.col("vec_id").alias("id_a"), "tbl", "bucket")
     b = signed.select(
         F.col("vec_id").alias("id_b"), F.col("tbl").alias("t2"), F.col("bucket").alias("b2")

@@ -21,8 +21,9 @@ source idiom                                Spark rewrite
 Anything else passes through untouched (and fails loudly in Spark's
 analyzer if genuinely engine-specific — better than a silent semantic
 shift).  The rewrites are pure text transforms on non-nested argument
-forms; Spark defines none of the source names, so a false positive
-would have been an analyzer error anyway.
+forms, applied only OUTSIDE single-quoted string literals: a match
+starting inside ``'...'`` is user-visible data (``SELECT 'epoch(x)'``
+must stay ``'epoch(x)'``), not syntax.
 """
 
 from __future__ import annotations
@@ -39,13 +40,22 @@ _STRFTIME_DIRECTIVES = {
     "%I": "hh",
     "%M": "mm",
     "%S": "ss",
-    "%f": "SSSSSS",
+    "%f": "SSSSSS",  # DuckDB %f: microseconds (overridden per dialect below)
     "%j": "DDD",
     "%p": "a",
     "%%": "%",
 }
 
+#: SQLite's %f is "fractional seconds SS.SSS" — it INCLUDES the seconds
+#: value (https://sqlite.org/lang_datefunc.html), unlike DuckDB's
+#: microseconds-only %f.  The SQLite-argument-order branch must use this
+#: mapping or the converted query silently changes meaning.
+_STRFTIME_DIRECTIVES_SQLITE = {**_STRFTIME_DIRECTIVES, "%f": "ss.SSS"}
+
 _DIRECTIVE_RE = re.compile("|".join(re.escape(k) for k in _STRFTIME_DIRECTIVES))
+
+#: A single-quoted SQL string literal, with '' self-escapes.
+_LITERAL_RE = re.compile(r"'(?:[^']|'')*'")
 
 # strftime(expr, 'fmt')  — DuckDB argument order
 _STRFTIME_DUCK = re.compile(
@@ -60,20 +70,41 @@ _EPOCH = re.compile(r"\bepoch\s*\(", re.IGNORECASE)
 _REGEXP_MATCHES = re.compile(r"\bregexp_matches\s*\(", re.IGNORECASE)
 
 
-def _convert_format(fmt: str) -> str:
-    return _DIRECTIVE_RE.sub(lambda m: _STRFTIME_DIRECTIVES[m.group(0)], fmt)
+def _convert_format(fmt: str, directives: dict[str, str] = _STRFTIME_DIRECTIVES) -> str:
+    return _DIRECTIVE_RE.sub(lambda m: directives[m.group(0)], fmt)
+
+
+def _sub_outside_literals(pattern: re.Pattern, repl, sql: str) -> str:
+    """``pattern.sub(repl, sql)``, skipping matches that START strictly
+    inside a single-quoted literal — those are data, not syntax.  (A
+    match may legitimately SPAN a literal: strftime's format-string
+    argument is one.)"""
+    spans = [m.span() for m in _LITERAL_RE.finditer(sql)]
+
+    def guarded(m: re.Match) -> str:
+        pos = m.start()
+        if any(s < pos < e for s, e in spans):
+            return m.group(0)
+        return repl(m) if callable(repl) else m.expand(repl)
+
+    return pattern.sub(guarded, sql)
 
 
 def translate_sql(sql: str) -> str:
     """Rewrite known DuckDB/SQLite idioms to Spark SQL; pass the rest
     through verbatim."""
-    out = _STRFTIME_DUCK.sub(
-        lambda m: f"date_format({m.group(1)}, '{_convert_format(m.group(2))}')", sql
+    out = _sub_outside_literals(
+        _STRFTIME_DUCK,
+        lambda m: f"date_format({m.group(1)}, '{_convert_format(m.group(2))}')",
+        sql,
     )
-    out = _STRFTIME_SQLITE.sub(
-        lambda m: f"date_format({m.group(2)}, '{_convert_format(m.group(1))}')", out
+    out = _sub_outside_literals(
+        _STRFTIME_SQLITE,
+        lambda m: "date_format("
+        f"{m.group(2)}, '{_convert_format(m.group(1), _STRFTIME_DIRECTIVES_SQLITE)}')",
+        out,
     )
-    out = _EPOCH_MS.sub("unix_millis(", out)
-    out = _EPOCH.sub("unix_timestamp(", out)
-    out = _REGEXP_MATCHES.sub("regexp_like(", out)
+    out = _sub_outside_literals(_EPOCH_MS, "unix_millis(", out)
+    out = _sub_outside_literals(_EPOCH, "unix_timestamp(", out)
+    out = _sub_outside_literals(_REGEXP_MATCHES, "regexp_like(", out)
     return out

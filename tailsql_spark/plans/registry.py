@@ -116,6 +116,28 @@ GRADED_WINDOW: tuple[str, ...] = (
     "corpus_mix_budget",
 )
 
+def _missing_spec(name: str) -> QuerySpec:
+    """Placeholder for an unresolved GRADED_WINDOW name: it HOLDS the
+    window slot (so later registry entries never silently shift into
+    the driver's first-50 graded window) and FAILS when graded (so a
+    broken extension import is graded as the failure it is, not
+    papered over)."""
+
+    def _fail(spark, sf_dir, _name=name):
+        raise RuntimeError(
+            f"graded query {_name!r} is unresolved — an extension module "
+            f"failed to import (IMPORT_FAILURES={IMPORT_FAILURES!r})"
+        )
+
+    return QuerySpec(
+        name=name,
+        category="missing",
+        build=_fail,
+        oracle=None,
+        doc="placeholder for unresolved graded-window entry",
+    )
+
+
 REGISTRY: dict[str, QuerySpec] = {}
 for _name in GRADED_WINDOW:
     if _name in _ALL:
@@ -123,9 +145,11 @@ for _name in GRADED_WINDOW:
     else:
         print(
             f"tailsql_spark.registry: GRADED_WINDOW entry {_name!r} is not "
-            "registered by any module",
+            "registered by any module — inserting a FAILING placeholder "
+            "to preserve the graded-window ordering contract",
             file=sys.stderr,
         )
+        REGISTRY[_name] = _missing_spec(_name)
 for _name, _spec in _ALL.items():
     if _name not in REGISTRY:
         REGISTRY[_name] = _spec

@@ -82,6 +82,23 @@ class _Buffered:
     max_event_ts: int | None = None  # epoch micros; event-time mode only
 
 
+def _event_micros(mx) -> int | None:
+    """Normalize a max-event-time value (parquet footer stat or Spark
+    agg result) to epoch micros."""
+    import datetime as dt
+
+    if mx is None:
+        return None
+    if isinstance(mx, int):
+        # integer event-time column: epoch seconds (Spark's
+        # long→timestamp cast semantics) → micros
+        return mx * 1_000_000
+    if mx.tzinfo is None:
+        mx = mx.replace(tzinfo=dt.timezone.utc)
+    epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+    return (mx - epoch) // dt.timedelta(microseconds=1)
+
+
 class StreamQueryer:
     """Drives N sources into per-window ``t0..tN`` views + SQL + sink."""
 
@@ -109,12 +126,11 @@ class StreamQueryer:
         import tempfile
 
         # Window spool: scratch prefix for buffered batch segments.
-        # Local: a temp dir; cluster: point at HDFS/S3 scratch.
+        # Local: a temp dir; cluster: point at HDFS/S3 scratch (the
+        # footer-stats reader resolves any pyarrow.fs URI, and falls
+        # back to a Spark-side agg rather than ever dropping a batch —
+        # see _spool_stats).
         self._spool_dir = tempfile.mkdtemp(prefix="tailsql_spool_")
-        # INT96 parquet timestamps carry no min/max statistics; the
-        # spool's footer stats ARE the per-batch event-time bookkeeping
-        # (see _spool_stats), so write INT64 micros.
-        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
     # ------------------------------------------------------------------
     # ingest
@@ -171,7 +187,24 @@ class StreamQueryer:
                 seq = self._batch_seq
                 self._batch_seq += 1
             path = f"{self._spool_dir}/s{idx}_b{seq}"
-            df.write.mode("overwrite").parquet(path)
+            # INT96 parquet timestamps carry no min/max statistics; the
+            # spool's footer stats ARE the per-batch event-time
+            # bookkeeping (see _spool_stats), so write INT64 micros.
+            # Scoped save/restore on the WRITING session (the foreachBatch
+            # clone, not self.spark): constructing a queryer must not
+            # change timestamp physical type for unrelated parquet
+            # writes on a shared session.
+            sess = df.sparkSession
+            _TS_KEY = "spark.sql.parquet.outputTimestampType"
+            prev_ts = sess.conf.get(_TS_KEY, None)
+            sess.conf.set(_TS_KEY, "TIMESTAMP_MICROS")
+            try:
+                df.write.mode("overwrite").parquet(path)
+            finally:
+                if prev_ts is None:
+                    sess.conf.unset(_TS_KEY)
+                else:
+                    sess.conf.set(_TS_KEY, prev_ts)
             # Row count AND max event time come from the parquet footers
             # the write job just produced — ONE Spark job per micro-batch
             # instead of count + agg/collect + write (round-1 verdict #7).
@@ -189,20 +222,43 @@ class StreamQueryer:
 
     def _spool_stats(self, path: str) -> tuple[int, int | None]:
         """Row count + max event time (epoch micros) from the spool
-        segment's parquet footers.  Driver-local metadata reads — no
+        segment's parquet footers.  Driver-side metadata reads — no
         Spark job; the executors already computed both during the
-        write.  Requires INT64 timestamps (set in ``__init__``): INT96
-        columns carry no min/max statistics."""
-        import datetime as dt
+        write.  Requires INT64 timestamps (scoped per spool write):
+        INT96 columns carry no min/max statistics.
+
+        Works on any pyarrow filesystem (local path, ``file://``,
+        ``hdfs://``, ``s3://`` spool scratch); if the footer listing
+        comes back EMPTY for any reason, falls back to a Spark-side
+        count/max agg rather than reporting 0 — a wrong 0 here would
+        silently delete the just-ingested batch."""
         import glob
 
         import pyarrow.parquet as pq
 
+        if "://" in path and not path.startswith("file:"):
+            from pyarrow import fs as pafs
+
+            filesystem, fs_path = pafs.FileSystem.from_uri(path)
+            infos = filesystem.get_file_info(pafs.FileSelector(fs_path))
+            parts = sorted(
+                i.path for i in infos if i.base_name.startswith("part-")
+            )
+
+            def read_md(p):
+                with filesystem.open_input_file(p) as f:
+                    return pq.read_metadata(f)
+
+        else:
+            parts = sorted(glob.glob(f"{path.removeprefix('file:')}/part-*"))
+            read_md = pq.read_metadata
+        if not parts:
+            return self._spool_stats_spark(path)
         n = 0
         mx = None
         ts_field = self.window.ts_field
-        for part in glob.glob(f"{path}/part-*"):
-            md = pq.read_metadata(part)
+        for part in parts:
+            md = read_md(part)
             n += md.num_rows
             if not ts_field or ts_field not in md.schema.names:
                 continue
@@ -213,16 +269,22 @@ class StreamQueryer:
                     v = st.max
                     if mx is None or v > mx:
                         mx = v
-        if mx is None:
-            return n, None
-        if isinstance(mx, int):
-            # integer event-time column: epoch seconds (Spark's
-            # long→timestamp cast semantics) → micros
-            return n, mx * 1_000_000
-        if mx.tzinfo is None:
-            mx = mx.replace(tzinfo=dt.timezone.utc)
-        epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
-        return n, (mx - epoch) // dt.timedelta(microseconds=1)
+        return n, _event_micros(mx)
+
+    def _spool_stats_spark(self, path: str) -> tuple[int, int | None]:
+        """Fallback bookkeeping when footers can't be listed driver-side
+        (exotic filesystem, listing hiccup): one Spark count+max job —
+        the pre-round-2 path, correct on any filesystem Spark can read."""
+        from pyspark.sql import functions as F
+
+        df = self.spark.read.parquet(path)
+        ts_field = self.window.ts_field
+        if ts_field and ts_field in df.columns:
+            row = df.agg(
+                F.count(F.lit(1)).alias("n"), F.max(ts_field).alias("mx")
+            ).collect()[0]
+            return row["n"], _event_micros(row["mx"])
+        return df.count(), None
 
     def start(self, trigger_sec: float = 1.0) -> None:
         for i in range(len(self.sources)):

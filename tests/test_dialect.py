@@ -32,6 +32,32 @@ def test_regexp_matches():
     )
 
 
+def test_literals_never_rewritten():
+    """A match inside a single-quoted literal is user-visible DATA —
+    'epoch(x)' must survive verbatim (round-2 advice)."""
+    assert translate_sql("SELECT 'epoch(x)' FROM t0") == "SELECT 'epoch(x)' FROM t0"
+    assert (
+        translate_sql("SELECT 'regexp_matches(a, b)', epoch(ts) FROM t0")
+        == "SELECT 'regexp_matches(a, b)', unix_timestamp(ts) FROM t0"
+    )
+    # '' self-escape keeps the literal span intact
+    q = "SELECT 'it''s epoch(x)' FROM t0"
+    assert translate_sql(q) == q
+
+
+def test_strftime_f_directive_per_dialect():
+    """%f differs BY DIALECT: DuckDB = microseconds, SQLite =
+    fractional seconds including the seconds value (SS.SSS)."""
+    assert (
+        translate_sql("SELECT strftime(ts, '%H:%M:%f') FROM t0")
+        == "SELECT date_format(ts, 'HH:mm:SSSSSS') FROM t0"
+    )
+    assert (
+        translate_sql("SELECT strftime('%H:%M:%f', ts) FROM t0")
+        == "SELECT date_format(ts, 'HH:mm:ss.SSS') FROM t0"
+    )
+
+
 def test_spark_sql_passes_through():
     q = "SELECT date_format(ts, 'yyyy'), unix_timestamp(ts), msg RLIKE 'x' FROM t0"
     assert translate_sql(q) == q

@@ -11,7 +11,7 @@ from tailsql_spark.plans.registry import (
     REGISTRY,
 )
 
-EXPECTED_TOTAL = 140
+EXPECTED_TOTAL = 141
 
 
 def test_no_silent_import_failures():
@@ -43,3 +43,33 @@ def test_graded_window_all_have_oracles():
 def test_every_query_has_build():
     for name, spec in REGISTRY.items():
         assert callable(spec.build), name
+
+
+def test_missing_graded_entry_gets_failing_placeholder():
+    """An unresolved GRADED_WINDOW name must hold its window slot with a
+    spec that FAILS when built — never let later registry entries shift
+    into the driver's first-50 window (round-2 advice)."""
+    import pytest
+
+    from tailsql_spark.plans.registry import _missing_spec
+
+    spec = _missing_spec("ghost_query")
+    assert spec.name == "ghost_query" and spec.oracle is None
+    with pytest.raises(RuntimeError, match="ghost_query"):
+        spec.build(None, "/nowhere")
+
+
+def test_graded_outputs_are_driver_canonicalizable(spark, oracle_sf_dir):
+    """The driver canonicalizes results via pandas sort_values, which
+    cannot sort array/map/struct cells (the round-2
+    multimodal_feature_extract failure class).  Every graded query must
+    therefore return only scalar top-level columns."""
+    from pyspark.sql import types as T
+
+    bad: list[str] = []
+    for name in GRADED_WINDOW:
+        df = REGISTRY[name].build(spark, oracle_sf_dir)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert bad == [], f"graded queries with non-scalar output columns: {bad}"

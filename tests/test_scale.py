@@ -21,6 +21,26 @@ def _plan(df) -> str:
     return buf.getvalue()
 
 
+def _runtime_ops(df) -> list[str]:
+    """Node names of the physical operators that execute PER QUERY.
+
+    Walks the executed plan via the JVM tree, where InMemoryTableScan is
+    a leaf — the cached relation's stored plan runs once at cache
+    populate, not per query, yet explain() text inlines it (and AQE
+    prints it twice: current + initial plan), so substring counts
+    over-report.  This walk reflects what actually runs."""
+    out: list[str] = []
+
+    def walk(node):
+        out.append(node.nodeName())
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
 def test_q1_filter_pushdown_and_pruning(spark, oracle_sf_dir):
     from tailsql_spark.plans.registry import REGISTRY
 
@@ -160,13 +180,24 @@ def test_embedding_lsh_verified_no_quadratic_stage(spark, oracle_sf_dir):
     whole point vs dedup_embedding_cosine."""
     from tailsql_spark.plans.registry import REGISTRY
 
-    p = _plan(REGISTRY["dedup_embedding_lsh_verified"].build(spark, oracle_sf_dir))
-    assert "CartesianProduct" not in p
-    # exactly one nested-loop is LEGAL: the O(n·L) fan-out against the
-    # CONSTANT 16-row plane-seed broadcast. Candidate bucketing and the
-    # two cosine-verify joins must all be hash equi-joins.
-    assert p.count("BroadcastNestedLoopJoin") <= 1
-    assert p.count("CartesianProduct") == 0
+    # AQE's AdaptiveSparkPlan wrapper is childless until execution —
+    # disable it for this plan-shape probe so the tree walk sees the
+    # real operators (the production default stays on, test_aqe_*).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY["dedup_embedding_lsh_verified"].build(spark, oracle_sf_dir)
+        ops = _runtime_ops(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # The O(n·L·d) plane fan-out (the one legal nested-loop: vs the
+    # CONSTANT 16-row plane broadcast) lives inside the persisted bucket
+    # table and is computed ONCE at cache populate — the per-query plan
+    # must therefore contain ZERO nested-loop or cartesian stages: the
+    # self-join reads the cache, and candidate bucketing plus the two
+    # cosine-verify joins are all hash equi-joins.
+    assert sum("InMemoryTableScan" in o for o in ops) >= 2, ops
+    assert not any("BroadcastNestedLoopJoin" in o for o in ops), ops
+    assert not any("CartesianProduct" in o for o in ops), ops
 
 
 def test_repetition_score_is_pure_map(spark, oracle_sf_dir):
@@ -198,7 +229,17 @@ def test_lsh_band_broadcast_size_gated(spark, oracle_sf_dir):
     )
     sig = dedup.minhash_signatures(ex)
     hinted = _plan(dedup.lsh_candidate_pairs(sig, hint_broadcast=True))
-    unhinted = _plan(dedup.lsh_candidate_pairs(sig, hint_broadcast=False))
+    # The un-hinted branch must be probed with auto-broadcast OFF:
+    # at sf0.01 the band table is under Spark's 10 MB
+    # autoBroadcastJoinThreshold, so the optimizer would broadcast it
+    # anyway and mask the gate (round-2 verdict: test bug, not product
+    # bug). -1 disables the size-based auto choice, leaving only hints.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        unhinted = _plan(dedup.lsh_candidate_pairs(sig, hint_broadcast=False))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "BroadcastHashJoin" in hinted
     assert "BroadcastHashJoin" not in unhinted  # falls back to shuffled join
     assert "CartesianProduct" not in unhinted
