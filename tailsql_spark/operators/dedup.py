@@ -300,9 +300,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s").isNotNull())
         .persist()
     )
-    ex.count()
+    # LAZY persists, no count() barriers: the extra materialization jobs
+    # cost more than they save (measured at sf0.1, min-of-4:
+    # lazy-both 1.84 s, ex-barrier 1.96 s, both-barriers 2.01 s — the
+    # round-2 +18 % regression was the barriers, not the persists).
+    # Concurrent first-touch may recompute a few tokenizer partitions
+    # before the cache fills; every later stage hits the cache, which is
+    # what actually protects the five-consumer DAG.
     sig = minhash_signatures(ex).persist()
-    sig.count()
     small = _small_input(sf_dir)
     cand = lsh_candidate_pairs(sig, hint_broadcast=small)
     # |A|,|B| come from the signature groupBy (n_sh), not a second full

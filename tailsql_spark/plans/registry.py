@@ -68,10 +68,7 @@ GRADED_WINDOW: tuple[str, ...] = (
     "range_join_error_purchase",    # theta / range join
     "asof_join_latest_order",       # as-of join
     "q3_shipping_priority",         # join+agg+topk (TPC-H shape)
-    "q5_local_supplier_volume",
     "window_topk_per_group",        # window functions
-    "window_running_sum_rows",
-    "window_cumulative_share_cut",
     "orderby_limit_topk",           # sorts / limits / top-k
     "setop_except_all",             # set operations
     "scalar_string_funcs",          # scalar functions
@@ -92,6 +89,11 @@ GRADED_WINDOW: tuple[str, ...] = (
     "stream_session_30m",
     "stream_dedup_exact",
     "stream_hourly_rollup_daily",
+    "stream_interval_join",         # r2 addition: stream-stream interval join
+    # similarity / ANN candidate generation (r2 addition)
+    "ann_signlsh_bucket_pairs",
+    # text analysis (r2 addition: eval-set contamination inverted-index)
+    "text_contamination_overlap",
     # dedup family — each distinct algorithm
     "dedup_exact",
     "dedup_minhash_lsh",
