@@ -52,3 +52,27 @@ def lossy_sample(
         return df
     fraction = budget / observed_rate
     return df.filter(F.rand() < fraction)
+
+
+def lossy_drop_tail(df: DataFrame, budget_rows: int, order_col: str | None) -> DataFrame:
+    """EXACT drop-tail shedding: keep the first ``budget_rows`` rows of
+    the batch, discard the rest — ``flow.Discard``'s semantics
+    (``/root/reference/sql/squeryer.go:343-352``: buffer full → new
+    elements dropped, earliest survive).
+
+    "First" needs an order a distributed batch doesn't inherently have;
+    ``order_col`` (event time when the source parses one) supplies it.
+    With no order column the keep-set is an arbitrary prefix —
+    faithful to the reference, whose kept rows are whatever arrived
+    before the buffer filled.
+
+    Plan shape: ``orderBy().limit(n)`` compiles to TakeOrdered — each
+    partition keeps its local top-``n`` and only ``n``-row heads move
+    to the driver-side merge, so the cost is bounded by the BUDGET, not
+    the batch: safe at any ingest scale.  Uniform sampling
+    (:func:`lossy_sample`) remains the default because drop-tail biases
+    per-window statistics toward early rows; this mode exists for exact
+    reference parity (``throttle_mode="drop_tail"``).
+    """
+    ordered = df.orderBy(order_col) if order_col and order_col in df.columns else df
+    return ordered.limit(int(budget_rows))

@@ -1,0 +1,170 @@
+"""Connector certification: CSV/JSON source round-trips + sink
+formatting as oracle-checked queries.
+
+The reference reads log text and emits formatted rows
+(``source/fs.go``, ``sink/format.go``); its CSV/JSON-shaped concerns
+are config-level.  Here each connector gets a DIFFERENTIAL row instead
+of pytest-only coverage: stage a testdata table through the connector
+format with Spark, read it back, aggregate — while the DuckDB oracle
+computes the same aggregate straight from the parquet.  Any loss or
+coercion in the round-trip (quoting, header, date/timestamp text form,
+numeric parsing) breaks the hash match.
+
+Scale notes: the staged write/read is the exact shape of a 100 TB
+landing zone (text files in, schema-on-read with an EXPLICIT schema —
+never ``inferSchema``, which double-scans); aggregation after read
+proves the schema, not just row counts.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tailsql_spark.plans.catalog import QuerySpec, load_tables
+from tailsql_spark.sinks.formatters import raw_line_col
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, category: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(
+            name=name, category=category, build=fn, oracle=oracle, doc=doc or (fn.__doc__ or "")
+        )
+        return fn
+
+    return deco
+
+
+def _stage_dir(sf_dir: str, tag: str) -> str:
+    """Deterministic per-(sf_dir, tag) scratch path so repeated builds
+    overwrite instead of leaking temp dirs."""
+    key = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return os.path.join(tempfile.gettempdir(), f"tailsql_stage_{tag}_{key}")
+
+
+@query(
+    "source_csv_roundtrip",
+    "sources",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_price_cents,
+           CAST(CAST(MIN(o_orderdate) AS DATE) AS TIMESTAMP) AS min_date,
+           CAST(CAST(MAX(o_orderdate) AS DATE) AS TIMESTAMP) AS max_date
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="CSV connector certified differentially: orders staged to CSV "
+    "(header, explicit DDL schema on read — schema-on-read, never "
+    "inferSchema) then aggregated; the oracle aggregates the parquet "
+    "directly, so any quoting/parsing/date-text loss in the round-trip "
+    "breaks the hash. Ref parity: tailsql's sources are text files "
+    "(source/fs.go:14-71); CSV is the delegated-engine format surface.",
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    staged = (
+        t["orders"]
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            _price_cents().alias("o_price_cents"),
+            F.col("o_orderdate").cast("date").alias("o_date"),
+        )
+    )
+    path = _stage_dir(sf_dir, "csv_orders")
+    staged.write.mode("overwrite").option("header", "true").csv(path)
+    back = (
+        spark.read.schema(
+            "o_orderkey long, o_orderstatus string, o_price_cents long, o_date date"
+        )
+        .option("header", "true")
+        .csv(path)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum("o_price_cents").alias("sum_price_cents"),
+        # DATE at top level splits the engines' pandas dtypes (date
+        # object vs datetime64) — certified queries emit TIMESTAMP
+        F.min("o_date").cast("timestamp").alias("min_date"),
+        F.max("o_date").cast("timestamp").alias("max_date"),
+    )
+
+
+def _price_cents() -> F.Column:
+    return F.round(F.col("o_totalprice") * 100, 0).cast("long")
+
+
+@query(
+    "source_json_roundtrip",
+    "sources",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_price_cents
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="JSON-lines connector certified differentially: lineitem staged "
+    "to newline-delimited JSON, read back with an explicit schema, "
+    "aggregated; oracle aggregates the parquet directly. Doubles ride "
+    "as exact integer cents so the text round-trip is bit-precise.",
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    staged = t["lineitem"].select(
+        "l_orderkey",
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("l_qty"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("l_price_cents"),
+    )
+    path = _stage_dir(sf_dir, "json_lineitem")
+    staged.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "l_orderkey long, l_returnflag string, l_qty long, l_price_cents long"
+    ).json(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("l_qty").alias("sum_qty"),
+        F.sum("l_price_cents").alias("sum_price_cents"),
+    )
+
+
+@query(
+    "sink_format_raw_lines",
+    "sinks",
+    """
+    SELECT concat_ws(' ',
+               COALESCE(CAST(o_orderkey AS VARCHAR), 'NULL'),
+               COALESCE(o_orderstatus, 'NULL'),
+               COALESCE(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 'NULL'),
+               COALESCE(CASE WHEN o_orderpriority = '3-MEDIUM' THEN NULL
+                             ELSE o_orderpriority END, 'NULL')) AS line
+    FROM orders
+    WHERE o_orderkey < 500
+    """,
+    doc="The raw formatter (sink/format.go:77-98: space-joined values, "
+    "NULL literal) expressed as an EXECUTOR-SIDE expression — "
+    "formatting scales with the cluster instead of serializing through "
+    "the driver; the CASE plants NULLs to certify the literal. "
+    "sinks/formatters.raw_line_col is the shared builder.",
+)
+def sink_format_raw_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    rows = t["orders"].filter(F.col("o_orderkey") < 500).select(
+        "o_orderkey",
+        "o_orderstatus",
+        _price_cents().alias("cents"),
+        F.when(F.col("o_orderpriority") == "3-MEDIUM", F.lit(None).cast("string"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("prio"),
+    )
+    return rows.select(
+        raw_line_col(["o_orderkey", "o_orderstatus", "cents", "prio"]).alias("line")
+    )

@@ -26,6 +26,7 @@ _EXTENSION_MODULES = (
     "tailsql_spark.plans.tpch_more",
     "tailsql_spark.plans.tpch_full",
     "tailsql_spark.plans.streaming_exec",
+    "tailsql_spark.plans.connectors",
     "tailsql_spark.operators.dedup",
     "tailsql_spark.operators.skew",
     "tailsql_spark.operators.similarity",

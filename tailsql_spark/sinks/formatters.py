@@ -64,6 +64,25 @@ def format_table(cols: list[str], rows: list[tuple]) -> str:
     return "\n".join(out)
 
 
+def raw_line_col(cols: list[str]):
+    """The ``raw`` formatter as an EXECUTOR-SIDE expression: one
+    space-joined string per row, NULLs as the literal ``NULL``
+    (``format.go:64-70``'s rendering, computed where the data lives).
+
+    ``format_raw`` collects then joins driver-side — correct for one
+    window's small result, a serialization point for anything larger.
+    This column is the distributed path: format in parallel, then sink
+    the strings (collect, write.text, or a streaming sink).  Booleans
+    render ``true``/``false`` via Spark's string cast, matching
+    :func:`_cell`.
+    """
+    from pyspark.sql import functions as F
+
+    return F.concat_ws(
+        " ", *[F.coalesce(F.col(c).cast("string"), F.lit("NULL")) for c in cols]
+    )
+
+
 FORMATTERS = {"raw": format_raw, "rawv": format_rawv, "table": format_table}
 
 

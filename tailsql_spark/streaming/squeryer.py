@@ -68,6 +68,10 @@ class SourceSpec:
     kind: str = "tail"
     seek_to_end: bool = False
     max_rows_per_sec: float = 0.0  # 0 → no throttle
+    #: ``sample`` (default): uniform shed, unbiased per-window stats;
+    #: ``drop_tail``: exact flow.Discard parity — keep the earliest
+    #: rows up to budget (operators/throttle.py:lossy_drop_tail).
+    throttle_mode: str = "sample"
     compiled: CompiledPattern = field(init=False)
 
     def __post_init__(self) -> None:
@@ -177,9 +181,16 @@ class StreamQueryer:
                 dt = max(now - last, 0.2) if last is not None else 1.0
                 budget = src.max_rows_per_sec * dt
                 if n > budget:
-                    from pyspark.sql import functions as F
+                    if src.throttle_mode == "drop_tail":
+                        from tailsql_spark.operators.throttle import lossy_drop_tail
 
-                    df2 = df.filter(F.rand() < budget / n).persist()
+                        df2 = lossy_drop_tail(
+                            df, int(budget), self.window.ts_field
+                        ).persist()
+                    else:
+                        from pyspark.sql import functions as F
+
+                        df2 = df.filter(F.rand() < budget / n).persist()
                     df.unpersist()
                     df = df2
             self._last_batch_ts[idx] = now

@@ -272,6 +272,40 @@ def test_harness_lossy_throttle(spark):
     assert 30 <= kept <= 250, kept  # sampled to ≈100, not 5000
 
 
+def test_harness_drop_tail_throttle(spark):
+    """throttle_mode='drop_tail': EXACT budget kept, and it is the
+    EARLIEST rows by event time (flow.Discard parity,
+    squeryer.go:343-352) — unlike the default sampling shed."""
+    spec = WindowSpec(size_sec=100, slide_sec=50, ts_field="ts")
+    sq = StreamQueryer(
+        spark,
+        [
+            SourceSpec(
+                path="unused",
+                pattern=r"(?P<ts__date>\S+) (?P<v__int>\d+)",
+                max_rows_per_sec=100,
+                throttle_mode="drop_tail",
+            )
+        ],
+        spec,
+        "select count(1) as n from t0",
+        sink=lambda s: None,
+    )
+    lines = [
+        (f"2024-04-12T10:{m:02d}:{s:02d} {m * 60 + s}",)
+        for m in range(10)
+        for s in range(60)
+    ]  # 600 rows, strictly increasing event time
+    parsed = sq.sources[0].compiled.parse_lines(
+        spark.createDataFrame(lines, ["value"])
+    )
+    sq.process_batch(0, parsed, now=100.0)  # first batch: dt≈1s budget=100
+    assert sum(b.n for b in sq._buffers[0]) == 100  # exact, not ≈
+    kept = spark.read.parquet(sq._buffers[0][0].path)
+    vs = sorted(r.v for r in kept.collect())
+    assert vs == list(range(100)), vs[:5]  # the EARLIEST 100 survive
+
+
 def test_streaming_batch_equivalence_tumbling(spark, sf_dir):
     """Golden equivalence: the SAME F.window tumbling aggregation gives
     identical results run as a stream (complete mode) and as a batch —
