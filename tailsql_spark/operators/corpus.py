@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from tailsql_spark.plans.catalog import QuerySpec, load_tables
 
@@ -408,4 +409,102 @@ def corpus_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "tokens",
         F.round(F.col("tokens") * 1.0 / F.col("total"), 6).alias("token_share"),
+    )
+
+
+@query(
+    "corpus_mix_temperature",
+    "corpus-pipeline",
+    """
+    WITH toks AS (
+        SELECT lang, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        FROM documents
+    ),
+    agg AS (SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS tokens
+            FROM toks GROUP BY lang),
+    w AS (SELECT lang, tokens, SQRT(tokens) AS wt FROM agg),
+    tot AS (SELECT SUM(tokens) AS total, SUM(wt) AS wtotal FROM w)
+    SELECT lang, tokens,
+           ROUND(tokens * 1.0 / total, 6) AS raw_share,
+           ROUND(wt / wtotal, 6) AS temp_share,
+           ROUND((wt / wtotal) / (tokens * 1.0 / total), 4) AS upsample
+    FROM w CROSS JOIN tot
+    """,
+    doc="Temperature-scaled language mixing (T=2 → p_i ∝ tokens_i^0.5, "
+    "the multilingual-rebalancing rule): per-language raw token share, "
+    "temperature share, and the implied up/down-sampling factor. One "
+    "tokenize pass, one |langs|-key groupBy, a 1-row broadcast of the "
+    "normalizers — constant-size output at any corpus scale.",
+)
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    agg = toks.groupBy("lang").agg(F.sum("n_tokens").alias("tokens"))
+    w = agg.withColumn("wt", F.sqrt(F.col("tokens")))
+    tot = w.agg(F.sum("tokens").alias("total"), F.sum("wt").alias("wtotal"))
+    return w.join(F.broadcast(tot)).select(
+        "lang",
+        "tokens",
+        F.round(F.col("tokens") * 1.0 / F.col("total"), 6).alias("raw_share"),
+        F.round(F.col("wt") / F.col("wtotal"), 6).alias("temp_share"),
+        F.round(
+            (F.col("wt") / F.col("wtotal")) / (F.col("tokens") * 1.0 / F.col("total")),
+            4,
+        ).alias("upsample"),
+    )
+
+
+CONTEXT_TOKENS = 2048  # packing target: tokens per training sequence
+
+
+@query(
+    "corpus_pack_sequences",
+    "corpus-pipeline",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        FROM documents
+    ),
+    placed AS (
+        SELECT lang, n_tokens,
+               CAST((CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                          AS BIGINT) - n_tokens) // {CONTEXT_TOKENS} AS BIGINT) AS bin
+        FROM toks
+    )
+    SELECT lang, bin, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM placed GROUP BY lang, bin
+    """,
+    doc=f"Sequence packing for training: documents stream into "
+    f"{CONTEXT_TOKENS}-token context windows per language (offset "
+    "packing: a doc's bin is its cumulative token offset div the "
+    "context length — the deterministic chunked-stream rule, not "
+    "bin-packing search). Window cumsum partitioned by lang: one "
+    "shuffle; per-language streams pack independently, so the shape "
+    "parallelizes across a corpus of any size.",
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    win = W.partitionBy("lang").orderBy("doc_id")
+    placed = toks.select(
+        "lang",
+        "n_tokens",
+        # floor division on BOTH engines: DuckDB's CAST(float AS BIGINT)
+        # rounds-half-away while Spark's cast truncates — // and floor()
+        # agree exactly on the non-negative offsets here
+        F.floor((F.sum("n_tokens").over(win) - F.col("n_tokens")) / CONTEXT_TOKENS)
+        .cast("long")
+        .alias("bin"),
+    )
+    return placed.groupBy("lang", "bin").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("bin_tokens")
     )

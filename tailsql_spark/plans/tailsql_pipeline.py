@@ -99,3 +99,66 @@ REGISTRY["tailsql_parse_typed_rows"] = QuerySpec(
     """,
     doc="Row-level parse output (typed columns, drop semantics) vs relational oracle.",
 )
+
+
+def _merge_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator #8 (merge streams, ``sql/squeryer.go:410``): N sources,
+    each with its OWN line format and regex DSL, parsed into per-source
+    views ``t0..tN`` and combined by one SQL statement — here as a
+    driver-gradable batch so the merge surface gets a hard correctness
+    row, not just harness pytest coverage.
+
+    t0: click lines ``<ts> click <user_id> <cents>``;
+    t1: view lines  ``V|<user_id>|<ts>`` — deliberately different
+    delimiters to prove per-source patterns are independent.
+    """
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.expr(
+            "concat(date_format(ts, 'yyyy/MM/dd HH:mm:ss'), ' click ', "
+            "cast(user_id as string), ' ', "
+            "cast(cast(round(value * 100) as bigint) as string))"
+        ).alias("value")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.expr(
+            "concat('V|', cast(user_id as string), '|', "
+            "date_format(ts, 'yyyy-MM-dd HH:mm:ss'))"
+        ).alias("value")
+    )
+    p0 = compile_pattern(r".+ click (?P<user_id__int>[0-9]+) (?P<cents__int>[0-9]+)")
+    p1 = compile_pattern(r"V\|(?P<user_id__int>[0-9]+)\|.+")
+    p0.parse_lines(clicks).createOrReplaceTempView("t0")
+    p1.parse_lines(views).createOrReplaceTempView("t1")
+    return spark.sql(
+        """
+        SELECT c.user_id, n_clicks, sum_cents, n_views
+        FROM (SELECT user_id, COUNT(1) AS n_clicks, SUM(cents) AS sum_cents
+              FROM t0 GROUP BY user_id) c
+        JOIN (SELECT user_id, COUNT(1) AS n_views
+              FROM t1 GROUP BY user_id) v
+          ON c.user_id = v.user_id
+        """
+    )
+
+
+REGISTRY["tailsql_merge_sources"] = QuerySpec(
+    name="tailsql_merge_sources",
+    category="tailsql-pipeline",
+    build=_merge_sources,
+    oracle="""
+    WITH c AS (SELECT user_id, COUNT(*) AS n_clicks,
+                      CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                          AS sum_cents
+               FROM events WHERE event_type = 'click' GROUP BY user_id),
+         v AS (SELECT user_id, COUNT(*) AS n_views
+               FROM events WHERE event_type = 'view' GROUP BY user_id)
+    SELECT c.user_id, n_clicks, sum_cents, n_views
+    FROM c JOIN v ON c.user_id = v.user_id
+    """,
+    doc="Merge-streams operator (squeryer.go:410) as a certified batch: "
+    "two sources with different line formats parsed by independent "
+    "regex DSLs into t0/t1 views, combined by one SQL join; oracle "
+    "recomputes the intended result relationally from events.",
+)
