@@ -58,8 +58,18 @@ def shingles_col(text: Column) -> Column:
 
     Guarded so <3-token docs yield an empty array (Spark ``sequence``
     would otherwise produce a *descending* range).
+
+    Tokenizes on WHITESPACE RUNS of trimmed text, not single spaces:
+    a single-space split turns consecutive/leading whitespace into
+    empty tokens, so every whitespace-only doc shares the degenerate
+    ``"  "`` shingle and all such docs become spurious verified
+    near-dup pairs of each other.  The DuckDB oracle
+    (``_DUCK_SHINGLES``) applies the identical rule.
     """
-    toks = F.split(F.lower(text), " ")
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    # trim("") still splits to one empty token; drop it so empty and
+    # whitespace-only docs tokenize to [] and shingle to []
+    toks = F.filter(toks, lambda t: t != "")
     n = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(0), n - 3),
@@ -92,12 +102,16 @@ def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", shingles_col(F.col("text")).alias("shingles"))
 
 
-#: DuckDB equivalent of :func:`shingles_col` (1-based list indexing).
+#: DuckDB equivalent of :func:`shingles_col` (1-based list indexing;
+#: same whitespace-run tokenization with empty tokens dropped).
 _DUCK_SHINGLES = """
     SELECT doc_id,
            list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
                           FOR i IN range(1, len(ws) - 1)]) AS shingles
-    FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents)
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             w -> w <> '') AS ws
+          FROM documents)
 """
 
 

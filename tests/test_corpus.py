@@ -153,3 +153,50 @@ def test_clean_pipeline_pushes_quality_filter_to_scan(spark, oracle_sf_dir):
     p = _plan(REGISTRY["corpus_clean_pipeline"].build(spark, oracle_sf_dir))
     pushed = p.split("PushedFilters", 1)[1][:200]
     assert "GreaterThanOrEqual(n_chars,100)" in pushed  # length gate at the scan
+
+
+def test_edge_case_documents_survive_pipeline(spark):
+    """Degenerate documents — NULL text, empty string, whitespace-only,
+    one word, unicode, exact 3 tokens — must flow through shingling,
+    token counting, and packing math without dropping siblings or
+    throwing (the 100 TB reality: a few malformed docs per shard)."""
+    from pyspark.sql import functions as F
+
+    from tailsql_spark.operators.dedup import shingles_col
+
+    docs = spark.createDataFrame(
+        [
+            (0, None),
+            (1, ""),
+            (2, "   "),
+            (3, "solitary"),
+            (4, "exactly three tokens"),
+            (5, "héllo wörld éléphant café naïve"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = docs.select("doc_id", shingles_col(F.col("text")).alias("shingles"))
+    got = {r.doc_id: r.shingles for r in sh.collect()}
+    assert got[1] == [] and got[2] == [] and got[3] == []  # < 3 tokens
+    assert got[4] == ["exactly three tokens"]
+    assert len(got[5]) == 3 and "héllo wörld éléphant" in got[5]
+    assert got[0] is None or got[0] == []  # NULL text: no crash, no rows
+    # exploded index drops the degenerates without losing doc 4/5
+    ex = (
+        sh.select("doc_id", F.explode_outer("shingles").alias("s"))
+        .filter(F.col("s").isNotNull())
+    )
+    assert {r.doc_id for r in ex.collect()} == {4, 5}
+    # token counting on the same edge set: NULL→0, blanks→0-ish, never negative
+    toks = docs.select(
+        "doc_id",
+        F.when(
+            F.trim(F.coalesce(F.col("text"), F.lit(""))) == "", F.lit(0)
+        )
+        .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+        .cast("long")
+        .alias("n"),
+    )
+    ns = {r.doc_id: r.n for r in toks.collect()}
+    assert ns[0] == 0 and ns[1] == 0 and ns[2] == 0 and ns[3] == 1 and ns[4] == 3
+    assert all(n >= 0 for n in ns.values())

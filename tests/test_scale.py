@@ -217,6 +217,30 @@ def test_contamination_no_quadratic_stage(spark, oracle_sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_format_raw_lines_is_pure_map(spark, oracle_sf_dir):
+    """Executor-side formatting is a projection over the scan: ZERO
+    exchanges — formatted output must never funnel through a shuffle
+    (or, at cluster scale, the driver)."""
+    from tailsql_spark.plans.registry import REGISTRY
+
+    p = _plan(REGISTRY["sink_format_raw_lines"].build(spark, oracle_sf_dir))
+    assert "Exchange" not in p, p
+
+
+def test_pack_sequences_single_shuffle(spark, oracle_sf_dir):
+    """Sequence packing = window cumsum partitioned by lang + groupBy on
+    (lang, bin): the groupBy keys are a superset of the window
+    partition, so ONE exchange serves both — a second would mean the
+    packing re-shuffles the corpus."""
+    from tailsql_spark.plans.registry import REGISTRY
+
+    p = _plan(REGISTRY["corpus_pack_sequences"].build(spark, oracle_sf_dir))
+    import re
+
+    n_exchanges = len(set(re.findall(r"\((\d+)\) Exchange", p)))
+    assert n_exchanges == 1, p
+
+
 def test_lsh_band_broadcast_size_gated(spark, oracle_sf_dir):
     """The minhash band-table broadcast hint must follow the plan-time
     size gate: hinted under the threshold, shuffled equi-join above it
