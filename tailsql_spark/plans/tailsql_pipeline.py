@@ -162,3 +162,46 @@ REGISTRY["tailsql_merge_sources"] = QuerySpec(
     "regex DSLs into t0/t1 views, combined by one SQL join; oracle "
     "recomputes the intended result relationally from events.",
 )
+
+
+def _randfilter_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator #6 (``randfilter``, ``sql/funcs.go:13-41``) certified
+    deterministically: out-of-range rates keep NOTHING (including
+    exactly 0 and 1 — funcs.go:23-38), so ``X or randfilter(1.0)``
+    reduces to ``X`` and ``randfilter(0.0)`` to empty.  The
+    probabilistic interior stays pytest-certified (band test); the
+    boundary rule — the part a config typo actually hits — gets a hard
+    driver row.
+    """
+    parsed = _pipeline(spark, sf_dir)  # already filtered cents > 500
+    keep_all = apply_filter(parsed, "cents > 600 or randfilter(1.0)")
+    keep_none = apply_filter(parsed, "randfilter(0.0)")
+    return (
+        keep_all.agg(
+            F.count(F.lit(1)).alias("n_or_identity"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .join(keep_none.agg(F.count(F.lit(1)).alias("n_rate_zero")))
+    )
+
+
+REGISTRY["tailsql_randfilter_bounds"] = QuerySpec(
+    name="tailsql_randfilter_bounds",
+    category="tailsql-pipeline",
+    build=_randfilter_bounds,
+    oracle="""
+    WITH base AS (
+        SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+        WHERE event_type IN ('click', 'view')
+          AND CAST(ROUND(value * 100) AS BIGINT) > 500
+    )
+    SELECT (SELECT COUNT(*) FROM base WHERE cents > 600) AS n_or_identity,
+           (SELECT CAST(SUM(cents) AS BIGINT) FROM base WHERE cents > 600)
+               AS sum_cents,
+           0 AS n_rate_zero
+    """,
+    doc="randfilter boundary semantics (rate outside (0,1) keeps "
+    "nothing) proven deterministically through the rewrite path; "
+    "interior probability band is pytest-certified.",
+)
