@@ -80,3 +80,32 @@ def test_shimmed_sql_executes(spark):
         "from t0 where regexp_matches(msg, '[ab]') group by h order by h",
     )
     assert out == "h n\n2024-04-12 10 1\n2024-04-12 11 1"
+
+
+def test_translate_is_idempotent_on_composites():
+    """translate(translate(q)) == translate(q): rewritten output must
+    never re-match (a second pass over piped/stored SQL is common)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    idioms = st.sampled_from(
+        [
+            "strftime(ts, '%Y-%m-%d')",
+            "strftime('%H:%M:%f', ts)",
+            "epoch(ts)",
+            "epoch_ms(col_a)",
+            "regexp_matches(msg, 'x+')",
+            "'epoch(literal)'",
+            "unix_timestamp(ts)",
+            "count(1)",
+        ]
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(idioms, min_size=1, max_size=5))
+    def prop(parts):
+        q = "SELECT " + ", ".join(parts) + " FROM t0"
+        once = translate_sql(q)
+        assert translate_sql(once) == once
+
+    prop()
