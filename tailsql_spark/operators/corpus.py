@@ -508,3 +508,64 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return placed.groupBy("lang", "bin").agg(
         F.count("*").alias("n_docs"), F.sum("n_tokens").alias("bin_tokens")
     )
+
+
+@query(
+    "corpus_filter_attrition",
+    "corpus-pipeline",
+    """
+    WITH staged AS (
+        SELECT lang,
+               (n_chars >= 100) AS pass_len,
+               (length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) * 1.0
+                / length(text) >= 0.6) AS pass_alpha,
+               (len(string_split_regex(trim(text), '\\s+')) >= 20) AS pass_tok
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_in,
+           CAST(SUM(CASE WHEN pass_len THEN 1 ELSE 0 END) AS BIGINT)
+               AS after_len,
+           CAST(SUM(CASE WHEN pass_len AND pass_alpha THEN 1 ELSE 0 END) AS BIGINT)
+               AS after_alpha,
+           CAST(SUM(CASE WHEN pass_len AND pass_alpha AND pass_tok THEN 1 ELSE 0 END) AS BIGINT)
+               AS after_tok,
+           ROUND(SUM(CASE WHEN pass_len AND pass_alpha AND pass_tok THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 4) AS keep_rate
+    FROM staged GROUP BY lang
+    """,
+    doc="Filter-funnel attrition report: per-language survivor counts "
+    "after each curation gate (length → alpha ratio → min tokens) plus "
+    "the final keep rate — the observability query every production "
+    "cleaning pipeline runs before committing a recipe (a gate that "
+    "silently deletes one language shows up here, not after training). "
+    "All gates evaluate in ONE scan pass as boolean projections "
+    "(conditional aggregation), not one filter-job per stage — at "
+    "100 TB the funnel costs the same as a single count.",
+)
+def corpus_filter_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    alpha_ratio = (
+        F.length(F.regexp_replace("text", "[^A-Za-z ]", "")) / F.length("text")
+    )
+    staged = t["documents"].select(
+        "lang",
+        (F.col("n_chars") >= 100).alias("pass_len"),
+        (alpha_ratio >= 0.6).alias("pass_alpha"),
+        (F.size(F.split(F.trim("text"), r"\s+")) >= 20).alias("pass_tok"),
+    )
+    def surv(*conds):
+        c = conds[0]
+        for extra in conds[1:]:
+            c = c & extra
+        return F.sum(F.when(c, 1).otherwise(0)).cast("long")
+    p_len, p_a, p_t = F.col("pass_len"), F.col("pass_alpha"), F.col("pass_tok")
+    return staged.groupBy("lang").agg(
+        F.count("*").alias("n_in"),
+        surv(p_len).alias("after_len"),
+        surv(p_len, p_a).alias("after_alpha"),
+        surv(p_len, p_a, p_t).alias("after_tok"),
+        F.round(
+            F.sum(F.when(p_len & p_a & p_t, 1).otherwise(0)) * 1.0 / F.count("*"), 4
+        ).alias("keep_rate"),
+    )
