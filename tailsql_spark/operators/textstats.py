@@ -581,3 +581,134 @@ def text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contamination_pct"),
         )
     )
+
+
+WINNOW_K = 5   # character n-gram width
+WINNOW_W = 8   # winnowing window: one fingerprint per W consecutive grams
+
+
+@query(
+    "text_winnow_fingerprints",
+    "text-analysis",
+    f"""
+    WITH norm AS (
+        SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               CASE WHEN length(s) >= {WINNOW_K}
+                    THEN [CAST(('0x' || substr(md5(substr(s, i, {WINNOW_K})), 1, 8)) AS BIGINT)
+                          FOR i IN range(1, length(s) - {WINNOW_K} + 2)]
+                    ELSE [] END AS g
+        FROM norm
+    ),
+    fps AS (
+        SELECT doc_id,
+               CASE WHEN len(g) >= {WINNOW_W}
+                    THEN [list_min(g[j : j + {WINNOW_W} - 1])
+                          FOR j IN range(1, len(g) - {WINNOW_W} + 2)]
+                    ELSE [] END AS f
+        FROM grams
+    )
+    SELECT doc_id, CAST(unnest(list_distinct(f)) AS BIGINT) AS fingerprint
+    FROM fps
+    """,
+    doc="Winnowing fingerprints (the MOSS scheme): hash every "
+    f"{WINNOW_K}-char gram of normalized text, keep the MINIMUM hash "
+    f"of each sliding window of {WINNOW_W} grams, emit the distinct "
+    "survivors. Guarantees any shared substring of length "
+    f">= {WINNOW_K}+{WINNOW_W}-1 chars yields at least one shared "
+    "fingerprint — the exact-substring-overlap detector that "
+    "complements MinHash's whole-document similarity. Pure per-doc "
+    "projection (zero shuffles before the dedup groupBy a consumer "
+    "would add); fingerprints join doc pairs via an inverted index, "
+    "never all-pairs.",
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    k, w = WINNOW_K, WINNOW_W
+    norm = t["documents"].select(
+        "doc_id",
+        F.regexp_replace(F.lower("text"), "[^a-z0-9]", "").alias("s"),
+    )
+    grams = norm.select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN length(s) >= {k} THEN "
+            f"transform(sequence(1, length(s) - {k} + 1), "
+            f"  i -> cast(conv(substring(md5(cast(substring(s, i, {k}) as binary)), 1, 8), 16, 10) as bigint)) "
+            f"ELSE array() END"
+        ).alias("g"),
+    )
+    fps = grams.select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN size(g) >= {w} THEN "
+            f"transform(sequence(1, size(g) - {w} + 1), "
+            f"  j -> array_min(slice(g, j, {w}))) "
+            f"ELSE array() END"
+        ).alias("f"),
+    )
+    return fps.select(
+        "doc_id",
+        F.explode(F.array_distinct("f")).alias("fingerprint"),
+    )
+
+
+WINNOW_SHARED_MIN = 3  # report pairs sharing at least this many fingerprints
+
+_WINNOW_FP_CTE = f"""
+    norm AS (
+        SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               CASE WHEN length(s) >= {WINNOW_K}
+                    THEN [CAST(('0x' || substr(md5(substr(s, i, {WINNOW_K})), 1, 8)) AS BIGINT)
+                          FOR i IN range(1, length(s) - {WINNOW_K} + 2)]
+                    ELSE [] END AS g
+        FROM norm
+    ),
+    fp AS (
+        SELECT doc_id, unnest(list_distinct(
+                   CASE WHEN len(g) >= {WINNOW_W}
+                        THEN [list_min(g[j : j + {WINNOW_W} - 1])
+                              FOR j IN range(1, len(g) - {WINNOW_W} + 2)]
+                        ELSE [] END)) AS fingerprint
+        FROM grams
+    )
+"""
+
+
+@query(
+    "dedup_winnow_pairs",
+    "dedup",
+    f"""
+    WITH {_WINNOW_FP_CTE}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+    FROM fp a JOIN fp b
+      ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {WINNOW_SHARED_MIN}
+    """,
+    doc="Exact-substring-overlap pairs: join the winnowing inverted "
+    f"index on fingerprint, keep pairs sharing >= {WINNOW_SHARED_MIN} "
+    "fingerprints. Winnowing guarantees coverage of every shared run "
+    f"of {WINNOW_K}+{WINNOW_W}-1+ chars, so copied passages surface "
+    "even when whole-document similarity (MinHash) is low — the "
+    "license-boilerplate / quotation detector. Equi-join on the "
+    "fingerprint key only: candidate cost scales with collisions, "
+    "never all-pairs.",
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = text_winnow_fingerprints(spark, sf_dir)
+    a = fp.select(F.col("doc_id").alias("id_a"), "fingerprint")
+    b = fp.select(F.col("doc_id").alias("id_b"), F.col("fingerprint").alias("fp2"))
+    return (
+        a.join(b, (F.col("fingerprint") == F.col("fp2")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_SHARED_MIN)
+    )
