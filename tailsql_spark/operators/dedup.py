@@ -202,8 +202,10 @@ def _small_input(sf_dir: str, table: str = "documents") -> bool:
         return False
 
 
-def lsh_candidate_pairs(sig: DataFrame, hint_broadcast: bool = True) -> DataFrame:
-    """Band the signature and self-join per band → candidate id pairs."""
+def band_long(sig: DataFrame) -> DataFrame:
+    """Signature → long-format band table (doc_id, band_idx, band_hash):
+    the LSH inverted-index key.  Shared by the batch self-join and the
+    streaming incremental probe (new docs vs accumulated index)."""
     bands = [
         F.md5(
             F.concat_ws(
@@ -218,9 +220,14 @@ def lsh_candidate_pairs(sig: DataFrame, hint_broadcast: bool = True) -> DataFram
     ]
     banded = sig.select("doc_id", *bands)
     stack_args = ", ".join(f"{b}, b{b}" for b in range(N_BANDS))
-    long = banded.selectExpr(
+    return banded.selectExpr(
         "doc_id", f"stack({N_BANDS}, {stack_args}) AS (band_idx, band_hash)"
     )
+
+
+def lsh_candidate_pairs(sig: DataFrame, hint_broadcast: bool = True) -> DataFrame:
+    """Band the signature and self-join per band → candidate id pairs."""
+    long = band_long(sig)
     a, b = long.alias("a"), long.alias("b")
     # the band table is |docs|×N_BANDS narrow rows — broadcasting one
     # side makes the self-join shuffle-free, but the table grows with

@@ -86,7 +86,7 @@ GRADED_WINDOW: tuple[str, ...] = (
     # §2E streaming-EXECUTED (availableNow micro-batch, real sinks)
     "stream_tumbling_counts",
     "stream_stateful_user_totals",
-    "stream_sliding_counts",
+    "stream_dedup_minhash",         # r3: incremental dedup, streaming ≡ batch
     "stream_session_30m",
     "stream_dedup_exact",
     "stream_hourly_rollup_daily",

@@ -389,3 +389,162 @@ REGISTRY["stream_interval_join"] = QuerySpec(
     "availableNow micro-batches with watermarked two-sided state, "
     "certified equal to the relational theta-join oracle.",
 )
+
+
+def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-duplicate detection over a document stream:
+    each micro-batch MinHash-fingerprints its new docs, probes them
+    against the ACCUMULATED band index (new-vs-history + new-vs-new),
+    verifies candidates at true Jaccard, and appends the docs to the
+    index — so every near-dup pair is emitted exactly once, in the
+    micro-batch its LATER document arrives.
+
+    The final pair set provably equals the batch ``dedup_minhash_lsh``
+    (each unordered pair is discovered exactly when its second member
+    streams in, against an index that by then contains the first), so
+    this query certifies against the SAME DuckDB oracle — a streaming
+    ≡ batch equivalence the driver checks end-to-end.
+
+    Scale: per batch the probe is |batch|·N_BANDS rows equi-joined
+    against the index — cost tracks NEW data, not corpus size; the
+    index is an append-only columnar store partitionable by band_hash.
+    State here is two parquet dirs (shingle pairs + signatures),
+    i.e. the same scratch-storage pattern as the window spool.
+    """
+    import shutil
+    import tempfile
+
+    from tailsql_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        band_long,
+        minhash_signatures,
+        shingles_col,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+    # 4 staged files + maxFilesPerTrigger=1 → 4 genuine micro-batches
+    src_dir = tempfile.mkdtemp(prefix="tailsql_stream_mhdedup_")
+    docs.repartition(4).write.mode("overwrite").parquet(src_dir)
+
+    state_root = tempfile.mkdtemp(prefix="tailsql_mhdedup_state_")
+    ex_dir = f"{state_root}/ex"
+    sig_dir = f"{state_root}/sig"
+    out_dir = f"{state_root}/pairs"
+    # seed empty state/result stores so every batch (and the final
+    # read) sees a parquet schema even before any rows exist
+    empty = docs.limit(0)
+    empty_ex = empty.select(
+        "doc_id", F.explode_outer(shingles_col(F.col("text"))).alias("s")
+    ).filter(F.col("s").isNotNull())
+    empty_ex.write.mode("overwrite").parquet(ex_dir)
+    minhash_signatures(empty_ex).write.mode("overwrite").parquet(sig_dir)
+    empty_ex.selectExpr(
+        "doc_id AS id_a", "doc_id AS id_b", "CAST(0.0 AS DOUBLE) AS jaccard"
+    ).limit(0).write.mode("overwrite").parquet(out_dir)
+
+    def process(batch_df, batch_id):
+        sess = batch_df.sparkSession
+        ex_b = (
+            batch_df.select(
+                "doc_id", F.explode_outer(shingles_col(F.col("text"))).alias("s")
+            )
+            .filter(F.col("s").isNotNull())
+            .persist()
+        )
+        sig_b = minhash_signatures(ex_b).persist()
+        sig_hist = sess.read.parquet(sig_dir)
+        sig_all = sig_hist.unionByName(sig_b)
+        # probe: bands of NEW docs vs bands of (history ∪ new) — every
+        # pair with >=1 new member collides here; history×history pairs
+        # were emitted in their own batches
+        probe = band_long(sig_b).select(
+            F.col("doc_id").alias("p_id"),
+            F.col("band_idx").alias("p_band"),
+            F.col("band_hash").alias("p_hash"),
+        )
+        cand = (
+            band_long(sig_all)
+            .join(
+                probe,
+                (F.col("band_idx") == F.col("p_band"))
+                & (F.col("band_hash") == F.col("p_hash"))
+                & (F.col("doc_id") != F.col("p_id")),
+            )
+            .select(
+                F.least("doc_id", "p_id").alias("id_a"),
+                F.greatest("doc_id", "p_id").alias("id_b"),
+            )
+            .distinct()
+        )
+        ex_all = sess.read.parquet(ex_dir).unionByName(ex_b)
+        sizes = sig_all.select("doc_id", F.col("n_sh").alias("n"))
+        exa = ex_all.select(F.col("doc_id").alias("id_a"), "s")
+        exb = ex_all.select(F.col("doc_id").alias("idb2"), F.col("s").alias("sb"))
+        common = (
+            exa.join(F.broadcast(cand), "id_a")
+            .join(exb, (F.col("id_b") == F.col("idb2")) & (F.col("s") == F.col("sb")))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_common"))
+        )
+        jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+        verified = (
+            common.join(
+                sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")),
+                "id_a",
+            )
+            .join(
+                sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")),
+                "id_b",
+            )
+            .filter(jac >= JACCARD_THRESHOLD)
+            .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        )
+        verified.write.mode("append").parquet(out_dir)
+        # admit the batch into the index AFTER probing (self-pairs came
+        # from sig_all already containing sig_b via the union)
+        ex_b.write.mode("append").parquet(ex_dir)
+        sig_b.write.mode("append").parquet(sig_dir)
+        ex_b.unpersist()
+        sig_b.unpersist()
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{state_root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    result = spark.read.parquet(out_dir)
+    # materialize into the session before the scratch dirs vanish
+    result.createOrReplaceTempView("_stream_dedup_minhash_raw")
+    out = spark.createDataFrame(result.collect(), result.schema)
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(state_root, ignore_errors=True)
+    return out
+
+
+# oracle = the BATCH minhash oracle — equality of streaming-incremental
+# and batch results IS the certified claim
+from tailsql_spark.operators.dedup import _MINHASH_ORACLE as _MH_ORACLE  # noqa: E402
+
+REGISTRY["stream_dedup_minhash"] = QuerySpec(
+    name="stream_dedup_minhash",
+    category="streaming-executed",
+    build=stream_dedup_minhash,
+    oracle=_MH_ORACLE,
+    doc="Incremental streaming MinHash near-dedup: per micro-batch, "
+    "new docs probe the accumulated band index, candidates verify at "
+    "true Jaccard, and the batch joins the index — each pair emitted "
+    "exactly once when its later doc arrives. Certified equal to the "
+    "batch dedup_minhash_lsh result (same DuckDB oracle): the "
+    "streaming ≡ batch guarantee for the dedup family.",
+)
