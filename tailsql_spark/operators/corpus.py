@@ -569,3 +569,87 @@ def corpus_filter_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(p_len & p_a & p_t, 1).otherwise(0)) * 1.0 / F.count("*"), 4
         ).alias("keep_rate"),
     )
+
+
+@query(
+    "corpus_repeat_upsample",
+    "corpus-pipeline",
+    """
+    WITH toks AS (
+        SELECT doc_id, lang,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        FROM documents
+    ),
+    agg AS (SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS tokens
+            FROM toks GROUP BY lang),
+    w AS (SELECT lang, tokens, SQRT(tokens) AS wt FROM agg),
+    tot AS (SELECT SUM(tokens) AS total, SUM(wt) AS wtotal FROM w),
+    u AS (SELECT lang,
+                 ROUND((wt / wtotal) / (tokens * 1.0 / total), 4) AS up
+          FROM w CROSS JOIN tot),
+    copies AS (
+        SELECT t.doc_id, t.lang,
+               CAST(FLOOR(u.up) AS BIGINT)
+               + CASE WHEN CAST(('0x' || substring(
+                             md5(CAST(t.doc_id AS VARCHAR)),
+                             1, 4)) AS INTEGER) / 65536.0
+                           < u.up - FLOOR(u.up)
+                      THEN 1 ELSE 0 END AS n_copies
+        FROM toks t JOIN u USING (lang)
+    ),
+    mat AS (
+        SELECT lang, UNNEST(generate_series(1, n_copies)) AS copy_idx
+        FROM copies WHERE n_copies >= 1
+    )
+    SELECT lang, CAST(copy_idx AS BIGINT) AS copy_idx,
+           COUNT(*) AS n_docs
+    FROM mat GROUP BY lang, copy_idx
+    """,
+    doc="MATERIALIZED temperature upsampling: turn the T=2 per-language "
+    "upsample factor into integer per-document repeat counts — "
+    "floor(u) guaranteed copies plus one stochastic-but-DETERMINISTIC "
+    "extra copy when md5(doc_id)'s 16-bit band falls under frac(u) "
+    "(so reruns and both engines pick the SAME docs) — then explode "
+    "each doc into its epoch copies. Downsampled languages (u<1) keep "
+    "only the hash-selected subset: exactly how a training mix is "
+    "physically materialized. Scale: explode is a pure map (no "
+    "shuffle); the only shuffles are the |langs|-key mix agg and the "
+    "final count. Output = docs per (lang, copy depth).",
+)
+def corpus_repeat_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    agg = toks.groupBy("lang").agg(F.sum("n_tokens").alias("tokens"))
+    w = agg.withColumn("wt", F.sqrt(F.col("tokens")))
+    tot = w.agg(F.sum("tokens").alias("total"), F.sum("wt").alias("wtotal"))
+    u = w.join(F.broadcast(tot)).select(
+        "lang",
+        F.round(
+            (F.col("wt") / F.col("wtotal")) / (F.col("tokens") / F.col("total")), 4
+        ).alias("up"),
+    )
+    band = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10
+    ).cast("long")
+    copies = (
+        toks.join(F.broadcast(u), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.floor("up").cast("long")
+                + F.when(band / 65536.0 < F.col("up") - F.floor("up"), 1).otherwise(0)
+            ).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") >= 1)
+    )
+    mat = copies.select(
+        "lang", F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_idx")
+    )
+    return mat.groupBy("lang", F.col("copy_idx").cast("long").alias("copy_idx")).agg(
+        F.count("*").alias("n_docs")
+    )

@@ -168,3 +168,92 @@ def sink_format_raw_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.select(
         raw_line_col(["o_orderkey", "o_orderstatus", "cents", "prio"]).alias("line")
     )
+
+
+@query(
+    "source_orc_roundtrip",
+    "sources",
+    """
+    SELECT p_brand,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_retail_cents,
+           MIN(p_size) AS min_size,
+           MAX(p_size) AS max_size
+    FROM part GROUP BY p_brand
+    """,
+    doc="ORC connector certified differentially: part staged to ORC "
+    "(Spark-native columnar alternative; zlib default codec) and read "
+    "back, aggregated; the oracle aggregates the parquet directly. "
+    "Certifies type fidelity through the ORC writer/reader pair — the "
+    "format a warehouse migration would land in besides parquet.",
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    staged = t["part"].select(
+        "p_partkey",
+        "p_brand",
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("p_retail_cents"),
+        "p_size",
+    )
+    path = _stage_dir(sf_dir, "orc_part")
+    staged.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.sum("p_retail_cents").alias("sum_retail_cents"),
+        F.min("p_size").alias("min_size"),
+        F.max("p_size").alias("max_size"),
+    )
+
+
+@query(
+    "sink_partitioned_parquet",
+    "sinks",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_price_cents
+    FROM orders
+    WHERE YEAR(CAST(o_orderdate AS DATE)) = 1996
+    GROUP BY o_orderpriority
+    """,
+    doc="Hive-style partitioned parquet sink certified differentially: "
+    "orders written partitionBy(year), read back with a partition "
+    "predicate, aggregated — the oracle aggregates the unpartitioned "
+    "parquet with the same predicate. The year filter must become a "
+    "PartitionFilter (directory pruning, no data read outside 1996): "
+    "the layout a 100 TB landing zone uses so queries touch only the "
+    "partitions they name. Plan-asserted in tests/test_scale.py.",
+)
+def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _partitioned_orders_agg(spark, sf_dir)
+
+
+def _partitioned_orders_agg(spark: SparkSession, sf_dir: str):
+    back = partitioned_orders_scan(spark, sf_dir)
+    return (
+        back.filter(F.col("o_year") == 1996)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_price_cents").alias("sum_price_cents"),
+        )
+    )
+
+
+def partitioned_orders_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage orders partitioned by year (once per sf_dir) and return the
+    partitioned scan — shared by the certified query and the
+    partition-pruning plan test."""
+    t = load_tables(spark, sf_dir)
+    path = _stage_dir(sf_dir, "part_orders")
+    staged = t["orders"].select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("o_price_cents"),
+        F.year(F.col("o_orderdate").cast("date")).alias("o_year"),
+    )
+    staged.write.mode("overwrite").partitionBy("o_year").parquet(path)
+    return spark.read.parquet(path)

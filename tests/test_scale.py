@@ -269,3 +269,18 @@ def test_lsh_band_broadcast_size_gated(spark, oracle_sf_dir):
     assert "CartesianProduct" not in unhinted
     # and the gate itself: sf0.01 documents are far below the threshold
     assert dedup._small_input(oracle_sf_dir) is True
+
+
+def test_sink_partitioned_parquet_prunes(spark, oracle_sf_dir):
+    """The certified partitioned-sink query's year predicate must be a
+    PartitionFilter (directory pruning) — not a row-level filter over a
+    full scan. This pins the plan the graded row relies on."""
+    from tailsql_spark.plans.connectors import partitioned_orders_scan
+
+    back = partitioned_orders_scan(spark, oracle_sf_dir).filter(F.col("o_year") == 1996)
+    p = _plan(back)
+    assert "o_year" in p.split("PartitionFilters", 1)[1][:200]
+    # the partition column is not read from row data: it's absent from
+    # the ReadSchema struct (it materializes from directory values)
+    read_struct = p.split("ReadSchema", 1)[1].split(">", 1)[0]
+    assert "o_year" not in read_struct
