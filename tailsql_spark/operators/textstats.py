@@ -712,3 +712,50 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= WINNOW_SHARED_MIN)
     )
+
+
+@query(
+    "text_bpe_pair_counts",
+    "text-analysis",
+    r"""
+    WITH words AS (
+        SELECT w FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+            FROM documents
+        ) WHERE len(w) >= 2
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                                     i -> substring(w, CAST(i AS INT), 2))) AS pair
+        FROM words
+    )
+    SELECT pair, COUNT(*) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair ASC LIMIT 20
+    """,
+    doc="One BPE-training step: corpus-wide adjacent symbol-pair "
+    "frequencies (the statistic every merge iteration of byte-pair "
+    "encoding maximizes), top-20 with a deterministic tie-break. "
+    "Scale: explode(word → overlapping char pairs) is a pure map; the "
+    "only shuffle is the pair groupBy (map-side combined — pair "
+    "cardinality is tiny vs corpus size), then a TakeOrdered top-k. "
+    "Iterating = re-running with the merged symbol table applied.",
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    words = (
+        t["documents"]
+        .select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )

@@ -447,3 +447,43 @@ def window_cumulative_share_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rev_cents",
         F.round(F.col("cum_cents") * 1.0 / F.col("tot_cents"), 6).alias("cum_share"),
     )
+
+
+@query(
+    "events_action_sequences",
+    "event-analytics",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           md5(string_agg(event_type, '>' ORDER BY epoch_us(ts), event_id))
+               AS seq_fp
+    FROM events GROUP BY user_id
+    """,
+    doc="Per-user ordered action sequences — the session→training-"
+    "sequence construction step of a behavioral-model pipeline — "
+    "certified by md5 fingerprint of the '>'-joined event-type chain "
+    "(scalar output per the driver contract; the fingerprint proves "
+    "ORDER, not just membership). Ordering is (epoch-micros, event_id) "
+    "on BOTH engines: the parquet stores nanosecond timestamps, Spark "
+    "reads micros (nanos div 1000), so the oracle orders by epoch_us "
+    "too — sub-microsecond ties resolve identically via event_id. "
+    "Scale: one user_id shuffle; collect_list is bounded by per-user "
+    "event counts (cap with a window row_number if users are "
+    "unbounded).",
+)
+def events_action_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    seq = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.unix_micros("ts").alias("t"),
+                F.col("event_id").alias("e"),
+                F.col("event_type").alias("a"),
+            )
+        )
+    )
+    return t["events"].groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.md5(
+            F.array_join(F.transform(seq, lambda x: x["a"]), ">").cast("binary")
+        ).alias("seq_fp"),
+    )
