@@ -525,3 +525,33 @@ def scalar_regexp_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace("props", "[0-9]", "#").alias("masked"),
         )
     )
+
+
+@query(
+    "agg_hll_mergeable",
+    "aggregation",
+    None,  # sketch estimates are engine-specific — rows-only check
+    doc="The 100 TB distinct-count workflow: per-day PARTIAL DataSketches "
+    "HLL sketches of user_id per event_type, then hll_union_agg to the "
+    "global estimate — the two-level shape that replaces a full "
+    "COUNT(DISTINCT) shuffle with constant-size mergeable state (the "
+    "same sketches could land in a rollup table and merge across any "
+    "grouping later). Estimate accuracy vs exact is asserted within "
+    "2 % in tests/test_registry.py (rows-only here: sketch bytes are "
+    "engine-specific, so no cross-engine oracle exists by design).",
+)
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    partial = (
+        t["events"]
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.expr("hll_sketch_agg(CAST(user_id AS STRING))").alias("sk"))
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_users"),
+            F.count("*").alias("n_partials"),
+        )
+        .orderBy("event_type")
+    )

@@ -11,7 +11,7 @@ from tailsql_spark.plans.registry import (
     REGISTRY,
 )
 
-EXPECTED_TOTAL = 158
+EXPECTED_TOTAL = 159
 
 
 def test_no_silent_import_failures():
@@ -73,3 +73,28 @@ def test_graded_outputs_are_driver_canonicalizable(spark, oracle_sf_dir):
             if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
                 bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
     assert bad == [], f"graded queries with non-scalar output columns: {bad}"
+
+
+def test_hll_mergeable_within_tolerance(spark, oracle_sf_dir):
+    """The unioned-partial-sketch estimate must track exact distinct
+    counts (2 % — HLL lgK=12 gives ~1.6 % RSE): certifies the sketch
+    merge actually aggregates across partials rather than overwriting."""
+    from pyspark.sql import functions as F
+
+    from tailsql_spark.plans.catalog import load_tables
+    from tailsql_spark.plans.registry import REGISTRY
+
+    est = {
+        r["event_type"]: r["est_users"]
+        for r in REGISTRY["agg_hll_mergeable"].build(spark, oracle_sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_tables(spark, oracle_sf_dir)["events"]
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k in exact:
+        assert abs(est[k] - exact[k]) / exact[k] < 0.02, (k, est[k], exact[k])
