@@ -627,8 +627,16 @@ WINNOW_W = 8   # winnowing window: one fingerprint per W consecutive grams
 )
 def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
+    return winnow_fingerprints(t["documents"])
+
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, fingerprint) winnow rows.  Factored so
+    the MOSS guarantee (any shared normalized substring of length
+    >= K+W-1 chars yields a shared fingerprint) is property-testable
+    on synthetic docs (tests/test_properties.py)."""
     k, w = WINNOW_K, WINNOW_W
-    norm = t["documents"].select(
+    norm = docs.select(
         "doc_id",
         F.regexp_replace(F.lower("text"), "[^a-z0-9]", "").alias("s"),
     )

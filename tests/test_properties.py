@@ -1,0 +1,118 @@
+"""Property-based tests (hypothesis) for the two surfaces whose
+correctness is a GUARANTEE, not an example set:
+
+* fuzzy ``date`` parsing — for random datetimes rendered by PYTHON's
+  strftime (an independent renderer), the DSL must round-trip the
+  exact instant for every supported layout;
+* winnowing — any two docs sharing a normalized substring of length
+  >= K+W-1 chars must share at least one fingerprint (the MOSS
+  theorem the dedup_winnow_pairs operator relies on).
+
+Each hypothesis example is one small Spark job, so example counts are
+kept deliberately low — breadth comes from randomness across runs, the
+per-layout sweep inside each example, and the example-set tests in
+test_dsl.py.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tailsql_spark.dsl import compile_pattern
+
+# (spark layout concern, python strftime renderer, truncation unit)
+_RENDERERS: list[tuple[str, str]] = [
+    ("%Y/%m/%d %H:%M:%S", "s"),
+    ("%Y-%m-%dT%H:%M:%S", "s"),
+    ("%Y-%m-%d %H:%M:%S.%f", "us"),
+    ("%Y-%m-%d %H:%M:%S", "s"),
+    ("%Y-%m-%d", "d"),
+    ("%Y/%m/%d", "d"),
+    ("%m/%d/%Y %H:%M:%S", "s"),
+    ("%d %b %Y %H:%M:%S", "s"),
+    ("%d/%b/%Y:%H:%M:%S +0000", "s"),  # Apache common-log
+    ("%Y%m%d", "d"),
+    ("%a %b %d %H:%M:%S %Y", "s"),  # ctime (weekday stripped by DSL)
+    ("%a, %d %b %Y %H:%M:%S +0000", "s"),  # RFC 1123
+    ("epoch_s", "s"),
+    ("epoch_ms", "ms"),
+]
+
+
+def _truncate(dt: datetime.datetime, unit: str) -> datetime.datetime:
+    if unit == "d":
+        return dt.replace(hour=0, minute=0, second=0, microsecond=0)
+    if unit == "s":
+        return dt.replace(microsecond=0)
+    if unit == "ms":
+        return dt.replace(microsecond=(dt.microsecond // 1000) * 1000)
+    return dt
+
+
+def _render(dt: datetime.datetime, fmt: str) -> str:
+    if fmt == "epoch_s":
+        return str(int(dt.replace(tzinfo=datetime.timezone.utc).timestamp()))
+    if fmt == "epoch_ms":
+        ts = dt.replace(tzinfo=datetime.timezone.utc).timestamp()
+        return str(int(ts) * 1000 + dt.microsecond // 1000)
+    return dt.strftime(fmt)
+
+
+@settings(
+    max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    dt=st.datetimes(
+        # 2002–2032 keeps epoch-seconds at 10 digits and epoch-millis at
+        # 13 (the DSL's digit-count dispatch) while spanning leap years
+        min_value=datetime.datetime(2002, 1, 1),
+        max_value=datetime.datetime(2032, 12, 31, 23, 59, 59, 999999),
+    )
+)
+def test_fuzzy_date_roundtrips_python_renderings(spark, dt):
+    cp = compile_pattern(r"^(?P<ts__date>.+)$")
+    rows = [( _render(dt, fmt),) for fmt, _ in _RENDERERS]
+    parsed = cp.parse_lines(spark.createDataFrame(rows, ["value"])).collect()
+    assert len(parsed) == len(_RENDERERS), "a rendered layout was dropped"
+    got = [r.ts for r in parsed]
+    want = [_truncate(dt, unit) for _, unit in _RENDERERS]
+    for g, w, (fmt, _) in zip(got, want, _RENDERERS):
+        assert g == w, f"layout {fmt!r}: parsed {g!r}, rendered from {w!r}"
+
+
+@settings(
+    max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(data=st.data())
+def test_winnowing_shared_substring_guarantee(spark, data):
+    """MOSS guarantee: sharing a normalized substring of K+W-1 chars
+    forces >= 1 shared fingerprint, regardless of surrounding text."""
+    from tailsql_spark.operators.textstats import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    chars = st.sampled_from(alpha)
+    min_shared = WINNOW_K + WINNOW_W - 1
+    shared = data.draw(
+        st.text(chars, min_size=min_shared, max_size=min_shared + 20)
+    )
+    pre_a = data.draw(st.text(chars, min_size=0, max_size=40))
+    post_a = data.draw(st.text(chars, min_size=0, max_size=40))
+    pre_b = data.draw(st.text(chars, min_size=0, max_size=40))
+    post_b = data.draw(st.text(chars, min_size=0, max_size=40))
+    docs = spark.createDataFrame(
+        [(1, pre_a + shared + post_a), (2, pre_b + shared + post_b)],
+        ["doc_id", "text"],
+    )
+    fp = winnow_fingerprints(docs)
+    a = {r.fingerprint for r in fp.filter("doc_id = 1").collect()}
+    b = {r.fingerprint for r in fp.filter("doc_id = 2").collect()}
+    assert a & b, (
+        f"no shared fingerprint despite {len(shared)}-char shared substring"
+    )
