@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from tailsql_spark.plans.catalog import QuerySpec, load_tables
 from tailsql_spark.operators.similarity import N_CELLS, _DUCK_CELLS
@@ -209,4 +210,136 @@ def grouped_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return src.groupBy("c_nationkey").applyInPandas(
         zscore, schema="c_custkey long, c_nationkey int, zscore double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# iterative k-means (multi-step Lloyd), certified cross-engine
+# ---------------------------------------------------------------------------
+
+KMEANS_ITERS = 3  # assignments under c0, c1, c2 (2 centroid updates)
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled-CTE DuckDB oracle for KMEANS_ITERS Lloyd steps.
+
+    Bit-for-bit cross-engine determinism: embeddings quantize to ×1e6
+    BIGINTs once; distances are exact integer sums of squares; centroid
+    updates FLOOR an IEEE-identical double division — so both engines
+    walk the SAME trajectory and the md5 centroid fingerprints match
+    exactly (no float-summation-order hazard anywhere)."""
+    d = EMBED_DIM
+    parts = [
+        "WITH e AS (SELECT vec_id, list_transform(embedding,"
+        " x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS e"
+        " FROM embeddings),",
+        f"c0 AS (SELECT vec_id AS cell, e AS c FROM e WHERE vec_id < {N_CELLS}),",
+    ]
+    for r in range(1, KMEANS_ITERS + 1):
+        parts.append(
+            f"d{r} AS (SELECT e.vec_id, c.cell,"
+            f" CAST(list_sum(list_transform(generate_series(1, {d}),"
+            f" i -> (e.e[i] - c.c[i]) * (e.e[i] - c.c[i]))) AS BIGINT) AS dist"
+            f" FROM e CROSS JOIN c{r - 1} c),"
+        )
+        parts.append(
+            f"a{r} AS (SELECT vec_id, cell, dist FROM"
+            f" (SELECT *, row_number() OVER (PARTITION BY vec_id"
+            f" ORDER BY dist, cell) AS rn FROM d{r}) WHERE rn = 1),"
+        )
+        if r < KMEANS_ITERS:
+            parts.append(
+                f"u{r} AS (SELECT cell, CAST(t.i AS BIGINT) AS pos,"
+                f" CAST(FLOOR(SUM(e.e[t.i + 1]) * 1.0 / COUNT(*)) AS BIGINT) AS v"
+                f" FROM a{r} JOIN e USING (vec_id) CROSS JOIN range({d}) t(i)"
+                f" GROUP BY 1, 2),"
+            )
+            parts.append(
+                f"c{r} AS (SELECT cell, list(v ORDER BY pos) AS c FROM u{r}"
+                f" GROUP BY cell),"
+            )
+    last_a = f"a{KMEANS_ITERS}"
+    last_c = f"c{KMEANS_ITERS - 1}"
+    parts[-1] = parts[-1].rstrip(",")  # last CTE: no trailing comma
+    parts.append(
+        f"""
+    SELECT a.cell, COUNT(*) AS n_members,
+           CAST(SUM(a.dist) AS BIGINT) AS inertia,
+           MAX(md5(array_to_string(c.c, ','))) AS centroid_fp
+    FROM {last_a} a JOIN {last_c} c USING (cell)
+    GROUP BY a.cell"""
+    )
+    return "\n".join(parts)
+
+
+@query(
+    "ann_kmeans_lloyd",
+    "ml-prep",
+    _kmeans_oracle(),
+    doc=f"Iterative distributed k-means: {KMEANS_ITERS} full Lloyd steps "
+    "(assign → recompute means → reassign) from the deterministic "
+    f"vec_id<{N_CELLS} seeding, certified cross-engine INCLUDING the "
+    "trajectory — per-cell membership, exact-integer inertia, and an "
+    "md5 fingerprint of the final centroids all hash-match DuckDB's "
+    "unrolled-CTE replay. Exactness: ×1e6 BIGINT quantization makes "
+    "distances integer and centroid updates FLOOR an IEEE-identical "
+    "division, so no float summation order can fork the iterations. "
+    "Scale: each step is scan + broadcast(k centroids) + one "
+    "(cell,dim)-key shuffle — the textbook distributed k-means; "
+    "centroids stay k×d rows forever. Driver only unrolls the loop "
+    "(plan construction), no data ever collects.",
+)
+def ann_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000000, 0)"
+            " as bigint))"
+        ).alias("e"),
+    )
+    cent = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("e").alias("c")
+    )
+    dist = F.expr(
+        "aggregate(zip_with(e, c, (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    assigned = None
+    for r in range(KMEANS_ITERS):
+        scored = emb.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "cell", dist.alias("dist")
+        )
+        rn = F.row_number().over(
+            W.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cell"))
+        )
+        assigned = scored.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
+        if r < KMEANS_ITERS - 1:
+            per_el = (
+                assigned.join(emb, "vec_id")
+                .select("cell", F.posexplode("e").alias("pos_i", "x"))
+                .groupBy("cell", F.col("pos_i").cast("long").alias("pos"))
+                .agg(
+                    F.floor(F.sum("x") * 1.0 / F.count("*")).cast("long").alias("v")
+                )
+            )
+            cent = per_el.groupBy("cell").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                    lambda s: s["v"],
+                ).alias("c")
+            )
+    fp = cent.select(
+        "cell",
+        F.md5(
+            F.concat_ws(",", F.transform("c", lambda x: x.cast("string"))).cast(
+                "binary"
+            )
+        ).alias("centroid_fp"),
+    )
+    return (
+        assigned.groupBy("cell")
+        .agg(F.count("*").alias("n_members"), F.sum("dist").alias("inertia"))
+        .join(fp, "cell")
+        .select("cell", "n_members", "inertia", "centroid_fp")
     )
