@@ -257,3 +257,36 @@ def partitioned_orders_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     staged.write.mode("overwrite").partitionBy("o_year").parquet(path)
     return spark.read.parquet(path)
+
+
+@query(
+    "source_xml_roundtrip",
+    "sources",
+    """
+    SELECT n_regionkey,
+           COUNT(*) AS n,
+           STRING_AGG(n_name, '|' ORDER BY n_name) AS names
+    FROM nation GROUP BY n_regionkey
+    """,
+    doc="XML connector (Spark 4 native spark-xml) certified "
+    "differentially: nation staged to XML rowTag elements and read "
+    "back with an explicit schema, re-aggregated; the oracle reads the "
+    "parquet. The ordered STRING_AGG proves every row and value "
+    "survived tag round-tripping, not just counts.",
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    path = _stage_dir(sf_dir, "xml_nation")
+    t["nation"].select("n_nationkey", "n_name", "n_regionkey").write.mode(
+        "overwrite"
+    ).option("rowTag", "nation").format("xml").save(path)
+    back = (
+        spark.read.schema("n_nationkey long, n_name string, n_regionkey long")
+        .option("rowTag", "nation")
+        .format("xml")
+        .load(path)
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").alias("n"),
+        F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias("names"),
+    )

@@ -555,3 +555,45 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "scalar_try_funcs",
+    "scalar",
+    """
+    SELECT l_orderkey,
+           TRY_CAST(l_returnflag AS BIGINT) AS bad_int,
+           TRY_CAST(substring(CAST(l_orderkey AS VARCHAR), 1, 1) AS BIGINT)
+               AS maybe_int,
+           CASE WHEN (l_linenumber - 1) = 0 THEN NULL
+                ELSE CAST(l_quantity AS BIGINT) // (l_linenumber - 1) END AS safe_div,
+           TRY_CAST(l_linestatus AS DATE) IS NULL AS not_a_date
+    FROM lineitem WHERE l_orderkey < 200
+    """,
+    doc="Error-tolerant scalar surface: TRY_CAST of malformed "
+    "strings -> NULL (never a task failure) and guarded division - "
+    "the ingestion idiom for dirty 100 TB text where one bad row must "
+    "not kill a stage. Spark try_cast vs DuckDB TRY_CAST; integer div "
+    "floors identically both sides.",
+)
+def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") < 200)
+        .select(
+            "l_orderkey",
+            F.expr("try_cast(l_returnflag AS bigint)").alias("bad_int"),
+            F.expr(
+                "try_cast(substring(cast(l_orderkey as string), 1, 1) AS bigint)"
+            ).alias("maybe_int"),
+            F.when(F.col("l_linenumber") == 1, F.lit(None).cast("long"))
+            .otherwise(
+                F.floor(
+                    F.col("l_quantity").cast("bigint") / (F.col("l_linenumber") - 1)
+                ).cast("long")
+            )
+            .alias("safe_div"),
+            F.expr("try_cast(l_linestatus AS date)").isNull().alias("not_a_date"),
+        )
+    )

@@ -111,8 +111,9 @@ GRADED_WINDOW: tuple[str, ...] = (
     "multimodal_feature_extract",
     # skew handling
     "agg_salted_skew",
-    # ML prep
-    "sample_hash_split",
+    # ML prep (r3: iterative k-means — the iterative-algorithm family's
+    # hard row; hash-split stays certified on the local gate)
+    "ann_kmeans_lloyd",
     "grouped_zscore_pandas",        # §2D grouped pandas UDF
     # corpus pipeline
     "corpus_clean_pipeline",
