@@ -653,3 +653,107 @@ def corpus_repeat_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mat.groupBy("lang", F.col("copy_idx").cast("long").alias("copy_idx")).agg(
         F.count("*").alias("n_docs")
     )
+
+
+@query(
+    "corpus_snapshot_diff",
+    "corpus-pipeline",
+    """
+    WITH old AS (SELECT doc_id, md5(text) AS h FROM documents
+                 WHERE doc_id % 10 <> 0),
+    new AS (SELECT doc_id,
+                   md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                            ELSE text END) AS h
+            FROM documents WHERE doc_id % 10 <> 1),
+    j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                 o.h AS oh, n.h AS nh
+          FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+    SELECT CASE WHEN oh IS NULL THEN 'added'
+                WHEN nh IS NULL THEN 'removed'
+                WHEN oh <> nh   THEN 'changed'
+                ELSE 'same' END AS status,
+           COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id
+    FROM j GROUP BY 1
+    """,
+    doc="Corpus snapshot versioning: FULL OUTER join of two snapshot "
+    "views on doc_id comparing content hashes → added / removed / "
+    "changed / same attribution (synthetic snapshots carved "
+    "deterministically from the one documents table: doc_id%10 "
+    "membership shifts, doc_id%7 edits). The incremental-ingest "
+    "audit every recurring crawl needs. Scale: one equi-join shuffle "
+    "on doc_id; content compare is md5 computed map-side — never "
+    "text-vs-text.",
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    old = docs.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("oh")
+    )
+    new = docs.filter(F.col("doc_id") % 10 != 1).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            )
+            .otherwise(F.col("text"))
+            .cast("binary")
+        ).alias("nh"),
+    )
+    j = old.join(new, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("oh").isNull(), "added")
+        .when(F.col("nh").isNull(), "removed")
+        .when(F.col("oh") != F.col("nh"), "changed")
+        .otherwise("same")
+    )
+    return j.groupBy(status.alias("status")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+EVAL_QUOTA = 40  # eval holdout: docs per language
+
+
+@query(
+    "sample_stratified_quota",
+    "corpus-pipeline",
+    f"""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS rk
+        FROM documents
+    ) WHERE rk <= {EVAL_QUOTA}
+    GROUP BY lang
+    """,
+    doc=f"Fixed-size eval holdout: exactly {EVAL_QUOTA} docs per "
+    "language, chosen by ranking on md5(doc_id) — a deterministic "
+    "pseudo-random order both engines reproduce (id_sum hash-proves "
+    "the SAME docs were picked, not just the same count). The "
+    "fixed-quota counterpart of the share-based stratified sampler. "
+    "Scale: one lang-partitioned window sort; no collect, no "
+    "global sort.",
+)
+def sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    rk = F.row_number().over(
+        W.partitionBy("lang").orderBy(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), F.col("doc_id")
+        )
+    )
+    return (
+        t["documents"]
+        .select("lang", "doc_id")
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= EVAL_QUOTA)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("doc_id").alias("id_sum"))
+    )
