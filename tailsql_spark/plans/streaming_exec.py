@@ -391,29 +391,31 @@ REGISTRY["stream_interval_join"] = QuerySpec(
 )
 
 
-def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INCREMENTAL near-duplicate detection over a document stream:
-    each micro-batch MinHash-fingerprints its new docs, probes them
-    against the ACCUMULATED band index (new-vs-history + new-vs-new),
-    verifies candidates at true Jaccard, and appends the docs to the
-    index — so every near-dup pair is emitted exactly once, in the
-    micro-batch its LATER document arrives.
+def _mh_state_paths(root: str, exclude_bid: int | None = None) -> list:
+    """All per-batch state dirs under ``root`` (always includes the
+    schema seed), excluding ``b{exclude_bid}`` — a replayed batch must
+    see the index exactly as it stood BEFORE its original run."""
+    import os
 
-    The final pair set provably equals the batch ``dedup_minhash_lsh``
-    (each unordered pair is discovered exactly when its second member
-    streams in, against an index that by then contains the first), so
-    this query certifies against the SAME DuckDB oracle — a streaming
-    ≡ batch equivalence the driver checks end-to-end.
+    paths = [f"{root}/seed"]
+    for d in sorted(os.listdir(root)):
+        if d.startswith("b") and (exclude_bid is None or d != f"b{exclude_bid:05d}"):
+            paths.append(f"{root}/{d}")
+    return paths
 
-    Scale: per batch the probe is |batch|·N_BANDS rows equi-joined
-    against the index — cost tracks NEW data, not corpus size; the
-    index is an append-only columnar store partitionable by band_hash.
-    State here is two parquet dirs (shingle pairs + signatures),
-    i.e. the same scratch-storage pattern as the window spool.
+
+def _minhash_batch_processor(ex_root: str, sig_root: str, out_root: str):
+    """foreachBatch processor for incremental MinHash dedup, built for
+    EXACTLY-ONCE under micro-batch replay: every write lands in a
+    per-batch-id subdir with mode=overwrite, and history reads exclude
+    the current batch's own subdir — so re-running a batch whose write
+    finished but whose checkpoint commit didn't simply overwrites the
+    same state with the same rows instead of double-appending shingles
+    (which would corrupt every later Jaccard count).
+
+    Factored to module level so tests replay batches directly
+    (tests/test_streaming_replay.py) without the streaming engine.
     """
-    import shutil
-    import tempfile
-
     from tailsql_spark.operators.dedup import (
         JACCARD_THRESHOLD,
         band_long,
@@ -421,30 +423,9 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingles_col,
     )
 
-    t = load_tables(spark, sf_dir)
-    docs = t["documents"].select("doc_id", "text")
-    # 4 staged files + maxFilesPerTrigger=1 → 4 genuine micro-batches
-    src_dir = tempfile.mkdtemp(prefix="tailsql_stream_mhdedup_")
-    docs.repartition(4).write.mode("overwrite").parquet(src_dir)
-
-    state_root = tempfile.mkdtemp(prefix="tailsql_mhdedup_state_")
-    ex_dir = f"{state_root}/ex"
-    sig_dir = f"{state_root}/sig"
-    out_dir = f"{state_root}/pairs"
-    # seed empty state/result stores so every batch (and the final
-    # read) sees a parquet schema even before any rows exist
-    empty = docs.limit(0)
-    empty_ex = empty.select(
-        "doc_id", F.explode_outer(shingles_col(F.col("text"))).alias("s")
-    ).filter(F.col("s").isNotNull())
-    empty_ex.write.mode("overwrite").parquet(ex_dir)
-    minhash_signatures(empty_ex).write.mode("overwrite").parquet(sig_dir)
-    empty_ex.selectExpr(
-        "doc_id AS id_a", "doc_id AS id_b", "CAST(0.0 AS DOUBLE) AS jaccard"
-    ).limit(0).write.mode("overwrite").parquet(out_dir)
-
     def process(batch_df, batch_id):
         sess = batch_df.sparkSession
+        bid = int(batch_id)
         ex_b = (
             batch_df.select(
                 "doc_id", F.explode_outer(shingles_col(F.col("text"))).alias("s")
@@ -453,7 +434,7 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .persist()
         )
         sig_b = minhash_signatures(ex_b).persist()
-        sig_hist = sess.read.parquet(sig_dir)
+        sig_hist = sess.read.parquet(*_mh_state_paths(sig_root, bid))
         sig_all = sig_hist.unionByName(sig_b)
         # probe: bands of NEW docs vs bands of (history ∪ new) — every
         # pair with >=1 new member collides here; history×history pairs
@@ -477,7 +458,7 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .distinct()
         )
-        ex_all = sess.read.parquet(ex_dir).unionByName(ex_b)
+        ex_all = sess.read.parquet(*_mh_state_paths(ex_root, bid)).unionByName(ex_b)
         sizes = sig_all.select("doc_id", F.col("n_sh").alias("n"))
         exa = ex_all.select(F.col("doc_id").alias("id_a"), "s")
         exb = ex_all.select(F.col("doc_id").alias("idb2"), F.col("s").alias("sb"))
@@ -500,13 +481,78 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(jac >= JACCARD_THRESHOLD)
             .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
         )
-        verified.write.mode("append").parquet(out_dir)
+        sub = f"b{bid:05d}"
+        verified.write.mode("overwrite").parquet(f"{out_root}/{sub}")
         # admit the batch into the index AFTER probing (self-pairs came
         # from sig_all already containing sig_b via the union)
-        ex_b.write.mode("append").parquet(ex_dir)
-        sig_b.write.mode("append").parquet(sig_dir)
+        ex_b.write.mode("overwrite").parquet(f"{ex_root}/{sub}")
+        sig_b.write.mode("overwrite").parquet(f"{sig_root}/{sub}")
         ex_b.unpersist()
         sig_b.unpersist()
+
+    return process
+
+
+def _mh_seed_state(docs, state_root: str) -> tuple:
+    """Create ex/sig/pairs roots with empty schema seeds; returns the
+    three root paths."""
+    from tailsql_spark.operators.dedup import minhash_signatures, shingles_col
+
+    ex_root = f"{state_root}/ex"
+    sig_root = f"{state_root}/sig"
+    out_root = f"{state_root}/pairs"
+    empty = docs.limit(0)
+    empty_ex = empty.select(
+        "doc_id", F.explode_outer(shingles_col(F.col("text"))).alias("s")
+    ).filter(F.col("s").isNotNull())
+    empty_ex.write.mode("overwrite").parquet(f"{ex_root}/seed")
+    minhash_signatures(empty_ex).write.mode("overwrite").parquet(f"{sig_root}/seed")
+    empty_ex.selectExpr(
+        "doc_id AS id_a", "doc_id AS id_b", "CAST(0.0 AS DOUBLE) AS jaccard"
+    ).limit(0).write.mode("overwrite").parquet(f"{out_root}/seed")
+    return ex_root, sig_root, out_root
+
+
+def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-duplicate detection over a document stream:
+    each micro-batch MinHash-fingerprints its new docs, probes them
+    against the ACCUMULATED band index (new-vs-history + new-vs-new),
+    verifies candidates at true Jaccard, and admits the docs to the
+    index — so every near-dup pair is emitted exactly once, in the
+    micro-batch its LATER document arrives.
+
+    The final pair set provably equals the batch ``dedup_minhash_lsh``
+    (each unordered pair is discovered exactly when its second member
+    streams in, against an index that by then contains the first), so
+    this query certifies against the SAME DuckDB oracle — a streaming
+    ≡ batch equivalence the driver checks end-to-end.
+
+    Exactly-once under replay: state writes are per-batch-id overwrite
+    dirs and history reads exclude the replaying batch's own dir (see
+    ``_minhash_batch_processor``); a crash between state write and
+    checkpoint commit therefore reproduces identical state instead of
+    double-appending (replay-idempotence is unit-tested directly in
+    tests/test_streaming_replay.py).
+
+    Scale: per batch the probe is |batch|·N_BANDS rows equi-joined
+    against the index — cost tracks NEW data, not corpus size; the
+    index is an append-only columnar store partitionable by band_hash.
+    State here is two parquet dir families (shingle pairs +
+    signatures), i.e. the same scratch-storage pattern as the window
+    spool.
+    """
+    import shutil
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+    # 4 staged files + maxFilesPerTrigger=1 → 4 genuine micro-batches
+    src_dir = tempfile.mkdtemp(prefix="tailsql_stream_mhdedup_")
+    docs.repartition(4).write.mode("overwrite").parquet(src_dir)
+
+    state_root = tempfile.mkdtemp(prefix="tailsql_mhdedup_state_")
+    ex_root, sig_root, out_root = _mh_seed_state(docs, state_root)
+    process = _minhash_batch_processor(ex_root, sig_root, out_root)
 
     stream = (
         spark.readStream.schema(docs.schema)
@@ -523,9 +569,8 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(300)
     finally:
         q.stop()
-    result = spark.read.parquet(out_dir)
+    result = spark.read.parquet(*_mh_state_paths(out_root))
     # materialize into the session before the scratch dirs vanish
-    result.createOrReplaceTempView("_stream_dedup_minhash_raw")
     out = spark.createDataFrame(result.collect(), result.schema)
     shutil.rmtree(src_dir, ignore_errors=True)
     shutil.rmtree(state_root, ignore_errors=True)
