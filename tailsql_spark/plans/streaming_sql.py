@@ -487,3 +487,69 @@ def events_action_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.transform(seq, lambda x: x["a"]), ">").cast("binary")
         ).alias("seq_fp"),
     )
+
+
+@query(
+    "events_gaps_islands",
+    "event-analytics",
+    """
+    WITH ordered AS (
+        SELECT user_id, epoch_us(ts) AS tu, event_id,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY epoch_us(ts), event_id) AS prev
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, tu, event_id,
+               CASE WHEN prev IS NULL OR tu - prev > 1800000000
+                    THEN 1 ELSE 0 END AS new_island
+        FROM ordered
+    ),
+    islands AS (
+        SELECT user_id,
+               SUM(new_island) OVER (PARTITION BY user_id
+                                     ORDER BY tu, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS island
+        FROM marked
+    )
+    SELECT user_id,
+           CAST(COUNT(DISTINCT island) AS BIGINT) AS n_islands,
+           CAST(MAX(cnt) AS BIGINT) AS longest_island
+    FROM (SELECT user_id, island, COUNT(*) AS cnt
+          FROM islands GROUP BY user_id, island)
+    GROUP BY user_id
+    """,
+    doc="Gaps-and-islands sessionization — the lag + conditional "
+    "cumulative-sum idiom (30-min gap threshold), certified identical "
+    "to DuckDB's reading of the same pattern. The classic SQL "
+    "alternative to session_window when downstream needs island IDS "
+    "rather than window bounds. Scale: two window passes over the "
+    "same user_id partitioning (one shuffle, reused), then one "
+    "groupBy — ordering ties broken by event_id on both engines.",
+)
+def events_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w_lag = W.partitionBy("user_id").orderBy(F.unix_micros("ts"), F.col("event_id"))
+    w_cum = (
+        W.partitionBy("user_id")
+        .orderBy("tu", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ordered = t["events"].select(
+        "user_id",
+        F.unix_micros("ts").alias("tu"),
+        "event_id",
+        F.lag(F.unix_micros("ts")).over(w_lag).alias("prev"),
+    )
+    marked = ordered.withColumn(
+        "new_island",
+        F.when(
+            F.col("prev").isNull() | (F.col("tu") - F.col("prev") > 1800000000), 1
+        ).otherwise(0),
+    )
+    islands = marked.withColumn("island", F.sum("new_island").over(w_cum))
+    per_island = islands.groupBy("user_id", "island").agg(F.count("*").alias("cnt"))
+    return per_island.groupBy("user_id").agg(
+        F.countDistinct("island").alias("n_islands"),
+        F.max("cnt").alias("longest_island"),
+    )
