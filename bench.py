@@ -79,12 +79,13 @@ def main() -> None:
         spec.build(spark, sf_dir).collect()
         # drop caches the warmup populated (plan-matching would hand
         # the timed run pre-built persisted tables) — we time the real
-        # pipeline, only codegen stays warm. Three timed runs, report
+        # pipeline, only codegen stays warm. Five timed runs, report
         # the min: local-mode scheduling of many small stages is noisy
-        # (observed 2× outliers) and a single bad run would
-        # misrepresent the plan.
+        # (observed 2× outliers, and whole-box throughput drifts ±20%
+        # between rounds) — the min of five tracks the plan's floor,
+        # not the box's mood.
         best, n = float("inf"), 0
-        for _ in range(3):
+        for _ in range(5):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = spec.build(spark, sf_dir)

@@ -321,13 +321,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s").isNotNull())
         .persist()
     )
-    # LAZY persists, no count() barriers: the extra materialization jobs
-    # cost more than they save (measured at sf0.1, min-of-4:
-    # lazy-both 1.84 s, ex-barrier 1.96 s, both-barriers 2.01 s — the
-    # round-2 +18 % regression was the barriers, not the persists).
-    # Concurrent first-touch may recompute a few tokenizer partitions
-    # before the cache fills; every later stage hits the cache, which is
-    # what actually protects the five-consumer DAG.
+    # ONE materialization barrier, on ex only (quiet-box min-of-5 at
+    # sf0.1: ex-barrier 1.99 s and tight, lazy 2.13 s with 30 % spread,
+    # both-barriers 2.08 s). The barrier serializes the tokenizer: the
+    # candidate-set broadcast runs as a SEPARATE job that otherwise
+    # races the main job into the unfilled cache and recomputes
+    # interpreted-HOF partitions. sig stays lazy — its groupBy reads
+    # the already-cached ex, so a second barrier only adds a job.
+    ex.count()
     sig = minhash_signatures(ex).persist()
     small = _small_input(sf_dir)
     cand = lsh_candidate_pairs(sig, hint_broadcast=small)
