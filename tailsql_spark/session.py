@@ -40,6 +40,12 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.ui.enabled": "false",
+    # Baseline shuffle width for sessions we DIDN'T build (the driver's
+    # vanilla session picks this up via __spark_entry__._apply_conf):
+    # Spark's 200 default schedules 6× excess empty tasks at test
+    # scale; AQE coalescing trims the reduce side either way, and
+    # get_spark() overrides this with its core-count-derived value.
+    "spark.sql.shuffle.partitions": "32",
 }
 
 
