@@ -757,3 +757,66 @@ def sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").alias("n_docs"), F.sum("doc_id").alias("id_sum"))
     )
+
+
+CHUNK_TOKENS = 256   # RAG/packing chunk width
+CHUNK_STRIDE = 192   # 64-token overlap between consecutive chunks
+
+
+@query(
+    "corpus_chunk_windows",
+    "corpus-pipeline",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        FROM documents WHERE trim(text) <> ''
+    ),
+    chunks AS (
+        SELECT doc_id, n_tokens,
+               UNNEST(generate_series(0,
+                   CAST(CEIL(GREATEST(n_tokens - {CHUNK_TOKENS}, 0)
+                             * 1.0 / {CHUNK_STRIDE}) AS BIGINT))) AS c
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(LEAST({CHUNK_TOKENS}, n_tokens - c * {CHUNK_STRIDE}))
+                AS BIGINT) AS covered_tokens
+    FROM chunks GROUP BY doc_id
+    """,
+    doc=f"RAG-style overlapping chunking: {CHUNK_TOKENS}-token windows "
+    f"at stride {CHUNK_STRIDE} (64-token overlap), each doc exploded "
+    "into its chunk set and re-aggregated — n_chunks and "
+    "covered_tokens (with overlap double-count) certify the exact "
+    "boundary arithmetic both engines compute. The materialization "
+    "is a pure map (explode over a generated index, no shuffle "
+    "before the per-doc re-agg); at 100 TB chunks write straight "
+    "out partitioned by doc hash.",
+)
+def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    toks = (
+        t["documents"]
+        .filter(F.trim("text") != "")
+        .select(
+            "doc_id",
+            F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+        )
+    )
+    n_last = F.ceil(
+        F.greatest(F.col("n_tokens") - CHUNK_TOKENS, F.lit(0)) / CHUNK_STRIDE
+    ).cast("long")
+    chunks = toks.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(F.sequence(F.lit(0), n_last)).alias("c"),
+    )
+    return chunks.groupBy("doc_id").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.count("*").alias("n_chunks"),
+        F.sum(
+            F.least(F.lit(CHUNK_TOKENS), F.col("n_tokens") - F.col("c") * CHUNK_STRIDE)
+        ).alias("covered_tokens"),
+    )
