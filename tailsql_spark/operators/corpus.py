@@ -41,6 +41,16 @@ from tailsql_spark.plans.catalog import QuerySpec, load_tables
 REGISTRY: dict[str, QuerySpec] = {}
 
 
+def _n_tokens():
+    """Whitespace token count, guarded against the empty-split trap:
+    ``split(trim(''), '\\s+')`` yields ``['']`` → size 1, a phantom
+    token for empty/whitespace-only docs (the dedup.py shingle lesson).
+    Trimmed non-empty text can't contain empty tokens, so the guard is
+    a single CASE — no per-token HOF filter."""
+    t = F.trim("text")
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
 def query(name: str, category: str, oracle: str | None, doc: str = ""):
     def deco(fn):
         REGISTRY[name] = QuerySpec(
@@ -73,7 +83,7 @@ def query(name: str, category: str, oracle: str | None, doc: str = ""):
         FROM fp GROUP BY fingerprint
     )
     SELECT doc_id, lang,
-           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           (CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END) AS n_tokens,
            CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'test'
                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '34' THEN 'val'
                 ELSE 'train' END AS split
@@ -106,7 +116,7 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep.select(
         "doc_id",
         "lang",
-        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        _n_tokens().alias("n_tokens"),
         F.when(h < "1a", "test").when(h < "34", "val").otherwise("train").alias("split"),
     )
 
@@ -372,7 +382,7 @@ def ann_cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'test'
                     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '34' THEN 'val'
                     ELSE 'train' END AS split,
-               len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+               (CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END) AS n_tokens
         FROM documents
     ),
     agg AS (
@@ -397,7 +407,7 @@ def corpus_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = t["documents"].select(
         "lang",
         F.when(h < "1a", "test").when(h < "34", "val").otherwise("train").alias("split"),
-        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+        _n_tokens().cast("long").alias("n_tokens"),
     )
     agg = toks.groupBy("lang", "split").agg(
         F.count("*").alias("n_docs"), F.sum("n_tokens").alias("tokens")
@@ -412,18 +422,38 @@ def corpus_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "corpus_mix_temperature",
-    "corpus-pipeline",
-    """
-    WITH toks AS (
-        SELECT lang, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+#: Shared T=2 temperature-mix core (token totals → sqrt weights →
+#: normalizers), used by BOTH corpus_mix_temperature and
+#: corpus_repeat_upsample so the mix definition cannot silently fork.
+_TEMP_MIX_CTE = """toks AS (
+        SELECT doc_id, lang,
+               (CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END) AS n_tokens
         FROM documents
     ),
     agg AS (SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS tokens
             FROM toks GROUP BY lang),
     w AS (SELECT lang, tokens, SQRT(tokens) AS wt FROM agg),
-    tot AS (SELECT SUM(tokens) AS total, SUM(wt) AS wtotal FROM w)
+    tot AS (SELECT SUM(tokens) AS total, SUM(wt) AS wtotal FROM w)"""
+
+
+def _temperature_mix(docs: DataFrame):
+    """Spark mirror of :data:`_TEMP_MIX_CTE`: returns ``(toks, w, tot)``
+    — per-doc token counts, per-language sqrt-weighted totals, and the
+    1-row normalizer aggregate."""
+    toks = docs.select(
+        "doc_id", "lang", _n_tokens().cast("long").alias("n_tokens")
+    )
+    agg = toks.groupBy("lang").agg(F.sum("n_tokens").alias("tokens"))
+    w = agg.withColumn("wt", F.sqrt(F.col("tokens")))
+    tot = w.agg(F.sum("tokens").alias("total"), F.sum("wt").alias("wtotal"))
+    return toks, w, tot
+
+
+@query(
+    "corpus_mix_temperature",
+    "corpus-pipeline",
+    f"""
+    WITH {_TEMP_MIX_CTE}
     SELECT lang, tokens,
            ROUND(tokens * 1.0 / total, 6) AS raw_share,
            ROUND(wt / wtotal, 6) AS temp_share,
@@ -438,13 +468,7 @@ def corpus_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    toks = t["documents"].select(
-        "lang",
-        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
-    )
-    agg = toks.groupBy("lang").agg(F.sum("n_tokens").alias("tokens"))
-    w = agg.withColumn("wt", F.sqrt(F.col("tokens")))
-    tot = w.agg(F.sum("tokens").alias("total"), F.sum("wt").alias("wtotal"))
+    _, w, tot = _temperature_mix(t["documents"])
     return w.join(F.broadcast(tot)).select(
         "lang",
         "tokens",
@@ -466,7 +490,7 @@ CONTEXT_TOKENS = 2048  # packing target: tokens per training sequence
     f"""
     WITH toks AS (
         SELECT doc_id, lang,
-               len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+               (CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END) AS n_tokens
         FROM documents
     ),
     placed AS (
@@ -492,7 +516,7 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = t["documents"].select(
         "doc_id",
         "lang",
-        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+        _n_tokens().cast("long").alias("n_tokens"),
     )
     win = W.partitionBy("lang").orderBy("doc_id")
     placed = toks.select(
@@ -519,7 +543,7 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                (n_chars >= 100) AS pass_len,
                (length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) * 1.0
                 / length(text) >= 0.6) AS pass_alpha,
-               (len(string_split_regex(trim(text), '\\s+')) >= 20) AS pass_tok
+               ((CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END) >= 20) AS pass_tok
         FROM documents
     )
     SELECT lang,
@@ -552,7 +576,7 @@ def corpus_filter_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         (F.col("n_chars") >= 100).alias("pass_len"),
         (alpha_ratio >= 0.6).alias("pass_alpha"),
-        (F.size(F.split(F.trim("text"), r"\s+")) >= 20).alias("pass_tok"),
+        (_n_tokens() >= 20).alias("pass_tok"),
     )
     def surv(*conds):
         c = conds[0]
@@ -574,16 +598,8 @@ def corpus_filter_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "corpus_repeat_upsample",
     "corpus-pipeline",
-    """
-    WITH toks AS (
-        SELECT doc_id, lang,
-               len(string_split_regex(trim(text), '\\s+')) AS n_tokens
-        FROM documents
-    ),
-    agg AS (SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS tokens
-            FROM toks GROUP BY lang),
-    w AS (SELECT lang, tokens, SQRT(tokens) AS wt FROM agg),
-    tot AS (SELECT SUM(tokens) AS total, SUM(wt) AS wtotal FROM w),
+    f"""
+    WITH {_TEMP_MIX_CTE},
     u AS (SELECT lang,
                  ROUND((wt / wtotal) / (tokens * 1.0 / total), 4) AS up
           FROM w CROSS JOIN tot),
@@ -618,14 +634,7 @@ def corpus_filter_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_repeat_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    toks = t["documents"].select(
-        "doc_id",
-        "lang",
-        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
-    )
-    agg = toks.groupBy("lang").agg(F.sum("n_tokens").alias("tokens"))
-    w = agg.withColumn("wt", F.sqrt(F.col("tokens")))
-    tot = w.agg(F.sum("tokens").alias("total"), F.sum("wt").alias("wtotal"))
+    toks, w, tot = _temperature_mix(t["documents"])
     u = w.join(F.broadcast(tot)).select(
         "lang",
         F.round(
@@ -769,7 +778,7 @@ CHUNK_STRIDE = 192   # 64-token overlap between consecutive chunks
     f"""
     WITH toks AS (
         SELECT doc_id,
-               len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+               (CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END) AS n_tokens
         FROM documents WHERE trim(text) <> ''
     ),
     chunks AS (
@@ -802,7 +811,7 @@ def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.trim("text") != "")
         .select(
             "doc_id",
-            F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+            _n_tokens().cast("long").alias("n_tokens"),
         )
     )
     n_last = F.ceil(

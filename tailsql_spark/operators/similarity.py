@@ -331,7 +331,7 @@ N_PROBES = 2  # multiprobe: search the query's 2 nearest cells
     doc=f"IVF multiprobe: each query searches its {N_PROBES} nearest "
     "cells instead of one — the standard recall lever when the true "
     "neighbor straddles a cell boundary. Cost grows by the probe "
-    "factor, never by corpus size: probes is a |Q|x{N_PROBES} "
+    f"factor, never by corpus size: probes is a |Q|x{N_PROBES} "
     "broadcast and the corpus side stays one cell equi-join over "
     "cell-partitioned storage. A corpus vector lives in exactly one "
     "cell, so probed cells never produce duplicate candidates.",

@@ -712,6 +712,12 @@ _WINNOW_FP_CTE = f"""
 )
 def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = text_winnow_fingerprints(spark, sf_dir)
+    # fp self-joins below: without a persist the per-char gram + window
+    # winnow chain — the expensive interpreted-HOF stage — is computed
+    # once per join side (the sign-LSH/minhash lesson).  Two narrow
+    # scalar columns: cheap to cache at any corpus size.
+    fp = fp.persist()
+    fp.count()
     a = fp.select(F.col("doc_id").alias("id_a"), "fingerprint")
     b = fp.select(F.col("doc_id").alias("id_b"), F.col("fingerprint").alias("fp2"))
     return (

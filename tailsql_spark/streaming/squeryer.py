@@ -75,6 +75,11 @@ class SourceSpec:
     compiled: CompiledPattern = field(init=False)
 
     def __post_init__(self) -> None:
+        if self.throttle_mode not in ("sample", "drop_tail"):
+            raise ValueError(
+                f"throttle_mode must be 'sample' or 'drop_tail', "
+                f"got {self.throttle_mode!r}"
+            )
         self.compiled = compile_pattern(self.pattern)
 
 
@@ -240,9 +245,24 @@ class StreamQueryer:
 
         Works on any pyarrow filesystem (local path, ``file://``,
         ``hdfs://``, ``s3://`` spool scratch); if the footer listing
-        comes back EMPTY for any reason, falls back to a Spark-side
-        count/max agg rather than reporting 0 — a wrong 0 here would
-        silently delete the just-ingested batch."""
+        comes back EMPTY — or the pyarrow filesystem path raises at all
+        (pyarrow built without that filesystem, credential or transient
+        I/O errors) — falls back to a Spark-side count/max agg rather
+        than reporting 0 or killing the stream: a wrong 0 here would
+        silently delete the just-ingested batch, and Spark can read any
+        spool path it just wrote."""
+        try:
+            found, n, mx = self._spool_stats_footers(path)
+        except Exception:
+            return self._spool_stats_spark(path)
+        if not found:
+            # empty LISTING is indistinguishable from a listing failure
+            # — verify via Spark.  (Real footers totalling 0 rows are
+            # trusted: Spark always writes ≥1 schema-bearing part file.)
+            return self._spool_stats_spark(path)
+        return n, _event_micros(mx)
+
+    def _spool_stats_footers(self, path: str) -> tuple[bool, int, object]:
         import glob
 
         import pyarrow.parquet as pq
@@ -263,8 +283,6 @@ class StreamQueryer:
         else:
             parts = sorted(glob.glob(f"{path.removeprefix('file:')}/part-*"))
             read_md = pq.read_metadata
-        if not parts:
-            return self._spool_stats_spark(path)
         n = 0
         mx = None
         ts_field = self.window.ts_field
@@ -280,7 +298,7 @@ class StreamQueryer:
                     v = st.max
                     if mx is None or v > mx:
                         mx = v
-        return n, _event_micros(mx)
+        return bool(parts), n, mx
 
     def _spool_stats_spark(self, path: str) -> tuple[int, int | None]:
         """Fallback bookkeeping when footers can't be listed driver-side
