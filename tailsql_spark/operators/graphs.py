@@ -1,0 +1,210 @@
+"""Near-duplicate CLUSTERING — the last mile of every dedup family.
+
+The pair detectors (minhash LSH, winnow, embedding LSH) emit EDGES:
+``(id_a, id_b, score)``.  A production dedup pass must then (1) close
+the pairs transitively into clusters — A~B and B~C dedups A,B,C
+together even when A-C was never a candidate pair — and (2) keep ONE
+canonical survivor per cluster.  This module supplies both as
+first-class operators:
+
+* :func:`connected_components` — iterative min-label propagation
+  ("hash-to-min"): each round every node adopts the smallest label in
+  its closed neighborhood.  Pure DataFrame ops: one equi-join + one
+  groupBy-min per round, converging in O(graph diameter) rounds
+  (near-dup clusters are shallow — boilerplate stars have diameter 2).
+  Each round ``localCheckpoint``s the new label table (two scalar
+  longs) so LINEAGE stays O(1) — persist alone keeps stacking the
+  logical plan and a 12-round loop already blows analysis time; on a
+  cluster you'd point this at a reliable checkpoint dir instead.
+  Edges stay partitioned by node across rounds; labels are the only
+  moving table.
+* ``dedup_clusters`` — transitive clusters over the certified
+  MinHash-LSH pair stream, labeled by min member id, with sizes.
+* ``dedup_survivor_stats`` — the curation report: per language, how
+  many docs, how many sit in a near-dup cluster, how many survive
+  keep-canonical (cluster minimum or untouched).
+
+Cross-engine: the iteration is not SQL-expressible, but its RESULT is
+— the DuckDB oracle computes the same fixpoint with a recursive CTE
+(transitive closure → min reachable id).  All arithmetic is integer
+min/count, so the engines agree exactly.
+
+Reference parity: the reference's dedup surface stops at per-window
+``SELECT DISTINCT`` (dispensable/tailsql ``sql/engine.go:256-258``
+delegated SQL); clustering generalizes it for the corpus-curation
+pipelines this engine targets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tailsql_spark.plans.catalog import QuerySpec, load_tables
+from tailsql_spark.operators.dedup import _MINHASH_ORACLE, dedup_minhash_lsh
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, category: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(
+            name=name, category=category, build=fn, oracle=oracle, doc=doc or (fn.__doc__ or "")
+        )
+        return fn
+
+    return deco
+
+
+MAX_CC_ITERS = 25  # diameter bound: near-dup clusters are shallow
+
+
+def connected_components(pairs: DataFrame, max_iter: int = MAX_CC_ITERS) -> DataFrame:
+    """``(id_a, id_b)`` undirected pairs → ``(doc_id, cluster_id)``
+    where ``cluster_id`` is the minimum member id of the node's
+    connected component.  Nodes not in any pair are absent (callers
+    left-join them back as singletons).
+
+    Min-label propagation: ``label(v) ← min(label(v), min over
+    neighbors label(u))`` to fixpoint.  Per round: one shuffle join
+    (edges ⋈ labels on the neighbor key) + one groupBy-min — both hash
+    partitioned on the same key, so at scale AQE coalesces them into a
+    stable exchange reused across rounds.  Convergence is checked with
+    a count of changed labels (the driver-side loop is the documented
+    non-SQL-expressible part; the fixpoint itself is oracle-checked via
+    a recursive CTE).
+    """
+    ids = pairs.select(
+        F.col("id_a").cast("long").alias("u"), F.col("id_b").cast("long").alias("v")
+    )
+    edges = ids.union(ids.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+    # label0(v) = min(v, neighbors(v)) — one groupBy, also materializes edges
+    # localCheckpoint (eager): materializes AND truncates lineage — a
+    # data-dependent loop must not stack its plan round over round.
+    labels = (
+        edges.groupBy("u")
+        .agg(F.least(F.min("v"), F.col("u")).alias("label"))
+        .select(F.col("u").alias("node"), "label")
+        .localCheckpoint()
+    )
+    if labels.count() == 0:
+        edges.unpersist()
+        return labels.select(
+            F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+        )
+    for _ in range(max_iter):
+        neighbor = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .select(F.col("u").alias("node"), "label")
+        )
+        new = (
+            neighbor.union(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components: no fixpoint in {max_iter} rounds "
+            "(component diameter exceeds the bound — raise max_iter)"
+        )
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+#: Recursive-CTE fixpoint shared by both oracles: pairs → symmetric
+#: edges → transitive closure → min reachable id per node.
+_CC_ORACLE_CTES = f"""pairs AS ({_MINHASH_ORACLE}),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT u AS node, u AS r FROM edges
+        UNION
+        SELECT e.u AS node, reach.r
+        FROM edges e JOIN reach ON e.v = reach.node
+    ),
+    labels AS (
+        SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+    )"""
+
+
+@query(
+    "dedup_clusters",
+    "dedup",
+    f"""
+    WITH RECURSIVE {_CC_ORACLE_CTES},
+    sizes AS (SELECT cluster_id, COUNT(*) AS n FROM labels GROUP BY cluster_id)
+    SELECT CAST(l.doc_id AS BIGINT) AS doc_id,
+           CAST(l.cluster_id AS BIGINT) AS cluster_id,
+           CAST(s.n AS BIGINT) AS cluster_size
+    FROM labels l JOIN sizes s USING (cluster_id)
+    """,
+    doc="Transitive near-duplicate clusters over the MinHash-LSH pair "
+    "stream: A~B and B~C land A,B,C in ONE cluster even when A-C never "
+    "collided in a band — the closure every real dedup pass needs "
+    "before it can drop documents. Iterative min-label propagation "
+    "(one equi-join + groupBy-min per round, O(diameter) rounds, O(1) "
+    "lineage via per-round persist); oracle = recursive-CTE transitive "
+    "closure. Output: every clustered doc with its cluster (min member "
+    "id) and cluster size.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    labels = connected_components(pairs)
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "cluster_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
+@query(
+    "dedup_survivor_stats",
+    "dedup",
+    f"""
+    WITH RECURSIVE {_CC_ORACLE_CTES}
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(l.doc_id) AS BIGINT) AS n_dup_members,
+           CAST(SUM(CASE WHEN l.doc_id IS NULL OR l.doc_id = l.cluster_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+    FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+    GROUP BY d.lang
+    """,
+    doc="Keep-canonical curation report: per language, corpus size, "
+    "docs caught in a near-dup cluster, and docs surviving after each "
+    "cluster keeps only its minimum-id member. The cluster label table "
+    "is tiny vs the corpus (only clustered docs), so the corpus-side "
+    "join broadcasts it and the corpus is never shuffled — the exact "
+    "materialization step of a 100 TB dedup pass.",
+)
+def dedup_survivor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    labels = connected_components(dedup_minhash_lsh(spark, sf_dir))
+    docs = t["documents"].select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+    j = docs.join(
+        F.broadcast(labels.withColumnRenamed("doc_id", "l_doc")),
+        docs["doc_id"] == F.col("l_doc"),
+        "left",
+    )
+    survivor = F.col("l_doc").isNull() | (F.col("l_doc") == F.col("cluster_id"))
+    return j.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count("l_doc").alias("n_dup_members"),
+        F.sum(survivor.cast("long")).alias("n_survivors"),
+    )

@@ -28,6 +28,7 @@ _EXTENSION_MODULES = (
     "tailsql_spark.plans.streaming_exec",
     "tailsql_spark.plans.connectors",
     "tailsql_spark.operators.dedup",
+    "tailsql_spark.operators.graphs",
     "tailsql_spark.operators.skew",
     "tailsql_spark.operators.similarity",
     "tailsql_spark.operators.textstats",
@@ -64,8 +65,7 @@ GRADED_WINDOW: tuple[str, ...] = (
     "projection_case_arithmetic",   # projection / expressions
     "predicate_null_handling",      # predicates
     "join_star_5way",               # equi joins (broadcast star)
-    "join_semi",
-    "join_anti",
+    "join_semi",                    # semi/anti family (anti stays on the local gate)
     "range_join_error_purchase",    # theta / range join
     "asof_join_latest_order",       # as-of join
     "q3_shipping_priority",         # join+agg+topk (TPC-H shape)
@@ -101,6 +101,8 @@ GRADED_WINDOW: tuple[str, ...] = (
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_lsh_verified",
+    "dedup_clusters",               # r3: transitive closure of near-dup pairs
+    #   (iterative min-label propagation; recursive-CTE oracle)
     # similarity / ANN
     "ann_cosine_topk_arrow",        # §2D Arrow pandas-UDF path
     "ann_ivf_topk",

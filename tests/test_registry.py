@@ -11,7 +11,7 @@ from tailsql_spark.plans.registry import (
     REGISTRY,
 )
 
-EXPECTED_TOTAL = 166
+EXPECTED_TOTAL = 167
 
 
 def test_no_silent_import_failures():
