@@ -55,6 +55,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     for c in _nanos_ts_columns(path):
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # Parquet written without isAdjustedToUTC (pandas default) infers as
+    # TIMESTAMP_NTZ when spark.sql.parquet.inferTimestampNTZ.enabled is
+    # on — and withWatermark rejects NTZ event-time columns
+    # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). Under the pinned UTC
+    # session zone the cast is value-identical, so normalize every NTZ
+    # column to TIMESTAMP here; DEFAULT_CONF also disables the NTZ
+    # inference so sessions we didn't build get LTZ straight off the
+    # scan (belt and braces — either alone suffices).
+    from pyspark.sql.types import TimestampNTZType
+
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

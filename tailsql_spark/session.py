@@ -34,10 +34,20 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": "134217728",
     # Parquet scans: pushdown everything that can be pushed.
     "spark.sql.parquet.filterPushdown": "true",
-    # The driver's testdata stores events.ts as TIMESTAMP(NANOS); Spark
-    # has no nanosecond timestamp type, so scan them as raw longs and
-    # let the catalog convert to microsecond timestamps (exact int div).
+    # Timestamp normalization, two layers (the driver's testdata has
+    # shipped BOTH shapes across rounds — TIMESTAMP(NANOS) in round 2,
+    # microsecond-NTZ in round 3):
+    # * nanos: Spark has no nanosecond timestamp type, so scan as raw
+    #   longs and let the catalog convert to microsecond timestamps
+    #   (exact int div — never float math).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # * NTZ: parquet written without isAdjustedToUTC (pandas default)
+    #   would otherwise infer TIMESTAMP_NTZ, which withWatermark
+    #   rejects. Force LTZ at scan time; under the pinned UTC session
+    #   zone the values are identical. load_table additionally casts
+    #   any NTZ column that slips through (sessions with this conf
+    #   overridden).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.ui.enabled": "false",
     # Baseline shuffle width for sessions we DIDN'T build (the driver's
