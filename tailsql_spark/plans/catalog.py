@@ -31,6 +31,147 @@ TABLES = (
 )
 
 
+class SchemaDriftError(RuntimeError):
+    """Testdata schema drifted from the pinned contract.
+
+    Raised by :func:`load_table` so drift surfaces as ONE actionable
+    error at load time instead of a deep operator stack trace (round 3:
+    ``events.ts`` silently flipped nanos→microsecond-NTZ and the first
+    symptom was ``EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE`` inside
+    ``withWatermark``).
+    """
+
+
+#: Pinned type-class per column, checked POST-normalization. Classes
+#: are deliberately coarse ("integer", not int32-vs-int64) so benign
+#: width changes pass while semantic drift (timestamp→string, array
+#: element type change, a column vanishing) fails loud. Extra columns
+#: are allowed — the contract is "at least these, with these shapes".
+#: "timestamp" means Spark TimestampType (LTZ) — exactly what
+#: withWatermark and the DuckDB oracle comparison require; NTZ or raw
+#: longs surviving normalization is drift.
+EXPECTED_COLUMNS: dict[str, dict[str, str]] = {
+    "region": {"r_regionkey": "integer", "r_name": "string"},
+    "nation": {"n_nationkey": "integer", "n_name": "string", "n_regionkey": "integer"},
+    "customer": {
+        "c_custkey": "integer",
+        "c_name": "string",
+        "c_nationkey": "integer",
+        "c_acctbal": "floating",
+        "c_mktsegment": "string",
+    },
+    "supplier": {
+        "s_suppkey": "integer",
+        "s_name": "string",
+        "s_nationkey": "integer",
+        "s_acctbal": "floating",
+    },
+    "part": {
+        "p_partkey": "integer",
+        "p_name": "string",
+        "p_brand": "string",
+        "p_type": "string",
+        "p_size": "integer",
+        "p_retailprice": "floating",
+    },
+    "orders": {
+        "o_orderkey": "integer",
+        "o_custkey": "integer",
+        "o_orderstatus": "string",
+        "o_totalprice": "floating",
+        "o_orderdate": "timestamp",
+        "o_orderpriority": "string",
+    },
+    "lineitem": {
+        "l_orderkey": "integer",
+        "l_partkey": "integer",
+        "l_suppkey": "integer",
+        "l_linenumber": "integer",
+        "l_quantity": "floating",
+        "l_extendedprice": "floating",
+        "l_discount": "floating",
+        "l_tax": "floating",
+        "l_returnflag": "string",
+        "l_linestatus": "string",
+        "l_shipdate": "timestamp",
+    },
+    "events": {
+        "event_id": "integer",
+        "ts": "timestamp",
+        "user_id": "integer",
+        "event_type": "string",
+        "value": "floating",
+        "props": "string",
+    },
+    "documents": {
+        "doc_id": "integer",
+        "text": "string",
+        "lang": "string",
+        "source": "string",
+        "n_chars": "integer",
+    },
+    "embeddings": {
+        "vec_id": "integer",
+        "embedding": "array<floating>",
+        "label": "integer",
+    },
+}
+
+
+def _type_class(dt) -> str:
+    """Collapse a Spark DataType to the coarse class EXPECTED_COLUMNS pins."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "integer"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "floating"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.TimestampNTZType):
+        return "timestamp_ntz"
+    if isinstance(dt, T.TimestampType):
+        return "timestamp"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    if isinstance(dt, T.ArrayType):
+        return f"array<{_type_class(dt.elementType)}>"
+    return dt.simpleString()
+
+
+def check_schema(name: str, df: DataFrame, *, path: str = "") -> None:
+    """Raise :class:`SchemaDriftError` if ``df`` violates the pinned contract."""
+    expected = EXPECTED_COLUMNS.get(name)
+    if expected is None:
+        return
+    actual = {f.name: _type_class(f.dataType) for f in df.schema.fields}
+    problems = []
+    for col, want in expected.items():
+        got = actual.get(col)
+        if got is None:
+            problems.append(f"column `{col}` missing (expected {want})")
+        elif got != want:
+            problems.append(f"column `{col}` is {got}, expected {want}")
+    if problems:
+        raise SchemaDriftError(
+            f"testdata schema drift in table `{name}`"
+            + (f" ({path})" if path else "")
+            + ": "
+            + "; ".join(problems)
+            + ". The driver's parquet changed shape (it has before: "
+            "TIMESTAMP(NANOS) in round 2, microsecond-NTZ in round 3). "
+            "Fix the normalization in tailsql_spark/plans/catalog.py "
+            "load_table and update EXPECTED_COLUMNS if the new shape is "
+            "intended."
+        )
+
+
 def _nanos_ts_columns(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS) (no Spark equivalent)."""
     import pyarrow as pa
@@ -68,6 +209,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for field in df.schema.fields:
         if isinstance(field.dataType, TimestampNTZType):
             df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+    # Loud drift gate: schema-only (no data read), O(#cols). A new
+    # physical shape the normalizations above don't cover fails HERE
+    # with a targeted message, not three operators deep.
+    check_schema(name, df, path=path)
     return df
 
 
