@@ -12,12 +12,13 @@ first-class operators:
   its closed neighborhood.  Pure DataFrame ops: one equi-join + one
   groupBy-min per round, converging in O(graph diameter) rounds
   (near-dup clusters are shallow — boilerplate stars have diameter 2).
-  Each round ``localCheckpoint``s the new label table (two scalar
-  longs) so LINEAGE stays O(1) — persist alone keeps stacking the
-  logical plan and a 12-round loop already blows analysis time; on a
-  cluster you'd point this at a reliable checkpoint dir instead.
+  Each round checkpoints the new label table (two scalar longs +
+  change flag) so LINEAGE stays O(1) — persist alone keeps stacking
+  the logical plan and a 12-round loop already blows analysis time.
+  Pass ``checkpoint_dir`` for reliable ``checkpoint()`` on a cluster
+  (survives executor loss); default ``localCheckpoint`` locally.
   Edges stay partitioned by node across rounds; labels are the only
-  moving table.
+  moving table, and the convergence count rides the label job.
 * ``dedup_clusters`` — transitive clusters over the certified
   MinHash-LSH pair stream, labeled by min member id, with sizes.
 * ``dedup_survivor_stats`` — the curation report: per language, how
@@ -59,7 +60,11 @@ def query(name: str, category: str, oracle: str | None, doc: str = ""):
 MAX_CC_ITERS = 25  # diameter bound: near-dup clusters are shallow
 
 
-def connected_components(pairs: DataFrame, max_iter: int = MAX_CC_ITERS) -> DataFrame:
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = MAX_CC_ITERS,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """``(id_a, id_b)`` undirected pairs → ``(doc_id, cluster_id)``
     where ``cluster_id`` is the minimum member id of the node's
     connected component.  Nodes not in any pair are absent (callers
@@ -69,23 +74,40 @@ def connected_components(pairs: DataFrame, max_iter: int = MAX_CC_ITERS) -> Data
     neighbors label(u))`` to fixpoint.  Per round: one shuffle join
     (edges ⋈ labels on the neighbor key) + one groupBy-min — both hash
     partitioned on the same key, so at scale AQE coalesces them into a
-    stable exchange reused across rounds.  Convergence is checked with
-    a count of changed labels (the driver-side loop is the documented
-    non-SQL-expressible part; the fixpoint itself is oracle-checked via
-    a recursive CTE).
+    stable exchange reused across rounds.  The driver-side loop is the
+    documented non-SQL-expressible part; the fixpoint itself is
+    oracle-checked via a recursive CTE.
+
+    Checkpointing: each round's label table must be materialized with
+    TRUNCATED lineage (a data-dependent loop must not stack its plan
+    round over round).  With ``checkpoint_dir`` set, rounds use reliable
+    ``checkpoint()`` into that directory — survives executor loss, the
+    right mode on a real cluster.  Unset (local/test), ``localCheckpoint``
+    avoids the write-to-storage round trip but is lossy on executor
+    failure.
+
+    Convergence: the changed-label count RIDES the label-update job —
+    the old label is joined in before checkpointing and the per-row
+    ``chg`` flag lands in the materialized table, so detecting the
+    fixpoint is a checkpoint-local column sum (no join recompute, no
+    extra shuffle — one fewer job per round than re-deriving the diff).
     """
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+
     ids = pairs.select(
         F.col("id_a").cast("long").alias("u"), F.col("id_b").cast("long").alias("v")
     )
     edges = ids.union(ids.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
     # label0(v) = min(v, neighbors(v)) — one groupBy, also materializes edges
-    # localCheckpoint (eager): materializes AND truncates lineage — a
-    # data-dependent loop must not stack its plan round over round.
-    labels = (
+    labels = _ckpt(
         edges.groupBy("u")
         .agg(F.least(F.min("v"), F.col("u")).alias("label"))
         .select(F.col("u").alias("node"), "label")
-        .localCheckpoint()
     )
     if labels.count() == 0:
         edges.unpersist()
@@ -97,18 +119,24 @@ def connected_components(pairs: DataFrame, max_iter: int = MAX_CC_ITERS) -> Data
             edges.join(labels, edges["v"] == labels["node"])
             .select(F.col("u").alias("node"), "label")
         )
-        new = (
-            neighbor.union(labels)
+        # The node set is identical every round (all endpoints appear in
+        # label0 and nodes are never dropped), so the old-label join is
+        # inner and lossless; `chg` is computed BEFORE the checkpoint so
+        # the convergence signal is part of the materialized table.
+        new = _ckpt(
+            neighbor.union(labels.select("node", "label"))
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .join(
+                labels.select("node", F.col("label").alias("old_label")), "node"
+            )
+            .select(
+                "node",
+                "label",
+                (F.col("label") != F.col("old_label")).cast("long").alias("chg"),
+            )
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = new.agg(F.sum("chg")).first()[0]
         labels = new
         if changed == 0:
             break

@@ -65,3 +65,13 @@ def test_survivor_stats_reconcile(spark, oracle_sf_dir):
     assert stats["surv"] == stats["docs"] - n_members + n_clusters
     # every cluster has >= 2 members (a singleton can't be a dup pair)
     assert clusters.groupBy("cluster_id").count().filter("count < 2").count() == 0
+
+
+def test_reliable_checkpoint_dir_same_result(spark, tmp_path):
+    # cluster mode: reliable checkpoint() into a directory must produce
+    # the identical fixpoint as the localCheckpoint default
+    df = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "id_a long, id_b long")
+    got = connected_components(df, checkpoint_dir=str(tmp_path / "cc_ckpt")).collect()
+    assert {r["doc_id"]: r["cluster_id"] for r in got} == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+    # checkpoint files actually landed in the requested directory
+    assert any((tmp_path / "cc_ckpt").rglob("*"))
