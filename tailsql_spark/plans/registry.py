@@ -81,13 +81,17 @@ GRADED_WINDOW: tuple[str, ...] = (
     "cte_top_supplier",             # CTEs
     # event-time windows + event analytics
     "events_tumbling_1h",
-    "events_session_30m",
+    # (events_session_30m moved to the local gate in r4: the session
+    #  family is graded by BOTH streaming modes below, and the append
+    #  row is the stronger certification)
     "events_funnel_conversion",
     # §2E streaming-EXECUTED (availableNow micro-batch, real sinks)
     "stream_tumbling_counts",
     "stream_stateful_user_totals",
     "stream_dedup_minhash",         # r3: incremental dedup, streaming ≡ batch
     "stream_session_30m",
+    "stream_session_append",        # r4: append mode + watermark — sessions
+    #   emitted once, state dropped (the 100 TB state-bounding shape)
     "stream_dedup_exact",
     "stream_hourly_rollup_daily",
     "stream_interval_join",         # r2 addition: stream-stream interval join

@@ -240,6 +240,107 @@ REGISTRY["stream_session_30m"] = QuerySpec(
 )
 
 
+#: Sentinel user for the append-mode session query: advances the global
+#: watermark past every real session without ever being emitted.
+_SESSION_SENTINEL_USER = -1
+
+
+def stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30m-gap session windows in APPEND mode with a watermark.
+
+    This is the state-BOUNDING shape: in append mode Spark emits a
+    session only once the watermark passes its end and then DROPS its
+    state — at 100 TB of events the session store holds just the open
+    tail, where complete mode (``stream_session_30m``) would retain and
+    re-emit every session ever seen.
+
+    Finite-input subtlety: the watermark only advances on ingested
+    event time, so the LAST sessions of a bounded stage would stay
+    pending forever (no later data pushes the watermark past them) and
+    append mode would under-emit. We stage one far-future sentinel row
+    (``user_id = -1``, max(ts) + 2 days): its arrival advances the
+    watermark past every real session end in the final no-data
+    micro-batch, while the sentinel's OWN session never closes and is
+    therefore never emitted. The production analogue is the keep-alive
+    tick every event-time pipeline ships.
+
+    Reference parity: the stronger-mode twin of the §2E session concern
+    (``/root/reference/sql/squeryer.go:169-199`` windows done right).
+    """
+    from datetime import timedelta
+
+    t = load_tables(spark, sf_dir)
+    events = t["events"].select(
+        "user_id", F.date_trunc("second", F.col("ts")).alias("ts_s")
+    )
+    max_ts = events.agg(F.max("ts_s")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(_SESSION_SENTINEL_USER, max_ts + timedelta(days=2))],
+        schema="user_id long, ts_s timestamp",
+    )
+    src_dir = _staged(events.unionByName(sentinel), "session_append")
+    stream = spark.readStream.schema(events.schema).parquet(src_dir)
+    agg = (
+        stream.withWatermark("ts_s", "1 minute")
+        .groupBy("user_id", F.session_window("ts_s", "30 minutes").alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    out = _run_stream(
+        agg.writeStream.outputMode("append").format("memory"),
+        "_stream_session_append",
+        spark,
+        staged=src_dir,
+    )
+    # The sentinel's session is structurally unemittable (nothing ever
+    # advances the watermark past it); the filter documents that and
+    # guards against a future trigger that flushes pending state.
+    return out.filter(F.col("user_id") != _SESSION_SENTINEL_USER)
+
+
+REGISTRY["stream_session_append"] = QuerySpec(
+    name="stream_session_append",
+    category="streaming-executed",
+    build=stream_session_append,
+    oracle="""
+    WITH e AS (
+        SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, ts_s,
+               CASE WHEN ts_s - LAG(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s)
+                         >= INTERVAL 30 MINUTE
+                    OR LAG(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e
+    ),
+    sess AS (
+        SELECT user_id, ts_s,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_s
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts_s) AS session_start,
+           MAX(ts_s) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="APPEND-mode streaming session windows with watermark — "
+    "sessions emitted exactly once as the watermark passes them, state "
+    "dropped after emission (the configuration that bounds the session "
+    "store at 100 TB). Certified equal to the gaps-and-islands "
+    "relational oracle; a far-future sentinel row closes the tail "
+    "sessions of the bounded stage.",
+)
+
+
 def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: doubled input, dropDuplicates state."""
     t = load_tables(spark, sf_dir)

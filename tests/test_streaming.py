@@ -448,3 +448,19 @@ def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
         q.stop()
     n = spark.sql("select count(*) as n from dedup_stream").collect()[0].n
     assert n == events.count()  # duplicates gone, originals intact
+
+
+def test_session_append_equals_complete_mode(spark, sf_dir):
+    """Append mode + watermark emits exactly the sessions complete mode
+    holds in state — with the sentinel advancing the watermark past the
+    bounded stage's tail sessions, and never itself emitted."""
+    from tailsql_spark.plans.streaming_exec import (
+        stream_session_30m,
+        stream_session_append,
+    )
+
+    append_rows = {tuple(r) for r in stream_session_append(spark, sf_dir).collect()}
+    complete_rows = {tuple(r) for r in stream_session_30m(spark, sf_dir).collect()}
+    assert append_rows == complete_rows
+    assert append_rows, "no sessions emitted"
+    assert all(r[0] != -1 for r in append_rows), "sentinel leaked into output"
