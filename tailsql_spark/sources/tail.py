@@ -48,12 +48,28 @@ LINE_SCHEMA = StructType([StructField("value", StringType(), True)])
 class TailStreamReader(SimpleDataSourceStreamReader):
     """Byte-offset tail reader for a regular file."""
 
-    def __init__(self, path: str, seek_to_end: bool, max_bytes_per_batch: int):
+    def __init__(
+        self,
+        path: str,
+        seek_to_end: bool,
+        max_bytes_per_batch: int,
+        start_offset: int | None = None,
+    ):
         self.path = path
         self.seek_to_end = seek_to_end
         self.max_bytes = max_bytes_per_batch
+        self.start_offset = start_offset
 
     def initialOffset(self) -> dict:
+        # ``start_offset`` pins tail-at-OPEN semantics: without it the
+        # EOF snapshot happens lazily at first micro-batch planning,
+        # seconds after ``start()`` returns — lines appended in that gap
+        # would be silently skipped. Callers that know "the stream is
+        # live from HERE" (StreamQueryer does) resolve EOF eagerly and
+        # pass it down; checkpointed restarts ignore this entirely
+        # (recovered offsets win over initialOffset).
+        if self.start_offset is not None and self.seek_to_end:
+            return {"pos": self.start_offset}
         if self.seek_to_end and os.path.exists(self.path):
             return {"pos": os.path.getsize(self.path)}
         return {"pos": 0}
@@ -184,8 +200,10 @@ class TailDataSource(DataSource):
 
         if os.path.exists(path) and stat.S_ISFIFO(os.stat(path).st_mode):
             return PipeStreamReader(path)
+        start_offset = self.options.get("start_offset")
         return TailStreamReader(
             path,
             seek_to_end=str(self.options.get("seek_to_end", "true")).lower() == "true",
             max_bytes_per_batch=int(self.options.get("max_bytes_per_batch", 1 << 24)),
+            start_offset=None if start_offset is None else int(start_offset),
         )

@@ -37,6 +37,7 @@ one parse, one SQL, one render.
 
 from __future__ import annotations
 
+import os
 import threading
 import time
 from dataclasses import dataclass, field
@@ -152,12 +153,18 @@ class StreamQueryer:
             from tailsql_spark.sources.tail import TailDataSource
 
             self.spark.dataSource.register(TailDataSource)
-            lines = (
+            reader = (
                 self.spark.readStream.format("tailf")
                 .option("path", src.path)
                 .option("seek_to_end", str(src.seek_to_end).lower())
-                .load()
             )
+            if src.seek_to_end and os.path.exists(src.path):
+                # pin tail-at-open semantics: snapshot EOF NOW, so a
+                # line appended any time after start() is guaranteed
+                # ingested (the reader's own lazy EOF snapshot happens
+                # at first micro-batch planning — a silent drop window)
+                reader = reader.option("start_offset", str(os.path.getsize(src.path)))
+            lines = reader.load()
         parsed = src.compiled.parse_lines(lines)
         return apply_filter(parsed, src.filter_expr)
 
