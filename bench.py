@@ -73,26 +73,34 @@ def main() -> None:
     # constant cost at any scale factor — measured 1.75 s first vs
     # 0.39 s steady-state for q1 at sf0.1). The timed run then measures
     # the engine, not the compiler.
-    per_query: dict[str, float] = {}
     for name in HEADLINE:
-        spec = REGISTRY[name]
-        spec.build(spark, sf_dir).collect()
-        # drop caches the warmup populated (plan-matching would hand
-        # the timed run pre-built persisted tables) — we time the real
-        # pipeline, only codegen stays warm. Five timed runs, report
-        # the min: local-mode scheduling of many small stages is noisy
-        # (observed 2× outliers, and whole-box throughput drifts ±20%
-        # between rounds) — the min of five tracks the plan's floor,
-        # not the box's mood.
-        best, n = float("inf"), 0
-        for _ in range(5):
+        REGISTRY[name].build(spark, sf_dir).collect()
+        spark.catalog.clearCache()
+
+    # Five timed runs per query, report the min: local-mode scheduling
+    # of many small stages is noisy (observed 2× outliers, and
+    # whole-box throughput drifts ±20% between rounds) — the min of
+    # five tracks the plan's floor, not the box's mood. Rounds are
+    # INTERLEAVED (round-robin over the whole suite), not consecutive
+    # per query: the dominant noise is multi-second box-wide stalls,
+    # and five back-to-back runs of one query fit inside a single
+    # stall, poisoning every sample of that query. Spread across the
+    # suite, a stall taxes one sample of several queries and the
+    # per-query min survives. clearCache before every sample — we time
+    # the real pipeline, only codegen stays warm.
+    best: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    rows: dict[str, int] = {}
+    for _ in range(5):
+        for name in HEADLINE:
+            spec = REGISTRY[name]
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = spec.build(spark, sf_dir)
-            n = len(df.collect())
-            best = min(best, time.perf_counter() - t0)
-        per_query[name] = round(best, 3)
-        print(f"# {name}: {per_query[name]:.3f}s ({n} rows)", file=sys.stderr)
+            rows[name] = len(df.collect())
+            best[name] = min(best[name], time.perf_counter() - t0)
+    per_query = {name: round(best[name], 3) for name in HEADLINE}
+    for name in HEADLINE:
+        print(f"# {name}: {per_query[name]:.3f}s ({rows[name]} rows)", file=sys.stderr)
 
     total = round(sum(per_query.values()), 3)
     print(

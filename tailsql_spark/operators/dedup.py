@@ -161,22 +161,32 @@ MINHASH_COEFFS: tuple[tuple[int, int], ...] = tuple(
 )
 
 
-def minhash_signatures(ex: DataFrame) -> DataFrame:
-    """(doc_id, h0..h15): per-permutation minima over exploded
-    (doc_id, s) shingle pairs.
+def shingle_hash60(s: Column) -> Column:
+    """60-bit base hash of a shingle: first 15 hex chars of md5 as a
+    long. md5 (not xxhash) because the DuckDB oracle must derive the
+    IDENTICAL value; 60 bits keeps birthday collisions negligible at
+    1e7+ distinct shingles (~4e-5 expected colliding pairs) where a
+    mod-P 31-bit key would produce thousands."""
+    return F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
 
-    Base hash = first 15 hex chars of md5(shingle) as int (< 2^60);
-    permutations are (a·(base mod P) + b) mod P with a < 2^31, so the
+
+def minhash_signatures(ex: DataFrame) -> DataFrame:
+    """(doc_id, h0..h15, n_sh): per-permutation minima over exploded
+    shingle pairs — ``(doc_id, s)`` strings or ``(doc_id, x)``
+    pre-hashed 60-bit longs (the batch pipeline hashes at explode time
+    so the cached inverted index is two long columns, not strings).
+
+    Permutations are (a·(base mod P) + b) mod P with a < 2^31, so the
     product stays under 2^62 — no overflow in either engine. One
     groupBy: a single shuffle on doc_id regardless of N_HASHES.
     """
-    base = (
-        F.conv(F.substring(F.md5(F.col("s").cast("binary")), 1, 15), 16, 10)
-        .cast("long") % MINHASH_P
-    )
-    hashed = ex.select("doc_id", base.alias("x"))
+    if "x" in ex.columns:
+        hashed = ex.select("doc_id", "x")
+    else:
+        hashed = ex.select("doc_id", shingle_hash60(F.col("s")).alias("x"))
+    xm = F.col("x") % MINHASH_P
     aggs = [
-        F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+        F.min((F.lit(a) * xm + F.lit(b)) % MINHASH_P).alias(f"h{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS)
     ]
     # shingle-set size rides along in the SAME groupBy — the verifier
@@ -316,19 +326,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the interpreted tokenizer on the raw single-partition scan
     # (measured 12.6 s vs 1.4 s at sf0.1). explode_outer carries empty
     # docs as NULL rows instead, filtered AFTER the generate.
+    # Hash shingles to 60-bit longs AT EXPLODE TIME: the persisted
+    # inverted index is then two long columns (dictionary- and
+    # cache-friendly, ~5× smaller than strings), the signature groupBy
+    # aggregates longs, and the verification equi-join compares longs
+    # instead of 3-gram strings. Distinctness per doc is preserved
+    # (array_distinct upstream; 60-bit collisions negligible).
     ex = (
         sh.select("doc_id", F.explode_outer("shingles").alias("s"))
         .filter(F.col("s").isNotNull())
+        .select("doc_id", shingle_hash60(F.col("s")).alias("x"))
         .persist()
     )
-    # ONE materialization barrier, on ex only (quiet-box min-of-5 at
-    # sf0.1: ex-barrier 1.99 s and tight, lazy 2.13 s with 30 % spread,
-    # both-barriers 2.08 s). The barrier serializes the tokenizer: the
-    # candidate-set broadcast runs as a SEPARATE job that otherwise
-    # races the main job into the unfilled cache and recomputes
-    # interpreted-HOF partitions. sig stays lazy — its groupBy reads
-    # the already-cached ex, so a second barrier only adds a job.
-    ex.count()
+    # NO materialization barrier — decided on measured numbers twice.
+    # An eager ex.count() was tried in round 3 to serialize the
+    # tokenizer before the candidate-broadcast job races the main job
+    # into the unfilled cache; it A/B'd ahead on one quiet-box run
+    # (1.99 s vs 2.13 s) but LOST on the driver's box (6.67 s, 3.63×
+    # round-over-round) and again on re-measurement (min-of-5: 3.26 s
+    # with barrier, 2.60 s without). The extra full job costs more
+    # than the occasional double-compute it prevents. sig and ex stay
+    # lazily persisted; first evaluation fills both caches.
     sig = minhash_signatures(ex).persist()
     small = _small_input(sf_dir)
     cand = lsh_candidate_pairs(sig, hint_broadcast=small)
@@ -337,15 +355,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the corpus), so it broadcasts through both verification joins and
     # the big inverted index is probed in place, never shuffled.
     sizes = sig.select("doc_id", F.col("n_sh").alias("n"))
-    exa = ex.select(F.col("doc_id").alias("id_a"), "s")
-    exb = ex.select(F.col("doc_id").alias("idb2"), F.col("s").alias("sb"))
+    exa = ex.select(F.col("doc_id").alias("id_a"), "x")
+    exb = ex.select(F.col("doc_id").alias("idb2"), F.col("x").alias("xb"))
     a_side = exa.join(F.broadcast(cand), "id_a")
     # a_side (candidate docs × their shingles) is corpus-proportional in
     # the worst case — hint only under the same size gate; the cand
     # broadcast above is always collision-sized and stays.
     common = (
         (F.broadcast(a_side) if small else a_side)
-        .join(exb, (F.col("id_b") == F.col("idb2")) & (F.col("s") == F.col("sb")))
+        .join(exb, (F.col("id_b") == F.col("idb2")) & (F.col("x") == F.col("xb")))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
     )
