@@ -11,7 +11,7 @@ from tailsql_spark.plans.registry import (
     REGISTRY,
 )
 
-EXPECTED_TOTAL = 167
+EXPECTED_TOTAL = 168  # r4: + stream_session_append
 
 
 def test_no_silent_import_failures():
