@@ -351,27 +351,36 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     small = _small_input(sf_dir)
     cand = lsh_candidate_pairs(sig, hint_broadcast=small)
     # |A|,|B| come from the signature groupBy (n_sh), not a second full
-    # pass over ex; the candidate set is band-collision-sized (tiny vs
-    # the corpus), so it broadcasts through both verification joins and
-    # the big inverted index is probed in place, never shuffled.
+    # pass over ex. The set sizes are attached to the TINY candidate
+    # table up front (two small-side joins) and ride through the
+    # verification as extra grouping keys (functionally dependent on
+    # the pair, so cardinality is unchanged) — the pair set then needs
+    # NO post-aggregation joins, which removes two broadcast-build jobs
+    # from the tail of the DAG (at small SF the runtime is job-launch
+    # bound: 15 jobs ≈ 2-4 s of fixed overhead).
     sizes = sig.select("doc_id", F.col("n_sh").alias("n"))
+    cand_sized = (
+        cand.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+    )
     exa = ex.select(F.col("doc_id").alias("id_a"), "x")
     exb = ex.select(F.col("doc_id").alias("idb2"), F.col("x").alias("xb"))
-    a_side = exa.join(F.broadcast(cand), "id_a")
+    # the candidate set is band-collision-sized (tiny vs the corpus), so
+    # it broadcasts through the verification join and the big inverted
+    # index is probed in place, never shuffled.
+    a_side = exa.join(F.broadcast(cand_sized), "id_a")
     # a_side (candidate docs × their shingles) is corpus-proportional in
     # the worst case — hint only under the same size gate; the cand
     # broadcast above is always collision-sized and stays.
     common = (
         (F.broadcast(a_side) if small else a_side)
         .join(exb, (F.col("id_b") == F.col("idb2")) & (F.col("x") == F.col("xb")))
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count("*").alias("n_common"))
     )
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        common.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")), "id_a")
-        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")), "id_b")
-        .filter(jac >= JACCARD_THRESHOLD)
+        common.filter(jac >= JACCARD_THRESHOLD)
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
     )
 
