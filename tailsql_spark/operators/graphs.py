@@ -64,6 +64,7 @@ def connected_components(
     pairs: DataFrame,
     max_iter: int = MAX_CC_ITERS,
     checkpoint_dir: str | None = None,
+    seed_labels: DataFrame | None = None,
 ) -> DataFrame:
     """``(id_a, id_b)`` undirected pairs → ``(doc_id, cluster_id)``
     where ``cluster_id`` is the minimum member id of the node's
@@ -91,6 +92,14 @@ def connected_components(
     ``chg`` flag lands in the materialized table, so detecting the
     fixpoint is a checkpoint-local column sum (no join recompute, no
     extra shuffle — one fewer job per round than re-deriving the diff).
+
+    ``seed_labels`` (``(doc_id, cluster_id)``) warm-starts the loop
+    from a PREVIOUS fixpoint computed over a subset of these edges —
+    the incremental-maintenance path: adding edges only merges
+    components, every seed label is still a member id of its node's
+    component, so min-propagation converges to the identical fixpoint
+    (min member id) in O(1) rounds instead of O(diameter). Purely an
+    accelerator; never changes the result.
     """
     spark = pairs.sparkSession
     if checkpoint_dir is not None:
@@ -104,11 +113,22 @@ def connected_components(
     )
     edges = ids.union(ids.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
     # label0(v) = min(v, neighbors(v)) — one groupBy, also materializes edges
-    labels = _ckpt(
+    label0 = (
         edges.groupBy("u")
         .agg(F.least(F.min("v"), F.col("u")).alias("label"))
         .select(F.col("u").alias("node"), "label")
     )
+    if seed_labels is not None:
+        seed = seed_labels.select(
+            F.col("doc_id").cast("long").alias("node"),
+            F.col("cluster_id").cast("long").alias("label"),
+        )
+        # seed nodes are a subset of the edge nodes (edges accumulate),
+        # so a union + min fold is lossless and keeps one row per node
+        label0 = (
+            label0.unionByName(seed).groupBy("node").agg(F.min("label").alias("label"))
+        )
+    labels = _ckpt(label0)
     if labels.count() == 0:
         edges.unpersist()
         return labels.select(

@@ -51,3 +51,58 @@ def test_minhash_processor_replay_idempotent(spark, oracle_sf_dir):
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_seeded_cc_equals_unseeded(spark):
+    """Warm-start labels never change the fixpoint — only speed it up."""
+    from tailsql_spark.operators.graphs import connected_components
+
+    old = spark.createDataFrame([(1, 2), (4, 5)], "id_a long, id_b long")
+    seed = connected_components(old)
+    # new edge merges {1,2} with {4,5}; a fresh chain appears too
+    merged = spark.createDataFrame(
+        [(1, 2), (4, 5), (2, 4), (8, 9), (9, 10)], "id_a long, id_b long"
+    )
+    warm = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(merged, seed_labels=seed).collect()
+    }
+    cold = {
+        (r.doc_id, r.cluster_id) for r in connected_components(merged).collect()
+    }
+    assert warm == cold == {(1, 1), (2, 1), (4, 1), (5, 1), (8, 8), (9, 8), (10, 8)}
+
+
+def test_cc_processor_replay_idempotent(spark):
+    """Replaying a label-maintenance batch reproduces identical state."""
+    from tailsql_spark.plans.streaming_exec import (
+        _cc_batch_processor,
+        _cc_labels_path,
+    )
+
+    root = tempfile.mkdtemp(prefix="tailsql_cc_replay_")
+    try:
+        edges_root, labels_root = f"{root}/edges", f"{root}/labels"
+        empty = spark.createDataFrame([], "id_a long, id_b long")
+        empty.write.mode("overwrite").parquet(f"{edges_root}/seed")
+        spark.createDataFrame([], "doc_id long, cluster_id long").write.mode(
+            "overwrite"
+        ).parquet(f"{labels_root}/seed")
+        process = _cc_batch_processor(edges_root, labels_root)
+
+        b0 = spark.createDataFrame([(1, 2), (4, 5)], "id_a long, id_b long")
+        b1 = spark.createDataFrame([(2, 4)], "id_a long, id_b long")
+        process(b0, 0)
+        process(b1, 1)
+        after = {
+            (r.doc_id, r.cluster_id)
+            for r in spark.read.parquet(_cc_labels_path(labels_root, None)).collect()
+        }
+        process(b1, 1)  # replay: crash between state write and commit
+        replayed = {
+            (r.doc_id, r.cluster_id)
+            for r in spark.read.parquet(_cc_labels_path(labels_root, None)).collect()
+        }
+        assert after == replayed == {(1, 1), (2, 1), (4, 1), (5, 1)}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
