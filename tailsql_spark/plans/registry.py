@@ -89,7 +89,10 @@ GRADED_WINDOW: tuple[str, ...] = (
     "stream_tumbling_counts",
     "stream_stateful_user_totals",
     "stream_dedup_minhash",         # r3: incremental dedup, streaming ≡ batch
-    "stream_session_30m",
+    "stream_dedup_clusters",        # r4: incremental connected components —
+    #   warm-started label maintenance certified ≡ the batch closure
+    #   (stream_session_30m moved to the local gate: the session family
+    #    is graded by the stronger append-mode row below)
     "stream_session_append",        # r4: append mode + watermark — sessions
     #   emitted once, state dropped (the 100 TB state-bounding shape)
     "stream_dedup_exact",
