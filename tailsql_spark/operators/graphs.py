@@ -85,7 +85,11 @@ def connected_components(
     ``checkpoint()`` into that directory — survives executor loss, the
     right mode on a real cluster.  Unset (local/test), ``localCheckpoint``
     avoids the write-to-storage round trip but is lossy on executor
-    failure.
+    failure.  The context's previous checkpoint dir is restored on exit
+    (the setting is context-global), and the CALLER owns the directory
+    lifecycle: the returned DataFrame reads from the final round's
+    checkpoint files, so delete the dir only after consuming the
+    result (Spark does not clean reliable checkpoints by default).
 
     Convergence: the changed-label count RIDES the label-update job —
     the old label is joined in before checkpointing and the per-row
@@ -102,8 +106,15 @@ def connected_components(
     accelerator; never changes the result.
     """
     spark = pairs.sparkSession
+    sc = spark.sparkContext
+    prev_ckpt_dir: str | None = None
     if checkpoint_dir is not None:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        # setCheckpointDir is context-GLOBAL: remember the previous
+        # setting so a caller with its own iterative jobs isn't
+        # silently redirected after we return
+        prev = sc._jsc.sc().getCheckpointDir()
+        prev_ckpt_dir = prev.get() if prev.isDefined() else None
+        sc.setCheckpointDir(checkpoint_dir)
 
     def _ckpt(df: DataFrame) -> DataFrame:
         return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
@@ -112,63 +123,66 @@ def connected_components(
         F.col("id_a").cast("long").alias("u"), F.col("id_b").cast("long").alias("v")
     )
     edges = ids.union(ids.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
-    # label0(v) = min(v, neighbors(v)) — one groupBy, also materializes edges
-    label0 = (
-        edges.groupBy("u")
-        .agg(F.least(F.min("v"), F.col("u")).alias("label"))
-        .select(F.col("u").alias("node"), "label")
-    )
-    if seed_labels is not None:
-        seed = seed_labels.select(
-            F.col("doc_id").cast("long").alias("node"),
-            F.col("cluster_id").cast("long").alias("label"),
-        )
-        # seed nodes are a subset of the edge nodes (edges accumulate),
-        # so a union + min fold is lossless and keeps one row per node
+    try:
+        # label0(v) = min(v, neighbors(v)) — one groupBy, also materializes edges
         label0 = (
-            label0.unionByName(seed).groupBy("node").agg(F.min("label").alias("label"))
+            edges.groupBy("u")
+            .agg(F.least(F.min("v"), F.col("u")).alias("label"))
+            .select(F.col("u").alias("node"), "label")
         )
-    labels = _ckpt(label0)
-    if labels.count() == 0:
-        edges.unpersist()
+        if seed_labels is not None:
+            seed = seed_labels.select(
+                F.col("doc_id").cast("long").alias("node"),
+                F.col("cluster_id").cast("long").alias("label"),
+            )
+            # seed nodes are a subset of the edge nodes (edges accumulate),
+            # so a union + min fold is lossless and keeps one row per node
+            label0 = (
+                label0.unionByName(seed).groupBy("node").agg(F.min("label").alias("label"))
+            )
+        labels = _ckpt(label0)
+        if labels.count() == 0:
+            return labels.select(
+                F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+            )
+        for _ in range(max_iter):
+            neighbor = (
+                edges.join(labels, edges["v"] == labels["node"])
+                .select(F.col("u").alias("node"), "label")
+            )
+            # The node set is identical every round (all endpoints appear in
+            # label0 and nodes are never dropped), so the old-label join is
+            # inner and lossless; `chg` is computed BEFORE the checkpoint so
+            # the convergence signal is part of the materialized table.
+            new = _ckpt(
+                neighbor.union(labels.select("node", "label"))
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+                .join(
+                    labels.select("node", F.col("label").alias("old_label")), "node"
+                )
+                .select(
+                    "node",
+                    "label",
+                    (F.col("label") != F.col("old_label")).cast("long").alias("chg"),
+                )
+            )
+            changed = new.agg(F.sum("chg")).first()[0]
+            labels = new
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components: no fixpoint in {max_iter} rounds "
+                "(component diameter exceeds the bound — raise max_iter)"
+            )
         return labels.select(
             F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
         )
-    for _ in range(max_iter):
-        neighbor = (
-            edges.join(labels, edges["v"] == labels["node"])
-            .select(F.col("u").alias("node"), "label")
-        )
-        # The node set is identical every round (all endpoints appear in
-        # label0 and nodes are never dropped), so the old-label join is
-        # inner and lossless; `chg` is computed BEFORE the checkpoint so
-        # the convergence signal is part of the materialized table.
-        new = _ckpt(
-            neighbor.union(labels.select("node", "label"))
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .join(
-                labels.select("node", F.col("label").alias("old_label")), "node"
-            )
-            .select(
-                "node",
-                "label",
-                (F.col("label") != F.col("old_label")).cast("long").alias("chg"),
-            )
-        )
-        changed = new.agg(F.sum("chg")).first()[0]
-        labels = new
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"connected_components: no fixpoint in {max_iter} rounds "
-            "(component diameter exceeds the bound — raise max_iter)"
-        )
-    edges.unpersist()
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
-    )
+    finally:
+        edges.unpersist()
+        if checkpoint_dir is not None and prev_ckpt_dir is not None:
+            sc.setCheckpointDir(prev_ckpt_dir)
 
 
 #: Recursive-CTE fixpoint shared by both oracles: pairs → symmetric

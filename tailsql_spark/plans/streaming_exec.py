@@ -27,13 +27,25 @@ from tailsql_spark.plans.catalog import QuerySpec, load_tables
 REGISTRY: dict[str, QuerySpec] = {}
 
 
+def _await_or_raise(q, what: str, timeout_sec: int = 300) -> None:
+    """Block until the streaming query finishes; a timeout must fail
+    LOUD — proceeding would silently return results from a partial
+    prefix of micro-batches and surface as a baffling data mismatch
+    in the differential gate instead of the real cause."""
+    if not q.awaitTermination(timeout_sec):
+        raise TimeoutError(
+            f"{what}: streaming query did not finish within {timeout_sec}s "
+            "(partial state would be silently wrong — investigate the hang)"
+        )
+
+
 def _run_stream(
     writer_builder, name: str, spark: SparkSession, staged: str | None = None
 ) -> DataFrame:
     spark.sql(f"DROP VIEW IF EXISTS {name}")
     q = writer_builder.queryName(name).trigger(availableNow=True).start()
     try:
-        q.awaitTermination(300)
+        _await_or_raise(q, name)
     finally:
         q.stop()
         if staged:
@@ -274,11 +286,17 @@ def stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.date_trunc("second", F.col("ts")).alias("ts_s")
     )
     max_ts = events.agg(F.max("ts_s")).first()[0]
-    sentinel = spark.createDataFrame(
-        [(_SESSION_SENTINEL_USER, max_ts + timedelta(days=2))],
-        schema="user_id long, ts_s timestamp",
-    )
-    src_dir = _staged(events.unionByName(sentinel), "session_append")
+    if max_ts is None:
+        # empty/fully-filtered input: no sessions to close, no sentinel
+        # needed — stage as-is and emit the (empty) append result
+        staged_input = events
+    else:
+        sentinel = spark.createDataFrame(
+            [(_SESSION_SENTINEL_USER, max_ts + timedelta(days=2))],
+            schema="user_id long, ts_s timestamp",
+        )
+        staged_input = events.unionByName(sentinel)
+    src_dir = _staged(staged_input, "session_append")
     stream = spark.readStream.schema(events.schema).parquet(src_dir)
     agg = (
         stream.withWatermark("ts_s", "1 minute")
@@ -667,7 +685,7 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        q.awaitTermination(300)
+        _await_or_raise(q, "stream_dedup_minhash")
     finally:
         q.stop()
     result = spark.read.parquet(*_mh_state_paths(out_root))
@@ -701,19 +719,22 @@ REGISTRY["stream_dedup_minhash"] = QuerySpec(
 # ---------------------------------------------------------------------------
 
 def _cc_labels_path(labels_root: str, exclude_bid: int | None) -> str:
-    """Latest label SNAPSHOT strictly before ``b{exclude_bid}`` (the
+    """Latest label SNAPSHOT strictly before batch ``exclude_bid`` (the
     schema seed if none exists yet). Labels are full snapshots, not
     appended deltas — a replayed batch must seed from the state as it
-    stood before its original run."""
+    stood before its original run. Batch ids compare NUMERICALLY: the
+    zero-padded dir names sort wrong lexicographically once ids pass
+    the pad width (b100000 < b99999 as strings), which would silently
+    freeze the snapshot pick in a long-running stream."""
     import os
 
-    dirs = sorted(
-        d
+    bids = sorted(
+        int(d[1:])
         for d in os.listdir(labels_root)
-        if d.startswith("b")
-        and (exclude_bid is None or d < f"b{exclude_bid:05d}")
+        if d.startswith("b") and d[1:].isdigit()
+        and (exclude_bid is None or int(d[1:]) < exclude_bid)
     )
-    return f"{labels_root}/{dirs[-1]}" if dirs else f"{labels_root}/seed"
+    return f"{labels_root}/b{bids[-1]:05d}" if bids else f"{labels_root}/seed"
 
 
 def _cc_batch_processor(edges_root: str, labels_root: str):
@@ -792,7 +813,7 @@ def stream_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        q.awaitTermination(300)
+        _await_or_raise(q, "stream_dedup_clusters")
     finally:
         q.stop()
     labels = spark.read.parquet(_cc_labels_path(labels_root, None))

@@ -158,12 +158,19 @@ class StreamQueryer:
                 .option("path", src.path)
                 .option("seek_to_end", str(src.seek_to_end).lower())
             )
-            if src.seek_to_end and os.path.exists(src.path):
+            if src.seek_to_end:
                 # pin tail-at-open semantics: snapshot EOF NOW, so a
                 # line appended any time after start() is guaranteed
                 # ingested (the reader's own lazy EOF snapshot happens
-                # at first micro-batch planning — a silent drop window)
-                reader = reader.option("start_offset", str(os.path.getsize(src.path)))
+                # at first micro-batch planning — a silent drop window).
+                # A file that doesn't exist yet pins offset 0: whatever
+                # gets written after creation must all be read, exactly
+                # like tail -F on a not-yet-created file.
+                try:
+                    pos = os.path.getsize(src.path)
+                except OSError:
+                    pos = 0
+                reader = reader.option("start_offset", str(pos))
             lines = reader.load()
         parsed = src.compiled.parse_lines(lines)
         return apply_filter(parsed, src.filter_expr)

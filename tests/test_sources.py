@@ -161,3 +161,22 @@ def test_formats_csv_json_roundtrip(spark, sf_dir, tmp_path):
     want = sorted((r.event_id, r.event_type, r.value) for r in events.collect())
     assert sorted((r.event_id, r.event_type, r.value) for r in back_csv.collect()) == want
     assert sorted((r.event_id, r.event_type, r.value) for r in back_json.collect()) == want
+
+
+def test_tail_reader_pinned_start_offset(tmp_path):
+    """A pinned start_offset wins over the lazy EOF snapshot — the
+    tail-at-open guarantee; and a not-yet-created file pins 0 so
+    everything written after creation is read (tail -F semantics)."""
+    from tailsql_spark.sources.tail import TailStreamReader
+
+    log = tmp_path / "late.log"
+    log.write_text("already here\n")
+    pinned = TailStreamReader(str(log), seek_to_end=True,
+                              max_bytes_per_batch=1 << 20, start_offset=0)
+    assert pinned.initialOffset() == {"pos": 0}
+    lazy = TailStreamReader(str(log), seek_to_end=True,
+                            max_bytes_per_batch=1 << 20)
+    assert lazy.initialOffset() == {"pos": len("already here\n")}
+    missing = TailStreamReader(str(tmp_path / "nope.log"), seek_to_end=True,
+                               max_bytes_per_batch=1 << 20, start_offset=0)
+    assert missing.initialOffset() == {"pos": 0}

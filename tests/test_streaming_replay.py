@@ -106,3 +106,18 @@ def test_cc_processor_replay_idempotent(spark):
         assert after == replayed == {(1, 1), (2, 1), (4, 1), (5, 1)}
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_cc_labels_path_numeric_ordering(tmp_path):
+    """Batch ids must compare numerically — b100000 > b99999 even
+    though it sorts first lexicographically."""
+    import os
+
+    from tailsql_spark.plans.streaming_exec import _cc_labels_path
+
+    root = str(tmp_path)
+    for d in ("seed", "b99999", "b100000"):
+        os.makedirs(f"{root}/{d}")
+    assert _cc_labels_path(root, None) == f"{root}/b100000"
+    assert _cc_labels_path(root, 100000) == f"{root}/b99999"
+    assert _cc_labels_path(root, 99999) == f"{root}/seed"
