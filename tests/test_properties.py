@@ -116,3 +116,44 @@ def test_winnowing_shared_substring_guarantee(spark, data):
     assert a & b, (
         f"no shared fingerprint despite {len(shared)}-char shared substring"
     )
+
+
+@settings(
+    max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Min-label propagation fixpoint == a pure-Python union-find on
+    arbitrary random graphs (self-loops excluded; duplicates and
+    reversed duplicates allowed — the operator must be insensitive)."""
+    from tailsql_spark.operators.graphs import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.doc_id: r.cluster_id for r in connected_components(df).collect()
+    }
+    assert got == expected
