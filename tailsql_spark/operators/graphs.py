@@ -181,7 +181,11 @@ def connected_components(
         )
     finally:
         edges.unpersist()
-        if checkpoint_dir is not None and prev_ckpt_dir is not None:
+        if checkpoint_dir is not None:
+            # restore even to the UNSET state (setCheckpointDir(None)
+            # clears it) — leaving the context pointed at our dir would
+            # redirect every later checkpoint in the session into a
+            # directory the caller is told to delete
             sc.setCheckpointDir(prev_ckpt_dir)
 
 

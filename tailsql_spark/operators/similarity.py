@@ -203,6 +203,34 @@ _DUCK_CELLS = f"""
 """
 
 
+def assign_cells(vec: DataFrame, seeds: DataFrame) -> DataFrame:
+    """IVF coarse quantization as a reusable rule: each ``(vec_id, v,
+    nrm)`` row gets the max-cosine seed's cell, ties → lowest
+    ``seed_id``.  THE single definition of the assignment order — the
+    batch query, the streaming incremental processor, and the replay
+    tests all call this, so the tie-break/rounding rule cannot drift
+    between the certified streaming ≡ batch twins.  Keeps ``v``/``nrm``
+    so downstream scoring needs no re-join.
+    """
+    cos = dot(F.col("v"), F.col("sv")) / (F.col("nrm") * F.col("sn"))
+    w = W.partitionBy("vec_id").orderBy(F.col("scos").desc(), F.col("seed_id").asc())
+    return (
+        vec.join(F.broadcast(seeds))
+        .withColumn("scos", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("seed_id").alias("cell"), "v", "nrm")
+    )
+
+
+def seed_table(vec: DataFrame) -> DataFrame:
+    """The fixed coarse-cell seed vectors (``vec_id < N_CELLS``) in the
+    column shape :func:`assign_cells` expects."""
+    return vec.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("seed_id"), F.col("v").alias("sv"), F.col("nrm").alias("sn")
+    )
+
+
 @query(
     "ann_ivf_assign",
     "similarity",
@@ -216,17 +244,7 @@ def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t["embeddings"].select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     ).withColumn("nrm", norm(F.col("v")))
-    seeds = emb.filter(F.col("vec_id") < N_CELLS).select(
-        F.col("vec_id").alias("seed_id"), F.col("v").alias("sv"), F.col("nrm").alias("sn")
-    )
-    cos = dot(F.col("v"), F.col("sv")) / (F.col("nrm") * F.col("sn"))
-    scored = emb.join(F.broadcast(seeds)).withColumn("cos", cos)
-    w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("seed_id").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("seed_id").alias("cell"))
-    )
+    return assign_cells(emb, seed_table(emb)).select("vec_id", "cell")
 
 
 @query(

@@ -730,13 +730,31 @@ def _latest_snapshot_path(root: str, exclude_bid: int | None) -> str:
     (top-k snapshots) processors."""
     import os
 
+    # keep (id, listed name) pairs: the path returned must be the dir
+    # that actually exists, not a reconstruction from one writer's pad
+    # width (a b7 or b0000007 writer would otherwise break the read)
     bids = sorted(
-        int(d[1:])
+        (int(d[1:]), d)
         for d in os.listdir(root)
         if d.startswith("b") and d[1:].isdigit()
         and (exclude_bid is None or int(d[1:]) < exclude_bid)
     )
-    return f"{root}/b{bids[-1]:05d}" if bids else f"{root}/seed"
+    return f"{root}/{bids[-1][1]}" if bids else f"{root}/seed"
+
+
+def _prune_snapshots(root: str, keep_from_bid: int) -> None:
+    """Delete snapshot dirs with id < ``keep_from_bid``. Replay of
+    batch k only ever seeds from snapshot k-1, so after batch k
+    commits its snapshot, everything ≤ k-2 is dead state — without
+    pruning, a long-running stream accumulates one full-state copy per
+    micro-batch and the 'bounded state' claim silently becomes
+    O(batches)."""
+    import os
+    import shutil
+
+    for d in os.listdir(root):
+        if d.startswith("b") and d[1:].isdigit() and int(d[1:]) < keep_from_bid:
+            shutil.rmtree(f"{root}/{d}", ignore_errors=True)
 
 
 def _cc_batch_processor(edges_root: str, labels_root: str):
@@ -759,6 +777,8 @@ def _cc_batch_processor(edges_root: str, labels_root: str):
         seed = sess.read.parquet(_latest_snapshot_path(labels_root, bid))
         labels = connected_components(all_pairs, seed_labels=seed)
         labels.write.mode("overwrite").parquet(f"{labels_root}/{sub}")
+        # snapshot bid is committed; a replay of bid needs bid-1 only
+        _prune_snapshots(labels_root, bid - 1)
 
     return process
 
@@ -873,7 +893,7 @@ def _ann_batch_processor(topk_root: str, queries_path: str, seeds_path: str):
     other incremental processors (per-batch-id snapshot dirs)."""
     from pyspark.sql import Window as W
 
-    from tailsql_spark.operators.similarity import as_double, dot, norm
+    from tailsql_spark.operators.similarity import as_double, assign_cells, dot, norm
 
     def process(batch_df, batch_id):
         sess = batch_df.sparkSession
@@ -883,15 +903,10 @@ def _ann_batch_processor(topk_root: str, queries_path: str, seeds_path: str):
         vec = batch_df.select(
             "vec_id", as_double(F.col("embedding")).alias("v")
         ).withColumn("nrm", norm(F.col("v")))
-        seed_cos = dot(F.col("v"), F.col("sv")) / (F.col("nrm") * F.col("sn"))
-        wa = W.partitionBy("vec_id").orderBy(F.col("scos").desc(), F.col("seed_id").asc())
-        assigned = (
-            vec.join(F.broadcast(seeds))
-            .withColumn("scos", seed_cos)
-            .withColumn("rn", F.row_number().over(wa))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", F.col("seed_id").alias("cell"), "v", "nrm")
-        )
+        # THE shared assignment rule (similarity.assign_cells) — the
+        # certified equivalence depends on streaming and batch agreeing
+        # on the cell tie-break, so there is exactly one definition
+        assigned = assign_cells(vec, seeds)
         qcos = dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
         scored = (
             assigned.join(
@@ -917,6 +932,7 @@ def _ann_batch_processor(topk_root: str, queries_path: str, seeds_path: str):
             .filter(F.col("rnk") <= 3)
         )
         topk.write.mode("overwrite").parquet(f"{topk_root}/b{bid:05d}")
+        _prune_snapshots(topk_root, bid - 1)
 
     return process
 
@@ -940,13 +956,12 @@ def stream_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from tailsql_spark.operators.similarity import (
-        N_CELLS,
         N_QUERIES,
         as_double,
-        dot,
+        assign_cells,
         norm,
+        seed_table,
     )
-    from pyspark.sql import Window as W
 
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"].select("vec_id", "embedding")
@@ -955,33 +970,23 @@ def stream_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # fixed model parameters: coarse-cell seed vectors and the query
     # block with their (deterministic, seed-dependent) cell assignment
+    # — both via the SAME assign_cells rule the processor uses
     vec = emb.select("vec_id", as_double(F.col("embedding")).alias("v")).withColumn(
         "nrm", norm(F.col("v"))
     )
-    seeds = vec.filter(F.col("vec_id") < N_CELLS).select(
-        F.col("vec_id").alias("seed_id"), F.col("v").alias("sv"), F.col("nrm").alias("sn")
-    )
+    seeds = seed_table(vec)
     seeds_path = f"{state_root}/seeds"
     seeds.write.mode("overwrite").parquet(seeds_path)
-    seed_cos = dot(F.col("v"), F.col("sv")) / (F.col("nrm") * F.col("sn"))
-    wa = W.partitionBy("vec_id").orderBy(F.col("scos").desc(), F.col("seed_id").asc())
-    queries = (
-        vec.filter(F.col("vec_id") < N_QUERIES)
-        .join(F.broadcast(spark.read.parquet(seeds_path)))
-        .withColumn("scos", seed_cos)
-        .withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("seed_id").alias("qcell"),
-            F.col("v").alias("qv"),
-            F.col("nrm").alias("qn"),
-        )
+    queries = assign_cells(vec.filter(F.col("vec_id") < N_QUERIES), seeds).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cell").alias("qcell"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
     )
     queries_path = f"{state_root}/queries"
     queries.write.mode("overwrite").parquet(queries_path)
     spark.createDataFrame(
-        [], "query_id long, neighbor_id long, cosine double"
+        [], "query_id long, neighbor_id long, cosine double, rnk long"
     ).write.mode("overwrite").parquet(f"{topk_root}/seed")
 
     src_dir = tempfile.mkdtemp(prefix="tailsql_stream_ann_")
@@ -1004,13 +1009,10 @@ def stream_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _await_or_raise(q, "stream_ann_topk")
     finally:
         q.stop()
-    wr = W.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    final = (
-        spark.read.parquet(_latest_snapshot_path(topk_root, None))
-        .select("query_id", "neighbor_id", "cosine")
-        .withColumn("rnk", F.row_number().over(wr).cast("long"))
+    # the processor already wrote the correct rnk ≤ 3 column — select
+    # it rather than re-ranking through another window exchange
+    final = spark.read.parquet(_latest_snapshot_path(topk_root, None)).select(
+        "query_id", "neighbor_id", "cosine", "rnk"
     )
     out = spark.createDataFrame(final.collect(), final.schema)
     shutil.rmtree(src_dir, ignore_errors=True)

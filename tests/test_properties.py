@@ -153,7 +153,11 @@ def test_connected_components_matches_union_find(spark, edges):
     expected = {n: find(n) for n in parent}
 
     df = spark.createDataFrame(edges, "id_a long, id_b long")
+    # max_iter=60: the strategy can generate an induced path up to ~30
+    # edges long, whose propagation distance exceeds the production
+    # diameter bound of 25 — a valid worst-case input here, not a bug
     got = {
-        r.doc_id: r.cluster_id for r in connected_components(df).collect()
+        r.doc_id: r.cluster_id
+        for r in connected_components(df, max_iter=60).collect()
     }
     assert got == expected

@@ -128,7 +128,13 @@ def test_ann_processor_replay_idempotent(spark, oracle_sf_dir):
     state, and incremental top-k over slices equals one-shot scoring."""
     from pyspark.sql import functions as F2
 
-    from tailsql_spark.operators.similarity import N_CELLS, N_QUERIES, as_double, norm, dot
+    from tailsql_spark.operators.similarity import (
+        N_QUERIES,
+        as_double,
+        assign_cells,
+        norm,
+        seed_table,
+    )
     from tailsql_spark.plans.catalog import load_tables
     from tailsql_spark.plans.streaming_exec import (
         _ann_batch_processor,
@@ -141,33 +147,18 @@ def test_ann_processor_replay_idempotent(spark, oracle_sf_dir):
         vec = emb.select("vec_id", as_double(F2.col("embedding")).alias("v")).withColumn(
             "nrm", norm(F2.col("v"))
         )
-        seeds = vec.filter(F2.col("vec_id") < N_CELLS).select(
-            F2.col("vec_id").alias("seed_id"),
-            F2.col("v").alias("sv"),
-            F2.col("nrm").alias("sn"),
-        )
+        seeds = seed_table(vec)
         seeds.write.mode("overwrite").parquet(f"{root}/seeds")
-        from pyspark.sql import Window as W
-
-        scos = dot(F2.col("v"), F2.col("sv")) / (F2.col("nrm") * F2.col("sn"))
-        wa = W.partitionBy("vec_id").orderBy(F2.col("scos").desc(), F2.col("seed_id").asc())
-        queries = (
-            vec.filter(F2.col("vec_id") < N_QUERIES)
-            .join(F2.broadcast(spark.read.parquet(f"{root}/seeds")))
-            .withColumn("scos", scos)
-            .withColumn("rn", F2.row_number().over(wa))
-            .filter(F2.col("rn") == 1)
-            .select(
-                F2.col("vec_id").alias("query_id"),
-                F2.col("seed_id").alias("qcell"),
-                F2.col("v").alias("qv"),
-                F2.col("nrm").alias("qn"),
-            )
+        queries = assign_cells(vec.filter(F2.col("vec_id") < N_QUERIES), seeds).select(
+            F2.col("vec_id").alias("query_id"),
+            F2.col("cell").alias("qcell"),
+            F2.col("v").alias("qv"),
+            F2.col("nrm").alias("qn"),
         )
         queries.write.mode("overwrite").parquet(f"{root}/queries")
         topk_root = f"{root}/topk"
         spark.createDataFrame(
-            [], "query_id long, neighbor_id long, cosine double"
+            [], "query_id long, neighbor_id long, cosine double, rnk long"
         ).write.mode("overwrite").parquet(f"{topk_root}/seed")
 
         process = _ann_batch_processor(topk_root, f"{root}/queries", f"{root}/seeds")
@@ -185,5 +176,40 @@ def test_ann_processor_replay_idempotent(spark, oracle_sf_dir):
             for r in spark.read.parquet(_latest_snapshot_path(topk_root, None)).collect()
         }
         assert after == replayed and after
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_snapshot_pruning_keeps_replay_window(spark):
+    """After batch k commits, snapshots <= k-2 are pruned (replay of k
+    only needs k-1), bounding state at two snapshots + seed."""
+    import os
+
+    from tailsql_spark.plans.streaming_exec import (
+        _cc_batch_processor,
+        _latest_snapshot_path,
+    )
+
+    root = tempfile.mkdtemp(prefix="tailsql_cc_prune_")
+    try:
+        edges_root, labels_root = f"{root}/edges", f"{root}/labels"
+        spark.createDataFrame([], "id_a long, id_b long").write.mode(
+            "overwrite"
+        ).parquet(f"{edges_root}/seed")
+        spark.createDataFrame([], "doc_id long, cluster_id long").write.mode(
+            "overwrite"
+        ).parquet(f"{labels_root}/seed")
+        process = _cc_batch_processor(edges_root, labels_root)
+        process(spark.createDataFrame([(1, 2)], "id_a long, id_b long"), 0)
+        process(spark.createDataFrame([(2, 3)], "id_a long, id_b long"), 1)
+        process(spark.createDataFrame([(7, 8)], "id_a long, id_b long"), 2)
+        snaps = sorted(d for d in os.listdir(labels_root) if d.startswith("b"))
+        assert snaps == ["b00001", "b00002"], snaps
+        assert _latest_snapshot_path(labels_root, None).endswith("b00002")
+        got = {
+            (r.doc_id, r.cluster_id)
+            for r in spark.read.parquet(_latest_snapshot_path(labels_root, None)).collect()
+        }
+        assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)}
     finally:
         shutil.rmtree(root, ignore_errors=True)
