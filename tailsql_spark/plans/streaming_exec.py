@@ -1034,3 +1034,151 @@ REGISTRY["stream_ann_topk"] = QuerySpec(
     "cannot perturb it). Certified equal to batch ann_ivf_topk via "
     "the same oracle: streaming ≡ batch for the similarity family.",
 )
+
+
+# ---------------------------------------------------------------------------
+# incremental decontamination: eval-overlap audit maintained as train
+# data streams in
+# ---------------------------------------------------------------------------
+
+def _contam_batch_processor(train_root: str, hits_root: str, test_grams_path: str):
+    """foreachBatch processor for the incremental contamination audit.
+
+    Per batch: the batch's TRAIN docs are reduced to distinct 5-grams,
+    grams already seen in the accumulated train index are dropped
+    (left_anti vs history, which EXCLUDES the replaying batch's own
+    idempotent write), and only the first-appearance grams probe the
+    fixed test-gram index — each contaminated (test_doc, gram) pair is
+    therefore emitted exactly once, in the batch its gram first enters
+    the training corpus. Per-batch cost tracks NEW grams, never corpus
+    size; state dirs follow the shared per-batch-id replay discipline.
+    """
+
+    def process(batch_df, batch_id):
+        sess = batch_df.sparkSession
+        bid = int(batch_id)
+        sub = f"b{bid:05d}"
+        gb = _doc_5grams(batch_df).select("g").distinct()
+        hist = sess.read.parquet(*_mh_state_paths(train_root, bid)).select("g")
+        new_grams = gb.join(hist, "g", "left_anti").persist()
+        test_grams = sess.read.parquet(test_grams_path)
+        hits = new_grams.join(test_grams, "g").select("doc_id", "g")
+        hits.write.mode("overwrite").parquet(f"{hits_root}/{sub}")
+        new_grams.select("g").write.mode("overwrite").parquet(f"{train_root}/{sub}")
+        new_grams.unpersist()
+
+    return process
+
+
+def _doc_5grams(docs: DataFrame) -> DataFrame:
+    """Distinct word 5-grams per doc — the SAME tokenization as batch
+    text_contamination_overlap (single-space split, lowercase), so the
+    streaming twin certifies against the same oracle."""
+    ws = F.split(F.lower(F.col("text")), " ")
+    n = F.size(ws)
+    gram_arr = F.when(
+        n >= 5,
+        F.transform(
+            F.sequence(F.lit(0), n - 5),
+            lambda i: F.concat_ws(" ", ws[i], ws[i + 1], ws[i + 2], ws[i + 3], ws[i + 4]),
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode_outer(gram_arr).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .distinct()
+    )
+
+
+def stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL train/test decontamination audit: the TRAIN split
+    streams in and each micro-batch updates the per-test-doc overlap —
+    only grams entering the training corpus for the FIRST time probe
+    the fixed test-gram index, so each contaminated (test_doc, gram)
+    pair is found exactly once and per-batch cost tracks new data. At
+    100 TB this is the difference between auditing each training-data
+    increment and rescanning the corpus per release.
+
+    Certified equal to batch ``text_contamination_overlap`` via the
+    same oracle: the hit set is a union of disjoint first-appearance
+    probes, so batch slicing cannot perturb counts.
+    """
+    import shutil
+
+    t = load_tables(spark, sf_dir)
+    is_test = (
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2) < "1a"
+    )
+    docs = t["documents"].select("doc_id", "text", is_test.alias("is_test"))
+    test_docs = docs.filter(F.col("is_test")).select("doc_id", "text")
+    train_docs = docs.filter(~F.col("is_test")).select("doc_id", "text")
+
+    state_root = tempfile.mkdtemp(prefix="tailsql_contam_state_")
+    train_root = f"{state_root}/train_grams"
+    hits_root = f"{state_root}/hits"
+    test_grams = _doc_5grams(test_docs)
+    test_grams_path = f"{state_root}/test_grams"
+    test_grams.write.mode("overwrite").parquet(test_grams_path)
+    # per-test-doc gram counts: the fixed denominator table
+    sizes = (
+        spark.read.parquet(test_grams_path)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"))
+    )
+    empty_g = test_grams.select("g").limit(0)
+    empty_g.write.mode("overwrite").parquet(f"{train_root}/seed")
+    test_grams.limit(0).write.mode("overwrite").parquet(f"{hits_root}/seed")
+
+    src_dir = tempfile.mkdtemp(prefix="tailsql_stream_contam_")
+    # 4 staged files + maxFilesPerTrigger=1 → 4 genuine micro-batches
+    train_docs.repartition(4).write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(train_docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            _contam_batch_processor(train_root, hits_root, test_grams_path)
+        )
+        .option("checkpointLocation", f"{state_root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _await_or_raise(q, "stream_contamination")
+    finally:
+        q.stop()
+    hits = spark.read.parquet(*_mh_state_paths(hits_root))
+    per_doc = hits.groupBy("doc_id").agg(F.count("*").alias("n_hit"))
+    result = (
+        sizes.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) * 1.0 / F.col("n_grams"), 6
+            ).alias("contamination_pct"),
+        )
+    )
+    out = spark.createDataFrame(result.collect(), result.schema)
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(state_root, ignore_errors=True)
+    return out
+
+
+from tailsql_spark.operators.textstats import REGISTRY as _TEXT_REGISTRY  # noqa: E402
+
+REGISTRY["stream_contamination"] = QuerySpec(
+    name="stream_contamination",
+    category="streaming-executed",
+    build=stream_contamination,
+    oracle=_TEXT_REGISTRY["text_contamination_overlap"].oracle,
+    doc="Incremental decontamination audit: per-test-doc train-overlap "
+    "maintained as the training split streams in — only first-"
+    "appearance grams probe the fixed test index, so each "
+    "contaminated pair is found exactly once and per-batch cost "
+    "tracks new data. Certified equal to batch "
+    "text_contamination_overlap via the same oracle.",
+)
