@@ -213,3 +213,63 @@ def test_snapshot_pruning_keeps_replay_window(spark):
         assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)}
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_contam_processor_replay_idempotent(spark, oracle_sf_dir):
+    """Replaying a decontamination batch reproduces identical state:
+    first-appearance gram logic must not double-count under replay."""
+    from pyspark.sql import functions as F2
+
+    from tailsql_spark.operators.textstats import REGISTRY as _TEXT
+    from tailsql_spark.plans.catalog import load_tables
+    from tailsql_spark.plans.streaming_exec import (
+        _contam_batch_processor,
+        _doc_5grams,
+        _mh_state_paths,
+    )
+
+    docs = load_tables(spark, oracle_sf_dir)["documents"]
+    is_test = (
+        F2.substring(F2.md5(F2.col("doc_id").cast("string").cast("binary")), 1, 2)
+        < "1a"
+    )
+    docs = docs.select("doc_id", "text", is_test.alias("is_test"))
+    test_docs = docs.filter(F2.col("is_test")).select("doc_id", "text")
+    train = docs.filter(~F2.col("is_test")).select("doc_id", "text")
+
+    root = tempfile.mkdtemp(prefix="tailsql_contam_replay_")
+    try:
+        test_grams = _doc_5grams(test_docs)
+        test_grams.write.mode("overwrite").parquet(f"{root}/test_grams")
+        test_grams.select("g").limit(0).write.mode("overwrite").parquet(
+            f"{root}/train/seed"
+        )
+        test_grams.limit(0).write.mode("overwrite").parquet(f"{root}/hits/seed")
+        process = _contam_batch_processor(
+            f"{root}/train", f"{root}/hits", f"{root}/test_grams"
+        )
+        b0 = train.filter(F2.col("doc_id") % 2 == 0)
+        b1 = train.filter(F2.col("doc_id") % 2 == 1)
+        # every batch runs twice: original + simulated post-crash replay
+        process(b0, 0)
+        process(b0, 0)
+        process(b1, 1)
+        process(b1, 1)
+        hits = spark.read.parquet(*_mh_state_paths(f"{root}/hits"))
+        got = (
+            hits.groupBy("doc_id")
+            .agg(F2.count("*").alias("n_hit"))
+            .collect()
+        )
+        got = {(r.doc_id, r.n_hit) for r in got}
+        want = {
+            (r.doc_id, r.n_hit)
+            for r in _TEXT["text_contamination_overlap"]
+            .build(spark, oracle_sf_dir)
+            .filter(F2.col("n_hit") > 0)
+            .select("doc_id", "n_hit")
+            .collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
