@@ -148,3 +148,40 @@ def test_cli_sliding_window_golden(spark, tmp_path, monkeypatch):
 
     # README cadence golden: count per 5 s emission, raw format
     assert outputs == ["n\n3", "n\n2", "n\n0", "n\n0"], outputs
+
+
+def test_cli_yaml_config_batch_golden(spark, tmp_path, capsys):
+    """Entry point 2 (config.yaml, reference config.yaml parity) end to
+    end through cli.main in batch mode: YAML-declared source + regex +
+    filter, --do-not-tail table render to stdout."""
+    from tailsql_spark import cli
+
+    log = tmp_path / "app.log"
+    log.write_text(
+        "\n".join(
+            PHASE_A
+            + ["2024/04/12 22:49:00.000001 GETM SUCC localhost:7710 19000"]
+        )
+        + "\n"
+    )
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        f"""
+files:
+  - path: "{log}"
+    regex: '{README_RE}'
+    filter: "time > 10000"
+    do_not_tail: true
+sink:
+  to: "stdout"
+  formatter: "table"
+db_engine: "duckdb"
+"""
+    )
+    rc = cli.main(
+        ["query", "-c", str(cfg), "select count(1) as n from t0 where time > 12275"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    # 3 PHASE_A hits + the extra 19000 line; table formatter golden
+    assert "| n" in out and "| 4" in out, out
