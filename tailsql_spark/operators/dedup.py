@@ -235,7 +235,9 @@ def band_long(sig: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(sig: DataFrame, hint_broadcast: bool = True) -> DataFrame:
+def lsh_candidate_pairs(
+    sig: DataFrame, hint_broadcast: bool = True, force_shuffle: bool = False
+) -> DataFrame:
     """Band the signature and self-join per band → candidate id pairs."""
     long = band_long(sig)
     a, b = long.alias("a"), long.alias("b")
@@ -247,6 +249,13 @@ def lsh_candidate_pairs(sig: DataFrame, hint_broadcast: bool = True) -> DataFram
     # buckets.
     if hint_broadcast:
         b = F.broadcast(b)
+    elif force_shuffle:
+        # Certification mode: pin the SHUFFLED physical strategy in the
+        # plan itself (a session-conf override would not survive lazy
+        # execution under the driver's default conf — at small SF the
+        # optimizer would silently auto-broadcast the sub-10 MB band
+        # table and certify the wrong branch).
+        b = b.hint("shuffle_hash")
     return (
         a.join(
             b,
@@ -307,6 +316,28 @@ _MINHASH_ORACLE = f"""
     "passes + one equi-join; no O(n²) stage.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_pipeline(spark, sf_dir, small=_small_input(sf_dir))
+
+
+@query(
+    "dedup_minhash_lsh_shuffled",
+    "dedup",
+    _MINHASH_ORACLE,
+    doc="The SAME MinHash+LSH pipeline pinned to its big-data branch: "
+    "no broadcast under the size gate, band self-join and shingle "
+    "verification as shuffled equi-joins (shuffle_hash-hinted so the "
+    "optimizer cannot auto-broadcast at test scale). This is the plan "
+    "every 100 TB run takes; certifying it differentially (same DuckDB "
+    "oracle, hash-equality with the broadcast branch) closes the "
+    "round-4 gap where only its plan SHAPE was tested.",
+)
+def dedup_minhash_lsh_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_pipeline(spark, sf_dir, small=False, force_shuffle=True)
+
+
+def _minhash_pipeline(
+    spark: SparkSession, sf_dir: str, small: bool, force_shuffle: bool = False
+) -> DataFrame:
     # What to cache is the whole ballgame here, because the tokenizer
     # (split + higher-order transform) is interpreted, not codegen'd,
     # and this DAG reads its output from five places (signature, both
@@ -348,8 +379,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # than the occasional double-compute it prevents. sig and ex stay
     # lazily persisted; first evaluation fills both caches.
     sig = minhash_signatures(ex).persist()
-    small = _small_input(sf_dir)
-    cand = lsh_candidate_pairs(sig, hint_broadcast=small)
+    cand = lsh_candidate_pairs(sig, hint_broadcast=small, force_shuffle=force_shuffle)
     # |A|,|B| come from the signature groupBy (n_sh), not a second full
     # pass over ex. The set sizes are attached to the TINY candidate
     # table up front (two small-side joins) and ride through the
@@ -372,8 +402,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a_side (candidate docs × their shingles) is corpus-proportional in
     # the worst case — hint only under the same size gate; the cand
     # broadcast above is always collision-sized and stays.
+    if small:
+        a_side = F.broadcast(a_side)
+    elif force_shuffle:
+        a_side = a_side.hint("shuffle_hash")  # see lsh_candidate_pairs
     common = (
-        (F.broadcast(a_side) if small else a_side)
+        a_side
         .join(exb, (F.col("id_b") == F.col("idb2")) & (F.col("x") == F.col("xb")))
         .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count("*").alias("n_common"))

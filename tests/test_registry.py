@@ -11,7 +11,7 @@ from tailsql_spark.plans.registry import (
     REGISTRY,
 )
 
-EXPECTED_TOTAL = 171  # r4: + stream_session_append, stream_dedup_clusters, stream_ann_topk, stream_contamination
+EXPECTED_TOTAL = 172  # r5: + dedup_minhash_lsh_shuffled (big-data branch certification)
 
 
 def test_no_silent_import_failures():

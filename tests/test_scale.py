@@ -271,6 +271,28 @@ def test_lsh_band_broadcast_size_gated(spark, oracle_sf_dir):
     assert dedup._small_input(oracle_sf_dir) is True
 
 
+def test_minhash_shuffled_branch_differential(spark, oracle_sf_dir):
+    """The big-data (non-broadcast) MinHash branch must produce
+    HASH-IDENTICAL results to the broadcast branch — not just the right
+    plan shape (round-4 verdict #1: a result-divergence bug in the
+    shuffled branch would ship to exactly the 100 TB users).  The
+    shuffled variant pins its strategy with shuffle_hash hints so the
+    optimizer cannot silently auto-broadcast at test scale."""
+    from tailsql_spark.plans.registry import REGISTRY
+
+    bcast = REGISTRY["dedup_minhash_lsh"].build(spark, oracle_sf_dir)
+    shuf = REGISTRY["dedup_minhash_lsh_shuffled"].build(spark, oracle_sf_dir)
+    p = _plan(shuf)
+    # the band self-join and shingle verification run shuffled...
+    assert "ShuffledHashJoin" in p, p
+    # ...while the collision-sized candidate set still broadcasts (that
+    # hint is unconditional by design — it is tiny at any corpus size)
+    rows_b = sorted(map(tuple, bcast.collect()))
+    rows_s = sorted(map(tuple, shuf.collect()))
+    assert rows_b == rows_s
+    assert len(rows_b) > 0  # planted dups exist at every SF
+
+
 def test_sink_partitioned_parquet_prunes(spark, oracle_sf_dir):
     """The certified partitioned-sink query's year predicate must be a
     PartitionFilter (directory pruning) — not a row-level filter over a
