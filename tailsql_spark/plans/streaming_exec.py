@@ -518,9 +518,38 @@ def _mh_state_paths(root: str, exclude_bid: int | None = None) -> list:
 
     paths = [f"{root}/seed"]
     for d in sorted(os.listdir(root)):
-        if d.startswith("b") and (exclude_bid is None or d != f"b{exclude_bid:05d}"):
+        # exclusion compares PARSED numeric ids, the same rule as
+        # _latest_snapshot_path: a name-format comparison would fail to
+        # exclude a dir written with a different pad width (e.g. b7 for
+        # bid 7), double-counting its rows on replay
+        if (
+            d.startswith("b")
+            and d[1:].isdigit()
+            and (exclude_bid is None or int(d[1:]) != exclude_bid)
+        ):
             paths.append(f"{root}/{d}")
     return paths
+
+
+def _persist_result(df, name: str):
+    """Materialize a final streaming-state result into a SESSION-OWNED
+    directory via a distributed parquet write and return the
+    parquet-backed DataFrame — so the per-run scratch/state dirs can be
+    deleted while the returned result stays readable.
+
+    This replaces the round-4 grading adapters' driver-side
+    createDataFrame-from-collected-rows hop: the final state
+    of an incremental dedup/ANN/decontamination run is itself
+    corpus-proportional (one row per clustered doc or near-dup pair),
+    so at real scale it must never funnel through the driver. The
+    destination lives under the session's warehouse dir (the same
+    lifetime as any saved table), not under the per-run tempdirs.
+    """
+    spark = df.sparkSession
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    dest = f"{wh.rstrip('/')}/tailsql_stream_results/{name}"
+    df.write.mode("overwrite").parquet(dest)
+    return spark.read.parquet(dest)
 
 
 def _minhash_batch_processor(ex_root: str, sig_root: str, out_root: str):
@@ -689,8 +718,7 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     result = spark.read.parquet(*_mh_state_paths(out_root))
-    # materialize into the session before the scratch dirs vanish
-    out = spark.createDataFrame(result.collect(), result.schema)
+    out = _persist_result(result, "stream_dedup_minhash")
     shutil.rmtree(src_dir, ignore_errors=True)
     shutil.rmtree(state_root, ignore_errors=True)
     return out
@@ -845,7 +873,7 @@ def stream_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_id").cast("long").alias("cluster_id"),
         F.col("cluster_size").cast("long").alias("cluster_size"),
     )
-    out = spark.createDataFrame(result.collect(), result.schema)
+    out = _persist_result(result, "stream_dedup_clusters")
     shutil.rmtree(src_dir, ignore_errors=True)
     shutil.rmtree(state_root, ignore_errors=True)
     return out
@@ -1014,7 +1042,7 @@ def stream_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = spark.read.parquet(_latest_snapshot_path(topk_root, None)).select(
         "query_id", "neighbor_id", "cosine", "rnk"
     )
-    out = spark.createDataFrame(final.collect(), final.schema)
+    out = _persist_result(final, "stream_ann_topk")
     shutil.rmtree(src_dir, ignore_errors=True)
     shutil.rmtree(state_root, ignore_errors=True)
     return out
@@ -1162,7 +1190,7 @@ def stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contamination_pct"),
         )
     )
-    out = spark.createDataFrame(result.collect(), result.schema)
+    out = _persist_result(result, "stream_contamination")
     shutil.rmtree(src_dir, ignore_errors=True)
     shutil.rmtree(state_root, ignore_errors=True)
     return out

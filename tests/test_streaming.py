@@ -464,3 +464,24 @@ def test_session_append_equals_complete_mode(spark, sf_dir):
     assert append_rows == complete_rows
     assert append_rows, "no sessions emitted"
     assert all(r[0] != -1 for r in append_rows), "sentinel leaked into output"
+
+
+def test_stream_result_survives_scratch_cleanup(spark, oracle_sf_dir):
+    """The DataFrame a streaming-incremental build returns must stay
+    readable AFTER the build's scratch/state dirs are deleted — i.e. the
+    final snapshot is persisted distributed (session-owned warehouse
+    dir), never collected through the driver (round-4 verdict #1:
+    the final state is corpus-proportional at real scale)."""
+    import inspect
+
+    from tailsql_spark.plans import streaming_exec
+
+    # static guard: no driver-side collect anywhere in the module — the
+    # grading adapters were the last holdouts
+    src = inspect.getsource(streaming_exec)
+    assert ".collect()" not in src, "driver-side collect in streaming_exec"
+
+    out = streaming_exec.stream_contamination(spark, oracle_sf_dir)
+    # scratch dirs are gone by now; the result must still materialize
+    rows = out.collect()
+    assert len(rows) > 0
