@@ -273,3 +273,143 @@ def test_contam_processor_replay_idempotent(spark, oracle_sf_dir):
         assert got == want
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _kill_then_resume(start_query, state_watch_root: str):
+    """Start the stream, kill it as soon as the FIRST batch's state dir
+    lands (a later batch is then likely mid-flight — exactly the
+    crash window the checkpoint protects), then restart from the same
+    checkpoint and run to completion."""
+    import os
+    import time
+
+    from tailsql_spark.plans.streaming_exec import _await_or_raise
+
+    q = start_query()
+    deadline = time.time() + 120
+    while time.time() < deadline and not any(
+        d.startswith("b") for d in os.listdir(state_watch_root)
+    ):
+        time.sleep(0.05)
+    q.stop()  # kill — possibly between a state write and its commit
+    q2 = start_query()
+    try:
+        _await_or_raise(q2, "kill-and-resume")
+    finally:
+        q2.stop()
+
+
+def test_minhash_stream_kill_and_resume(spark, oracle_sf_dir):
+    """Kill the incremental MinHash stream mid-run, resume from the
+    checkpoint: the final pair set must be identical to an
+    uninterrupted run (== the batch operator) — exactly-once
+    maintenance across a restart, through the real streaming engine."""
+    from tailsql_spark.operators.dedup import REGISTRY as _DEDUP
+    from tailsql_spark.plans.catalog import load_tables
+    from tailsql_spark.plans.streaming_exec import (
+        _mh_seed_state,
+        _mh_state_paths,
+        _minhash_batch_processor,
+    )
+
+    docs = load_tables(spark, oracle_sf_dir)["documents"].select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="tailsql_kr_mh_src_")
+    root = tempfile.mkdtemp(prefix="tailsql_kr_mh_state_")
+    try:
+        docs.repartition(4).write.mode("overwrite").parquet(src)
+        ex_root, sig_root, out_root = _mh_seed_state(docs, root)
+        process = _minhash_batch_processor(ex_root, sig_root, out_root)
+
+        def start():
+            stream = (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            )
+            return (
+                stream.writeStream.foreachBatch(process)
+                .option("checkpointLocation", f"{root}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        _kill_then_resume(start, out_root)
+        got = _pairs(spark.read.parquet(*_mh_state_paths(out_root)))
+        want = _pairs(_DEDUP["dedup_minhash_lsh"].build(spark, oracle_sf_dir))
+        assert got == want, (
+            f"resumed state diverged: extra={got - want}, missing={want - got}"
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_ann_stream_kill_and_resume(spark, oracle_sf_dir):
+    """Kill the incremental ANN top-k stream mid-run, resume from the
+    checkpoint: the final top-k snapshot must equal the batch
+    ann_ivf_topk result exactly."""
+    from pyspark.sql import functions as F2
+
+    from tailsql_spark.operators.similarity import (
+        N_QUERIES,
+        REGISTRY as _SIM,
+        as_double,
+        assign_cells,
+        norm,
+        seed_table,
+    )
+    from tailsql_spark.plans.catalog import load_tables
+    from tailsql_spark.plans.streaming_exec import (
+        _ann_batch_processor,
+        _latest_snapshot_path,
+    )
+
+    emb = load_tables(spark, oracle_sf_dir)["embeddings"].select("vec_id", "embedding")
+    src = tempfile.mkdtemp(prefix="tailsql_kr_ann_src_")
+    root = tempfile.mkdtemp(prefix="tailsql_kr_ann_state_")
+    try:
+        vec = emb.select("vec_id", as_double(F2.col("embedding")).alias("v")).withColumn(
+            "nrm", norm(F2.col("v"))
+        )
+        seeds = seed_table(vec)
+        seeds.write.mode("overwrite").parquet(f"{root}/seeds")
+        assign_cells(vec.filter(F2.col("vec_id") < N_QUERIES), seeds).select(
+            F2.col("vec_id").alias("query_id"),
+            F2.col("cell").alias("qcell"),
+            F2.col("v").alias("qv"),
+            F2.col("nrm").alias("qn"),
+        ).write.mode("overwrite").parquet(f"{root}/queries")
+        topk_root = f"{root}/topk"
+        spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rnk long"
+        ).write.mode("overwrite").parquet(f"{topk_root}/seed")
+        emb.repartition(4).write.mode("overwrite").parquet(src)
+        process = _ann_batch_processor(topk_root, f"{root}/queries", f"{root}/seeds")
+
+        def start():
+            stream = (
+                spark.readStream.schema(emb.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            )
+            return (
+                stream.writeStream.foreachBatch(process)
+                .option("checkpointLocation", f"{root}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        _kill_then_resume(start, topk_root)
+        got = {
+            tuple(r)
+            for r in spark.read.parquet(_latest_snapshot_path(topk_root, None))
+            .select("query_id", "neighbor_id", "cosine", "rnk")
+            .collect()
+        }
+        want = {
+            tuple(r) for r in _SIM["ann_ivf_topk"].build(spark, oracle_sf_dir).collect()
+        }
+        assert got == want and got
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
