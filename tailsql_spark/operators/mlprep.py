@@ -220,8 +220,12 @@ def grouped_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMEANS_ITERS = 3  # assignments under c0, c1, c2 (2 centroid updates)
 
 
-def _kmeans_oracle() -> str:
-    """Unrolled-CTE DuckDB oracle for KMEANS_ITERS Lloyd steps.
+def kmeans_cte_parts() -> list[str]:
+    """Unrolled CTE chain for KMEANS_ITERS Lloyd steps, ending with the
+    final assignment ``a{KMEANS_ITERS}`` (trailing comma on every part,
+    so callers can append further CTEs and a final SELECT).  Shared by
+    the trajectory oracle below and the k-means-seeded IVF oracle in
+    operators/similarity.py — one definition of the walked trajectory.
 
     Bit-for-bit cross-engine determinism: embeddings quantize to ×1e6
     BIGINTs once; distances are exact integer sums of squares; centroid
@@ -258,6 +262,11 @@ def _kmeans_oracle() -> str:
                 f"c{r} AS (SELECT cell, list(v ORDER BY pos) AS c FROM u{r}"
                 f" GROUP BY cell),"
             )
+    return parts
+
+
+def _kmeans_oracle() -> str:
+    parts = kmeans_cte_parts()
     last_a = f"a{KMEANS_ITERS}"
     last_c = f"c{KMEANS_ITERS - 1}"
     parts[-1] = parts[-1].rstrip(",")  # last CTE: no trailing comma
@@ -290,6 +299,30 @@ def _kmeans_oracle() -> str:
     "(plan construction), no data ever collects.",
 )
 def ann_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned, cent = lloyd_loop(spark, sf_dir)
+    fp = cent.select(
+        "cell",
+        F.md5(
+            F.concat_ws(",", F.transform("c", lambda x: x.cast("string"))).cast(
+                "binary"
+            )
+        ).alias("centroid_fp"),
+    )
+    return (
+        assigned.groupBy("cell")
+        .agg(F.count("*").alias("n_members"), F.sum("dist").alias("inertia"))
+        .join(fp, "cell")
+        .select("cell", "n_members", "inertia", "centroid_fp")
+    )
+
+
+def lloyd_loop(spark: SparkSession, sf_dir: str):
+    """KMEANS_ITERS Lloyd steps; returns ``(assigned, cent)`` — the
+    final integer-distance assignment ``(vec_id, cell, dist)`` and the
+    centroids it was computed under.  The Spark twin of
+    :func:`kmeans_cte_parts`; ann_kmeans_lloyd certifies the trajectory,
+    and ann_ivf_kmeans_topk (operators/similarity.py) composes the
+    assignment as its learned IVF partitioning."""
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"].select(
         "vec_id",
@@ -329,17 +362,4 @@ def ann_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda s: s["v"],
                 ).alias("c")
             )
-    fp = cent.select(
-        "cell",
-        F.md5(
-            F.concat_ws(",", F.transform("c", lambda x: x.cast("string"))).cast(
-                "binary"
-            )
-        ).alias("centroid_fp"),
-    )
-    return (
-        assigned.groupBy("cell")
-        .agg(F.count("*").alias("n_members"), F.sum("dist").alias("inertia"))
-        .join(fp, "cell")
-        .select("cell", "n_members", "inertia", "centroid_fp")
-    )
+    return assigned, cent

@@ -305,6 +305,86 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_ivf_oracle() -> str:
+    """IVF search over LEARNED cells: the k-means trajectory's final
+    assignment (the exact integer-quantized Lloyd walk certified by
+    ann_kmeans_lloyd) becomes the cell table, then the same
+    probe-own-cell top-3 as ann_ivf_topk."""
+    from tailsql_spark.operators.mlprep import KMEANS_ITERS, kmeans_cte_parts
+
+    parts = kmeans_cte_parts()
+    ka = f"a{KMEANS_ITERS}"
+    parts.append(
+        f"""
+    q AS (SELECT a.vec_id, a.cell, e.embedding
+          FROM {ka} a JOIN embeddings e USING (vec_id)
+          WHERE a.vec_id < {N_QUERIES}),
+    corp AS (SELECT a.vec_id, a.cell, e.embedding
+             FROM {ka} a JOIN embeddings e USING (vec_id)),
+    scored AS (
+        SELECT q.vec_id AS query_id, corp.vec_id AS neighbor_id,
+               ROUND({_DUCK_DOT.format(a='q.embedding', b='corp.embedding')}
+                     / ({_DUCK_NORM.format(a='q.embedding')}
+                        * {_DUCK_NORM.format(a='corp.embedding')}), 4) AS cosine
+        FROM q JOIN corp ON q.cell = corp.cell AND corp.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+          FROM scored)
+    WHERE rnk <= 3"""
+    )
+    return "\n".join(parts)
+
+
+@query(
+    "ann_ivf_kmeans_topk",
+    "similarity",
+    _kmeans_ivf_oracle(),
+    doc="The real ANN index build: IVF cells LEARNED by the certified "
+    "k-means Lloyd loop (operators/mlprep.py) instead of first-8-vector "
+    "seeds, then probe-own-cell top-3 exactly as ann_ivf_topk. The "
+    "composition a production pipeline runs — cluster the corpus, "
+    "partition storage by learned cell, search the query's cell. "
+    "Cross-engine exact because the assignment rides the integer-"
+    "quantized trajectory (one shared CTE/loop definition on each side) "
+    "and scoring reuses the rounded-cosine rule.",
+)
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tailsql_spark.operators.mlprep import lloyd_loop
+
+    assigned, _ = lloyd_loop(spark, sf_dir)
+    cells = assigned.select("vec_id", "cell")
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    both = emb.join(cells, "vec_id")
+    q = both.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cell"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    c = both.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cell").alias("ccell"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    scored = (
+        F.broadcast(q)
+        .join(c, (F.col("cell") == F.col("ccell")) & (F.col("neighbor_id") != F.col("query_id")))
+        .select("query_id", "neighbor_id", F.round(cos, 4).alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
 N_PROBES = 2  # multiprobe: search the query's 2 nearest cells
 
 
