@@ -141,9 +141,31 @@ def ann_topk_pandas_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
-    qrows = emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
-    q_ids = np.array([r.vec_id for r in qrows])
-    q_mat = np.array([r.embedding for r in qrows], dtype=np.float64)
+    # The query block is the CLIENT side of an ANN search — K vectors,
+    # not corpus data — so read it driver-side with parquet predicate
+    # pushdown (pyarrow row-group + page pruning) rather than paying a
+    # whole Spark job launch to fetch 10 rows (measured: the collect
+    # job was ~0.12 s of the query's ~0.5 s at sf0.1, all fixed
+    # overhead). Falls back to the collect when the table isn't a local
+    # parquet path (e.g. a view over a remote store).
+    try:
+        import pyarrow.parquet as pq
+
+        qtab = pq.read_table(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "<", N_QUERIES)],
+        ).sort_by("vec_id")
+        q_ids = np.asarray(qtab["vec_id"])
+        q_mat = np.array(qtab["embedding"].to_pylist(), dtype=np.float64)
+    except Exception:
+        qrows = (
+            emb.filter(F.col("vec_id") < N_QUERIES)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        q_ids = np.array([r.vec_id for r in qrows])
+        q_mat = np.array([r.embedding for r in qrows], dtype=np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
 
     def score(batches):
@@ -152,21 +174,35 @@ def ann_topk_pandas_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
             sims = q_mat @ c_mat.T  # (Q, B)
             n_q, n_b = sims.shape
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     "query_id": np.repeat(q_ids, n_b),
                     "neighbor_id": np.tile(pdf["vec_id"].to_numpy(), n_q),
                     "cosine": sims.round(4).ravel(),
                 }
             )
+            # MAP-SIDE partial top-k (the aggregation-pushdown analogue
+            # for top-k): only each query's local best TOP_K rows leave
+            # the executor, so the rank-window shuffle downstream sees
+            # Q·K rows per batch instead of Q·|corpus| — measured 3.5×
+            # on this query at sf0.1 (0.57 s → 0.16 s), and the ratio
+            # grows with corpus size. Exact: global top-k of per-batch
+            # top-k unions ≡ top-k of the whole set under the same
+            # (cosine DESC, neighbor_id ASC) order, applied after the
+            # same 4-decimal rounding the final rank uses.
+            out = out[out["neighbor_id"] != out["query_id"]]
+            out = out.sort_values(
+                ["query_id", "cosine", "neighbor_id"],
+                ascending=[True, False, True],
+            )
+            yield out.groupby("query_id", sort=False).head(TOP_K)
 
     scored = emb.select("vec_id", "embedding").mapInPandas(
         score, schema="query_id long, neighbor_id long, cosine double"
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
-        scored.filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= TOP_K)
     )
 
@@ -382,6 +418,90 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
+    )
+
+
+SEMDEDUP_EPS = 0.4  # within-cell cosine above this ⇒ semantic duplicate
+
+
+def _semdedup_oracle() -> str:
+    """SemDeDup over learned cells, recursion-free: membership comes
+    from the shared k-means trajectory CTEs; within each cell a vector
+    is pruned iff some SMALLER-id member sits within ε cosine (greedy
+    keep-first — exactly expressible as one aggregated self-join, no
+    transitive closure needed)."""
+    from tailsql_spark.operators.mlprep import KMEANS_ITERS, kmeans_cte_parts
+
+    parts = kmeans_cte_parts()
+    ka = f"a{KMEANS_ITERS}"
+    parts.append(
+        f"""
+    m AS (SELECT a.vec_id, a.cell, e.embedding
+          FROM {ka} a JOIN embeddings e USING (vec_id)),
+    dup AS (
+        SELECT x.vec_id, MIN(y.vec_id) AS pruned_by
+        FROM m x JOIN m y ON x.cell = y.cell AND y.vec_id < x.vec_id
+        WHERE ROUND({_DUCK_DOT.format(a='x.embedding', b='y.embedding')}
+                    / ({_DUCK_NORM.format(a='x.embedding')}
+                       * {_DUCK_NORM.format(a='y.embedding')}), 4)
+              >= {SEMDEDUP_EPS}
+        GROUP BY x.vec_id
+    )
+    SELECT m.vec_id, m.cell,
+           (d.pruned_by IS NULL) AS is_kept,
+           d.pruned_by
+    FROM m LEFT JOIN dup d USING (vec_id)"""
+    )
+    return "\n".join(parts)
+
+
+@query(
+    "dedup_semantic",
+    "dedup",
+    _semdedup_oracle(),
+    doc="SemDeDup-style semantic dedup (Abbas et al. 2023 shape): "
+    "k-means-cluster the embedding space (the certified Lloyd "
+    "trajectory), compare pairs ONLY within a cell, prune every vector "
+    "that has an ε-close smaller-id cellmate (greedy keep-canonical — "
+    "deterministic and recursion-free, so the oracle is one aggregated "
+    "self-join per cell). Scale: the pairwise stage is quadratic only "
+    "within a cell, never across the corpus — cells are the storage "
+    "partitioning key, so each executor prunes its own cell locally; "
+    "the cross-corpus cost is the linear k-means pass it composes.",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tailsql_spark.operators.mlprep import lloyd_loop
+
+    assigned, _ = lloyd_loop(spark, sf_dir)
+    cells = assigned.select("vec_id", "cell")
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    m = emb.join(cells, "vec_id")
+    x = m.select("vec_id", "cell", "v", "nrm")
+    y = m.select(
+        F.col("vec_id").alias("y_id"),
+        F.col("cell").alias("y_cell"),
+        F.col("v").alias("yv"),
+        F.col("nrm").alias("ynrm"),
+    )
+    cos = dot(F.col("v"), F.col("yv")) / (F.col("nrm") * F.col("ynrm"))
+    dup = (
+        x.join(y, (F.col("cell") == F.col("y_cell")) & (F.col("y_id") < F.col("vec_id")))
+        .filter(F.round(cos, 4) >= SEMDEDUP_EPS)
+        .groupBy("vec_id")
+        .agg(F.min("y_id").alias("pruned_by"))
+    )
+    return (
+        m.select("vec_id", "cell")
+        .join(dup, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.col("pruned_by").isNull().alias("is_kept"),
+            "pruned_by",
+        )
     )
 
 
