@@ -369,7 +369,15 @@ def _minhash_pipeline(
         .select("doc_id", shingle_hash60(F.col("s")).alias("x"))
         .persist()
     )
-    # NO materialization barrier — decided on measured numbers twice.
+    # NO materialization barrier — decided on measured numbers THREE
+    # times now. Round-5 re-A/B (min-of-5, interleaved, post shingle-
+    # hash-at-explode): none 1.762 s / ex-barrier 1.772 s / sig-barrier
+    # 1.934 s at sf0.1 — the cache-fill race's twin stages contend for
+    # cores but cost no wall time, so serializing them buys nothing.
+    # The same round measured the query at ~1.9 s run consecutively vs
+    # ~2.7 s inside the interleaved bench suite: the residual bench gap
+    # is cold-JIT/cache context per interleaved sample, not plan work —
+    # job-count and stage-shape are already minimal.
     # An eager ex.count() was tried in round 3 to serialize the
     # tokenizer before the candidate-broadcast job races the main job
     # into the unfilled cache; it A/B'd ahead on one quiet-box run

@@ -108,12 +108,29 @@ def connected_components(
     spark = pairs.sparkSession
     sc = spark.sparkContext
     prev_ckpt_dir: str | None = None
+    restore_ckpt = False
     if checkpoint_dir is not None:
         # setCheckpointDir is context-GLOBAL: remember the previous
         # setting so a caller with its own iterative jobs isn't
-        # silently redirected after we return
-        prev = sc._jsc.sc().getCheckpointDir()
-        prev_ckpt_dir = prev.get() if prev.isDefined() else None
+        # silently redirected after we return. getCheckpointDir is
+        # public PySpark API (returns None when unset); the py4j probe
+        # is only a fallback for builds where it's absent, and a failed
+        # probe degrades to not restoring — logged, never raised.
+        try:
+            prev_ckpt_dir = sc.getCheckpointDir()
+            restore_ckpt = True
+        except Exception:
+            try:
+                prev = sc._jsc.sc().getCheckpointDir()
+                prev_ckpt_dir = prev.get() if prev.isDefined() else None
+                restore_ckpt = True
+            except Exception:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "connected_components: could not read the current "
+                    "checkpoint dir; it will not be restored on exit"
+                )
         sc.setCheckpointDir(checkpoint_dir)
 
     def _ckpt(df: DataFrame) -> DataFrame:
@@ -181,7 +198,7 @@ def connected_components(
         )
     finally:
         edges.unpersist()
-        if checkpoint_dir is not None:
+        if checkpoint_dir is not None and restore_ckpt:
             # restore even to the UNSET state (setCheckpointDir(None)
             # clears it) — leaving the context pointed at our dir would
             # redirect every later checkpoint in the session into a

@@ -254,7 +254,10 @@ REGISTRY["stream_session_30m"] = QuerySpec(
 
 #: Sentinel user for the append-mode session query: advances the global
 #: watermark past every real session without ever being emitted.
-_SESSION_SENTINEL_USER = -1
+#: Derived per run as min(user_id) - 1 — a FIXED id could collide with a
+#: legitimate user (whose real sessions would then be emitted and
+#: silently stripped by the final filter), and this testdata's shape
+#: has drifted between rounds before.
 
 
 def stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -285,14 +288,16 @@ def stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = t["events"].select(
         "user_id", F.date_trunc("second", F.col("ts")).alias("ts_s")
     )
-    max_ts = events.agg(F.max("ts_s")).first()[0]
+    max_ts, min_user = events.agg(F.max("ts_s"), F.min("user_id")).first()
     if max_ts is None:
         # empty/fully-filtered input: no sessions to close, no sentinel
         # needed — stage as-is and emit the (empty) append result
         staged_input = events
+        sentinel_user = None
     else:
+        sentinel_user = int(min_user) - 1  # provably not a real user
         sentinel = spark.createDataFrame(
-            [(_SESSION_SENTINEL_USER, max_ts + timedelta(days=2))],
+            [(sentinel_user, max_ts + timedelta(days=2))],
             schema="user_id long, ts_s timestamp",
         )
         staged_input = events.unionByName(sentinel)
@@ -318,7 +323,9 @@ def stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The sentinel's session is structurally unemittable (nothing ever
     # advances the watermark past it); the filter documents that and
     # guards against a future trigger that flushes pending state.
-    return out.filter(F.col("user_id") != _SESSION_SENTINEL_USER)
+    if sentinel_user is None:
+        return out
+    return out.filter(F.col("user_id") != F.lit(sentinel_user))
 
 
 REGISTRY["stream_session_append"] = QuerySpec(
@@ -513,7 +520,17 @@ REGISTRY["stream_interval_join"] = QuerySpec(
 def _mh_state_paths(root: str, exclude_bid: int | None = None) -> list:
     """All per-batch state dirs under ``root`` (always includes the
     schema seed), excluding ``b{exclude_bid}`` — a replayed batch must
-    see the index exactly as it stood BEFORE its original run."""
+    see the index exactly as it stood BEFORE its original run.
+
+    LOCAL-FS assumption (shared by _latest_snapshot_path and
+    _prune_snapshots): snapshot-dir listing and pruning use POSIX
+    primitives (os.listdir / shutil.rmtree), which is correct here
+    because foreachBatch runs these on the driver against driver-local
+    state roots. On a cluster whose state roots live on a DFS, swap
+    these three helpers for the Hadoop FileSystem API
+    (jvm.org.apache.hadoop.fs.FileSystem.get) — the snapshot layout,
+    numeric-id rule, and replay discipline transfer unchanged; only the
+    list/delete calls are FS-specific."""
     import os
 
     paths = [f"{root}/seed"]
