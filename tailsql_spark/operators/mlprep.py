@@ -316,6 +316,36 @@ def ann_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quantize_embedding(col):
+    """×1e6 BIGINT quantization — THE shared exactness device of the
+    k-means family (see kmeans_cte_parts)."""
+    return F.expr(
+        f"transform({col}, x -> cast(round(cast(x as double) * 1000000, 0)"
+        " as bigint))"
+    )
+
+
+def assign_quantized(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """One Lloyd assignment step: each ``(vec_id, e)`` row (quantized
+    BIGINT vector) goes to the min-integer-distance centroid of ``cent``
+    (``cell``, quantized ``c``), ties → lowest cell.  THE single
+    definition of the assignment rule — the Lloyd loop applies it every
+    round and the streaming semantic-dedup processor applies it per
+    batch against the FIXED final centroids, so the certified streaming
+    ≡ batch equivalence cannot drift on a tie-break."""
+    dist = F.expr(
+        "aggregate(zip_with(e, c, (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cell", dist.alias("dist")
+    )
+    rn = F.row_number().over(
+        W.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cell"))
+    )
+    return scored.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
+
+
 def lloyd_loop(spark: SparkSession, sf_dir: str):
     """KMEANS_ITERS Lloyd steps; returns ``(assigned, cent)`` — the
     final integer-distance assignment ``(vec_id, cell, dist)`` and the
@@ -325,28 +355,14 @@ def lloyd_loop(spark: SparkSession, sf_dir: str):
     assignment as its learned IVF partitioning."""
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"].select(
-        "vec_id",
-        F.expr(
-            "transform(embedding, x -> cast(round(cast(x as double) * 1000000, 0)"
-            " as bigint))"
-        ).alias("e"),
+        "vec_id", quantize_embedding("embedding").alias("e")
     )
     cent = emb.filter(F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").alias("cell"), F.col("e").alias("c")
     )
-    dist = F.expr(
-        "aggregate(zip_with(e, c, (a, b) -> (a - b) * (a - b)),"
-        " 0L, (acc, x) -> acc + x)"
-    )
     assigned = None
     for r in range(KMEANS_ITERS):
-        scored = emb.crossJoin(F.broadcast(cent)).select(
-            "vec_id", "cell", dist.alias("dist")
-        )
-        rn = F.row_number().over(
-            W.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cell"))
-        )
-        assigned = scored.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
+        assigned = assign_quantized(emb, cent)
         if r < KMEANS_ITERS - 1:
             per_el = (
                 assigned.join(emb, "vec_id")

@@ -1227,3 +1227,183 @@ REGISTRY["stream_contamination"] = QuerySpec(
     "tracks new data. Certified equal to batch "
     "text_contamination_overlap via the same oracle.",
 )
+
+
+# ---------------------------------------------------------------------------
+# incremental semantic dedup: SemDeDup pruning maintained over a
+# streamed embedding corpus
+# ---------------------------------------------------------------------------
+
+def _semdedup_batch_processor(members_root: str, snap_root: str, cent_path: str):
+    """foreachBatch processor maintaining SemDeDup keep/prune state.
+
+    Per batch: new vectors assign to their FIXED k-means cell (the
+    certified Lloyd centroids, a model parameter like the IVF codebook),
+    then every ε-close same-cell pair with at least one NEW member is
+    scored — new-vs-history plus new-vs-new, so each qualifying pair is
+    observed exactly once, in the batch its later-arriving member lands.
+    The maintained quantity per vector, ``pruned_by = min ε-close
+    smaller-id cellmate``, is a pure MIN — monotone and order-
+    insensitive — so folding each batch's candidates into the snapshot
+    with ``least()`` provably converges to the batch answer regardless
+    of arrival order (a small id arriving late retro-prunes the earlier
+    larger ids in the same fold). Same per-batch-id replay discipline
+    as the other incremental processors.
+
+    Scale: per batch the pair stage is |new| × |cell members|, bounded
+    by cell size — never corpus-quadratic; members and snapshots are
+    the usual columnar state dirs, partitionable by cell.
+    """
+    from tailsql_spark.operators.mlprep import assign_quantized, quantize_embedding
+    from tailsql_spark.operators.similarity import (
+        SEMDEDUP_EPS,
+        as_double,
+        dot,
+        norm,
+    )
+
+    def process(batch_df, batch_id):
+        sess = batch_df.sparkSession
+        bid = int(batch_id)
+        sub = f"b{bid:05d}"
+        cent = sess.read.parquet(cent_path)
+        q = batch_df.select("vec_id", quantize_embedding("embedding").alias("e"))
+        cells = assign_quantized(q, cent).select("vec_id", "cell")
+        new = (
+            batch_df.select(
+                "vec_id", as_double(F.col("embedding")).alias("v")
+            )
+            .withColumn("nrm", norm(F.col("v")))
+            .join(cells, "vec_id")
+            .persist()
+        )
+        hist = sess.read.parquet(*_mh_state_paths(members_root, bid))
+        # candidate pairs: (history ∪ new) × new, same cell — every pair
+        # with at least one new member, each contributing one
+        # (larger_id, smaller_id) row; the min-fold absorbs the
+        # double-sighting of new×new pairs
+        allm = hist.unionByName(new)
+        cos = dot(F.col("v"), F.col("yv")) / (F.col("nrm") * F.col("ynrm"))
+        cand = (
+            allm.join(
+                new.select(
+                    F.col("vec_id").alias("y_id"),
+                    F.col("cell").alias("y_cell"),
+                    F.col("v").alias("yv"),
+                    F.col("nrm").alias("ynrm"),
+                ),
+                (F.col("cell") == F.col("y_cell"))
+                & (F.col("vec_id") != F.col("y_id")),
+            )
+            .filter(F.round(cos, 4) >= SEMDEDUP_EPS)
+            .select(
+                F.greatest("vec_id", "y_id").alias("vec_id"),
+                F.least("vec_id", "y_id").alias("p"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min("p").alias("p"))
+        )
+        prev = sess.read.parquet(_latest_snapshot_path(snap_root, bid))
+        base = prev.unionByName(
+            new.select("vec_id", "cell", F.lit(None).cast("long").alias("pruned_by"))
+        )
+        snap = (
+            base.join(cand, "vec_id", "left")
+            .select(
+                "vec_id",
+                "cell",
+                # least() skips NULLs unless both are NULL — exactly the
+                # "min of any observed smaller ε-close id, else NULL" fold
+                F.least("pruned_by", "p").alias("pruned_by"),
+            )
+        )
+        snap.write.mode("overwrite").parquet(f"{snap_root}/{sub}")
+        new.select("vec_id", "cell", "v", "nrm").write.mode("overwrite").parquet(
+            f"{members_root}/{sub}"
+        )
+        new.unpersist()
+        _prune_snapshots(snap_root, bid - 1)
+
+    return process
+
+
+def stream_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL SemDeDup: keep/prune labels maintained as the
+    embedding corpus streams in, certified equal to the batch
+    ``dedup_semantic`` via the same per-cell oracle. Completes the
+    incremental guarantee across the dedup stack: detection
+    (stream_dedup_minhash), clustering (stream_dedup_clusters), ANN
+    (stream_ann_topk), decontamination (stream_contamination), and now
+    semantic pruning.
+
+    The k-means centroids are computed ONCE up front from the full
+    corpus (the certified Lloyd trajectory) and treated as a fixed
+    model parameter — the production shape, where the quantizer is
+    trained on a sample and frozen before the corpus streams through.
+    """
+    import shutil
+
+    from tailsql_spark.operators.mlprep import lloyd_loop
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].select("vec_id", "embedding")
+    state_root = tempfile.mkdtemp(prefix="tailsql_semdedup_state_")
+    members_root = f"{state_root}/members"
+    snap_root = f"{state_root}/snap"
+    cent_path = f"{state_root}/centroids"
+
+    _, cent = lloyd_loop(spark, sf_dir)
+    cent.write.mode("overwrite").parquet(cent_path)
+    spark.createDataFrame(
+        [], "vec_id long, cell long, v array<double>, nrm double"
+    ).write.mode("overwrite").parquet(f"{members_root}/seed")
+    spark.createDataFrame(
+        [], "vec_id long, cell long, pruned_by long"
+    ).write.mode("overwrite").parquet(f"{snap_root}/seed")
+
+    src_dir = tempfile.mkdtemp(prefix="tailsql_stream_semdedup_")
+    # 4 staged files + maxFilesPerTrigger=1 → 4 genuine micro-batches
+    emb.repartition(4).write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            _semdedup_batch_processor(members_root, snap_root, cent_path)
+        )
+        .option("checkpointLocation", f"{state_root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _await_or_raise(q, "stream_dedup_semantic")
+    finally:
+        q.stop()
+    final = spark.read.parquet(_latest_snapshot_path(snap_root, None)).select(
+        "vec_id",
+        "cell",
+        F.col("pruned_by").isNull().alias("is_kept"),
+        "pruned_by",
+    )
+    out = _persist_result(final, "stream_dedup_semantic")
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(state_root, ignore_errors=True)
+    return out
+
+
+from tailsql_spark.operators.similarity import _semdedup_oracle as _SEMDEDUP_ORACLE  # noqa: E402
+
+REGISTRY["stream_dedup_semantic"] = QuerySpec(
+    name="stream_dedup_semantic",
+    category="streaming-executed",
+    build=stream_dedup_semantic,
+    oracle=_SEMDEDUP_ORACLE(),
+    doc="Incremental SemDeDup: keep/prune labels maintained as the "
+    "embedding corpus streams in — new vectors assign to their frozen "
+    "k-means cell, every ε-close same-cell pair is observed exactly "
+    "once (when its later member arrives), and the min-id prune fold "
+    "is monotone, so the final state equals batch dedup_semantic "
+    "(same oracle) under any arrival order.",
+)

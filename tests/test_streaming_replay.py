@@ -413,3 +413,62 @@ def test_ann_stream_kill_and_resume(spark, oracle_sf_dir):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_semdedup_processor_replay_idempotent(spark, oracle_sf_dir):
+    """Replaying a semantic-dedup batch reproduces identical state, and
+    the incremental min-fold over slices equals batch dedup_semantic —
+    including retro-pruning (a small id arriving after a larger one)."""
+    from pyspark.sql import functions as F2
+
+    from tailsql_spark.operators.mlprep import lloyd_loop
+    from tailsql_spark.operators.similarity import REGISTRY as _SIM
+    from tailsql_spark.plans.catalog import load_tables
+    from tailsql_spark.plans.streaming_exec import (
+        _latest_snapshot_path,
+        _semdedup_batch_processor,
+    )
+
+    emb = load_tables(spark, oracle_sf_dir)["embeddings"].select("vec_id", "embedding")
+    root = tempfile.mkdtemp(prefix="tailsql_semdedup_replay_")
+    try:
+        _, cent = lloyd_loop(spark, oracle_sf_dir)
+        cent.write.mode("overwrite").parquet(f"{root}/centroids")
+        spark.createDataFrame(
+            [], "vec_id long, cell long, v array<double>, nrm double"
+        ).write.mode("overwrite").parquet(f"{root}/members/seed")
+        spark.createDataFrame(
+            [], "vec_id long, cell long, pruned_by long"
+        ).write.mode("overwrite").parquet(f"{root}/snap/seed")
+        process = _semdedup_batch_processor(
+            f"{root}/members", f"{root}/snap", f"{root}/centroids"
+        )
+        # ODD ids first: every even id (including the small ones) arrives
+        # SECOND, exercising the retro-prune path where a late small id
+        # must overwrite earlier larger ids' pruned_by
+        b0 = emb.filter(F2.col("vec_id") % 2 == 1)
+        b1 = emb.filter(F2.col("vec_id") % 2 == 0)
+        process(b0, 0)
+        process(b0, 0)  # replay
+        process(b1, 1)
+        process(b1, 1)  # replay
+        got = {
+            tuple(r)
+            for r in spark.read.parquet(_latest_snapshot_path(f"{root}/snap", None))
+            .select(
+                "vec_id",
+                "cell",
+                F2.col("pruned_by").isNull().alias("is_kept"),
+                "pruned_by",
+            )
+            .collect()
+        }
+        want = {
+            tuple(r) for r in _SIM["dedup_semantic"].build(spark, oracle_sf_dir).collect()
+        }
+        assert got == want, (
+            f"extra={list(got - want)[:3]}, missing={list(want - got)[:3]}"
+        )
+        assert any(not r[2] for r in got), "no vector was ever pruned"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
