@@ -170,7 +170,7 @@ def shingle_hash60(s: Column) -> Column:
     return F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
 
 
-def minhash_signatures(ex: DataFrame) -> DataFrame:
+def minhash_signatures(ex: DataFrame, with_sets: bool = False) -> DataFrame:
     """(doc_id, h0..h15, n_sh): per-permutation minima over exploded
     shingle pairs — ``(doc_id, s)`` strings or ``(doc_id, x)``
     pre-hashed 60-bit longs (the batch pipeline hashes at explode time
@@ -179,6 +179,14 @@ def minhash_signatures(ex: DataFrame) -> DataFrame:
     Permutations are (a·(base mod P) + b) mod P with a < 2^31, so the
     product stays under 2^62 — no overflow in either engine. One
     groupBy: a single shuffle on doc_id regardless of N_HASHES.
+
+    ``with_sets`` additionally carries the distinct shingle-hash set
+    (``xs``) through the SAME groupBy — the small-corpus pipeline
+    verifies candidates by ``array_intersect`` on these sets instead of
+    re-probing the exploded inverted index, which removes every
+    post-signature pass over ``ex``.  Never set it on the big-data
+    branch: per-doc arrays are fine (bounded by doc length) but the
+    exploded probe is the shape that lets verification shuffle/skew-split.
     """
     if "x" in ex.columns:
         hashed = ex.select("doc_id", "x")
@@ -191,6 +199,8 @@ def minhash_signatures(ex: DataFrame) -> DataFrame:
     ]
     # shingle-set size rides along in the SAME groupBy — the verifier
     # needs |A| and |B| and this saves it a second full pass over ex
+    if with_sets:
+        aggs = [*aggs, F.collect_set("x").alias("xs")]
     return hashed.groupBy("doc_id").agg(*aggs, F.count("*").alias("n_sh"))
 
 
@@ -335,6 +345,71 @@ def dedup_minhash_lsh_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pipeline(spark, sf_dir, small=False, force_shuffle=True)
 
 
+def _minhash_small_pipeline(ex: DataFrame) -> DataFrame:
+    """Size-gated small-corpus MinHash plan: minimum job count.
+
+    At test/bench scale the pipeline is job-launch bound, not
+    task bound (round-5 audit: the generic plan runs 15 AQE jobs /
+    38 stages on 260k shingle rows, and concurrent broadcast-build
+    jobs race to fill the signature cache, re-running the interpreted
+    tokenizer).  This branch restructures for few, strictly ordered
+    jobs:
+
+    * ONE aggregation carries signature minima, set size AND the
+      distinct shingle-hash set (``xs``) — nothing ever re-reads the
+      exploded index, so there is exactly one tokenizer pass.
+    * candidates come from bucket-local pair generation (groupBy band
+      key → sorted doc list → i<j pairs) instead of a band self-join:
+      no broadcast build racing the cache fill, one shuffle.  In-bucket
+      pair blowup is bounded here by the same plan-time size gate that
+      chose this branch; the big-data branch keeps the equi-join
+      self-join precisely so AQE can split adversarial hot buckets.
+    * verification is ``array_intersect`` over the carried sets, with
+      the collision-sized pair table broadcast through both probes of
+      the cached signature table.
+
+    Differential safety: this branch is what ``dedup_minhash_lsh``
+    certifies at sf0.01/sf0.1; the shuffled big-data branch keeps its
+    own oracle row (``dedup_minhash_lsh_shuffled``).  Both reduce to
+    the same signature/band/threshold definitions, so results are
+    identical by construction up to plan shape.
+    """
+    sig = minhash_signatures(ex, with_sets=True).persist()
+    buckets = (
+        band_long(sig)
+        .groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    ids = F.col("ids")
+    pair_arr = F.flatten(
+        F.transform(
+            ids,
+            lambda a, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    va = sig.select(
+        F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"), F.col("xs").alias("xs_a")
+    ).join(F.broadcast(cand), "id_a")
+    vb = sig.select(
+        F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"), F.col("xs").alias("xs_b")
+    ).join(F.broadcast(va), "id_b")
+    common = vb.withColumn("n_common", F.size(F.array_intersect("xs_a", "xs_b")))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        common.filter(jac >= JACCARD_THRESHOLD)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
 def _minhash_pipeline(
     spark: SparkSession, sf_dir: str, small: bool, force_shuffle: bool = False
 ) -> DataFrame:
@@ -367,8 +442,13 @@ def _minhash_pipeline(
         sh.select("doc_id", F.explode_outer("shingles").alias("s"))
         .filter(F.col("s").isNotNull())
         .select("doc_id", shingle_hash60(F.col("s")).alias("x"))
-        .persist()
     )
+    if small and not force_shuffle:
+        # Below the size gate the job-count-minimal plan wins (see
+        # _minhash_small_pipeline); ex has a single consumer there, so
+        # it is not persisted — the signature groupBy IS the one pass.
+        return _minhash_small_pipeline(ex)
+    ex = ex.persist()
     # NO materialization barrier — decided on measured numbers THREE
     # times now. Round-5 re-A/B (min-of-5, interleaved, post shingle-
     # hash-at-explode): none 1.762 s / ex-barrier 1.772 s / sig-barrier
@@ -387,7 +467,7 @@ def _minhash_pipeline(
     # than the occasional double-compute it prevents. sig and ex stay
     # lazily persisted; first evaluation fills both caches.
     sig = minhash_signatures(ex).persist()
-    cand = lsh_candidate_pairs(sig, hint_broadcast=small, force_shuffle=force_shuffle)
+    cand = lsh_candidate_pairs(sig, hint_broadcast=False, force_shuffle=force_shuffle)
     # |A|,|B| come from the signature groupBy (n_sh), not a second full
     # pass over ex. The set sizes are attached to the TINY candidate
     # table up front (two small-side joins) and ride through the
@@ -408,11 +488,9 @@ def _minhash_pipeline(
     # index is probed in place, never shuffled.
     a_side = exa.join(F.broadcast(cand_sized), "id_a")
     # a_side (candidate docs × their shingles) is corpus-proportional in
-    # the worst case — hint only under the same size gate; the cand
+    # the worst case — never broadcast on this branch; the cand
     # broadcast above is always collision-sized and stays.
-    if small:
-        a_side = F.broadcast(a_side)
-    elif force_shuffle:
+    if force_shuffle:
         a_side = a_side.hint("shuffle_hash")  # see lsh_candidate_pairs
     common = (
         a_side

@@ -123,7 +123,7 @@ def test_tailf_checkpoint_resume(spark, tmp_path):
         )
 
     q = start()
-    deadline = time.time() + 30
+    deadline = time.time() + 90
     while len(out) < 2 and time.time() < deadline:
         time.sleep(0.3)
     q.stop()
@@ -134,7 +134,7 @@ def test_tailf_checkpoint_resume(spark, tmp_path):
         fh.write("b1\nb2\n")
 
     q = start()
-    deadline = time.time() + 30
+    deadline = time.time() + 90
     while len(out) < 4 and time.time() < deadline:
         time.sleep(0.3)
     q.stop()
