@@ -1,0 +1,156 @@
+"""Distributed Bloom-filter sketch, built and probed with DataFrame ops.
+
+Spark ships ``BloomFilterAggregate`` for its internal runtime-filter
+injection but does not register ``bloom_filter_agg`` / ``might_contain``
+as public SQL in this build, and ``DataFrame.stat.bloomFilter`` collects
+the whole filter to the driver as a py4j object (useless inside a plan).
+So the sketch here is built the way it should be at 100 TB anyway —
+distributed end to end:
+
+* **build**: k seeded ``xxhash64`` positions per item, positions packed
+  into 64-bit words, ``bit_or`` per word — ONE tiny shuffle whose output
+  is at most ``m_bits/64`` rows.  Partial aggregation means each map
+  task emits at most ``m_bits/64`` rows regardless of input size.
+* **probe**: the word table broadcasts (m=2^20 bits → 16k rows ≈ 128 KB)
+  and each of the k bit tests is a broadcast hash join + bitwise AND —
+  the probe stream NEVER shuffles.
+
+This is the join-pruning shape that matters at scale: a corpus-sized
+stream is filtered down to (matches + false positives) *before* any
+shuffle/distinct, and the exact join that follows only sees survivors.
+False positives are then removed by that exact join, so operators built
+on the sketch return exactly what their unsketched versions return —
+which is why ``text_contamination_bloom`` certifies against the very
+same DuckDB oracle as ``text_contamination_overlap``.
+
+Extension beyond the reference surface (the reference delegates all
+relational work to its embedded engine and has no sketch support);
+motivated by the decontamination pipelines of large-LM training corpora
+where the eval set is tiny and the corpus is not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tailsql_spark.operators.textstats import (
+    CONTAM_ORACLE,
+    contam_gram_arr,
+    contam_is_test,
+)
+from tailsql_spark.plans.catalog import QuerySpec, load_tables
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+#: Default sketch geometry: 2^20 bits / 2 hashes → ~1.3% false-positive
+#: rate at 60k inserted items, 16k-row word table (128 KB broadcast).
+#: m is a power of two so ``pmod`` never biases the upper positions.
+BLOOM_M_BITS = 1 << 20
+BLOOM_K = 2
+
+
+def query(name: str, category: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(
+            name=name, category=category, build=fn, oracle=oracle, doc=doc or (fn.__doc__ or "")
+        )
+        return fn
+
+    return deco
+
+
+def _positions(col: str, m_bits: int, k: int) -> list:
+    """The k bit positions of an item: seeded xxhash64 mod m."""
+    return [F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(m_bits)) for i in range(k)]
+
+
+def bloom_build(items: DataFrame, col: str, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K) -> DataFrame:
+    """Aggregate ``items[col]`` into a Bloom word table
+    ``(word_idx int, word long)`` — one row per 64-bit word with ≥1 set
+    bit.  Distributed: map-side partial ``bit_or`` caps every task's
+    output at m_bits/64 rows, the one shuffle moves only words."""
+    pos = F.array(*_positions(col, m_bits, k))
+    return (
+        items.select(F.explode(pos).alias("p"))
+        .select(
+            F.expr("shiftright(p, 6)").alias("word_idx"),
+            F.expr("shiftleft(1L, int(p % 64))").alias("m"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("m").alias("word"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame, col: str, words: DataFrame, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K
+) -> DataFrame:
+    """Keep only rows whose ``col`` *might* be in the sketch (no false
+    negatives).  Each of the k bit tests is a broadcast left join of the
+    tiny word table + a bitwise AND; the probed stream never shuffles,
+    so this composes with any downstream exact join as a pre-shuffle
+    row-count reducer."""
+    out = df
+    cond = None
+    for i in range(k):
+        out = out.withColumn(f"_bp{i}", _positions(col, m_bits, k)[i])
+        wtab = words.select(
+            F.col("word_idx").alias(f"_bw{i}_idx"), F.col("word").alias(f"_bw{i}")
+        )
+        out = out.join(
+            F.broadcast(wtab),
+            F.expr(f"shiftright(_bp{i}, 6)") == F.col(f"_bw{i}_idx"),
+            "left",
+        )
+        mask = F.expr(f"shiftleft(1L, int(_bp{i} % 64))")
+        check = F.coalesce(F.col(f"_bw{i}"), F.lit(0)).bitwiseAND(mask) == mask
+        cond = check if cond is None else cond & check
+    aux = [c for i in range(k) for c in (f"_bp{i}", f"_bw{i}_idx", f"_bw{i}")]
+    return out.filter(cond).drop(*aux)
+
+
+@query(
+    "text_contamination_bloom",
+    "text-analysis",
+    CONTAM_ORACLE,
+    doc="The SAME contamination audit as text_contamination_overlap, "
+    "restructured for the 100 TB asymmetry: the TEST-set grams (tiny) "
+    "build a broadcast Bloom sketch, the corpus-side gram stream is "
+    "pruned by it BEFORE any shuffle, and only survivors reach the "
+    "distinct + exact join. False positives die in the exact join, so "
+    "the result — and the DuckDB oracle — are identical to the "
+    "unsketched operator; what changes is that the corpus-wide "
+    "distinct-shuffle of train grams shrinks to (hits + ~1.3% fp).",
+)
+def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select(
+        "doc_id", contam_is_test().alias("is_test"), F.col("text")
+    )
+    test_grams = (
+        docs.filter(F.col("is_test"))
+        .select("doc_id", F.explode_outer(contam_gram_arr()).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .distinct()
+    )
+    sketch = bloom_build(test_grams.select("g").distinct(), "g")
+    # corpus side: NO distinct before the sketch — pruning first is the
+    # whole point; the survivors (test-hit grams + fp) are then distinct
+    # and exact-joined exactly like the unsketched operator.
+    train_stream = (
+        docs.filter(~F.col("is_test"))
+        .select(F.explode_outer(contam_gram_arr()).alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    train_surv = bloom_probe(train_stream, "g", sketch).select("g").distinct()
+    return (
+        test_grams.join(train_surv.withColumn("hit", F.lit(1)), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce(F.sum("hit"), F.lit(0)) * 1.0 / F.count("*"), 6
+            ).alias("contamination_pct"),
+        )
+    )

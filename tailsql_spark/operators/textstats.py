@@ -512,10 +512,31 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_contamination_overlap",
-    "text-analysis",
-    """
+def contam_is_test() -> Column:
+    """Deterministic train/test split flag: md5 band over doc_id (the
+    same rule as ``sample_hash_split``) — ~10% of docs are 'test'."""
+    return F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2) < "1a"
+
+
+def contam_gram_arr() -> Column:
+    """Word 5-gram array of lowercased text (single-space split — the
+    contamination operators' shared tokenization; NULL for <5 tokens)."""
+    ws = F.split(F.lower(F.col("text")), " ")
+    n = F.size(ws)
+    return F.when(
+        n >= 5,
+        F.transform(
+            F.sequence(F.lit(0), n - 5),
+            lambda i: F.concat_ws(" ", ws[i], ws[i + 1], ws[i + 2], ws[i + 3], ws[i + 4]),
+        ),
+    )
+
+
+#: Exact contamination audit — shared verbatim by the inverted-index
+#: operator below and the Bloom-prefiltered one in operators/sketches.py
+#: (the sketch only prunes the probe stream; survivors are exact-joined,
+#: so both compute the identical result).
+CONTAM_ORACLE = """
     WITH split AS (
         SELECT doc_id, text,
                substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' AS is_test
@@ -542,7 +563,13 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM grams t LEFT JOIN train_grams tr USING (g)
     WHERE t.is_test
     GROUP BY t.doc_id
-    """,
+    """
+
+
+@query(
+    "text_contamination_overlap",
+    "text-analysis",
+    CONTAM_ORACLE,
     doc="Train/test contamination audit: share of each TEST doc's "
     "distinct word 5-grams that appear anywhere in the TRAIN split "
     "(same md5 band rule as sample_hash_split). Inverted-index "
@@ -552,19 +579,9 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    ws = F.split(F.lower(F.col("text")), " ")
-    n = F.size(ws)
-    gram_arr = F.when(
-        n >= 5,
-        F.transform(
-            F.sequence(F.lit(0), n - 5),
-            lambda i: F.concat_ws(" ", ws[i], ws[i + 1], ws[i + 2], ws[i + 3], ws[i + 4]),
-        ),
-    )
-    is_test = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2) < "1a"
     grams = (
         t["documents"]
-        .select("doc_id", is_test.alias("is_test"), F.explode_outer(gram_arr).alias("g"))
+        .select("doc_id", contam_is_test().alias("is_test"), F.explode_outer(contam_gram_arr()).alias("g"))
         .filter(F.col("g").isNotNull())
         .distinct()
     )

@@ -32,6 +32,7 @@ _EXTENSION_MODULES = (
     "tailsql_spark.operators.skew",
     "tailsql_spark.operators.similarity",
     "tailsql_spark.operators.textstats",
+    "tailsql_spark.operators.sketches",
     "tailsql_spark.operators.multimodal",
     "tailsql_spark.operators.mlprep",
     "tailsql_spark.operators.corpus",

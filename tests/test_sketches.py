@@ -1,0 +1,60 @@
+"""Distributed Bloom sketch: no false negatives, bounded false
+positives, differential equality of the sketched contamination audit,
+and the plan shape that makes it worth having (probe stream never
+shuffles; word table broadcasts)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tailsql_spark.operators.sketches import bloom_build, bloom_probe
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    member = spark.range(0, 2000).select(
+        F.concat(F.lit("item-"), F.col("id")).alias("v")
+    )
+    probe = spark.range(0, 20000).select(
+        F.concat(F.lit("item-"), F.col("id")).alias("v")
+    )
+    words = bloom_build(member, "v")
+    kept = {r.v for r in bloom_probe(probe, "v", words).collect()}
+    # every member survives (Bloom filters cannot false-negative)
+    assert all(f"item-{i}" in kept for i in range(2000))
+    # non-members mostly die: 2^20 bits / 2 hashes / 2k items → fp ~1e-5;
+    # allow two orders of magnitude of slack before calling it broken
+    fp = len(kept) - 2000
+    assert fp <= 18000 * 0.01, f"false-positive blowup: {fp}/18000"
+
+
+def test_bloom_word_table_is_tiny(spark):
+    member = spark.range(0, 5000).select(F.col("id").cast("string").alias("v"))
+    words = bloom_build(member, "v").collect()
+    # ≤ one row per 64-bit word, and ≤ k·n words ever touched
+    assert len(words) <= min((1 << 20) // 64, 2 * 5000)
+    assert all(r.word != 0 for r in words)
+
+
+def test_contamination_bloom_equals_exact(spark, oracle_sf_dir):
+    from tailsql_spark.plans.registry import REGISTRY
+
+    exact = sorted(
+        REGISTRY["text_contamination_overlap"].build(spark, oracle_sf_dir).collect()
+    )
+    sketched = sorted(
+        REGISTRY["text_contamination_bloom"].build(spark, oracle_sf_dir).collect()
+    )
+    assert exact == sketched
+
+
+def test_bloom_probe_plan_broadcasts_and_never_shuffles_probe(spark):
+    member = spark.range(0, 100).select(F.col("id").cast("string").alias("v"))
+    probe = spark.range(0, 1000).select(F.col("id").cast("string").alias("v"))
+    filtered = bloom_probe(probe, "v", bloom_build(member, "v"))
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the probe-side lineage (everything above the broadcast exchanges)
+    # must be shuffle-free: the only Exchange nodes feed the word table
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line and "word_idx" not in line:
+            raise AssertionError(f"probe side shuffled: {line}")
