@@ -379,3 +379,168 @@ def lloyd_loop(spark: SparkSession, sf_dir: str):
                 ).alias("c")
             )
     return assigned, cent
+
+
+# ---------------------------------------------------------------------------
+# distributed logistic-regression training (full-batch GD), certified
+# cross-engine including the optimization trajectory
+# ---------------------------------------------------------------------------
+
+LOGREG_ITERS = 3
+#: weights live in ×1e12 fixed-point BIGINTs; sigmoids quantize to ×1e6
+#: BIGINTs before any summation (see _logreg_oracle for why).
+_LR_WSCALE = 1_000_000_000_000
+_LR_SSCALE = 1_000_000
+
+#: integer features over documents: bias, capped token count, capped
+#: occurrences of the token 'query', capped distinct-token count
+#: (punctuation/digit counts would be the natural quality features but
+#: are identically zero on this synthetic corpus — degenerate
+#: gradients certify nothing). Caps bound |z| so the sigmoid stays in
+#: its responsive range without float feature scaling.
+_LR_NFEAT = 4
+
+
+def _logreg_feature_cols() -> list:
+    return [
+        F.lit(1).cast("long"),
+        F.least(F.size(F.split(F.col("text"), " ")), F.lit(100)).cast("long"),
+        F.least(F.size(F.split(F.col("text"), "query")) - 1, F.lit(50)).cast("long"),
+        F.least(F.size(F.array_distinct(F.split(F.lower(F.col("text")), " "))), F.lit(100)).cast("long"),
+    ]
+
+
+_LR_DUCK_FEATS = """
+        SELECT CAST(1 AS BIGINT) AS x0,
+               CAST(least(len(string_split(text, ' ')), 100) AS BIGINT) AS x1,
+               CAST(least(len(string_split(text, 'query')) - 1, 50) AS BIGINT) AS x2,
+               CAST(least(len(list_distinct(string_split(lower(text), ' '))), 100) AS BIGINT) AS x3,
+               CAST(CASE WHEN position(' the ' IN lower(text)) > 0
+                         THEN 1 ELSE 0 END AS BIGINT) AS y
+        FROM documents
+"""
+
+
+def _logreg_oracle() -> str:
+    """Unrolled-CTE replay of LOGREG_ITERS full-batch GD steps.
+
+    Exactness strategy (the logreg twin of kmeans_cte_parts): the ONLY
+    transcendental, exp(), differs by ~1 ulp between the JVM's Math.exp
+    and DuckDB's libm — so the sigmoid is quantized to ×1e6 BIGINT the
+    instant it is computed (a 1-ulp input wiggle flips the rounding only
+    within ~1e-16 of a boundary: odds ~1e-10/eval).  Everything summed
+    across rows is then an exact 64-bit integer (order-free), the z
+    dot-product is an exact integer dot over fixed-point weights
+    (|w·x| < 2^53, so even its double image is exact), and each weight
+    step rounds ONE double expression with an identical literal formula
+    in both engines.  lr=0.001 folds into the ×1000 of the step
+    formula: w' = w − ROUND(g·1000.0/n)."""
+    J = range(_LR_NFEAT)
+    parts = [f"WITH feat AS ({_LR_DUCK_FEATS}),"]
+    wprev = None
+    for it in range(1, LOGREG_ITERS + 1):
+        if wprev is None:
+            # w=0 → z=0 → sigmoid exactly 0.5 → sq = 500000, no exp()
+            sq = "CAST(500000 AS BIGINT)"
+            parts.append(f"s1 AS (SELECT f.*, {sq} AS sq FROM feat f),")
+        else:
+            dot = " + ".join(f"w.w{j} * f.x{j}" for j in J)
+            z = f"(({dot}) / {_LR_WSCALE}.0)"
+            sq = f"CAST(ROUND({_LR_SSCALE}.0 / (1.0 + EXP(0.0 - {z})), 0) AS BIGINT)"
+            parts.append(
+                f"s{it} AS (SELECT f.*, {sq} AS sq FROM feat f CROSS JOIN {wprev} w),"
+            )
+        gsel = ", ".join(
+            f"SUM((sq - y * {_LR_SSCALE}) * x{j}) AS g{j}" for j in J
+        )
+        parts.append(f"g{it} AS (SELECT {gsel}, COUNT(*) AS n FROM s{it}),")
+        wsel = ", ".join(
+            (
+                f"CAST(0 - ROUND(g.g{j} * 1000.0 / g.n) AS BIGINT) AS w{j}"
+                if wprev is None
+                else f"CAST(w.w{j} - ROUND(g.g{j} * 1000.0 / g.n) AS BIGINT) AS w{j}"
+            )
+            for j in J
+        )
+        src = f"g{it} g" if wprev is None else f"g{it} g CROSS JOIN {wprev} w"
+        parts.append(f"w{it} AS (SELECT {wsel} FROM {src}),")
+        wprev = f"w{it}"
+    dot = " + ".join(f"w.w{j} * f.x{j}" for j in range(_LR_NFEAT))
+    parts.append(
+        f"acc AS (SELECT CAST(SUM(CASE WHEN (({dot}) > 0) = (f.y = 1)"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,"
+        f" COUNT(*) AS n_rows FROM feat f CROSS JOIN {wprev} w)"
+    )
+    wcols = ", ".join(f"w.w{j}" for j in range(_LR_NFEAT))
+    parts.append(f"SELECT {wcols}, acc.n_correct, acc.n_rows FROM {wprev} w CROSS JOIN acc")
+    return "\n".join(parts)
+
+
+@query(
+    "quality_logreg_train",
+    "ml-prep",
+    _logreg_oracle(),
+    doc=f"Distributed quality-classifier training: {LOGREG_ITERS} "
+    "full-batch gradient-descent steps of logistic regression over "
+    "integer document features (token/punctuation/digit counts, "
+    "label = contains-' the '), certified cross-engine INCLUDING the "
+    "trajectory — final fixed-point weights and training accuracy "
+    "hash-match DuckDB's unrolled-CTE replay. Exactness: sigmoids "
+    "quantize to ×1e6 BIGINT before summation (1-ulp exp() drift "
+    "cannot fork the trajectory), gradients are exact integer sums, "
+    "weights are ×1e12 fixed-point. Scale: each step is one linear "
+    "scan + broadcast(1-row weights) + a 4-column partial-aggregated "
+    "sum — the textbook distributed GD; nothing ever collects, the "
+    "driver loop only unrolls plan steps.",
+)
+def quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    J = range(_LR_NFEAT)
+    fcols = _logreg_feature_cols()
+    y = (F.instr(F.lower(F.col("text")), " the ") > 0).cast("long")
+    feat = t["documents"].select(
+        *[c.alias(f"x{j}") for j, c in zip(J, fcols)], y.alias("y")
+    )
+    w = None  # None encodes the all-zero start (sigmoid exactly 0.5)
+    for _ in range(LOGREG_ITERS):
+        if w is None:
+            scored = feat.withColumn("sq", F.lit(500_000).cast("long"))
+        else:
+            dot = sum(F.col(f"w{j}") * F.col(f"x{j}") for j in J)
+            z = dot / F.lit(float(_LR_WSCALE))
+            sq = F.round(F.lit(float(_LR_SSCALE)) / (F.lit(1.0) + F.exp(-z)), 0).cast("long")
+            scored = feat.crossJoin(F.broadcast(w)).withColumn("sq", sq)
+        g = scored.agg(
+            *[
+                F.sum((F.col("sq") - F.col("y") * _LR_SSCALE) * F.col(f"x{j}")).alias(f"g{j}")
+                for j in J
+            ],
+            F.count("*").alias("n"),
+        )
+        if w is None:
+            w = g.select(
+                *[
+                    (-F.round(F.col(f"g{j}") * 1000.0 / F.col("n"), 0)).cast("long").alias(f"w{j}")
+                    for j in J
+                ]
+            )
+        else:
+            w = g.crossJoin(F.broadcast(w)).select(
+                *[
+                    (F.col(f"w{j}") - F.round(F.col(f"g{j}") * 1000.0 / F.col("n"), 0))
+                    .cast("long")
+                    .alias(f"w{j}")
+                    for j in J
+                ]
+            )
+    dot = sum(F.col(f"w{j}") * F.col(f"x{j}") for j in J)
+    acc = (
+        feat.crossJoin(F.broadcast(w))
+        .agg(
+            F.sum(((dot > 0) == (F.col("y") == 1)).cast("long")).alias("n_correct"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+    return w.crossJoin(acc).select(
+        *[f"w{j}" for j in J], "n_correct", "n_rows"
+    )
