@@ -658,3 +658,117 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine_raw") >= 0.42)
         .select("id_a", "id_b", F.round("cosine_raw", 4).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# 6. exact duplicated-substring spans (token-window granularity)
+# ---------------------------------------------------------------------------
+
+#: duplicated-span window width in tokens. The published exact-substring
+#: dedup for LM corpora uses 50-token spans over a suffix array; a
+#: distributed engine gets the same guarantee at window granularity
+#: with an inverted index: every duplicated span of >= SUBSTR_K tokens
+#: contains at least one duplicated SUBSTR_K-token window, and merged
+#: overlapping windows reconstruct maximal spans.
+SUBSTR_K = 10
+
+_SUBSTR_GRAM = " || ' ' || ".join(f"ws[i + {j}]" for j in range(SUBSTR_K))
+
+_SUBSTR_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           w -> w <> '') AS ws
+        FROM documents
+    ),
+    posd AS (
+        SELECT doc_id, ws, unnest(generate_series(1, len(ws) - {SUBSTR_K - 1})) AS i
+        FROM toks WHERE len(ws) >= {SUBSTR_K}
+    ),
+    grams AS (SELECT doc_id, i - 1 AS pos, {_SUBSTR_GRAM} AS g FROM posd),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) > 1),
+    dpos AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+    flag AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER w IS NULL
+                      OR pos - lag(pos) OVER w > {SUBSTR_K}
+                    THEN 1 ELSE 0 END AS new_s
+        FROM dpos
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               SUM(new_s) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flag
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {SUBSTR_K - 1} AS BIGINT) AS span_end,
+           COUNT(*) AS n_windows
+    FROM isl GROUP BY doc_id, sid
+"""
+
+
+@query(
+    "dedup_substring_spans",
+    "dedup",
+    _SUBSTR_ORACLE,
+    doc=f"Exact duplicated-substring spans: every {SUBSTR_K}-token "
+    "window whose text occurs more than once in the corpus (across or "
+    "within docs) is flagged, and overlapping/adjacent flagged windows "
+    "merge into maximal (doc_id, span_start, span_end) token spans — "
+    "the window-granular form of suffix-array substring dedup for LM "
+    "corpora. Plan: linear window explode → one gram groupBy (the "
+    "inverted index, map-side-combined) → equi-join back → per-doc "
+    "sort for gaps-and-islands. No quadratic stage; gram skew "
+    "(boilerplate) lands in the groupBy/join where AQE splits it.",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir)
+    ws = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    wsc = F.col("_ws")
+    n = F.size(wsc)
+    gram_structs = F.when(
+        n >= SUBSTR_K,
+        F.transform(
+            F.sequence(F.lit(0), n - SUBSTR_K),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.concat_ws(" ", *[F.element_at(wsc, i + j + 1) for j in range(SUBSTR_K)]).alias("g"),
+            ),
+        ),
+    )
+    grams = (
+        t["documents"]
+        .select("doc_id", ws.alias("_ws"))
+        .select("doc_id", F.explode_outer(gram_structs).alias("w"))
+        .filter(F.col("w").isNotNull())
+        .select("doc_id", F.col("w.pos").cast("long").alias("pos"), F.col("w.g").alias("g"))
+    )
+    dup = grams.groupBy("g").agg(F.count("*").alias("c")).filter(F.col("c") > 1).select("g")
+    dpos = grams.join(dup, "g").select("doc_id", "pos")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    flag = dpos.withColumn(
+        "new_s",
+        F.when(
+            F.lag("pos").over(w).isNull() | (F.col("pos") - F.lag("pos").over(w) > SUBSTR_K),
+            1,
+        ).otherwise(0),
+    )
+    isl = flag.withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    )
+    return (
+        isl.groupBy("doc_id", "sid")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(SUBSTR_K - 1)).alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_windows")
+    )
