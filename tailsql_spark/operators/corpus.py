@@ -829,3 +829,92 @@ def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.lit(CHUNK_TOKENS), F.col("n_tokens") - F.col("c") * CHUNK_STRIDE)
         ).alias("covered_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# importance resampling toward a target domain (hashed n-gram features)
+# ---------------------------------------------------------------------------
+
+DSIR_B = 10_000   # hashed-unigram feature buckets
+DSIR_TOP = 500    # deterministic selection: top-N by weight
+
+
+@query(
+    "sample_importance_dsir",
+    "sampling",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) % {DSIR_B} AS b
+        FROM (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+              FROM documents)
+    ),
+    ct AS (SELECT b, COUNT(*) AS c FROM tok WHERE lang = 'en' GROUP BY b),
+    cr AS (SELECT b, COUNT(*) AS c FROM tok GROUP BY b),
+    tot AS (SELECT (SELECT SUM(c) FROM ct) AS nt, (SELECT SUM(c) FROM cr) AS nr),
+    lr AS (
+        SELECT cr.b,
+               CAST(ROUND(1000000.0 *
+                    (LN((COALESCE(ct.c, 0) + 1.0) / (tot.nt + {DSIR_B}.0))
+                     - LN((cr.c + 1.0) / (tot.nr + {DSIR_B}.0))), 0) AS BIGINT) AS lr
+        FROM cr LEFT JOIN ct USING (b) CROSS JOIN tot
+    ),
+    wts AS (
+        SELECT t.doc_id, CAST(SUM(l.lr) AS BIGINT) AS weight_fx
+        FROM tok t JOIN lr l USING (b) GROUP BY t.doc_id
+    )
+    SELECT doc_id, weight_fx FROM wts
+    ORDER BY weight_fx DESC, doc_id LIMIT {DSIR_TOP}
+    """,
+    doc="Data-selection-by-importance-resampling over hashed unigram "
+    f"features: per-token log-ratio of target (lang='en') vs corpus "
+    f"bucket frequencies ({DSIR_B} md5-hashed buckets, add-1 "
+    f"smoothing), per-doc weight = exact integer sum of x1e6-quantized "
+    "per-bucket log-ratios, deterministic selection = top "
+    f"{DSIR_TOP} by (weight desc, doc_id). Exactness: both engines "
+    "evaluate ln() once per BUCKET (not per token), quantize to BIGINT "
+    "immediately, and sum integers — order-free, so the hash matches "
+    "despite transcendental 1-ulp drift. Scale: two B-row count "
+    "tables (map-side combined), the x1e6 log-ratio table broadcasts "
+    "(<=10k rows), the token stream joins it without shuffling, one "
+    "groupBy(doc) and a TakeOrdered top-N — nothing corpus-sized ever "
+    "sits in one place.",
+)
+def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tailsql_spark.operators.dedup import shingle_hash60
+
+    t = load_tables(spark, sf_dir)
+    tok = (
+        t["documents"]
+        .select("doc_id", "lang", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"))
+        .select("doc_id", "lang", F.pmod(shingle_hash60(F.col("w")), F.lit(DSIR_B)).alias("b"))
+    )
+    ct = tok.filter(F.col("lang") == "en").groupBy("b").agg(F.count("*").alias("ct"))
+    cr = tok.groupBy("b").agg(F.count("*").alias("cr"))
+    tot = (
+        ct.agg(F.sum("ct").alias("nt"))
+        .crossJoin(cr.agg(F.sum("cr").alias("nr")))
+    )
+    lr = (
+        cr.join(ct, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                1000000.0
+                * (
+                    F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (F.col("nt") + float(DSIR_B)))
+                    - F.log((F.col("cr") + 1.0) / (F.col("nr") + float(DSIR_B)))
+                ),
+                0,
+            )
+            .cast("long")
+            .alias("lr"),
+        )
+    )
+    wts = (
+        tok.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("lr").alias("weight_fx"))
+    )
+    return wts.orderBy(F.desc("weight_fx"), F.asc("doc_id")).limit(DSIR_TOP)
