@@ -306,3 +306,45 @@ def test_sink_partitioned_parquet_prunes(spark, oracle_sf_dir):
     # the ReadSchema struct (it materializes from directory values)
     read_struct = p.split("ReadSchema", 1)[1].split(">", 1)[0]
     assert "o_year" not in read_struct
+
+
+def test_logreg_steps_broadcast_weights(spark, oracle_sf_dir):
+    """Every GD step must broadcast the 1-row weight table against the
+    feature scan (never shuffle the corpus against it), and nothing in
+    the plan may shuffle the corpus at all: gradients are plain
+    partial-aggregated sums."""
+    from tailsql_spark.plans.registry import REGISTRY
+
+    p = _plan(REGISTRY["quality_logreg_train"].build(spark, oracle_sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "Exchange hashpartitioning" not in p, p
+
+
+def test_dsir_logratio_table_broadcasts(spark, oracle_sf_dir):
+    """The token stream must join the <=10k-row log-ratio table as a
+    broadcast — a shuffled join here would re-shuffle the whole corpus
+    on the bucket id."""
+    from tailsql_spark.plans.registry import REGISTRY
+
+    df = REGISTRY["sample_importance_dsir"].build(spark, oracle_sf_dir)
+    p = _plan(df)
+    assert "BroadcastHashJoin" in p, p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_pq_scoring_broadcasts_lut(spark, oracle_sf_dir):
+    """PQ/ADC query scoring: codebook and LUT joins must broadcast; the
+    corpus-sized codes table is only ever grouped, never cross-joined."""
+    from tailsql_spark.plans.registry import REGISTRY
+
+    p = _plan(REGISTRY["ann_pq_adc_topk"].build(spark, oracle_sf_dir))
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_substring_spans_no_quadratic_stage(spark, oracle_sf_dir):
+    from tailsql_spark.plans.registry import REGISTRY
+
+    p = _plan(REGISTRY["dedup_substring_spans"].build(spark, oracle_sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
