@@ -154,3 +154,105 @@ def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contamination_pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic distinct-count sketch (bucketed-min / MinCount estimator)
+# ---------------------------------------------------------------------------
+
+KMV_K = 32                # sketch size; relative error ~ 1/sqrt(K-2) ≈ 18%
+_H_SPACE = 1 << 60        # shingle_hash60 range
+
+#: shared estimate formula: (K-1)·|H| / h_(K) when the group has ≥ K
+#: distinct values, else the sketch IS the exact distinct set.  The
+#: float image of h (≤2^60) and of (K-1)·2^60 round identically in both
+#: engines; ONE division + round → deterministic.
+_KMV_EST = (
+    f"CASE WHEN cnt < {KMV_K} THEN cnt "
+    f"ELSE CAST(ROUND({KMV_K - 1}.0 * {_H_SPACE}.0 / CAST(kth AS DOUBLE), 0) AS BIGINT) END"
+)
+
+
+@query(
+    "agg_kmv_sketch",
+    "sketches",
+    f"""
+    WITH dh AS (
+        SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day,
+               CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM events
+    ),
+    day_sk AS (
+        SELECT day, h FROM (
+            SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+            FROM dh
+        ) WHERE rn <= {KMV_K}
+    ),
+    all_sk AS (
+        SELECT h FROM (SELECT DISTINCT h FROM day_sk) ORDER BY h LIMIT {KMV_K}
+    ),
+    agg AS (
+        SELECT day, COUNT(*) AS cnt, MAX(h) AS kth FROM day_sk GROUP BY day
+        UNION ALL
+        SELECT 'ALL' AS day, COUNT(*) AS cnt, MAX(h) AS kth FROM all_sk
+    ),
+    exact AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               COUNT(DISTINCT user_id) AS n_exact
+        FROM events GROUP BY 1
+        UNION ALL
+        SELECT 'ALL' AS day, COUNT(DISTINCT user_id) AS n_exact FROM events
+    )
+    SELECT a.day, x.n_exact, {_KMV_EST} AS n_est
+    FROM agg a JOIN exact x USING (day)
+    """,
+    doc="Deterministic distinct-user KMV sketch per day + merged total: "
+    f"each group keeps its {KMV_K} smallest distinct 60-bit md5 hashes; "
+    f"estimate = (K-1)·2^60 / h_(K) (exact count when < K values) — a "
+    "mergeable sketch whose arithmetic certifies EXACTLY cross-engine, "
+    "unlike the tolerance-tested HLL rows (agg_approx_sketches / "
+    "agg_hll_mergeable). The ALL row IS the merge: the K smallest over "
+    "the union of the daily sketches, never over raw data. Scale: "
+    "per-day sketches via one distinct + per-group top-K (sort rides "
+    "the day shuffle); the merge input is |days|·K rows and the global "
+    "K-min is a TakeOrdered, so merged estimates never rescan the "
+    "corpus — the same contract that lets a 100 TB pipeline keep "
+    "per-partition sketches and combine them.",
+)
+def agg_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from tailsql_spark.operators.dedup import shingle_hash60
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.col("user_id"),
+        shingle_hash60(F.col("user_id").cast("string")).alias("h"),
+    )
+    dh = ev.select("day", "h").distinct()
+    rn = F.row_number().over(W.partitionBy("day").orderBy("h"))
+    day_sk = dh.withColumn("rn", rn).filter(F.col("rn") <= KMV_K).select("day", "h")
+    all_sk = day_sk.select("h").distinct().orderBy("h").limit(KMV_K)
+    agg = (
+        day_sk.groupBy("day")
+        .agg(F.count("*").alias("cnt"), F.max("h").alias("kth"))
+        .unionByName(
+            all_sk.agg(F.count("*").alias("cnt"), F.max("h").alias("kth")).select(
+                F.lit("ALL").alias("day"), "cnt", "kth"
+            )
+        )
+    )
+    exact = (
+        ev.groupBy("day")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+        .unionByName(
+            ev.agg(F.countDistinct("user_id").alias("n_exact")).select(
+                F.lit("ALL").alias("day"), "n_exact"
+            )
+        )
+    )
+    return (
+        agg.join(exact, "day")
+        .select("day", "n_exact", F.expr(_KMV_EST).alias("n_est"))
+    )

@@ -58,3 +58,15 @@ def test_bloom_probe_plan_broadcasts_and_never_shuffles_probe(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line and "word_idx" not in line:
             raise AssertionError(f"probe side shuffled: {line}")
+
+
+def test_kmv_estimates_track_exact(spark, oracle_sf_dir):
+    """KMV with K=32 has ~18% expected relative error; 50% would mean
+    the estimator (not the luck of the hashes) is broken — that is the
+    regime the broken bucketed-1-min variant landed in (3-4x over)."""
+    from tailsql_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["agg_kmv_sketch"].build(spark, oracle_sf_dir).collect()
+    assert any(r.day == "ALL" for r in rows)
+    for r in rows:
+        assert abs(r.n_est - r.n_exact) / max(r.n_exact, 1) < 0.5, r
