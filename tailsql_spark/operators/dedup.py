@@ -772,3 +772,60 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "span_start", "span_end", "n_windows")
     )
+
+
+# ---------------------------------------------------------------------------
+# 7. containment near-dup (asymmetric: small doc inside big doc)
+# ---------------------------------------------------------------------------
+
+CONTAIN_THRESHOLD = 0.9
+
+_CONTAIN_ORACLE = f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+    SELECT p.id_a, p.id_b,
+           ROUND(p.n_common * 1.0 / sa.n, 4) AS containment
+    FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id
+    WHERE sa.n > 0
+      AND p.n_common * 1.0 / sa.n >= {CONTAIN_THRESHOLD}
+"""
+
+
+@query(
+    "dedup_containment",
+    "dedup",
+    _CONTAIN_ORACLE,
+    doc=f"Asymmetric containment near-dup: |A∩B| / |A| >= "
+    f"{CONTAIN_THRESHOLD} over distinct 3-gram shingles — the ordered "
+    "pair (id_a contained-in id_b) that catches a short document "
+    "embedded verbatim in a longer one, which symmetric Jaccard "
+    "dilutes below any threshold. Same inverted-index equi-join shape "
+    "as dedup_ngram_jaccard (only docs sharing a shingle ever meet; "
+    "no quadratic stage; AQE splits boilerplate-shingle skew), so the "
+    "dedup family now covers exact, symmetric-similarity, and "
+    "subset-similarity semantics.",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = doc_shingles(spark, sf_dir)
+    ex = sh.select("doc_id", F.explode_outer("shingles").alias("s")).filter(
+        F.col("s").isNotNull()
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    cont = F.col("n_common") / F.col("na")
+    return (
+        pairs.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .filter((F.col("na") > 0) & (cont >= CONTAIN_THRESHOLD))
+        .select("id_a", "id_b", F.round(cont, 4).alias("containment"))
+    )
