@@ -725,9 +725,18 @@ _SUBSTR_ORACLE = f"""
     "(boilerplate) lands in the groupBy/join where AQE splits it.",
 )
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
     t = load_tables(spark, sf_dir)
+    grams = doc_pos_grams(t["documents"])
+    dup = grams.groupBy("g").agg(F.count("*").alias("c")).filter(F.col("c") > 1).select("g")
+    dpos = grams.join(dup, "g").select("doc_id", "pos")
+    return spans_from_flagged(dpos)
+
+
+def doc_pos_grams(docs: DataFrame) -> DataFrame:
+    """Positional SUBSTR_K-token windows ``(doc_id, pos, g)`` — THE
+    single gram definition shared by the batch span detector and the
+    incremental streaming processor, so the streaming ≡ batch
+    certification cannot drift on tokenization."""
     ws = F.filter(
         F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
     )
@@ -743,15 +752,19 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
-    grams = (
-        t["documents"]
-        .select("doc_id", ws.alias("_ws"))
+    return (
+        docs.select("doc_id", ws.alias("_ws"))
         .select("doc_id", F.explode_outer(gram_structs).alias("w"))
         .filter(F.col("w").isNotNull())
         .select("doc_id", F.col("w.pos").cast("long").alias("pos"), F.col("w.g").alias("g"))
     )
-    dup = grams.groupBy("g").agg(F.count("*").alias("c")).filter(F.col("c") > 1).select("g")
-    dpos = grams.join(dup, "g").select("doc_id", "pos")
+
+
+def spans_from_flagged(dpos: DataFrame) -> DataFrame:
+    """Merge flagged window positions into maximal per-doc spans
+    (gaps-and-islands; windows within SUBSTR_K of each other merge)."""
+    from pyspark.sql.window import Window as W
+
     w = W.partitionBy("doc_id").orderBy("pos")
     flag = dpos.withColumn(
         "new_s",

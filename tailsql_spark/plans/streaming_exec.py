@@ -1407,3 +1407,145 @@ REGISTRY["stream_dedup_semantic"] = QuerySpec(
     "is monotone, so the final state equals batch dedup_semantic "
     "(same oracle) under any arrival order.",
 )
+
+
+# ---------------------------------------------------------------------------
+# incremental duplicated-substring spans: dup-gram detection maintained
+# as the corpus streams in
+# ---------------------------------------------------------------------------
+
+def _substr_batch_processor(pos_root: str, dup_root: str, pending_root: str):
+    """foreachBatch processor maintaining duplicated-gram detection.
+
+    State split by monotonicity: a gram's dup status only ever turns ON
+    (occurrence counts never shrink), so
+    * ``dup_root/b{bid}`` holds the grams that CROSSED count>=2 in this
+      batch — disjoint across batches, each dup gram emitted exactly
+      once, union = the batch operator's dup set;
+    * ``pending_root`` snapshots the grams seen exactly once so far —
+      the only state a future batch needs to decide a crossing;
+    * ``pos_root/b{bid}`` appends the batch's positional windows
+      (disjoint by construction: each doc arrives once).
+
+    Per-batch cost tracks batch grams + one anti-join against history
+    dup dirs + one snapshot merge — never a corpus rescan. Replay-safe
+    under the shared discipline: per-batch-id overwrite dirs, history
+    reads exclude the replaying batch, pending seeds from snapshot
+    bid-1.
+    """
+    from tailsql_spark.operators.dedup import doc_pos_grams
+
+    def process(batch_df, batch_id):
+        sess = batch_df.sparkSession
+        bid = int(batch_id)
+        sub = f"b{bid:05d}"
+        pg = doc_pos_grams(batch_df).persist()
+        cb = pg.groupBy("g").agg(F.count("*").alias("c"))
+        hist_dup = sess.read.parquet(*_mh_state_paths(dup_root, bid)).select("g")
+        pending_prev = sess.read.parquet(
+            _latest_snapshot_path(pending_root, bid)
+        ).select("g")
+        # grams whose dup status is still undecided before this batch
+        fresh = cb.join(hist_dup, "g", "left_anti").persist()
+        new_dup = (
+            fresh.join(pending_prev.withColumn("p", F.lit(1)), "g", "left")
+            .filter((F.col("c") >= 2) | F.col("p").isNotNull())
+            .select("g")
+        )
+        add_pending = (
+            fresh.filter(F.col("c") == 1)
+            .join(pending_prev, "g", "left_anti")
+            .select("g")
+        )
+        pending_next = pending_prev.join(new_dup, "g", "left_anti").unionByName(
+            add_pending
+        )
+        pg.write.mode("overwrite").parquet(f"{pos_root}/{sub}")
+        new_dup.write.mode("overwrite").parquet(f"{dup_root}/{sub}")
+        pending_next.write.mode("overwrite").parquet(f"{pending_root}/{sub}")
+        _prune_snapshots(pending_root, bid - 1)
+        fresh.unpersist()
+        pg.unpersist()
+
+    return process
+
+
+def stream_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL duplicated-substring span detection: documents
+    stream in and the duplicated-gram set is MAINTAINED — each gram is
+    flagged exactly once, in the micro-batch where its corpus-wide
+    occurrence count crosses 2 (including a within-batch repeat), with
+    a seen-once snapshot as the only decision state. The final flagged
+    positions reassemble into maximal spans with the batch operator's
+    own gaps-and-islands tail, so the result is certified equal to
+    batch ``dedup_substring_spans`` via the same DuckDB oracle —
+    duplication discovered across ANY batch boundary (doc A in batch
+    0, its copy in batch 3) is provably identical to having scanned
+    the corpus at rest.
+
+    Scale: per-batch cost is the batch's grams + an anti-join against
+    the accumulated dup set + a pending-snapshot merge; the span
+    assembly at read time touches only flagged positions. Retroactive
+    flagging needs no rewrite of old batches' state because positions
+    are stored unflagged and the dup set is separate — the join at
+    result time applies the latest knowledge to every stored position.
+    """
+    import shutil
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+
+    from tailsql_spark.operators.dedup import doc_pos_grams, spans_from_flagged
+
+    state_root = tempfile.mkdtemp(prefix="tailsql_substr_state_")
+    pos_root = f"{state_root}/pos"
+    dup_root = f"{state_root}/dup"
+    pending_root = f"{state_root}/pending"
+    empty_pg = doc_pos_grams(docs.limit(0))
+    empty_pg.write.mode("overwrite").parquet(f"{pos_root}/seed")
+    empty_pg.select("g").write.mode("overwrite").parquet(f"{dup_root}/seed")
+    empty_pg.select("g").write.mode("overwrite").parquet(f"{pending_root}/seed")
+
+    src_dir = tempfile.mkdtemp(prefix="tailsql_stream_substr_")
+    # 4 staged files + maxFilesPerTrigger=1 → 4 genuine micro-batches
+    docs.repartition(4).write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            _substr_batch_processor(pos_root, dup_root, pending_root)
+        )
+        .option("checkpointLocation", f"{state_root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _await_or_raise(q, "stream_substring_spans")
+    finally:
+        q.stop()
+    dup = spark.read.parquet(*_mh_state_paths(dup_root)).select("g")
+    pos = spark.read.parquet(*_mh_state_paths(pos_root))
+    dpos = pos.join(dup, "g").select("doc_id", "pos")
+    out = _persist_result(spans_from_flagged(dpos), "stream_substring_spans")
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(state_root, ignore_errors=True)
+    return out
+
+
+from tailsql_spark.operators.dedup import REGISTRY as _DEDUP_REGISTRY  # noqa: E402
+
+REGISTRY["stream_substring_spans"] = QuerySpec(
+    name="stream_substring_spans",
+    category="streaming-executed",
+    build=stream_substring_spans,
+    oracle=_DEDUP_REGISTRY["dedup_substring_spans"].oracle,
+    doc="Incremental duplicated-substring spans: the dup-gram set is "
+    "maintained as documents stream in (each gram flagged exactly "
+    "once, when its corpus-wide count crosses 2; a seen-once snapshot "
+    "is the only decision state), and flagged positions reassemble "
+    "into maximal spans — certified equal to batch "
+    "dedup_substring_spans via the same oracle.",
+)

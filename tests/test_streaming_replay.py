@@ -472,3 +472,51 @@ def test_semdedup_processor_replay_idempotent(spark, oracle_sf_dir):
         assert any(not r[2] for r in got), "no vector was ever pruned"
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_substr_processor_replay_idempotent(spark, oracle_sf_dir):
+    """Replaying a substring-dedup batch reproduces identical state:
+    the crossed-count-2 logic must not double-flag grams (a replayed
+    batch whose grams matched history would otherwise re-emit them),
+    and a gram split across batches must still be flagged exactly
+    once. Batches replayed out of a crash simulation, final spans
+    compared to the batch operator."""
+    from pyspark.sql import functions as F2
+
+    from tailsql_spark.operators.dedup import (
+        REGISTRY as _DEDUP,
+        doc_pos_grams,
+        spans_from_flagged,
+    )
+    from tailsql_spark.plans.catalog import load_tables
+    from tailsql_spark.plans.streaming_exec import (
+        _mh_state_paths,
+        _substr_batch_processor,
+    )
+
+    docs = load_tables(spark, oracle_sf_dir)["documents"].select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="tailsql_substr_replay_")
+    try:
+        empty_pg = doc_pos_grams(docs.limit(0))
+        for sub, df in (("pos", empty_pg), ("dup", empty_pg.select("g")),
+                        ("pending", empty_pg.select("g"))):
+            df.write.mode("overwrite").parquet(f"{root}/{sub}/seed")
+        process = _substr_batch_processor(
+            f"{root}/pos", f"{root}/dup", f"{root}/pending"
+        )
+        b0 = docs.filter(F2.col("doc_id") % 2 == 0)
+        b1 = docs.filter(F2.col("doc_id") % 2 == 1)
+        # every batch runs twice: original + simulated post-crash replay
+        process(b0, 0)
+        process(b0, 0)
+        process(b1, 1)
+        process(b1, 1)
+        dup = spark.read.parquet(*_mh_state_paths(f"{root}/dup")).select("g")
+        pos = spark.read.parquet(*_mh_state_paths(f"{root}/pos"))
+        got = sorted(
+            spans_from_flagged(pos.join(dup, "g").select("doc_id", "pos")).collect()
+        )
+        want = sorted(_DEDUP["dedup_substring_spans"].build(spark, oracle_sf_dir).collect())
+        assert got == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
