@@ -509,41 +509,108 @@ def _minhash_pipeline(
 # 3. n-gram Jaccard (direct, no LSH — the exhaustive small-corpus check)
 # ---------------------------------------------------------------------------
 
+#: Document-frequency cap on the shingle inverted index feeding the
+#: EXACT-similarity pair joins (``dedup_ngram_jaccard``,
+#: ``dedup_containment``).  A shingle shared by D documents emits D²
+#: rows from the posting-list self-join — at corpus scale one
+#: boilerplate gram ("all rights reserved ...") appears in millions of
+#: docs and a single key would emit 10¹²+ pair rows, which no AQE
+#: task-split can reduce (it rebalances tasks, not row counts).  Grams
+#: with df > DF_CAP carry no dedup signal (they are corpus-wide
+#: boilerplate, not evidence of copying), so they are dropped from the
+#: index BEFORE the pair join and both similarity denominators are
+#: computed over the capped gram sets — the standard CCNet/suffix-dedup
+#: df-filter.  Consequence (by design): a gram replicated into > DF_CAP
+#: docs stops pairing those docs here; exact copies are still caught by
+#: ``dedup_exact`` and banded MinHash-LSH remains the sanctioned
+#: near-dup path at scale.
+DF_CAP = 64
+
+#: DuckDB twin of :func:`capped_posting_index` — composes after
+#: ``sh AS ({_DUCK_SHINGLES})``.  NOT EXISTS (vs the hot-gram list)
+#: mirrors the Spark broadcast left-anti join exactly.
+_DUCK_CAPPED_INDEX = f"""
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    hot AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) > {DF_CAP}),
+    kept AS (SELECT e.doc_id, e.s FROM ex e
+             WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.s = e.s)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id)
+"""
+
+
+def capped_posting_index(sh: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """df-capped shingle inverted index: ``(kept, sizes)``.
+
+    ``kept`` is the exploded ``(doc_id, s)`` posting list with every
+    gram of document frequency > :data:`DF_CAP` removed; ``sizes`` is
+    the per-doc count of KEPT grams (both similarity denominators use
+    the capped set, so the estimator stays consistent).
+
+    Scale shape: one linear groupBy computes df; the hot list is tiny
+    by construction (|postings| / DF_CAP is its hard ceiling, and real
+    boilerplate is far Zipf-ier than that), so it BROADCASTS and the
+    corpus-sized posting list is pruned in place by a left-anti probe —
+    the same prune-before-shuffle asymmetry as the Bloom
+    decontamination in operators/sketches.py.  If a pathological corpus
+    ever outgrew the broadcast, dropping the hint falls back to a
+    shuffled anti-join with identical semantics.
+    """
+    ex = sh.select("doc_id", F.explode_outer("shingles").alias("s")).filter(
+        F.col("s").isNotNull()
+    )
+    # ex feeds both the df groupBy and the anti-join probe; persist so
+    # the interpreted shingle pipeline evaluates once.
+    ex = ex.persist()
+    hot = (
+        ex.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > DF_CAP)
+        .select("s")
+    )
+    kept = ex.join(F.broadcast(hot), "s", "left_anti")
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    return kept, sizes
+
+
 @query(
     "dedup_ngram_jaccard",
     "dedup",
     f"""
     WITH sh AS ({_DUCK_SHINGLES}),
-    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    {_DUCK_CAPPED_INDEX},
     pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY 1, 2
-    ),
-    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+    )
     SELECT p.id_a, p.id_b,
            ROUND(p.n_common * 1.0 / (sa.n + sb.n - p.n_common), 4) AS jaccard
     FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id
                  JOIN sizes sb ON p.id_b = sb.doc_id
     WHERE p.n_common * 1.0 / (sa.n + sb.n - p.n_common) >= 0.5
     """,
-    doc="Exhaustive n-gram Jaccard pairs ≥ 0.5 via shingle equi-join "
-    "(inverted-index style: only docs sharing a shingle ever meet).",
+    doc=f"Exhaustive n-gram Jaccard pairs ≥ 0.5 via shingle equi-join "
+    "(inverted-index style: only docs sharing a shingle ever meet), "
+    f"over the df ≤ {DF_CAP} capped posting list — boilerplate grams "
+    "are pruned by a broadcast anti-join BEFORE the pair self-join, so "
+    "no single hot key can emit a quadratic pair blowup (see DF_CAP).",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = doc_shingles(spark, sf_dir)
-    # explode_outer: see dedup_minhash_lsh — avoids the pushed-down
-    # tokenizer-re-evaluating non-empty guard.
-    ex = sh.select("doc_id", F.explode_outer("shingles").alias("s")).filter(
-        F.col("s").isNotNull()
-    )
-    a, b = ex.alias("a"), ex.alias("b")
+    return ngram_jaccard_from_shingles(doc_shingles(spark, sf_dir))
+
+
+def ngram_jaccard_from_shingles(sh: DataFrame) -> DataFrame:
+    """Jaccard ≥ 0.5 pairs over a ``(doc_id, shingles)`` frame — the
+    query body, factored so the df-cap behavior is testable on a
+    synthetic corpus (tests/test_scale.py plants a > DF_CAP boilerplate
+    gram and asserts zero pair blowup)."""
+    kept, sizes = capped_posting_index(sh)
+    a, b = kept.alias("a"), kept.alias("b")
     pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .agg(F.count("*").alias("n_common"))
     )
-    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
         pairs.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")), "id_a")
@@ -795,13 +862,12 @@ CONTAIN_THRESHOLD = 0.9
 
 _CONTAIN_ORACLE = f"""
     WITH sh AS ({_DUCK_SHINGLES}),
-    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    {_DUCK_CAPPED_INDEX},
     pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+        FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id <> b.doc_id
         GROUP BY 1, 2
-    ),
-    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+    )
     SELECT p.id_a, p.id_b,
            ROUND(p.n_common * 1.0 / sa.n, 4) AS containment
     FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id
@@ -818,24 +884,20 @@ _CONTAIN_ORACLE = f"""
     f"{CONTAIN_THRESHOLD} over distinct 3-gram shingles — the ordered "
     "pair (id_a contained-in id_b) that catches a short document "
     "embedded verbatim in a longer one, which symmetric Jaccard "
-    "dilutes below any threshold. Same inverted-index equi-join shape "
-    "as dedup_ngram_jaccard (only docs sharing a shingle ever meet; "
-    "no quadratic stage; AQE splits boilerplate-shingle skew), so the "
-    "dedup family now covers exact, symmetric-similarity, and "
-    "subset-similarity semantics.",
+    "dilutes below any threshold. Same df-capped inverted-index "
+    "equi-join shape as dedup_ngram_jaccard: boilerplate grams "
+    f"(df > {DF_CAP}) are pruned by a broadcast anti-join before the "
+    "pair self-join so no hot key emits a quadratic pair blowup, and "
+    "|A| is the capped gram-set size on both engines.",
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = doc_shingles(spark, sf_dir)
-    ex = sh.select("doc_id", F.explode_outer("shingles").alias("s")).filter(
-        F.col("s").isNotNull()
-    )
-    a, b = ex.alias("a"), ex.alias("b")
+    kept, sizes = capped_posting_index(doc_shingles(spark, sf_dir))
+    a, b = kept.alias("a"), kept.alias("b")
     pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") != F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .agg(F.count("*").alias("n_common"))
     )
-    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
     cont = F.col("n_common") / F.col("na")
     return (
         pairs.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")), "id_a")

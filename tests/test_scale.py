@@ -348,3 +348,43 @@ def test_substring_spans_no_quadratic_stage(spark, oracle_sf_dir):
     p = _plan(REGISTRY["dedup_substring_spans"].build(spark, oracle_sf_dir))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_exact_similarity_pair_join_input_is_df_capped(spark, oracle_sf_dir):
+    """The posting-list self-joins in dedup_ngram_jaccard /
+    dedup_containment must consume the DF-CAPPED index: a broadcast
+    LEFT-ANTI prune of hot grams sits upstream of the pair join
+    (round-5 verdict #1 — without it one boilerplate shingle shared by
+    D docs emits D² pair rows, which AQE cannot reduce)."""
+    from tailsql_spark.plans.registry import REGISTRY
+
+    for name in ("dedup_ngram_jaccard", "dedup_containment"):
+        p = _plan(REGISTRY[name].build(spark, oracle_sf_dir))
+        low = p.lower()
+        # the hot-gram prune: a broadcast build feeding a left-anti join
+        assert "leftanti" in low or "left anti" in low, (name, p)
+        assert "BroadcastHashJoin" in p, (name, p)
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_df_cap_kills_boilerplate_pair_blowup(spark):
+    """Behavioral proof of the cap: a gram planted in 100 > DF_CAP docs
+    produces ZERO pairs (uncapped it would emit 4 950), while two docs
+    sharing only RARE grams still pair."""
+    from pyspark.sql import functions as SF
+
+    from tailsql_spark.operators import dedup
+
+    boiler = "all rights reserved legal notice"  # 5 tokens → 3 shingles
+    rare = "quick brown fox jumps high"
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(100)] + [(1000, rare), (1001, rare)],
+        "doc_id long, text string",
+    )
+    sh = docs.select("doc_id", dedup.shingles_col(SF.col("text")).alias("shingles"))
+    kept, sizes = dedup.capped_posting_index(sh)
+    # every boilerplate gram (df=100) is pruned; rare grams survive
+    assert kept.filter(SF.col("doc_id") < 100).count() == 0
+    assert kept.filter(SF.col("doc_id") >= 1000).count() > 0
+    pairs = dedup.ngram_jaccard_from_shingles(sh).collect()
+    assert sorted((r.id_a, r.id_b) for r in pairs) == [(1000, 1001)]
