@@ -32,6 +32,13 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("-d", "--db-engine", default="spark", help="accepted for compat; always Spark SQL")
     q.add_argument("-l", "--log-level", default="warn")
     q.add_argument("--duration", type=float, default=None, help="run for N seconds then exit")
+    q.add_argument(
+        "--max-rows",
+        type=int,
+        default=None,
+        help="cap rows fetched to the driver per emission (default: unlimited, "
+        "reference parity); truncation is marked in the output",
+    )
     return p
 
 
@@ -73,10 +80,12 @@ def main(argv: list[str] | None = None) -> int:
     ]
 
     if all(f.do_not_tail for f in cfg.files):
-        print(run_batch(spark, sources, cfg.sql, cfg.formatter))
+        print(run_batch(spark, sources, cfg.sql, cfg.formatter, max_rows=args.max_rows))
         return 0
 
-    sq = StreamQueryer(spark, sources, cfg.window, cfg.sql, cfg.formatter)
+    sq = StreamQueryer(
+        spark, sources, cfg.window, cfg.sql, cfg.formatter, max_rows=args.max_rows
+    )
     try:
         sq.run(duration_sec=args.duration)
     except KeyboardInterrupt:

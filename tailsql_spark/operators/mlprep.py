@@ -482,7 +482,8 @@ def _logreg_oracle() -> str:
     _logreg_oracle(),
     doc=f"Distributed quality-classifier training: {LOGREG_ITERS} "
     "full-batch gradient-descent steps of logistic regression over "
-    "integer document features (token/punctuation/digit counts, "
+    "integer document features (bias, capped token count, capped "
+    "'query'-occurrence count, capped distinct-token count; "
     "label = contains-' the '), certified cross-engine INCLUDING the "
     "trajectory — final fixed-point weights and training accuracy "
     "hash-match DuckDB's unrolled-CTE replay. Exactness: sigmoids "

@@ -1427,11 +1427,21 @@ def _substr_batch_processor(pos_root: str, dup_root: str, pending_root: str):
     * ``pos_root/b{bid}`` appends the batch's positional windows
       (disjoint by construction: each doc arrives once).
 
-    Per-batch cost tracks batch grams + one anti-join against history
-    dup dirs + one snapshot merge — never a corpus rescan. Replay-safe
-    under the shared discipline: per-batch-id overwrite dirs, history
-    reads exclude the replaying batch, pending seeds from snapshot
-    bid-1.
+    Per-batch cost: the batch's grams (linear in the batch) + one
+    anti-join against history dup dirs + the pending-snapshot rewrite.
+    Honest accounting of that last term: the seen-once snapshot is
+    REWRITTEN whole each batch, and on a mostly-unique corpus it is
+    O(unique grams so far) — so a run of B batches pays an
+    O(corpus)·B/2 total snapshot-write cost even though the *compute*
+    per batch tracks batch grams. At 100 TB the fix is mechanical:
+    hash-partition the pending state by gram-hash range (bucketed
+    subdirs) and rewrite only the buckets a batch touches, carrying
+    untouched buckets forward by reference — the decision logic is
+    unchanged because bucket membership is a pure function of the
+    gram. Kept unpartitioned here because the replay discipline
+    (per-batch-id overwrite dirs, history excludes the replaying
+    batch, pending seeds from snapshot bid-1) is simplest to certify
+    on a single snapshot, and the certified semantics are identical.
     """
     from tailsql_spark.operators.dedup import doc_pos_grams
 
@@ -1483,8 +1493,11 @@ def stream_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     0, its copy in batch 3) is provably identical to having scanned
     the corpus at rest.
 
-    Scale: per-batch cost is the batch's grams + an anti-join against
-    the accumulated dup set + a pending-snapshot merge; the span
+    Scale: per-batch compute is the batch's grams + an anti-join
+    against the accumulated dup set; the pending-snapshot rewrite is
+    O(unique grams so far) per batch on a mostly-unique corpus (see
+    the processor docstring for the hash-partitioned rewrite that
+    bounds it at 100 TB); the span
     assembly at read time touches only flagged positions. Retroactive
     flagging needs no rewrite of old batches' state because positions
     are stored unflagged and the dup set is separate — the join at

@@ -86,11 +86,29 @@ def raw_line_col(cols: list[str]):
 FORMATTERS = {"raw": format_raw, "rawv": format_rawv, "table": format_table}
 
 
-def render(df: DataFrame, fmt: str = "raw") -> str:
-    """Collect a (small) result DataFrame and render it."""
+def render(df: DataFrame, fmt: str = "raw", max_rows: int | None = None) -> str:
+    """Collect a (small) result DataFrame and render it.
+
+    ``max_rows`` is the driver-protection knob: the default (None)
+    collects everything — exact reference parity, tailsql prints every
+    row of a window's result — but a pathological ``SELECT *`` over a
+    huge window would then funnel through the driver, so callers can
+    cap the fetch.  The cap is pushed into the PLAN (``limit``), not
+    applied post-collect, and truncation is marked so output is never
+    silently incomplete.
+    """
     try:
         formatter = FORMATTERS[fmt]
     except KeyError:
         raise ValueError(f"unknown formatter {fmt!r}; choose from {sorted(FORMATTERS)}")
-    rows = [tuple(r) for r in df.collect()]
-    return formatter(df.columns, rows)
+    if max_rows is None:
+        rows = [tuple(r) for r in df.collect()]
+        truncated = False
+    else:
+        rows = [tuple(r) for r in df.limit(max_rows + 1).collect()]
+        truncated = len(rows) > max_rows
+        rows = rows[:max_rows]
+    out = formatter(df.columns, rows)
+    if truncated:
+        out += f"\n-- output truncated at {max_rows} rows --"
+    return out

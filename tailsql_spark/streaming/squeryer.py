@@ -120,12 +120,16 @@ class StreamQueryer:
         sql_text: str,
         formatter: str = "raw",
         sink=None,
+        max_rows: int | None = None,
     ):
         self.spark = spark
         self.sources = sources
         self.window = window
         self.sql_text = sql_text
         self.formatter = formatter
+        #: driver-protection cap for the stdout sink; None = reference
+        #: parity (print every row of the window's result)
+        self.max_rows = max_rows
         self.sink = sink if sink is not None else print
         self._buffers: dict[int, list[_Buffered]] = {i: [] for i in range(len(sources))}
         self._lock = threading.Lock()
@@ -413,7 +417,7 @@ class StreamQueryer:
                     view = self.spark.createDataFrame([], src.compiled.schema)
                 view.createOrReplaceTempView(f"t{idx}")
             result = self.spark.sql(translate_sql(self.sql_text))
-            out = render(result, self.formatter)
+            out = render(result, self.formatter, max_rows=self.max_rows)
             if self.window.is_tumbling:
                 # tumbling boundary: next window starts empty (Clean)
                 for buf in self._buffers.values():
@@ -456,6 +460,7 @@ def run_batch(
     sources: list[SourceSpec],
     sql_text: str,
     formatter: str = "raw",
+    max_rows: int | None = None,
 ) -> str:
     """One-shot batch mode (≡ ``--do-not-tail`` / TableParser path):
     read each file fully, parse, register ``t0..tN``, run the SQL once."""
@@ -463,4 +468,4 @@ def run_batch(
         lines = spark.read.text(src.path)
         parsed = apply_filter(src.compiled.parse_lines(lines), src.filter_expr)
         parsed.createOrReplaceTempView(f"t{idx}")
-    return render(spark.sql(translate_sql(sql_text)), formatter)
+    return render(spark.sql(translate_sql(sql_text)), formatter, max_rows=max_rows)

@@ -226,6 +226,22 @@ def test_formatters():
     assert "NULL" in t
 
 
+def test_render_max_rows_truncation(spark):
+    """--max-rows driver-protection knob: defaults keep reference
+    parity (every row, no marker); a cap pushes limit() into the plan
+    and marks the truncation; an exact-fit cap does not mark."""
+    from tailsql_spark.sinks.formatters import render
+
+    df = spark.range(5).selectExpr("id as a")
+    full = render(df, "raw")
+    assert full.count("\n") == 5 and "truncated" not in full
+    capped = render(df.orderBy("a"), "raw", max_rows=3)
+    assert "-- output truncated at 3 rows --" in capped
+    assert capped.count("\n") == 4  # header + 3 rows + marker
+    exact = render(df, "raw", max_rows=5)
+    assert "truncated" not in exact and exact.count("\n") == 5
+
+
 def test_window_harness_event_time(spark):
     """IDX_OF_TS >= 0 → the window is (wm - SIZE, wm] of the PARSED
     timestamp, independent of arrival time (the reference's intended —
