@@ -350,6 +350,30 @@ def test_substring_spans_no_quadratic_stage(spark, oracle_sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_pq_kmeans_training_stays_broadcast_shaped(spark, oracle_sf_dir):
+    """Every Lloyd step of the trained-PQ build must join the corpus
+    against a BROADCAST codebook (M×K rows) — the corpus is never
+    shuffled against centroids — and ADC scoring keeps the broadcast
+    LUT; no quadratic stage anywhere in the composed plan."""
+    from tailsql_spark.plans.registry import REGISTRY
+
+    p = _plan(REGISTRY["ann_pq_kmeans_topk"].build(spark, oracle_sf_dir))
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_kmeans_multiprobe_probe_table_broadcasts(spark, oracle_sf_dir):
+    """Learned-cell multiprobe: the |Q|×N_PROBES probe table must
+    broadcast into the cell equi-join (the corpus side is probed in
+    place); the only nested-loop allowed is the constant 8-centroid
+    probe fan-out."""
+    from tailsql_spark.plans.registry import REGISTRY
+
+    p = _plan(REGISTRY["ann_ivf_kmeans_multiprobe_topk"].build(spark, oracle_sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p
+
+
 def test_exact_similarity_pair_join_input_is_df_capped(spark, oracle_sf_dir):
     """The posting-list self-joins in dedup_ngram_jaccard /
     dedup_containment must consume the DF-CAPPED index: a broadcast
