@@ -84,10 +84,12 @@ def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codegen'd). A 100 TB corpus arrives pre-split into many file
     # partitions; a small local file reads as ONE partition and would
     # serialize the pipeline. Size the split from input BYTES, not core
-    # count: ~32 KB of compressed text per task keeps every core busy
+    # count: ~16 KB of compressed text per task keeps every core busy
     # on the interpreted tokenizer while staying above the per-task
-    # scheduling floor (measured at sf0.1: 4 parts 1.5 s, 8 parts
-    # 0.84 s, 16 parts 0.55 s, 32 parts 0.52 s — capped at cores).
+    # scheduling floor (round-6 re-measurement of the full
+    # tokenize+hash pass at sf0.1: 18 parts 0.87 s, 24 parts 0.77 s,
+    # 32 parts 0.64 s, 64 parts 0.64 s — capped at cores, so the
+    # finer target just saturates the box sooner).
     import os
 
     docs = t["documents"]
@@ -96,7 +98,7 @@ def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     except OSError:
         nbytes = 0
     par = spark.sparkContext.defaultParallelism
-    target = max(2, min(par, nbytes // (32 * 1024) or 2))
+    target = max(2, min(par, nbytes // (16 * 1024) or 2))
     if docs.rdd.getNumPartitions() < target:
         docs = docs.repartition(int(target))
     return docs.select("doc_id", shingles_col(F.col("text")).alias("shingles"))
@@ -222,10 +224,13 @@ def _small_input(sf_dir: str, table: str = "documents") -> bool:
         return False
 
 
-def band_long(sig: DataFrame) -> DataFrame:
+def band_long(sig: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """Signature → long-format band table (doc_id, band_idx, band_hash):
     the LSH inverted-index key.  Shared by the batch self-join and the
-    streaming incremental probe (new docs vs accumulated index)."""
+    streaming incremental probe (new docs vs accumulated index).
+    ``carry`` names extra signature columns to ride along (the
+    small-corpus branch carries ``n_sh``/``xs`` so verification fuses
+    into the bucket aggregation)."""
     bands = [
         F.md5(
             F.concat_ws(
@@ -238,10 +243,10 @@ def band_long(sig: DataFrame) -> DataFrame:
         ).alias(f"b{b}")
         for b in range(N_BANDS)
     ]
-    banded = sig.select("doc_id", *bands)
+    banded = sig.select("doc_id", *carry, *bands)
     stack_args = ", ".join(f"{b}, b{b}" for b in range(N_BANDS))
     return banded.selectExpr(
-        "doc_id", f"stack({N_BANDS}, {stack_args}) AS (band_idx, band_hash)"
+        "doc_id", *carry, f"stack({N_BANDS}, {stack_args}) AS (band_idx, band_hash)"
     )
 
 
@@ -346,27 +351,32 @@ def dedup_minhash_lsh_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_small_pipeline(ex: DataFrame) -> DataFrame:
-    """Size-gated small-corpus MinHash plan: minimum job count.
+    """Size-gated small-corpus MinHash plan: ONE linear dataflow.
 
-    At test/bench scale the pipeline is job-launch bound, not
-    task bound (round-5 audit: the generic plan runs 15 AQE jobs /
-    38 stages on 260k shingle rows, and concurrent broadcast-build
-    jobs race to fill the signature cache, re-running the interpreted
-    tokenizer).  This branch restructures for few, strictly ordered
-    jobs:
+    At test/bench scale the pipeline is job-launch bound, not task
+    bound (round-5 audit: the generic plan runs 15 AQE jobs / 38
+    stages on 260k shingle rows; the round-5 small branch still ran
+    ~10 jobs because its two sequential broadcast builds — candidate
+    set, then sized candidates — each cost a job and raced the
+    signature-cache fill).  Round 6 collapses verification INTO the
+    bucket aggregation, leaving a single straight-line DAG with no
+    broadcast builds and no persist at all:
 
     * ONE aggregation carries signature minima, set size AND the
-      distinct shingle-hash set (``xs``) — nothing ever re-reads the
-      exploded index, so there is exactly one tokenizer pass.
-    * candidates come from bucket-local pair generation (groupBy band
-      key → sorted doc list → i<j pairs) instead of a band self-join:
-      no broadcast build racing the cache fill, one shuffle.  In-bucket
-      pair blowup is bounded here by the same plan-time size gate that
-      chose this branch; the big-data branch keeps the equi-join
-      self-join precisely so AQE can split adversarial hot buckets.
-    * verification is ``array_intersect`` over the carried sets, with
-      the collision-sized pair table broadcast through both probes of
-      the cached signature table.
+      distinct shingle-hash set (``xs``) — one tokenizer pass, one
+      consumer, nothing cached.
+    * the band groupBy collects ``(doc_id, n_sh, xs)`` member structs
+      per bucket; the i<j pair fan-out then computes
+      ``array_intersect`` and the Jaccard inline, so candidate
+      generation AND verification are one stage.  Shipping each doc's
+      shingle set N_BANDS times through the band shuffle is the
+      explicit small-corpus trade (a few MB here); the big-data
+      branch keeps the narrow band keys + exploded-index equi-join
+      precisely so the shuffle stays proportional to the corpus and
+      AQE can split adversarial hot buckets.
+    * a trailing distinct dedups pairs that collide in several bands
+      (the intersect is recomputed per colliding band — bounded by
+      N_BANDS and collision-sized, cheaper than any join it replaces).
 
     Differential safety: this branch is what ``dedup_minhash_lsh``
     certifies at sf0.01/sf0.1; the shuffled big-data branch keeps its
@@ -374,39 +384,36 @@ def _minhash_small_pipeline(ex: DataFrame) -> DataFrame:
     the same signature/band/threshold definitions, so results are
     identical by construction up to plan shape.
     """
-    sig = minhash_signatures(ex, with_sets=True).persist()
+    sig = minhash_signatures(ex, with_sets=True)
+    long = band_long(sig, carry=("n_sh", "xs"))
     buckets = (
-        band_long(sig)
-        .groupBy("band_idx", "band_hash")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+        long.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n_sh", "xs"))).alias("mem"))
+        .filter(F.size("mem") > 1)
     )
-    ids = F.col("ids")
+    mem = F.col("mem")
     pair_arr = F.flatten(
         F.transform(
-            ids,
+            mem,
             lambda a, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                F.slice(mem, i + F.lit(2), F.size(mem)),
+                lambda b: F.struct(
+                    a["doc_id"].alias("id_a"),
+                    b["doc_id"].alias("id_b"),
+                    F.size(F.array_intersect(a["xs"], b["xs"])).alias("n_common"),
+                    (a["n_sh"] + b["n_sh"]).alias("n_tot"),
+                ),
             ),
         )
     )
-    cand = (
-        buckets.select(F.explode(pair_arr).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct()
+    pairs = buckets.select(F.explode(pair_arr).alias("p")).select(
+        "p.id_a", "p.id_b", "p.n_common", "p.n_tot"
     )
-    va = sig.select(
-        F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"), F.col("xs").alias("xs_a")
-    ).join(F.broadcast(cand), "id_a")
-    vb = sig.select(
-        F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"), F.col("xs").alias("xs_b")
-    ).join(F.broadcast(va), "id_b")
-    common = vb.withColumn("n_common", F.size(F.array_intersect("xs_a", "xs_b")))
-    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    jac = F.col("n_common") / (F.col("n_tot") - F.col("n_common"))
     return (
-        common.filter(jac >= JACCARD_THRESHOLD)
+        pairs.filter(jac >= JACCARD_THRESHOLD)
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .distinct()
     )
 
 
