@@ -46,6 +46,12 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_cosine_topk_arrow",
     "text_quality_score",
+    # round 6: the broadcast-Bloom decontamination branch — the shape a
+    # 100 TB run actually takes (prune corpus grams pre-shuffle against
+    # a broadcast eval-set word table); keeps the bench honest about
+    # the LLM-pipeline scale path, per the round-5 re-anchor note in
+    # BASELINE.md.
+    "text_contamination_bloom",
 ]
 
 

@@ -79,28 +79,15 @@ def shingles_col(text: Column) -> Column:
 
 
 def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir)
-    # Shingling is CPU-bound (higher-order fns are interpreted, not
-    # codegen'd). A 100 TB corpus arrives pre-split into many file
-    # partitions; a small local file reads as ONE partition and would
-    # serialize the pipeline. Size the split from input BYTES, not core
-    # count: ~16 KB of compressed text per task keeps every core busy
-    # on the interpreted tokenizer while staying above the per-task
-    # scheduling floor (round-6 re-measurement of the full
-    # tokenize+hash pass at sf0.1: 18 parts 0.87 s, 24 parts 0.77 s,
-    # 32 parts 0.64 s, 64 parts 0.64 s — capped at cores, so the
-    # finer target just saturates the box sooner).
-    import os
+    # Shingling is CPU-bound (interpreted HOFs): size the split from
+    # input bytes so every core works the tokenizer (round-6
+    # re-measurement of the full tokenize+hash pass at sf0.1: 18 parts
+    # 0.87 s, 24 parts 0.77 s, 32 parts 0.64 s, 64 parts 0.64 s —
+    # capped at cores).  Sizing logic shared with the other gram
+    # builders via catalog.load_documents_sized.
+    from tailsql_spark.plans.catalog import load_documents_sized
 
-    docs = t["documents"]
-    try:
-        nbytes = os.path.getsize(f"{sf_dir}/documents.parquet")
-    except OSError:
-        nbytes = 0
-    par = spark.sparkContext.defaultParallelism
-    target = max(2, min(par, nbytes // (16 * 1024) or 2))
-    if docs.rdd.getNumPartitions() < target:
-        docs = docs.repartition(int(target))
+    docs = load_documents_sized(spark, sf_dir)
     return docs.select("doc_id", shingles_col(F.col("text")).alias("shingles"))
 
 

@@ -123,17 +123,30 @@ def bloom_probe(
     "distinct-shuffle of train grams shrinks to (hits + ~1.3% fp).",
 )
 def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir)
-    docs = t["documents"].select(
+    from tailsql_spark.plans.catalog import load_documents_sized
+
+    # bytes-sized split: the gram builder is an interpreted HOF and the
+    # local file reads as ONE partition — unsplit, the corpus-side gram
+    # pass serializes on a single core (measured 7.3 s at sf0.1 vs
+    # ~1 s split; at cluster scale the input arrives pre-split).
+    docs = load_documents_sized(spark, sf_dir).select(
         "doc_id", contam_is_test().alias("is_test"), F.col("text")
     )
+    # test_grams is read three times (sketch build + both probe-word
+    # broadcasts re-derive it + final join) and is eval-set-tiny —
+    # persist it so the interpreted gram pipeline over the test split
+    # runs once, not once per broadcast build.
     test_grams = (
         docs.filter(F.col("is_test"))
         .select("doc_id", F.explode_outer(contam_gram_arr()).alias("g"))
         .filter(F.col("g").isNotNull())
         .distinct()
+        .persist()
     )
-    sketch = bloom_build(test_grams.select("g").distinct(), "g")
+    # the word table itself is ≤ m_bits/64 rows (~128 KB): persist so
+    # the k broadcast builds in bloom_probe share one aggregation
+    # instead of each recomputing the sketch from the raw documents.
+    sketch = bloom_build(test_grams.select("g").distinct(), "g").persist()
     # corpus side: NO distinct before the sketch — pruning first is the
     # whole point; the survivors (test-hit grams + fp) are then distinct
     # and exact-joined exactly like the unsketched operator.

@@ -229,6 +229,31 @@ _CATALOG_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
 _ACTIVE_VIEWS: dict[int, str] = {}
 
 
+def load_documents_sized(
+    spark: SparkSession, sf_dir: str, bytes_per_task: int = 16 * 1024
+) -> DataFrame:
+    """``documents`` sized for CPU-bound interpreted pipelines (gram /
+    shingle builders are higher-order functions, not codegen'd).
+
+    A 100 TB corpus arrives pre-split into many file partitions; a
+    small local file reads as ONE partition and would serialize the
+    pipeline.  Split from input BYTES, not core count (~16 KB of
+    compressed text per task — measured in operators/dedup.py's
+    tokenizer A/B), capped at the session's parallelism."""
+    import os
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    try:
+        nbytes = os.path.getsize(f"{sf_dir}/documents.parquet")
+    except OSError:
+        nbytes = 0
+    par = spark.sparkContext.defaultParallelism
+    target = max(2, min(par, nbytes // bytes_per_task or 2))
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(int(target))
+    return docs
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Read every testdata table and register it as a temp view.
 

@@ -11,7 +11,7 @@ from tailsql_spark.plans.registry import (
     REGISTRY,
 )
 
-EXPECTED_TOTAL = 183  # r5 additions: dedup_minhash_lsh_shuffled, ann_ivf_kmeans_topk, dedup_semantic, stream_dedup_semantic, text_contamination_bloom, quality_logreg_train, dedup_substring_spans, sample_importance_dsir, ann_pq_adc_topk, agg_kmv_sketch, dedup_containment, stream_substring_spans
+EXPECTED_TOTAL = 185  # r6 additions: ann_pq_kmeans_topk, ann_ivf_kmeans_multiprobe_topk
 
 
 def test_no_silent_import_failures():
