@@ -1146,3 +1146,100 @@ def ann_ivf_kmeans_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFram
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: recall@k of the learned IVF vs brute force
+# ---------------------------------------------------------------------------
+
+RECALL_K = 3  # ivf variants rank top-3; recall is measured at the same k
+
+
+def _ivf_recall_oracle() -> str:
+    """recall@3 of learned-cell IVF against the exact brute-force
+    neighbors: both rankings come from the SAME rounded-cosine rule, so
+    the metric is exact cross-engine.  The IVF side reuses the
+    certified Lloyd-trajectory CTEs (one definition of the cells)."""
+    from tailsql_spark.operators.mlprep import KMEANS_ITERS, kmeans_cte_parts
+
+    parts = kmeans_cte_parts()
+    ka = f"a{KMEANS_ITERS}"
+    parts.append(
+        f"""
+    qi AS (SELECT a.vec_id, a.cell, e.embedding
+           FROM {ka} a JOIN embeddings e USING (vec_id)
+           WHERE a.vec_id < {N_QUERIES}),
+    corp AS (SELECT a.vec_id, a.cell, e.embedding
+             FROM {ka} a JOIN embeddings e USING (vec_id)),
+    ivf_scored AS (
+        SELECT qi.vec_id AS query_id, corp.vec_id AS neighbor_id,
+               ROUND({_DUCK_DOT.format(a='qi.embedding', b='corp.embedding')}
+                     / ({_DUCK_NORM.format(a='qi.embedding')}
+                        * {_DUCK_NORM.format(a='corp.embedding')}), 4) AS cosine
+        FROM qi JOIN corp ON qi.cell = corp.cell AND corp.vec_id <> qi.vec_id
+    ),
+    ivf3 AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+            FROM ivf_scored) WHERE rnk <= {RECALL_K}
+    ),
+    qb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+    brute_scored AS (
+        SELECT qb.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND({_DUCK_DOT.format(a='qb.embedding', b='c.embedding')}
+                     / ({_DUCK_NORM.format(a='qb.embedding')}
+                        * {_DUCK_NORM.format(a='c.embedding')}), 4) AS cosine
+        FROM qb JOIN embeddings c ON c.vec_id <> qb.vec_id
+    ),
+    brute3 AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+            FROM brute_scored) WHERE rnk <= {RECALL_K}
+    )
+    SELECT b.query_id,
+           CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hit,
+           CAST({RECALL_K} AS BIGINT) AS k,
+           ROUND(COUNT(i.neighbor_id) * 1.0 / {RECALL_K}, 4) AS recall
+    FROM brute3 b
+    LEFT JOIN ivf3 i ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id"""
+    )
+    return "\n".join(parts)
+
+
+@query(
+    "ann_ivf_recall_at_k",
+    "similarity",
+    _ivf_recall_oracle(),
+    doc=f"ANN index QUALITY metric, certified: recall@{RECALL_K} of the "
+    "learned-cell IVF (ann_ivf_kmeans_topk's exact plan) against the "
+    "brute-force ground truth, per query. The eval every production "
+    "ANN deployment runs before trusting an index — here it is itself "
+    "a certified operator, so index-quality regressions are caught by "
+    "the same differential gate as correctness bugs. Scale: the brute "
+    "side is the one-off offline ground-truth pass (broadcast query "
+    "block, linear corpus scan); the comparison join is |Q|×k rows.",
+)
+def ann_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ivf3 = ann_ivf_kmeans_topk(spark, sf_dir).filter(
+        F.col("rnk") <= RECALL_K
+    ).select("query_id", "neighbor_id")
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    brute3 = (
+        _scored(spark, sf_dir)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= RECALL_K)
+        .select("query_id", "neighbor_id")
+    )
+    hit = ivf3.withColumn("hit", F.lit(1))
+    return (
+        brute3.join(hit, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hit"),
+            F.lit(RECALL_K).cast("long").alias("k"),
+            F.round(F.count("hit") * 1.0 / RECALL_K, 4).alias("recall"),
+        )
+    )
