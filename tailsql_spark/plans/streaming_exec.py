@@ -1422,26 +1422,28 @@ def _substr_batch_processor(pos_root: str, dup_root: str, pending_root: str):
     * ``dup_root/b{bid}`` holds the grams that CROSSED count>=2 in this
       batch — disjoint across batches, each dup gram emitted exactly
       once, union = the batch operator's dup set;
-    * ``pending_root`` snapshots the grams seen exactly once so far —
-      the only state a future batch needs to decide a crossing;
+    * ``pending_root/b{bid}`` holds the grams FIRST seen (exactly once)
+      in this batch — an append-only delta log whose union is a
+      superset of the live seen-once set;
     * ``pos_root/b{bid}`` appends the batch's positional windows
       (disjoint by construction: each doc arrives once).
 
-    Per-batch cost: the batch's grams (linear in the batch) + one
-    anti-join against history dup dirs + the pending-snapshot rewrite.
-    Honest accounting of that last term: the seen-once snapshot is
-    REWRITTEN whole each batch, and on a mostly-unique corpus it is
-    O(unique grams so far) — so a run of B batches pays an
-    O(corpus)·B/2 total snapshot-write cost even though the *compute*
-    per batch tracks batch grams. At 100 TB the fix is mechanical:
-    hash-partition the pending state by gram-hash range (bucketed
-    subdirs) and rewrite only the buckets a batch touches, carrying
-    untouched buckets forward by reference — the decision logic is
-    unchanged because bucket membership is a pure function of the
-    gram. Kept unpartitioned here because the replay discipline
-    (per-batch-id overwrite dirs, history excludes the replaying
-    batch, pending seeds from snapshot bid-1) is simplest to certify
-    on a single snapshot, and the certified semantics are identical.
+    The pending log is append-only — this is the round-5-advice fix
+    for the old full-snapshot rewrite, which cost O(unique grams so
+    far) per batch on a mostly-unique corpus.  It needs no compaction
+    because promotion is MONOTONE: a gram enters the log at most once
+    (first singleton sighting), is promoted to dup at most once, and a
+    promoted gram never re-enters ``fresh`` (history dup dirs exclude
+    it) — so leaving promoted grams in the log is harmless: the log is
+    only ever consulted FOR fresh grams, and no fresh gram is a
+    promoted one.  Per-batch WRITE cost is therefore O(batch grams);
+    per-batch read is one columnar scan of the accumulated log feeding
+    two joins (at cluster scale, store the log bucketed by gram hash
+    so those joins are co-located and the scan prunes).
+
+    Replay-safe under the shared discipline: per-batch-id overwrite
+    dirs, history reads exclude the replaying batch — identical to the
+    dup/pos dirs.
     """
     from tailsql_spark.operators.dedup import doc_pos_grams
 
@@ -1453,7 +1455,7 @@ def _substr_batch_processor(pos_root: str, dup_root: str, pending_root: str):
         cb = pg.groupBy("g").agg(F.count("*").alias("c"))
         hist_dup = sess.read.parquet(*_mh_state_paths(dup_root, bid)).select("g")
         pending_prev = sess.read.parquet(
-            _latest_snapshot_path(pending_root, bid)
+            *_mh_state_paths(pending_root, bid)
         ).select("g")
         # grams whose dup status is still undecided before this batch
         fresh = cb.join(hist_dup, "g", "left_anti").persist()
@@ -1467,13 +1469,9 @@ def _substr_batch_processor(pos_root: str, dup_root: str, pending_root: str):
             .join(pending_prev, "g", "left_anti")
             .select("g")
         )
-        pending_next = pending_prev.join(new_dup, "g", "left_anti").unionByName(
-            add_pending
-        )
         pg.write.mode("overwrite").parquet(f"{pos_root}/{sub}")
         new_dup.write.mode("overwrite").parquet(f"{dup_root}/{sub}")
-        pending_next.write.mode("overwrite").parquet(f"{pending_root}/{sub}")
-        _prune_snapshots(pending_root, bid - 1)
+        add_pending.write.mode("overwrite").parquet(f"{pending_root}/{sub}")
         fresh.unpersist()
         pg.unpersist()
 
@@ -1485,7 +1483,8 @@ def stream_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream in and the duplicated-gram set is MAINTAINED — each gram is
     flagged exactly once, in the micro-batch where its corpus-wide
     occurrence count crosses 2 (including a within-batch repeat), with
-    a seen-once snapshot as the only decision state. The final flagged
+    an append-only seen-once delta log as the only decision state. The
+    final flagged
     positions reassemble into maximal spans with the batch operator's
     own gaps-and-islands tail, so the result is certified equal to
     batch ``dedup_substring_spans`` via the same DuckDB oracle —
@@ -1494,10 +1493,10 @@ def stream_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus at rest.
 
     Scale: per-batch compute is the batch's grams + an anti-join
-    against the accumulated dup set; the pending-snapshot rewrite is
-    O(unique grams so far) per batch on a mostly-unique corpus (see
-    the processor docstring for the hash-partitioned rewrite that
-    bounds it at 100 TB); the span
+    against the accumulated dup set; per-batch state WRITES are
+    O(batch grams) — the seen-once set is an append-only delta log,
+    not a rewritten snapshot, because gram promotion is monotone (see
+    the processor docstring); the span
     assembly at read time touches only flagged positions. Retroactive
     flagging needs no rewrite of old batches' state because positions
     are stored unflagged and the dup set is separate — the join at
@@ -1557,8 +1556,9 @@ REGISTRY["stream_substring_spans"] = QuerySpec(
     oracle=_DEDUP_REGISTRY["dedup_substring_spans"].oracle,
     doc="Incremental duplicated-substring spans: the dup-gram set is "
     "maintained as documents stream in (each gram flagged exactly "
-    "once, when its corpus-wide count crosses 2; a seen-once snapshot "
-    "is the only decision state), and flagged positions reassemble "
+    "once, when its corpus-wide count crosses 2; an append-only "
+    "seen-once delta log is the only decision state, so per-batch "
+    "state writes are O(batch)), and flagged positions reassemble "
     "into maximal spans — certified equal to batch "
     "dedup_substring_spans via the same oracle.",
 )
