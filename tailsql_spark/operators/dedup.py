@@ -735,8 +735,10 @@ SUBSTR_K = 10
 
 _SUBSTR_GRAM = " || ' ' || ".join(f"ws[i + {j}]" for j in range(SUBSTR_K))
 
-_SUBSTR_ORACLE = f"""
-    WITH toks AS (
+#: shared CTE chain (toks … isl) and final span select — split so the
+#: span-removal stats oracle can compose on the same definitions.
+_SUBSTR_CTES = f"""
+    toks AS (
         SELECT doc_id,
                list_filter(string_split_regex(trim(lower(text)), '\\s+'),
                            w -> w <> '') AS ws
@@ -763,12 +765,17 @@ _SUBSTR_ORACLE = f"""
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         FROM flag
     )
+"""
+
+_SUBSTR_SPAN_SELECT = f"""
     SELECT doc_id,
            CAST(MIN(pos) AS BIGINT) AS span_start,
            CAST(MAX(pos) + {SUBSTR_K - 1} AS BIGINT) AS span_end,
            COUNT(*) AS n_windows
     FROM isl GROUP BY doc_id, sid
 """
+
+_SUBSTR_ORACLE = f"WITH {_SUBSTR_CTES} {_SUBSTR_SPAN_SELECT}"
 
 
 @query(
@@ -897,4 +904,68 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")), "id_a")
         .filter((F.col("na") > 0) & (cont >= CONTAIN_THRESHOLD))
         .select("id_a", "id_b", F.round(cont, 4).alias("containment"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 8. span-removal stats: the dedup-the-training-data end product
+# ---------------------------------------------------------------------------
+
+_SPAN_REMOVAL_ORACLE = f"""
+    WITH {_SUBSTR_CTES},
+    spans AS ({_SUBSTR_SPAN_SELECT}),
+    ntok AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM toks),
+    rem AS (SELECT doc_id,
+                   CAST(SUM(span_end - span_start + 1) AS BIGINT) AS n_removed
+            FROM spans GROUP BY doc_id)
+    SELECT t.doc_id,
+           t.n_tokens,
+           COALESCE(r.n_removed, 0) AS n_removed,
+           t.n_tokens - COALESCE(r.n_removed, 0) AS n_kept,
+           CASE WHEN t.n_tokens = 0 THEN 0.0
+                ELSE ROUND(COALESCE(r.n_removed, 0) * 1.0 / t.n_tokens, 6)
+           END AS removal_pct
+    FROM ntok t LEFT JOIN rem r USING (doc_id)
+"""
+
+
+@query(
+    "dedup_span_removal_stats",
+    "dedup",
+    _SPAN_REMOVAL_ORACLE,
+    doc=f"The exact-substring-dedup END PRODUCT (Lee et al. shape: "
+    "delete every duplicated span from the corpus): per document, the "
+    "token count, how many tokens fall inside flagged duplicated "
+    f"spans (maximal merged ≥{SUBSTR_K}-token windows from "
+    "dedup_substring_spans — disjoint per doc, so removal counts are "
+    "an exact SUM), the retained count, and the removal fraction — "
+    "the attrition report a training-data pipeline publishes after "
+    "substring dedup. Composes the certified span operator with one "
+    "linear token-count pass and a per-doc left join; every doc "
+    "appears, span-free docs report zero removal.",
+)
+def dedup_span_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    spans = dedup_substring_spans(spark, sf_dir)
+    ws = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    ntok = t["documents"].select(
+        "doc_id", F.size(ws).cast("long").alias("n_tokens")
+    )
+    rem = spans.groupBy("doc_id").agg(
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("n_removed")
+    )
+    n_removed = F.coalesce(F.col("n_removed"), F.lit(0)).cast("long")
+    return (
+        ntok.join(rem, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            n_removed.alias("n_removed"),
+            (F.col("n_tokens") - n_removed).alias("n_kept"),
+            F.when(F.col("n_tokens") == 0, F.lit(0.0))
+            .otherwise(F.round(n_removed * 1.0 / F.col("n_tokens"), 6))
+            .alias("removal_pct"),
+        )
     )
