@@ -291,3 +291,108 @@ def dedup_survivor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("l_doc").alias("n_dup_members"),
         F.sum(survivor.cast("long")).alias("n_survivors"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the near-dup graph (third certified iterative algorithm)
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 3
+PR_SCALE = 10**12  # fixed-point rank mass
+#: damping 0.85 expressed as the integer pair (85, 100) so every update
+#: is exact floor arithmetic in both engines.
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled-CTE replay of PR_ITERS PageRank steps on the symmetric
+    near-dup graph.  The exactness device of the iterative family
+    (kmeans/logreg): ranks live in ×1e12 fixed-point BIGINTs, every
+    contribution and damping step is FLOOR (integer) division, so both
+    engines walk the identical trajectory — no float summation order
+    can fork it.  All values non-negative, so ``//``/``div`` agree."""
+    parts = [
+        f"WITH pairs AS ({_MINHASH_ORACLE}),",
+        """edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),""",
+        "deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),",
+        "nn AS (SELECT COUNT(*) AS n FROM deg),",
+        f"r0 AS (SELECT u, CAST({PR_SCALE} // nn.n AS BIGINT) AS r"
+        " FROM deg CROSS JOIN nn),",
+    ]
+    for i in range(1, PR_ITERS + 1):
+        parts.append(
+            f"r{i} AS (SELECT e.v AS u,"
+            f" CAST((15 * {PR_SCALE}) // (100 * nn.n)"
+            f" + (85 * SUM(r.r // d.deg)) // 100 AS BIGINT) AS r"
+            f" FROM edges e JOIN r{i - 1} r ON r.u = e.u"
+            f" JOIN deg d ON d.u = e.u CROSS JOIN nn"
+            f" GROUP BY e.v, nn.n),"
+        )
+    parts.append(
+        f"""final AS (SELECT * FROM r{PR_ITERS})
+    SELECT CAST(f.u AS BIGINT) AS doc_id,
+           CAST(f.r AS BIGINT) AS rank_fp,
+           CAST(d.deg AS BIGINT) AS degree,
+           CAST(nn.n AS BIGINT) AS n_nodes
+    FROM final f JOIN deg d ON d.u = f.u CROSS JOIN nn"""
+    )
+    return "\n".join(parts)
+
+
+@query(
+    "graph_pagerank_neardup",
+    "graph-analytics",
+    _pagerank_oracle(),
+    doc=f"Distributed PageRank ({PR_ITERS} damped power-iteration "
+    "steps, d=0.85) over the symmetric MinHash near-dup graph — the "
+    "link-graph authority score web-scale corpora use for quality "
+    "weighting, here certified INCLUDING the trajectory: ranks are "
+    "×1e12 fixed-point BIGINTs and every step is exact integer floor "
+    "arithmetic, so the final fixed-point masses hash-match DuckDB's "
+    "unrolled-CTE replay. Scale: each step is one equi-join of the "
+    "edge list with the rank vector (both keyed by node — at 100 TB "
+    "both live bucketed on that key so the join is co-located) plus "
+    "one shuffle of contributions to their targets; the teleport term "
+    "rides a broadcast 1-row count. No collect anywhere — the "
+    "textbook Pregel-style PR as pure DataFrame ops.",
+)
+def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    edges = pairs.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+    deg = edges.groupBy("u").agg(F.count("*").alias("deg"))
+    nn = deg.agg(F.count("*").alias("n"))
+    r = deg.crossJoin(F.broadcast(nn)).select(
+        "u", F.expr(f"{PR_SCALE} div n").alias("r")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(r.join(deg, "u"), "u")
+            .select(F.col("v").alias("tu"), F.expr("r div deg").alias("c"))
+        )
+        r = (
+            contrib.groupBy("tu")
+            .agg(F.sum("c").alias("s"))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                F.col("tu").alias("u"),
+                (
+                    F.expr(f"(15 * {PR_SCALE}) div (100 * n)")
+                    + F.expr("(85 * s) div 100")
+                ).alias("r"),
+            )
+        )
+    return (
+        r.join(deg, "u")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("u").cast("long").alias("doc_id"),
+            F.col("r").cast("long").alias("rank_fp"),
+            F.col("deg").cast("long").alias("degree"),
+            F.col("n").cast("long").alias("n_nodes"),
+        )
+    )

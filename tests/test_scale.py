@@ -391,6 +391,49 @@ def test_exact_similarity_pair_join_input_is_df_capped(spark, oracle_sf_dir):
         assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
 
+def test_bloom_probe_stream_never_shuffles(spark, oracle_sf_dir):
+    """The Bloom probe's contract: the corpus-side gram stream is
+    pruned by broadcast word-table joins BEFORE any shuffle — the
+    probed stream itself must contain zero hash-partition exchanges
+    (the survivors' distinct afterwards is the first shuffle)."""
+    from pyspark.sql import functions as SF
+
+    from tailsql_spark.operators import sketches as S
+    from tailsql_spark.operators.textstats import contam_gram_arr, contam_is_test
+    from tailsql_spark.plans.catalog import load_documents_sized
+
+    docs = load_documents_sized(spark, oracle_sf_dir).select(
+        "doc_id", contam_is_test().alias("is_test"), SF.col("text")
+    )
+    test_grams = (
+        docs.filter(SF.col("is_test"))
+        .select(SF.explode_outer(contam_gram_arr()).alias("g"))
+        .filter(SF.col("g").isNotNull())
+        .distinct()
+    )
+    sketch = S.bloom_build(test_grams, "g")
+    train = (
+        docs.filter(~SF.col("is_test"))
+        .select(SF.explode_outer(contam_gram_arr()).alias("g"))
+        .filter(SF.col("g").isNotNull())
+    )
+    p = _plan(S.bloom_probe(train, "g", sketch))
+    probe_section = p.split("== Physical Plan ==", 1)[-1]
+    # the sketch build itself aggregates (one exchange); the PROBE path
+    # over the train stream must only broadcast — count hash exchanges
+    # and require they all belong to the word-table build side
+    assert probe_section.count("BroadcastHashJoin") >= S.BLOOM_K, p
+    import re
+
+    # every hashpartitioning exchange must sit under a BroadcastExchange
+    # build (word table aggregation), never on the probe stream: the
+    # probe stream's lineage (text scan → explode) contains none.
+    n_hash_ex = len(re.findall(r"Exchange hashpartitioning", probe_section))
+    n_bcast = len(re.findall(r"BroadcastExchange", probe_section))
+    assert n_bcast >= S.BLOOM_K, p
+    assert n_hash_ex <= n_bcast, p
+
+
 def test_df_cap_kills_boilerplate_pair_blowup(spark):
     """Behavioral proof of the cap: a gram planted in 100 > DF_CAP docs
     produces ZERO pairs (uncapped it would emit 4 950), while two docs
