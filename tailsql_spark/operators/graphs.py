@@ -360,7 +360,14 @@ def _pagerank_oracle() -> str:
     "textbook Pregel-style PR as pure DataFrame ops.",
 )
 def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    return pagerank_fixed(dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b"))
+
+
+def pagerank_fixed(pairs: DataFrame) -> DataFrame:
+    """PR_ITERS fixed-point PageRank steps over undirected unique pairs
+    ``(id_a, id_b)`` — the query body, factored so the integer
+    trajectory is property-testable against a pure-Python reference on
+    arbitrary random graphs (tests/test_properties.py)."""
     edges = pairs.select(
         F.col("id_a").alias("u"), F.col("id_b").alias("v")
     ).unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))

@@ -161,3 +161,40 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(df, max_iter=60).collect()
     }
     assert got == expected
+
+
+@settings(
+    max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    pairs=st.sets(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+            lambda e: e[0] < e[1]
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_pagerank_fixed_matches_integer_reference(spark, pairs):
+    """The distributed fixed-point PageRank trajectory == a pure-Python
+    integer replay on arbitrary random undirected graphs — every floor
+    division lands identically, and total mass stays bounded by SCALE."""
+    from collections import Counter, defaultdict
+
+    from tailsql_spark.operators.graphs import PR_ITERS, PR_SCALE, pagerank_fixed
+
+    pair_list = sorted(pairs)
+    edges = pair_list + [(b, a) for a, b in pair_list]
+    deg = Counter(u for u, _ in edges)
+    n = len(deg)
+    r = {u: PR_SCALE // n for u in deg}
+    for _ in range(PR_ITERS):
+        s: dict[int, int] = defaultdict(int)
+        for u, v in edges:
+            s[v] += r[u] // deg[u]
+        r = {v: (15 * PR_SCALE) // (100 * n) + (85 * s[v]) // 100 for v in deg}
+
+    df = spark.createDataFrame(pair_list, "id_a long, id_b long")
+    got = {row.doc_id: row.rank_fp for row in pagerank_fixed(df).collect()}
+    assert got == r
+    assert sum(got.values()) <= PR_SCALE  # floors only ever lose mass
