@@ -61,11 +61,10 @@ def query(name: str, category: str, oracle: str | None, doc: str = ""):
     return deco
 
 
-@query(
-    "corpus_clean_pipeline",
-    "corpus-pipeline",
-    """
-    WITH q AS (
+#: clean-pipeline oracle, split into shareable parts so the full
+#: curation composition (corpus_curation_survivors) reuses ONE
+#: definition of the quality gate / exact dedup / split rule.
+_CLEAN_CTES = """q AS (
         SELECT doc_id, lang, text
         FROM documents
         WHERE n_chars >= 100
@@ -81,14 +80,20 @@ def query(name: str, category: str, oracle: str | None, doc: str = ""):
                arg_min(lang, doc_id) AS lang,
                arg_min(text, doc_id) AS text
         FROM fp GROUP BY fingerprint
-    )
-    SELECT doc_id, lang,
+    )"""
+
+_CLEAN_SELECT = """SELECT doc_id, lang,
            (CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END) AS n_tokens,
            CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'test'
                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '34' THEN 'val'
                 ELSE 'train' END AS split
-    FROM keep
-    """,
+    FROM keep"""
+
+
+@query(
+    "corpus_clean_pipeline",
+    "corpus-pipeline",
+    f"WITH {_CLEAN_CTES} {_CLEAN_SELECT}",
     doc="End-to-end corpus curation in one declarative chain: quality "
     "gate (length + alpha ratio) → exact dedup keeping the lowest "
     "doc_id per content fingerprint → whitespace token count + "
@@ -918,3 +923,66 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("lr").alias("weight_fx"))
     )
     return wts.orderBy(F.desc("weight_fx"), F.asc("doc_id")).limit(DSIR_TOP)
+
+
+# ---------------------------------------------------------------------------
+# the complete curation DAG, certified as one query
+# ---------------------------------------------------------------------------
+
+def _curation_oracle() -> str:
+    """Quality gate → exact dedup → NEAR-dup survivor drop → per
+    (lang, split) doc/token budgets, all in one WITH RECURSIVE chain:
+    the clean-pipeline CTEs and the MinHash-cluster closure CTEs are
+    the exact shared definitions of their standalone oracles, so this
+    composition cannot drift from the operators it composes."""
+    from tailsql_spark.operators.graphs import _CC_ORACLE_CTES
+
+    return f"""
+    WITH RECURSIVE {_CLEAN_CTES},
+    cleaned AS ({_CLEAN_SELECT}),
+    {_CC_ORACLE_CTES}
+    SELECT c.lang, c.split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(c.n_tokens) AS BIGINT) AS n_tokens
+    FROM cleaned c LEFT JOIN labels l ON c.doc_id = l.doc_id
+    WHERE l.doc_id IS NULL OR l.doc_id = l.cluster_id
+    GROUP BY c.lang, c.split
+    """
+
+
+@query(
+    "corpus_curation_survivors",
+    "corpus-pipeline",
+    _curation_oracle(),
+    doc="The COMPLETE curation DAG certified end-to-end as one query: "
+    "quality gate (length + alpha ratio) → exact dedup (min-id per "
+    "content fingerprint) → near-duplicate cluster survivor drop "
+    "(MinHash-LSH pairs → transitive closure → keep each cluster's "
+    "min-id member) → per-(lang, split) document and token budgets — "
+    "the numbers a training run is actually provisioned from. "
+    "Composes three certified operators; the oracle reuses their "
+    "exact CTE definitions so composition cannot drift. Scale: the "
+    "cluster label table is tiny vs the corpus (clustered docs only) "
+    "and broadcasts into the survivor filter, so the cleaned corpus "
+    "is never reshuffled after its one dedup groupBy.",
+)
+def corpus_curation_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tailsql_spark.operators.dedup import dedup_minhash_lsh
+    from tailsql_spark.operators.graphs import connected_components
+
+    cleaned = corpus_clean_pipeline(spark, sf_dir)
+    labels = connected_components(
+        dedup_minhash_lsh(spark, sf_dir)
+    ).withColumnRenamed("doc_id", "l_doc")
+    j = cleaned.join(
+        F.broadcast(labels), cleaned["doc_id"] == F.col("l_doc"), "left"
+    )
+    survivor = F.col("l_doc").isNull() | (F.col("l_doc") == F.col("cluster_id"))
+    return (
+        j.filter(survivor)
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
