@@ -156,8 +156,11 @@ def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("g").isNotNull())
     )
     train_surv = bloom_probe(train_stream, "g", sketch).select("g").distinct()
+    # survivors are (hits + ~1.3% fp) of the EVAL-set gram space — tiny
+    # at any corpus size — so the exact join broadcasts them and the
+    # test-gram side never shuffles.
     return (
-        test_grams.join(train_surv.withColumn("hit", F.lit(1)), "g", "left")
+        test_grams.join(F.broadcast(train_surv.withColumn("hit", F.lit(1))), "g", "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),
