@@ -367,12 +367,22 @@ def pagerank_fixed(pairs: DataFrame) -> DataFrame:
     """PR_ITERS fixed-point PageRank steps over undirected unique pairs
     ``(id_a, id_b)`` — the query body, factored so the integer
     trajectory is property-testable against a pure-Python reference on
-    arbitrary random graphs (tests/test_properties.py)."""
+    arbitrary random graphs (tests/test_properties.py).
+
+    The edge list / degree / node-count frames are PERSISTED: every
+    iteration (and the final projection) references them, and without
+    the cut each round would re-derive the entire upstream pair
+    pipeline — the executed plan ballooned to 134 exchanges at sf0.01
+    before the cut, 3 iterations re-running MinHash end to end.  All
+    three are near-dup-pair-sized (collision-bounded), never
+    corpus-sized, so caching them is safe at any scale."""
     edges = pairs.select(
         F.col("id_a").alias("u"), F.col("id_b").alias("v")
-    ).unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
-    deg = edges.groupBy("u").agg(F.count("*").alias("deg"))
-    nn = deg.agg(F.count("*").alias("n"))
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    ).persist()
+    deg = edges.groupBy("u").agg(F.count("*").alias("deg")).persist()
+    nn = deg.agg(F.count("*").alias("n")).persist()
     r = deg.crossJoin(F.broadcast(nn)).select(
         "u", F.expr(f"{PR_SCALE} div n").alias("r")
     )
