@@ -290,3 +290,73 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias("names"),
     )
+
+
+# ---------------------------------------------------------------------------
+# small-file compaction — the partition-maintenance op of a landing zone
+# ---------------------------------------------------------------------------
+
+def compact_partitions(spark: SparkSession, src: str, dest: str) -> DataFrame:
+    """Rewrite a day-partitioned parquet dataset with one file per
+    partition: read, cluster rows by the partition key (hash
+    repartition puts every day's rows in exactly one task), write back
+    partitionBy(day).  THE maintenance pass a 100 TB landing zone runs
+    continuously — streaming ingest leaves O(trigger × partitions)
+    small files whose per-file open/footer cost eventually dominates
+    scans; compaction restores ~one file per partition so footer reads
+    and row-group pruning work again.  For partitions larger than a
+    target file size, repartition(n, key) with n > |days| splits hot
+    days across files while keeping cold days whole."""
+    frag = spark.read.parquet(src)
+    frag.repartition(F.col("day")).write.mode("overwrite").partitionBy(
+        "day"
+    ).parquet(dest)
+    return spark.read.parquet(dest)
+
+
+def _staged_fragmented_events(spark: SparkSession, sf_dir: str) -> str:
+    """events written day-partitioned with deliberate fragmentation
+    (32-way shuffle before the write → up to 32 files per day) — the
+    shape streaming ingest produces."""
+    t = load_tables(spark, sf_dir)
+    path = _stage_dir(sf_dir, "frag_events")
+    ev = t["events"].select(
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_cents"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+    ev.repartition(32).write.mode("overwrite").partitionBy("day").parquet(path)
+    return path
+
+
+@query(
+    "sink_compact_small_files",
+    "sinks",
+    """
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_value_cents
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Small-file compaction certified differentially: events staged "
+    "day-partitioned with deliberate 32-way fragmentation (the shape "
+    "streaming ingest leaves), compacted to one file per day partition "
+    "(hash-cluster by the partition key, rewrite partitionBy), then "
+    "aggregated from the COMPACTED layout — the oracle aggregates the "
+    "original events, so the certification proves compaction preserved "
+    "every row and value. File-count collapse is asserted in pytest "
+    "(tests/test_scale.py).",
+)
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frag_path = _staged_fragmented_events(spark, sf_dir)
+    back = compact_partitions(
+        spark, frag_path, _stage_dir(sf_dir, "compact_events")
+    )
+    # partition-column type inference reads the yyyy-MM-dd directory
+    # values back as DATE; normalize to the string key the oracle uses
+    return back.groupBy(F.col("day").cast("string").alias("day")).agg(
+        F.count("*").alias("n"),
+        F.sum("value_cents").alias("sum_value_cents"),
+    )

@@ -374,7 +374,35 @@ def test_kmeans_multiprobe_probe_table_broadcasts(spark, oracle_sf_dir):
     assert "CartesianProduct" not in p
 
 
-def test_exact_similarity_pair_join_input_is_df_capped(spark, oracle_sf_dir):
+def test_compaction_collapses_small_files(spark, oracle_sf_dir):
+    """sink_compact_small_files' contract: the fragmented staging leaves
+    many files per day partition; compaction leaves exactly ONE, with
+    every row preserved (row preservation is also oracle-certified)."""
+    import glob
+    import os
+
+    from tailsql_spark.plans.connectors import (
+        _stage_dir,
+        _staged_fragmented_events,
+        compact_partitions,
+    )
+
+    frag = _staged_fragmented_events(spark, oracle_sf_dir)
+    dest = _stage_dir(oracle_sf_dir, "compact_events_test")
+    back = compact_partitions(spark, frag, dest)
+
+    def files_per_day(root: str) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for d in os.listdir(root):
+            if d.startswith("day="):
+                out[d] = len(glob.glob(f"{root}/{d}/*.parquet"))
+        return out
+
+    before, after = files_per_day(frag), files_per_day(dest)
+    assert before.keys() == after.keys() and len(after) > 0
+    assert max(before.values()) > 1          # staging really fragmented
+    assert set(after.values()) == {1}, after  # one file per partition
+    assert back.count() == spark.read.parquet(frag).count()
     """The posting-list self-joins in dedup_ngram_jaccard /
     dedup_containment must consume the DF-CAPPED index: a broadcast
     LEFT-ANTI prune of hot grams sits upstream of the pair join
