@@ -360,3 +360,92 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("value_cents").alias("sum_value_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bucketed co-located join — the petabyte-join idiom as a certified query
+# ---------------------------------------------------------------------------
+
+def bucketed_join_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Stage orders/customer as 8-bucket sorted tables keyed on the
+    join column (once per sf_dir; saveAsTable → session warehouse).
+    Bucket layout is THE 100 TB join idiom: both fact tables stored
+    pre-hashed on the join key, so the join needs no exchange and no
+    sort on either side — the shuffle was paid once at write time and
+    is amortized over every subsequent join."""
+    key = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
+    to, tc = f"bk_orders_{key}", f"bk_customer_{key}"
+    t = load_tables(spark, sf_dir)
+    # saveAsTable(overwrite) still refuses a location left behind by a
+    # PREVIOUS session (table absent from this session's in-memory
+    # catalog, dir present in the warehouse) — drop both forms first
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for name in (to, tc):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(os.path.join(wh, name.lower()), ignore_errors=True)
+    # repartition(8, key) BEFORE the bucketed write: task hashing and
+    # bucket hashing use the same Murmur3 pmod rule, so each task holds
+    # exactly one bucket and writes exactly one file — the scan can
+    # then trust per-bucket sortedness and the join needs no Sort
+    # (multiple files per bucket would force a re-sort on read).
+    (
+        t["orders"]
+        .select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("o_price_cents"),
+        )
+        .repartition(8, F.col("o_custkey"))
+        .write.mode("overwrite")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable(to)
+    )
+    (
+        t["customer"]
+        .select("c_custkey", "c_nationkey")
+        .repartition(8, F.col("c_custkey"))
+        .write.mode("overwrite")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .saveAsTable(tc)
+    )
+    return to, tc
+
+
+@query(
+    "join_bucketed_colocated",
+    "sinks",
+    """
+    SELECT c_nationkey,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_price_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+    doc="Bucketed co-located join certified differentially: orders and "
+    "customer staged as 8-bucket sorted tables on the join key, then "
+    "merge-joined (hinted so the small side cannot auto-broadcast at "
+    "test scale) and aggregated; the oracle joins the unbucketed "
+    "parquet. Both sides bucketed on the key -> the executed join has "
+    "ZERO exchanges (plan-asserted in tests/test_scale.py): the "
+    "shuffle was paid once at write time and is amortized over every "
+    "subsequent join. The residual in-bucket sort is linear per "
+    "bucket; Spark drops it only under the legacy "
+    "bucketedTableScan.outputOrdering flag (SPARK-28632), which we "
+    "leave at its default.",
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    to, tc = bucketed_join_tables(spark, sf_dir)
+    orders = spark.table(to)
+    customer = spark.table(tc).hint("merge")
+    return (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_price_cents").alias("sum_price_cents"),
+        )
+    )

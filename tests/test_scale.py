@@ -374,6 +374,23 @@ def test_kmeans_multiprobe_probe_table_broadcasts(spark, oracle_sf_dir):
     assert "CartesianProduct" not in p
 
 
+def test_certified_bucketed_join_is_exchange_free(spark, oracle_sf_dir):
+    """join_bucketed_colocated's contract: both sides bucketed on the
+    join key → the join itself needs NO exchange (the only one in the
+    whole plan is the final groupBy's), and the scans are bucketed.
+    The in-bucket sort remains — Spark ≥3.0 ignores bucket sort order
+    on read unless the legacy outputOrdering flag is set
+    (SPARK-28632); it is linear per bucket, not a shuffle."""
+    from tailsql_spark.plans.registry import REGISTRY
+
+    df = REGISTRY["join_bucketed_colocated"].build(spark, oracle_sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in p, p       # the hinted merge join compiled
+    assert "Bucketed: true" in p, p      # both scans read the bucket layout
+    assert p.count("Exchange") == 1, p   # only the final aggregation's
+    assert "Exchange" not in p.split("SortMergeJoin", 1)[1], p  # join inputs
+
+
 def test_compaction_collapses_small_files(spark, oracle_sf_dir):
     """sink_compact_small_files' contract: the fragmented staging leaves
     many files per day partition; compaction leaves exactly ONE, with
