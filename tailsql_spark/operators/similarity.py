@@ -13,13 +13,15 @@ Scale design:
   against. The hot loop is JVM-side ``zip_with``/``aggregate``; the
   bench variant uses an Arrow-batched numpy matmul (see
   :func:`ann_topk_pandas_df`) — same results, ~10× the throughput.
-* **IVF** — assign every vector to its nearest coarse centroid (here:
-  the first 8 corpus vectors as deterministic seeds; a real pipeline
-  would k-means them), then search only the query's own cell. Turns
-  O(N·Q) into O(N·Q/C) with one extra equi-join on the cell id —
-  exactly the partition-pruning shape that scales: at 100 TB the
-  corpus is *stored* partitioned by cell, so a query touches 1/C of
-  the files.
+* **IVF** — assign every vector to its nearest coarse centroid
+  (deterministic vec_id<8 seeds for the baseline variants; the
+  ``_kmeans`` variants LEARN the cells with the certified Lloyd loop
+  and compose multiprobe + PQ on top), then search only the query's
+  probed cell(s). Turns O(N·Q) into O(N·Q·probes/C) with one extra
+  equi-join on the cell id — exactly the partition-pruning shape that
+  scales: at 100 TB the corpus is *stored* partitioned by cell, so a
+  query touches probes/C of the files.  ``ann_ivf_recall_at_k``
+  certifies the index's recall against the brute-force ground truth.
 """
 
 from __future__ import annotations
