@@ -918,48 +918,60 @@ def _pq_adc_rank(cand: DataFrame) -> DataFrame:
 PQ_KMEANS_ITERS = 3
 
 
-def _pq_kmeans_oracle() -> str:
-    """Unrolled-CTE replay of per-subspace k-means codebook training
-    followed by the same ADC scoring as ann_pq_adc_topk.  The subspace
-    id ``m`` rides through every CTE as an extra grouping key, so ONE
-    chain trains all 8 codebooks — exactly what the Spark loop does
-    with (m, code) compound keys.  Same exactness device as
+def _pq_kmeans_cte_parts(prefix: str = "") -> list[str]:
+    """CTE chain (no ``WITH``, trailing commas) for per-subspace
+    k-means codebook training — the subspace id ``m`` rides through
+    every CTE as an extra grouping key, so ONE chain trains all
+    PQ_M codebooks, exactly what the Spark loop does with (m, code)
+    compound keys.  ``prefix`` namespaces every CTE so the chain
+    composes with kmeans_cte_parts (whose names e/d1/a1/u1 would
+    otherwise collide) in the IVF-PQ oracle.  Ends at
+    ``{prefix}d{last}`` (full distance table) / ``{prefix}a{last}``
+    (final code assignment).  Same exactness device as
     kmeans_cte_parts: ×1e6 BIGINT subvectors, integer distances,
     FLOOR'd centroid means."""
+    p = prefix
     parts = [
-        "WITH e AS (SELECT vec_id, list_transform(embedding,"
+        f"{p}e AS (SELECT vec_id, list_transform(embedding,"
         " x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v"
         " FROM embeddings),",
-        f"ms AS (SELECT unnest(range({PQ_M})) AS m),",
-        f"sub AS (SELECT vec_id, ms.m,"
-        f" e.v[ms.m * {PQ_DSUB} + 1 : ms.m * {PQ_DSUB} + {PQ_DSUB}] AS sv"
-        f" FROM e CROSS JOIN ms),",
-        f"cb0 AS (SELECT m, vec_id AS code, sv AS cv FROM sub"
+        f"{p}ms AS (SELECT unnest(range({PQ_M})) AS m),",
+        f"{p}sub AS (SELECT vec_id, {p}ms.m,"
+        f" {p}e.v[{p}ms.m * {PQ_DSUB} + 1 : {p}ms.m * {PQ_DSUB} + {PQ_DSUB}] AS sv"
+        f" FROM {p}e CROSS JOIN {p}ms),",
+        f"{p}cb0 AS (SELECT m, vec_id AS code, sv AS cv FROM {p}sub"
         f" WHERE vec_id < {PQ_CODES}),",
     ]
     for r in range(1, PQ_KMEANS_ITERS + 1):
         parts.append(
-            f"d{r} AS (SELECT s.vec_id, s.m, c.code, {_PQ_SUBDIST} AS dist"
-            f" FROM sub s JOIN cb{r - 1} c USING (m)),"
+            f"{p}d{r} AS (SELECT s.vec_id, s.m, c.code, {_PQ_SUBDIST} AS dist"
+            f" FROM {p}sub s JOIN {p}cb{r - 1} c USING (m)),"
         )
         parts.append(
-            f"a{r} AS (SELECT vec_id, m, code, dist FROM"
+            f"{p}a{r} AS (SELECT vec_id, m, code, dist FROM"
             f" (SELECT *, row_number() OVER (PARTITION BY vec_id, m"
-            f" ORDER BY dist, code) AS rn FROM d{r}) WHERE rn = 1),"
+            f" ORDER BY dist, code) AS rn FROM {p}d{r}) WHERE rn = 1),"
         )
         if r < PQ_KMEANS_ITERS:
             parts.append(
-                f"u{r} AS (SELECT a.m, a.code, CAST(t.i AS BIGINT) AS pos,"
+                f"{p}u{r} AS (SELECT a.m, a.code, CAST(t.i AS BIGINT) AS pos,"
                 f" CAST(FLOOR(SUM(s.sv[t.i + 1]) * 1.0 / COUNT(*)) AS BIGINT) AS v"
-                f" FROM a{r} a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m"
+                f" FROM {p}a{r} a JOIN {p}sub s ON s.vec_id = a.vec_id AND s.m = a.m"
                 f" CROSS JOIN range({PQ_DSUB}) t(i)"
                 f" GROUP BY 1, 2, 3),"
             )
             parts.append(
-                f"cb{r} AS (SELECT m, code, list(v ORDER BY pos) AS cv FROM u{r}"
+                f"{p}cb{r} AS (SELECT m, code, list(v ORDER BY pos) AS cv FROM {p}u{r}"
                 f" GROUP BY m, code),"
             )
+    return parts
+
+
+def _pq_kmeans_oracle() -> str:
+    """Trained-codebook PQ oracle: the training CTE chain + the same
+    ADC scoring as ann_pq_adc_topk."""
     last = PQ_KMEANS_ITERS
+    parts = ["WITH " + "\n".join(_pq_kmeans_cte_parts())]
     parts.append(
         f"""
     lut AS (SELECT vec_id AS query_id, m, code, dist AS d
@@ -997,6 +1009,15 @@ def _pq_kmeans_oracle() -> str:
     "as ann_kmeans_lloyd.",
 )
 def ann_pq_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pq_adc_rank(pq_trained_distances(spark, sf_dir))
+
+
+def pq_trained_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the per-subspace codebooks (PQ_KMEANS_ITERS Lloyd steps)
+    and return the FINAL distance table ``(vec_id, m, code, dist)`` —
+    codes and query LUTs both derive from it.  The Spark twin of
+    ``_pq_kmeans_cte_parts``; shared by ann_pq_kmeans_topk and the
+    composed IVF-PQ stack."""
     sub = _pq_subvectors(spark, sf_dir)
     cb = sub.filter(F.col("vec_id") < PQ_CODES).select(
         "m", F.col("vec_id").alias("code"), F.col("sv").alias("cv")
@@ -1024,7 +1045,7 @@ def ann_pq_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda s: s["v"],
                 ).alias("cv")
             )
-    return _pq_adc_rank(cand)
+    return cand
 
 
 # ---------------------------------------------------------------------------
@@ -1244,4 +1265,133 @@ def ann_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(RECALL_K).cast("long").alias("k"),
             F.round(F.count("hit") * 1.0 / RECALL_K, 4).alias("recall"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the complete production ANN stack in one certified query
+# ---------------------------------------------------------------------------
+
+def _ivfpq_oracle() -> str:
+    """Learned cells (Lloyd trajectory) + multiprobe (integer-distance
+    probe selection against the SAME centroids the assignment used) +
+    trained-codebook ADC scoring restricted to probed candidates — the
+    whole FAISS-style IVF-PQ pipeline in one WITH chain.  The PQ
+    training CTEs are 'p'-prefixed so they compose with the cell CTEs
+    without name collisions; both chains quantize the same ×1e6
+    embedding space."""
+    from tailsql_spark.operators.mlprep import (
+        EMBED_DIM,
+        KMEANS_ITERS,
+        kmeans_cte_parts,
+    )
+
+    parts = kmeans_cte_parts()
+    parts.extend(_pq_kmeans_cte_parts(prefix="p"))
+    ka, kc = f"a{KMEANS_ITERS}", f"c{KMEANS_ITERS - 1}"
+    pd, pa = f"pd{PQ_KMEANS_ITERS}", f"pa{PQ_KMEANS_ITERS}"
+    intdist = (
+        f"CAST(list_sum(list_transform(generate_series(1, {EMBED_DIM}),"
+        f" i -> (e.e[i] - c.c[i]) * (e.e[i] - c.c[i]))) AS BIGINT)"
+    )
+    parts.append(
+        f"""
+    probes AS (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {intdist}, c.cell) AS rn
+            FROM e CROSS JOIN {kc} c
+            WHERE e.vec_id < {N_QUERIES})
+        WHERE rn <= {N_PROBES}
+    ),
+    cands AS (
+        SELECT p.query_id, a.vec_id
+        FROM probes p JOIN {ka} a ON a.cell = p.cell
+        WHERE a.vec_id <> p.query_id
+    ),
+    lut AS (SELECT vec_id AS query_id, m, code, dist AS d
+            FROM {pd} WHERE vec_id < {N_QUERIES}),
+    adc AS (
+        SELECT c.query_id, c.vec_id AS neighbor_id,
+               CAST(SUM(l.d) AS BIGINT) AS adc_dist
+        FROM cands c
+        JOIN {pa} cd ON cd.vec_id = c.vec_id
+        JOIN lut l ON l.query_id = c.query_id
+                  AND l.m = cd.m AND l.code = cd.code
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_dist, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY adc_dist, neighbor_id) AS rnk
+          FROM adc)
+    WHERE rnk <= 3"""
+    )
+    return "\n".join(parts)
+
+
+@query(
+    "ann_ivfpq_topk",
+    "similarity",
+    _ivfpq_oracle(),
+    doc=f"The COMPLETE production ANN stack (FAISS IVF-PQ shape) "
+    "certified end-to-end in one query: k-means-LEARNED coarse cells "
+    f"partition the corpus, each query multiprobes its {N_PROBES} "
+    "nearest learned centroids (selected by the same exact-integer "
+    "distance the assignment used), and ONLY the probed candidates "
+    f"are scored — by ADC over the Lloyd-TRAINED {PQ_M}×{PQ_CODES} "
+    "codebooks (broadcast LUT, one groupBy). Scale: query cost is "
+    "probes/C of the corpus touched × M code bytes per vector "
+    "scanned; no full-precision vector math after the one-off index "
+    "build; cells are the storage partitioning so probing prunes "
+    "files. Certified cross-engine including BOTH training "
+    "trajectories (cells and codebooks).",
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tailsql_spark.operators.mlprep import lloyd_loop, quantize_embedding
+
+    assigned, cent = lloyd_loop(spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+    eq = (
+        t["embeddings"]
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", quantize_embedding("embedding").alias("e"))
+    )
+    intdist = F.expr(
+        "aggregate(zip_with(e, c, (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    wq = W.partitionBy("query_id").orderBy(F.asc("pdist"), F.asc("cell"))
+    probes = (
+        eq.crossJoin(F.broadcast(cent))
+        .select(F.col("vec_id").alias("query_id"), "cell", intdist.alias("pdist"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= N_PROBES)
+        .select("query_id", "cell")
+    )
+    cands = (
+        assigned.select("vec_id", "cell")
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    dist = pq_trained_distances(spark, sf_dir)
+    codes = (
+        dist.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("dist", "code")).alias("mc"))
+        .select("vec_id", "m", F.col("mc.code").alias("code"))
+    )
+    lut = dist.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "m", "code", F.col("dist").alias("d")
+    )
+    adc = (
+        cands.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        adc.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
     )
