@@ -449,3 +449,76 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_price_cents").alias("sum_price_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sorted row-group layout — min/max data skipping inside partitions
+# ---------------------------------------------------------------------------
+
+def sorted_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
+    """Stage lineitem sorted-within-partitions by l_shipdate with small
+    row groups (once per sf_dir).  Sorting clusters each date range
+    into few row groups, so parquet min/max statistics let a date
+    predicate skip most of the file — the intra-partition complement
+    of directory partitioning (partition dirs prune coarsely by day /
+    month; the sorted layout prunes row groups inside each file).  At
+    100 TB this is the Z-order-lite that turns a time-range scan from
+    full-file reads into a handful of row groups."""
+    t = load_tables(spark, sf_dir)
+    path = _stage_dir(sf_dir, "sorted_lineitem")
+    (
+        t["lineitem"]
+        .select(
+            # cast to DATE: the source column is a timestamp that
+            # parquet would store as INT96, which carries NO min/max
+            # statistics by spec — the very thing this layout needs.
+            # DATE is INT32 with full stats, and shipdate is
+            # date-valued.
+            F.col("l_shipdate").cast("date").alias("l_shipdate"),
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("l_price_cents"),
+            "l_quantity",
+        )
+        .repartition(4)
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        # small row groups so even test-scale files contain many —
+        # the unit of skipping must exist for the layout to matter
+        .option("parquet.block.size", 64 * 1024)
+        .parquet(path)
+    )
+    return path
+
+
+@query(
+    "sink_sorted_rowgroup_skipping",
+    "sinks",
+    """
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_price_cents,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+    """,
+    doc="Sorted-within-partition parquet layout certified "
+    "differentially: lineitem staged sorted by l_shipdate with small "
+    "row groups, then a one-year range aggregated from the sorted "
+    "layout while the oracle scans the original. Because the sort "
+    "clusters each date range into few row groups, the pushed range "
+    "predicate (PushedFilters, plan-asserted) skips most row groups "
+    "via parquet min/max stats — the intra-file complement of "
+    "partition pruning; a pytest inspects the footers to prove the "
+    "stats are actually disjoint (tests/test_scale.py).",
+)
+def sink_sorted_rowgroup_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    back = spark.read.parquet(sorted_lineitem_path(spark, sf_dir))
+    return (
+        back.filter(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("l_price_cents").alias("sum_price_cents"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+    )

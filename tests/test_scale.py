@@ -500,3 +500,42 @@ def test_df_cap_kills_boilerplate_pair_blowup(spark):
     assert kept.filter(SF.col("doc_id") >= 1000).count() > 0
     pairs = dedup.ngram_jaccard_from_shingles(sh).collect()
     assert sorted((r.id_a, r.id_b) for r in pairs) == [(1000, 1001)]
+
+
+def test_sorted_layout_rowgroup_stats_enable_skipping(spark, oracle_sf_dir):
+    """sink_sorted_rowgroup_skipping's contract: the sorted write
+    yields files with MANY row groups whose l_shipdate min/max ranges
+    are ordered and (near-)disjoint, so a date range matches only a
+    strict subset of row groups — and the range predicate is pushed to
+    the scan. Unsorted data would give every row group ~the full date
+    span and zero skipping."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from tailsql_spark.plans.connectors import sorted_lineitem_path
+    from tailsql_spark.plans.registry import REGISTRY
+
+    path = sorted_lineitem_path(spark, oracle_sf_dir)
+    files = glob.glob(f"{path}/*.parquet")
+    assert files
+    total_rgs = matching = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        spans = []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx["l_shipdate"]).statistics
+            spans.append((st.min, st.max))
+        total_rgs += len(spans)
+        # sorted within the file: each row group starts at or after
+        # the previous one's max
+        assert all(spans[i][1] <= spans[i + 1][0] for i in range(len(spans) - 1)), f
+        import datetime
+
+        d97, d98 = datetime.date(1997, 1, 1), datetime.date(1998, 1, 1)
+        matching += sum(1 for lo, hi in spans if hi >= d97 and lo < d98)
+    assert total_rgs >= 8, total_rgs        # row groups exist to skip
+    assert 0 < matching < total_rgs         # the range skips most of them
+    p = _plan(REGISTRY["sink_sorted_rowgroup_skipping"].build(spark, oracle_sf_dir))
+    assert "l_shipdate" in p.split("PushedFilters", 1)[1][:300], p
