@@ -49,27 +49,48 @@ def query(name: str, category: str, oracle: str | None, doc: str = ""):
     return deco
 
 
+#: magic-byte signatures of the BINARY image containers the real
+#: decoder is allowed to touch.  Deliberately excludes the netpbm
+#: text formats (``P1``–``P6`` headers): those are valid ASCII, so a
+#: text corpus could contain payloads PIL would happily decode — and
+#: the certified queries' oracles encode the deterministic-fake dims.
+#: Gating on binary magic makes "installing PIL never changes the
+#: certified results on a text corpus" a provable property, not an
+#: accident of which codecs are present.
+_IMAGE_MAGIC = (
+    b"\x89PNG\r\n\x1a\n",  # PNG
+    b"\xff\xd8\xff",       # JPEG
+    b"GIF87a", b"GIF89a",  # GIF
+    b"BM",                 # BMP
+    b"RIFF",               # WEBP (RIFF container)
+    b"II*\x00", b"MM\x00*",  # TIFF
+)
+
+
 def decode_image(payload: bytes) -> dict:
     """Decode an image payload to (width, height).
 
-    Uses PIL when it is importable AND the payload is a decodable
-    image; otherwise falls back to a deterministic fake keyed off byte
-    length so the full pipeline stays testable in a codec-free
-    container.  The fallback also covers the synthetic test corpus
-    (utf-8 text payloads are not valid images), so installing PIL
-    never changes the certified queries' results — only genuinely
-    decodable payloads take the real path.
+    Uses PIL when it is importable AND the payload carries a binary
+    image magic signature AND decodes; otherwise falls back to a
+    deterministic fake keyed off byte length so the full pipeline
+    stays testable in a codec-free container.  The magic-byte gate
+    (see ``_IMAGE_MAGIC``) keeps text payloads — including
+    PIL-decodable ASCII formats like netpbm — on the fake path, so
+    the certified queries' results are identical with or without PIL
+    installed.
     """
-    try:
-        import io
+    if payload.startswith(_IMAGE_MAGIC):
+        try:
+            import io
 
-        import PIL.Image
+            import PIL.Image
 
-        with PIL.Image.open(io.BytesIO(payload)) as im:
-            return {"width": int(im.width), "height": int(im.height)}
-    except Exception:
-        n = len(payload)
-        return {"width": 16 + n % 64, "height": 16 + (n // 7) % 64}
+            with PIL.Image.open(io.BytesIO(payload)) as im:
+                return {"width": int(im.width), "height": int(im.height)}
+        except Exception:
+            pass
+    n = len(payload)
+    return {"width": 16 + n % 64, "height": 16 + (n // 7) % 64}
 
 
 def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:

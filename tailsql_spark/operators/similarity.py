@@ -1052,6 +1052,35 @@ def pq_trained_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multiprobe over LEARNED cells (the full production ANN stack)
 # ---------------------------------------------------------------------------
 
+def _learned_probes(spark: SparkSession, sf_dir: str, cent: DataFrame) -> DataFrame:
+    """(query_id, cell): each query's N_PROBES nearest LEARNED
+    centroids, selected by the SAME exact-integer distance the Lloyd
+    assignment used (ties -> lower cell) — probe 1 is therefore
+    provably the query's own cell.  Shared by the learned multiprobe
+    and the composed IVF-PQ stack so probe tie-breaking cannot
+    diverge between them or their oracles."""
+    from tailsql_spark.operators.mlprep import quantize_embedding
+
+    t = load_tables(spark, sf_dir)
+    eq = (
+        t["embeddings"]
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", quantize_embedding("embedding").alias("e"))
+    )
+    intdist = F.expr(
+        "aggregate(zip_with(e, c, (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    wq = W.partitionBy("query_id").orderBy(F.asc("pdist"), F.asc("cell"))
+    return (
+        eq.crossJoin(F.broadcast(cent))
+        .select(F.col("vec_id").alias("query_id"), "cell", intdist.alias("pdist"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= N_PROBES)
+        .select("query_id", "cell")
+    )
+
+
 def _kmeans_multiprobe_oracle() -> str:
     """Learned-cell multiprobe: the certified Lloyd trajectory supplies
     BOTH the corpus partitioning (final assignment) and the probe
@@ -1118,27 +1147,11 @@ def _kmeans_multiprobe_oracle() -> str:
     "storage, cost grows with the probe factor never the corpus.",
 )
 def ann_ivf_kmeans_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tailsql_spark.operators.mlprep import lloyd_loop, quantize_embedding
+    from tailsql_spark.operators.mlprep import lloyd_loop
 
     assigned, cent = lloyd_loop(spark, sf_dir)
+    probes = _learned_probes(spark, sf_dir, cent)
     t = load_tables(spark, sf_dir)
-    eq = (
-        t["embeddings"]
-        .filter(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", quantize_embedding("embedding").alias("e"))
-    )
-    intdist = F.expr(
-        "aggregate(zip_with(e, c, (a, b) -> (a - b) * (a - b)),"
-        " 0L, (acc, x) -> acc + x)"
-    )
-    wq = W.partitionBy("query_id").orderBy(F.asc("pdist"), F.asc("cell"))
-    probes = (
-        eq.crossJoin(F.broadcast(cent))
-        .select(F.col("vec_id").alias("query_id"), "cell", intdist.alias("pdist"))
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= N_PROBES)
-        .select("query_id", "cell")
-    )
     emb = t["embeddings"].select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     ).withColumn("nrm", norm(F.col("v")))
@@ -1348,27 +1361,10 @@ def _ivfpq_oracle() -> str:
     "trajectories (cells and codebooks).",
 )
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tailsql_spark.operators.mlprep import lloyd_loop, quantize_embedding
+    from tailsql_spark.operators.mlprep import lloyd_loop
 
     assigned, cent = lloyd_loop(spark, sf_dir)
-    t = load_tables(spark, sf_dir)
-    eq = (
-        t["embeddings"]
-        .filter(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", quantize_embedding("embedding").alias("e"))
-    )
-    intdist = F.expr(
-        "aggregate(zip_with(e, c, (a, b) -> (a - b) * (a - b)),"
-        " 0L, (acc, x) -> acc + x)"
-    )
-    wq = W.partitionBy("query_id").orderBy(F.asc("pdist"), F.asc("cell"))
-    probes = (
-        eq.crossJoin(F.broadcast(cent))
-        .select(F.col("vec_id").alias("query_id"), "cell", intdist.alias("pdist"))
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= N_PROBES)
-        .select("query_id", "cell")
-    )
+    probes = _learned_probes(spark, sf_dir, cent)
     cands = (
         assigned.select("vec_id", "cell")
         .join(F.broadcast(probes), "cell")

@@ -1,10 +1,11 @@
-"""decode_image guard behavior (round-5 verdict #2).
+"""decode_image guard behavior (round-5 verdict #2, hardened in r6).
 
-The decoder must use PIL when it is present AND the payload decodes,
-and fall back to the deterministic fake otherwise — it must NEVER
-raise because the optional codec exists.  The certified multimodal
-queries run over synthetic text-byte payloads, which are not valid
-images, so their results are identical with or without PIL installed.
+The decoder may use PIL only for payloads carrying a BINARY image
+magic signature; everything else — including PIL-decodable ASCII
+formats like netpbm — takes the deterministic byte-length fake.  That
+makes "installing PIL never changes the certified queries' results on
+a text corpus" a provable property: the certified multimodal oracles
+encode the fake's formula, and text payloads can never reach PIL.
 """
 
 from __future__ import annotations
@@ -12,6 +13,8 @@ from __future__ import annotations
 import contextlib
 import sys
 import types
+
+PNGISH = b"\x89PNG\r\n\x1a\nfake-but-magic-prefixed"
 
 
 def _fake_dims(payload: bytes) -> dict:
@@ -39,14 +42,32 @@ def _fake_pil(open_fn):
                 sys.modules[k] = v
 
 
+@contextlib.contextmanager
+def _no_pil():
+    """Force `import PIL.Image` to raise ImportError even when a real
+    PIL is installed (None in sys.modules blocks the import)."""
+    saved = {k: sys.modules.get(k) for k in ("PIL", "PIL.Image")}
+    sys.modules["PIL"] = None
+    sys.modules.pop("PIL.Image", None)
+    try:
+        yield
+    finally:
+        sys.modules.pop("PIL", None)
+        for k, v in saved.items():
+            if v is not None:
+                sys.modules[k] = v
+
+
 def test_decode_image_falls_back_without_pil():
+    """A magic-prefixed payload with NO importable PIL → ImportError
+    path → deterministic fake."""
     from tailsql_spark.operators.multimodal import decode_image
 
-    payload = b"not an image at all"
-    assert decode_image(payload) == _fake_dims(payload)
+    with _no_pil():
+        assert decode_image(PNGISH) == _fake_dims(PNGISH)
 
 
-def test_decode_image_uses_pil_when_payload_decodes():
+def test_decode_image_uses_pil_for_magic_payloads():
     from tailsql_spark.operators.multimodal import decode_image
 
     class _Im:
@@ -59,37 +80,58 @@ def test_decode_image_uses_pil_when_payload_decodes():
             return False
 
     with _fake_pil(lambda buf: _Im()):
-        assert decode_image(b"\x89PNG fake") == {"width": 640, "height": 480}
+        assert decode_image(PNGISH) == {"width": 640, "height": 480}
 
 
 def test_decode_image_with_pil_present_never_raises_on_bad_payload():
     """The round-5 defect: PIL being importable must not break the
-    pipeline — an undecodable payload takes the deterministic fake."""
+    pipeline — an undecodable magic-prefixed payload takes the fake."""
     from tailsql_spark.operators.multimodal import decode_image
 
     def _raise(buf):
         raise OSError("cannot identify image file")
 
-    payload = b"synthetic text payload"
     with _fake_pil(_raise):
-        assert decode_image(payload) == _fake_dims(payload)
+        assert decode_image(PNGISH) == _fake_dims(PNGISH)
 
 
-def test_multimodal_metadata_green_with_pil_importable(spark, oracle_sf_dir):
-    """End-to-end: the certified query's dims still follow the
-    deterministic-fake formula when a PIL module exists (text payloads
-    never decode, so the fake path is taken either way)."""
+def test_text_payloads_never_reach_pil():
+    """The r6 hardening: a TEXT payload PIL could decode (netpbm is
+    valid ASCII) must still take the deterministic fake — the magic
+    gate, not codec availability, decides.  A fake PIL that would
+    happily return wrong dims proves PIL was never consulted."""
+    from tailsql_spark.operators.multimodal import decode_image
+
+    class _EvilIm:
+        width, height = 4, 4
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    netpbm = b"P1 4 4\n0 1 0 1 0 1 0 1 0 1 0 1 0 1 0 1"
+    with _fake_pil(lambda buf: _EvilIm()):
+        assert decode_image(netpbm) == _fake_dims(netpbm)
+
+
+def test_multimodal_metadata_formula_end_to_end(spark, oracle_sf_dir):
+    """End-to-end invariant: the certified query's dims follow the
+    deterministic-fake formula over the whole synthetic corpus.  Note:
+    mapInPandas runs in separate Python worker processes that resolve
+    imports independently, so driver-side sys.modules patches cannot
+    reach them — the guard itself is covered by the unit tests above;
+    this test pins the formula the oracles encode (which the
+    magic-byte gate guarantees for text payloads in ANY environment,
+    PIL installed or not)."""
     from pyspark.sql import functions as F
 
     from tailsql_spark.plans.registry import REGISTRY
 
-    def _raise(buf):
-        raise OSError("cannot identify image file")
-
-    with _fake_pil(_raise):
-        df = REGISTRY["multimodal_metadata"].build(spark, oracle_sf_dir)
-        bad = df.filter(
-            (F.col("width") != 16 + F.col("n_bytes") % 64)
-            | (F.col("height") != 16 + F.floor(F.col("n_bytes") / 7) % 64)
-        ).count()
+    df = REGISTRY["multimodal_metadata"].build(spark, oracle_sf_dir)
+    bad = df.filter(
+        (F.col("width") != 16 + F.col("n_bytes") % 64)
+        | (F.col("height") != 16 + F.floor(F.col("n_bytes") / 7) % 64)
+    ).count()
     assert bad == 0

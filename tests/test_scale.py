@@ -420,6 +420,9 @@ def test_compaction_collapses_small_files(spark, oracle_sf_dir):
     assert max(before.values()) > 1          # staging really fragmented
     assert set(after.values()) == {1}, after  # one file per partition
     assert back.count() == spark.read.parquet(frag).count()
+
+
+def test_exact_similarity_pair_join_input_is_df_capped(spark, oracle_sf_dir):
     """The posting-list self-joins in dedup_ngram_jaccard /
     dedup_containment must consume the DF-CAPPED index: a broadcast
     LEFT-ANTI prune of hot grams sits upstream of the pair join
