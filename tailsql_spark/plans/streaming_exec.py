@@ -1562,3 +1562,164 @@ REGISTRY["stream_substring_spans"] = QuerySpec(
     "into maximal spans — certified equal to batch "
     "dedup_substring_spans via the same oracle.",
 )
+
+
+# ---------------------------------------------------------------------------
+# incremental curation: the FULL curation DAG maintained under streaming
+# ---------------------------------------------------------------------------
+
+def _curation_batch_processor(mh_process, cc_process, attrs_root: str, out_root: str):
+    """foreachBatch processor composing the three curation states:
+
+    1. incremental MinHash pair discovery over the raw batch docs
+       (``_minhash_batch_processor`` — unfiltered, matching the batch
+       operator which clusters the WHOLE corpus);
+    2. incremental connected-component label maintenance over the
+       pairs that batch just discovered (``_cc_batch_processor``);
+    3. an append-only quality-attribute log: the batch's
+       quality-passing docs as (doc_id, lang, fingerprint, n_tokens)
+       per-batch dirs — exact dedup needs no incremental state beyond
+       this log because min-id-per-fingerprint is an aggregation of
+       it.
+
+    Exactly-once: all three sub-states follow the per-batch-id
+    overwrite + exclude-replaying-batch discipline; the two reused
+    processors are the certified ones, called with the SAME batch id.
+    """
+
+    def process(batch_df, batch_id):
+        sess = batch_df.sparkSession
+        bid = int(batch_id)
+        sub = f"b{bid:05d}"
+        mh_process(batch_df.select("doc_id", "text"), batch_id)
+        new_pairs = sess.read.parquet(f"{out_root}/{sub}").select("id_a", "id_b")
+        cc_process(new_pairs, batch_id)
+        alpha_ratio = (
+            F.length(F.regexp_replace("text", "[^A-Za-z ]", "")) / F.length("text")
+        )
+        toks = F.filter(
+            F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""
+        )
+        attrs = (
+            batch_df.filter((F.col("n_chars") >= 100) & (alpha_ratio >= 0.6))
+            .select(
+                "doc_id",
+                "lang",
+                F.md5(F.col("text").cast("binary")).alias("fingerprint"),
+                F.size(toks).cast("long").alias("n_tokens"),
+            )
+        )
+        attrs.write.mode("overwrite").parquet(f"{attrs_root}/{sub}")
+
+    return process
+
+
+def stream_curation_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE curation DAG maintained INCREMENTALLY: documents
+    stream in micro-batches; per batch the quality gate appends its
+    passing docs' attributes, MinHash pair discovery probes the
+    accumulated band index, and the cluster labels warm-start from the
+    previous fixpoint.  At read time, exact dedup is the min-id
+    aggregation of the attribute log, near-dup survivor selection
+    joins the maintained labels, and per-(lang, split) budgets come
+    out — certified equal to batch ``corpus_curation_survivors`` via
+    the SAME composed oracle.  The streaming ≡ batch guarantee for the
+    whole pipeline, not just its stages.
+
+    Scale: per-batch cost tracks the batch (gate + probe + seeded
+    propagation); state is the attribute log (append-only, bucketable
+    by fingerprint), the minhash index, and the label snapshots — all
+    the certified per-stage states, composed with no new state kind.
+    """
+    import shutil
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "lang", "text", "n_chars")
+    src_dir = tempfile.mkdtemp(prefix="tailsql_stream_curation_")
+    # 4 staged files + maxFilesPerTrigger=1 → 4 genuine micro-batches
+    docs.repartition(4).write.mode("overwrite").parquet(src_dir)
+
+    state_root = tempfile.mkdtemp(prefix="tailsql_curation_state_")
+    ex_root, sig_root, out_root = _mh_seed_state(docs.select("doc_id", "text"), state_root)
+    edges_root = f"{state_root}/edges"
+    labels_root = f"{state_root}/labels"
+    attrs_root = f"{state_root}/attrs"
+    spark.createDataFrame([], "id_a long, id_b long").write.mode("overwrite").parquet(
+        f"{edges_root}/seed"
+    )
+    spark.createDataFrame([], "doc_id long, cluster_id long").write.mode(
+        "overwrite"
+    ).parquet(f"{labels_root}/seed")
+    spark.createDataFrame(
+        [], "doc_id long, lang string, fingerprint string, n_tokens long"
+    ).write.mode("overwrite").parquet(f"{attrs_root}/seed")
+
+    process = _curation_batch_processor(
+        _minhash_batch_processor(ex_root, sig_root, out_root),
+        _cc_batch_processor(edges_root, labels_root),
+        attrs_root,
+        out_root,
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{state_root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _await_or_raise(q, "stream_curation_survivors")
+    finally:
+        q.stop()
+
+    attrs = spark.read.parquet(*_mh_state_paths(attrs_root))
+    keep = attrs.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("lang", "doc_id").alias("lang"),
+        F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+    )
+    h = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
+    cleaned = keep.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.when(h < "1a", "test").when(h < "34", "val").otherwise("train").alias("split"),
+    )
+    labels = spark.read.parquet(_latest_snapshot_path(labels_root, None)).select(
+        F.col("doc_id").alias("l_doc"), "cluster_id"
+    )
+    j = cleaned.join(F.broadcast(labels), cleaned["doc_id"] == F.col("l_doc"), "left")
+    survivor = F.col("l_doc").isNull() | (F.col("l_doc") == F.col("cluster_id"))
+    result = (
+        j.filter(survivor)
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+    out = _persist_result(result, "stream_curation_survivors")
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(state_root, ignore_errors=True)
+    return out
+
+
+from tailsql_spark.operators.corpus import _curation_oracle as _CURATION_ORACLE  # noqa: E402
+
+REGISTRY["stream_curation_survivors"] = QuerySpec(
+    name="stream_curation_survivors",
+    category="streaming-executed",
+    build=stream_curation_survivors,
+    oracle=_CURATION_ORACLE(),
+    doc="The full curation DAG run INCREMENTALLY: per micro-batch the "
+    "quality gate appends attributes, MinHash pairs probe the "
+    "accumulated index, and cluster labels warm-start from the last "
+    "fixpoint; read-time aggregation yields the per-(lang, split) "
+    "budgets — certified equal to batch corpus_curation_survivors via "
+    "the same composed oracle (streaming ≡ batch for the whole "
+    "pipeline, not just its stages).",
+)

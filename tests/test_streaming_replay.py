@@ -520,3 +520,96 @@ def test_substr_processor_replay_idempotent(spark, oracle_sf_dir):
         assert got == want
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_curation_processor_replay_idempotent(spark, oracle_sf_dir):
+    """The composed curation processor (minhash pairs + CC labels +
+    quality-attr log) must be replay-idempotent as a WHOLE: every
+    batch runs twice (simulated crash between state write and
+    checkpoint commit), and the final per-(lang, split) budgets must
+    equal the batch corpus_curation_survivors."""
+    from pyspark.sql import functions as F2
+
+    from tailsql_spark.plans.catalog import load_tables
+    from tailsql_spark.plans.registry import REGISTRY
+    from tailsql_spark.plans.streaming_exec import (
+        _cc_batch_processor,
+        _curation_batch_processor,
+        _latest_snapshot_path,
+        _mh_seed_state,
+        _mh_state_paths,
+        _minhash_batch_processor,
+    )
+
+    docs = load_tables(spark, oracle_sf_dir)["documents"].select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    root = tempfile.mkdtemp(prefix="tailsql_curation_replay_")
+    try:
+        ex_root, sig_root, out_root = _mh_seed_state(
+            docs.select("doc_id", "text"), root
+        )
+        edges_root, labels_root, attrs_root = (
+            f"{root}/edges", f"{root}/labels", f"{root}/attrs",
+        )
+        spark.createDataFrame([], "id_a long, id_b long").write.mode(
+            "overwrite"
+        ).parquet(f"{edges_root}/seed")
+        spark.createDataFrame([], "doc_id long, cluster_id long").write.mode(
+            "overwrite"
+        ).parquet(f"{labels_root}/seed")
+        spark.createDataFrame(
+            [], "doc_id long, lang string, fingerprint string, n_tokens long"
+        ).write.mode("overwrite").parquet(f"{attrs_root}/seed")
+        process = _curation_batch_processor(
+            _minhash_batch_processor(ex_root, sig_root, out_root),
+            _cc_batch_processor(edges_root, labels_root),
+            attrs_root,
+            out_root,
+        )
+        b0 = docs.filter(F2.col("doc_id") % 2 == 0)
+        b1 = docs.filter(F2.col("doc_id") % 2 == 1)
+        process(b0, 0)
+        process(b0, 0)  # replay
+        process(b1, 1)
+        process(b1, 1)  # replay
+
+        attrs = spark.read.parquet(*_mh_state_paths(attrs_root))
+        keep = attrs.groupBy("fingerprint").agg(
+            F2.min("doc_id").alias("doc_id"),
+            F2.min_by("lang", "doc_id").alias("lang"),
+            F2.min_by("n_tokens", "doc_id").alias("n_tokens"),
+        )
+        h = F2.substring(F2.md5(F2.col("doc_id").cast("string").cast("binary")), 1, 2)
+        cleaned = keep.select(
+            "doc_id", "lang", "n_tokens",
+            F2.when(h < "1a", "test").when(h < "34", "val").otherwise("train").alias("split"),
+        )
+        labels = spark.read.parquet(_latest_snapshot_path(labels_root, None)).select(
+            F2.col("doc_id").alias("l_doc"), "cluster_id"
+        )
+        j = cleaned.join(labels, cleaned["doc_id"] == F2.col("l_doc"), "left")
+        survivor = F2.col("l_doc").isNull() | (F2.col("l_doc") == F2.col("cluster_id"))
+        got = sorted(
+            map(
+                tuple,
+                j.filter(survivor)
+                .groupBy("lang", "split")
+                .agg(
+                    F2.count("*").alias("n_docs"),
+                    F2.sum("n_tokens").cast("long").alias("n_tokens"),
+                )
+                .collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                REGISTRY["corpus_curation_survivors"]
+                .build(spark, oracle_sf_dir)
+                .collect(),
+            )
+        )
+        assert got == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
