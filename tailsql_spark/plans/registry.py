@@ -113,7 +113,11 @@ GRADED_WINDOW: tuple[str, ...] = (
     #   (iterative min-label propagation; recursive-CTE oracle)
     # similarity / ANN
     "ann_cosine_topk_arrow",        # §2D Arrow pandas-UDF path
-    "ann_ivf_topk",
+    # r6: the seeded ann_ivf_topk row upgraded to the COMPLETE IVF-PQ
+    # stack (learned cells + multiprobe + trained-codebook ADC) — the
+    # strongest single certification of the ANN family; the seeded
+    # variant stays green on the local gate
+    "ann_ivfpq_topk",
     # text analysis
     "text_langid",
     "text_tfidf_topk",
@@ -127,7 +131,10 @@ GRADED_WINDOW: tuple[str, ...] = (
     "grouped_zscore_pandas",        # §2D grouped pandas UDF
     # corpus pipeline
     "corpus_clean_pipeline",
-    "corpus_mix_budget",
+    # r6: the mixing row upgraded to the full curation-DAG composition
+    # (quality gate → exact dedup → near-dup survivors → budgets);
+    # corpus_mix_budget stays green on the local gate
+    "corpus_curation_survivors",
 )
 
 def _missing_spec(name: str) -> QuerySpec:
