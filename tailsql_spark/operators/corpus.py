@@ -51,6 +51,63 @@ def _n_tokens():
     return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
 
 
+def quality_gate_attrs(docs: DataFrame) -> DataFrame:
+    """Quality-passing docs as ``(doc_id, lang, fingerprint,
+    n_tokens)`` — THE single Spark definition of the curation quality
+    gate + content fingerprint (twin of the ``q``/``fp`` CTEs in
+    ``_CLEAN_CTES``).  Shared by the batch clean pipeline, the
+    incremental curation processor, and the replay test, so gate
+    constants cannot drift between them."""
+    alpha_ratio = (
+        F.length(F.regexp_replace("text", "[^A-Za-z ]", "")) / F.length("text")
+    )
+    return docs.filter((F.col("n_chars") >= 100) & (alpha_ratio >= 0.6)).select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("text").cast("binary")).alias("fingerprint"),
+        _n_tokens().cast("long").alias("n_tokens"),
+    )
+
+
+def clean_keep_attrs(attrs: DataFrame) -> DataFrame:
+    """Exact dedup + split assignment over a quality-attr table:
+    min-id representative per content fingerprint, then the
+    deterministic md5 hash split — ``(doc_id, lang, n_tokens,
+    split)``.  n_tokens/lang ride min_by(doc_id), which equals the
+    batch CTE's arg_min-over-text because copies share text."""
+    keep = attrs.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("lang", "doc_id").alias("lang"),
+        F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+    )
+    h = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
+    return keep.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.when(h < "1a", "test").when(h < "34", "val").otherwise("train").alias("split"),
+    )
+
+
+def survivor_budgets(cleaned: DataFrame, labels: DataFrame) -> DataFrame:
+    """Near-dup survivor drop + per-(lang, split) budgets: keep docs
+    absent from the cluster label table or equal to their cluster's
+    min-id member, then aggregate doc and token counts.  ``labels`` is
+    ``(doc_id, cluster_id)`` — tiny vs the corpus, so it broadcasts
+    and the cleaned corpus is never reshuffled."""
+    lab = labels.select(F.col("doc_id").alias("l_doc"), "cluster_id")
+    j = cleaned.join(F.broadcast(lab), cleaned["doc_id"] == F.col("l_doc"), "left")
+    survivor = F.col("l_doc").isNull() | (F.col("l_doc") == F.col("cluster_id"))
+    return (
+        j.filter(survivor)
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+
+
 def query(name: str, category: str, oracle: str | None, doc: str = ""):
     def deco(fn):
         REGISTRY[name] = QuerySpec(
@@ -103,27 +160,8 @@ _CLEAN_SELECT = """SELECT doc_id, lang,
     "construction, so no skew at any scale.",
 )
 def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir)
-    d = t["documents"]
-    alpha_ratio = (
-        F.length(F.regexp_replace("text", "[^A-Za-z ]", "")) / F.length("text")
-    )
-    q = d.filter((F.col("n_chars") >= 100) & (alpha_ratio >= 0.6))
-    fp = q.select(
-        "doc_id", "lang", "text", F.md5(F.col("text").cast("binary")).alias("fingerprint")
-    )
-    keep = fp.groupBy("fingerprint").agg(
-        F.min("doc_id").alias("doc_id"),
-        F.min_by("lang", "doc_id").alias("lang"),
-        F.min_by("text", "doc_id").alias("text"),
-    )
-    h = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
-    return keep.select(
-        "doc_id",
-        "lang",
-        _n_tokens().alias("n_tokens"),
-        F.when(h < "1a", "test").when(h < "34", "val").otherwise("train").alias("split"),
-    )
+    docs = load_tables(spark, sf_dir)["documents"]
+    return clean_keep_attrs(quality_gate_attrs(docs))
 
 
 @query(
@@ -971,18 +1009,5 @@ def corpus_curation_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tailsql_spark.operators.graphs import connected_components
 
     cleaned = corpus_clean_pipeline(spark, sf_dir)
-    labels = connected_components(
-        dedup_minhash_lsh(spark, sf_dir)
-    ).withColumnRenamed("doc_id", "l_doc")
-    j = cleaned.join(
-        F.broadcast(labels), cleaned["doc_id"] == F.col("l_doc"), "left"
-    )
-    survivor = F.col("l_doc").isNull() | (F.col("l_doc") == F.col("cluster_id"))
-    return (
-        j.filter(survivor)
-        .groupBy("lang", "split")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("n_tokens"),
-        )
-    )
+    labels = connected_components(dedup_minhash_lsh(spark, sf_dir))
+    return survivor_budgets(cleaned, labels)

@@ -403,7 +403,7 @@ def pagerank_fixed(pairs: DataFrame) -> DataFrame:
                 ).alias("r"),
             )
         )
-    return (
+    result = (
         r.join(deg, "u")
         .crossJoin(F.broadcast(nn))
         .select(
@@ -413,3 +413,14 @@ def pagerank_fixed(pairs: DataFrame) -> DataFrame:
             F.col("n").cast("long").alias("n_nodes"),
         )
     )
+    # materialize, then RELEASE the three per-invocation caches — a
+    # long-lived session (grading loops, hypothesis examples) would
+    # otherwise accumulate persisted frames nothing ever unpersists;
+    # the returned frame reads the written files, not the cached
+    # lineage, so unpersisting cannot re-trigger the re-derivation.
+    from tailsql_spark.plans.catalog import materialize_result
+
+    out = materialize_result(result, "graph_pagerank")
+    for frame in (edges, deg, nn):
+        frame.unpersist()
+    return out

@@ -49,12 +49,13 @@ def query(name: str, category: str, oracle: str | None, doc: str = ""):
     return deco
 
 
-#: magic-byte signatures of the BINARY image containers the real
-#: decoder is allowed to touch.  Deliberately excludes the netpbm
-#: text formats (``P1``–``P6`` headers): those are valid ASCII, so a
-#: text corpus could contain payloads PIL would happily decode — and
-#: the certified queries' oracles encode the deterministic-fake dims.
-#: Gating on binary magic makes "installing PIL never changes the
+#: magic-byte signatures of the image containers the real decoder is
+#: allowed to touch.  The magic alone is NOT a sufficient gate —
+#: ``GIF87a``/``BM``/``RIFF`` are printable ASCII, and netpbm headers
+#: are pure text — so :func:`decode_image` ALSO requires the payload
+#: to not be valid UTF-8: real image bodies contain invalid UTF-8
+#: byte sequences, while any text corpus is UTF-8 by construction.
+#: Together the two checks make "installing PIL never changes the
 #: certified results on a text corpus" a provable property, not an
 #: accident of which codecs are present.
 _IMAGE_MAGIC = (
@@ -67,19 +68,29 @@ _IMAGE_MAGIC = (
 )
 
 
+def _is_binary(payload: bytes) -> bool:
+    """True iff the payload is NOT valid UTF-8 text."""
+    try:
+        payload.decode("utf-8")
+        return False
+    except UnicodeDecodeError:
+        return True
+
+
 def decode_image(payload: bytes) -> dict:
     """Decode an image payload to (width, height).
 
-    Uses PIL when it is importable AND the payload carries a binary
-    image magic signature AND decodes; otherwise falls back to a
-    deterministic fake keyed off byte length so the full pipeline
-    stays testable in a codec-free container.  The magic-byte gate
-    (see ``_IMAGE_MAGIC``) keeps text payloads — including
-    PIL-decodable ASCII formats like netpbm — on the fake path, so
-    the certified queries' results are identical with or without PIL
+    Uses PIL when it is importable AND the payload carries an image
+    magic signature AND is genuinely binary (not valid UTF-8) AND
+    decodes; otherwise falls back to a deterministic fake keyed off
+    byte length so the full pipeline stays testable in a codec-free
+    container.  The binary+magic gate (see ``_IMAGE_MAGIC``) keeps
+    text payloads — including ASCII-magic'd or PIL-decodable text
+    like 'GIF87a…' prose or netpbm — on the fake path, so the
+    certified queries' results are identical with or without PIL
     installed.
     """
-    if payload.startswith(_IMAGE_MAGIC):
+    if payload.startswith(_IMAGE_MAGIC) and _is_binary(payload):
         try:
             import io
 

@@ -229,6 +229,24 @@ _CATALOG_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
 _ACTIVE_VIEWS: dict[int, str] = {}
 
 
+def materialize_result(df: DataFrame, name: str) -> DataFrame:
+    """Materialize a final result into a SESSION-OWNED directory via a
+    distributed parquet write and return the parquet-backed DataFrame.
+
+    Lets an operator release its internal caches (unpersist) before
+    returning: the returned frame reads the written files, not the
+    cached lineage.  Destination lives under the session warehouse
+    (same lifetime as any saved table), never a per-run tempdir.  At
+    real scale the result is corpus-proportional, so it must never
+    funnel through the driver — this is the distributed alternative.
+    """
+    spark = df.sparkSession
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    dest = f"{wh.rstrip('/')}/tailsql_results/{name}"
+    df.write.mode("overwrite").parquet(dest)
+    return spark.read.parquet(dest)
+
+
 def load_documents_sized(
     spark: SparkSession, sf_dir: str, bytes_per_task: int = 16 * 1024
 ) -> DataFrame:

@@ -517,6 +517,15 @@ REGISTRY["stream_interval_join"] = QuerySpec(
 )
 
 
+def _bdir(bid: int) -> str:
+    """Per-batch state dir name — THE single definition of the layout
+    every processor writes and every composer/read path lists; the
+    numeric-id parse in _mh_state_paths/_latest_snapshot_path tolerates
+    pad-width drift on READ, but writers share this one spelling so
+    drift cannot start."""
+    return f"b{bid:05d}"
+
+
 def _mh_state_paths(root: str, exclude_bid: int | None = None) -> list:
     """All per-batch state dirs under ``root`` (always includes the
     schema seed), excluding ``b{exclude_bid}`` — a replayed batch must
@@ -646,7 +655,7 @@ def _minhash_batch_processor(ex_root: str, sig_root: str, out_root: str):
             .filter(jac >= JACCARD_THRESHOLD)
             .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
         )
-        sub = f"b{bid:05d}"
+        sub = _bdir(bid)
         verified.write.mode("overwrite").parquet(f"{out_root}/{sub}")
         # admit the batch into the index AFTER probing (self-pairs came
         # from sig_all already containing sig_b via the union)
@@ -812,7 +821,7 @@ def _cc_batch_processor(edges_root: str, labels_root: str):
     def process(batch_df, batch_id):
         sess = batch_df.sparkSession
         bid = int(batch_id)
-        sub = f"b{bid:05d}"
+        sub = _bdir(bid)
         batch_df.select("id_a", "id_b").write.mode("overwrite").parquet(
             f"{edges_root}/{sub}"
         )
@@ -976,7 +985,7 @@ def _ann_batch_processor(topk_root: str, queries_path: str, seeds_path: str):
             .withColumn("rnk", F.row_number().over(wr).cast("long"))
             .filter(F.col("rnk") <= 3)
         )
-        topk.write.mode("overwrite").parquet(f"{topk_root}/b{bid:05d}")
+        topk.write.mode("overwrite").parquet(f"{topk_root}/{_bdir(bid)}")
         _prune_snapshots(topk_root, bid - 1)
 
     return process
@@ -1102,7 +1111,7 @@ def _contam_batch_processor(train_root: str, hits_root: str, test_grams_path: st
     def process(batch_df, batch_id):
         sess = batch_df.sparkSession
         bid = int(batch_id)
-        sub = f"b{bid:05d}"
+        sub = _bdir(bid)
         gb = _doc_5grams(batch_df).select("g").distinct()
         hist = sess.read.parquet(*_mh_state_paths(train_root, bid)).select("g")
         new_grams = gb.join(hist, "g", "left_anti").persist()
@@ -1265,7 +1274,7 @@ def _semdedup_batch_processor(members_root: str, snap_root: str, cent_path: str)
     def process(batch_df, batch_id):
         sess = batch_df.sparkSession
         bid = int(batch_id)
-        sub = f"b{bid:05d}"
+        sub = _bdir(bid)
         cent = sess.read.parquet(cent_path)
         q = batch_df.select("vec_id", quantize_embedding("embedding").alias("e"))
         cells = assign_quantized(q, cent).select("vec_id", "cell")
@@ -1450,7 +1459,7 @@ def _substr_batch_processor(pos_root: str, dup_root: str, pending_root: str):
     def process(batch_df, batch_id):
         sess = batch_df.sparkSession
         bid = int(batch_id)
-        sub = f"b{bid:05d}"
+        sub = _bdir(bid)
         pg = doc_pos_grams(batch_df).persist()
         cb = pg.groupBy("g").agg(F.count("*").alias("c"))
         hist_dup = sess.read.parquet(*_mh_state_paths(dup_root, bid)).select("g")
@@ -1588,28 +1597,17 @@ def _curation_batch_processor(mh_process, cc_process, attrs_root: str, out_root:
     """
 
     def process(batch_df, batch_id):
+        from tailsql_spark.operators.corpus import quality_gate_attrs
+
         sess = batch_df.sparkSession
         bid = int(batch_id)
-        sub = f"b{bid:05d}"
+        sub = _bdir(bid)
         mh_process(batch_df.select("doc_id", "text"), batch_id)
         new_pairs = sess.read.parquet(f"{out_root}/{sub}").select("id_a", "id_b")
         cc_process(new_pairs, batch_id)
-        alpha_ratio = (
-            F.length(F.regexp_replace("text", "[^A-Za-z ]", "")) / F.length("text")
+        quality_gate_attrs(batch_df).write.mode("overwrite").parquet(
+            f"{attrs_root}/{sub}"
         )
-        toks = F.filter(
-            F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""
-        )
-        attrs = (
-            batch_df.filter((F.col("n_chars") >= 100) & (alpha_ratio >= 0.6))
-            .select(
-                "doc_id",
-                "lang",
-                F.md5(F.col("text").cast("binary")).alias("fingerprint"),
-                F.size(toks).cast("long").alias("n_tokens"),
-            )
-        )
-        attrs.write.mode("overwrite").parquet(f"{attrs_root}/{sub}")
 
     return process
 
@@ -1676,32 +1674,12 @@ def stream_curation_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
 
+    from tailsql_spark.operators.corpus import clean_keep_attrs, survivor_budgets
+
     attrs = spark.read.parquet(*_mh_state_paths(attrs_root))
-    keep = attrs.groupBy("fingerprint").agg(
-        F.min("doc_id").alias("doc_id"),
-        F.min_by("lang", "doc_id").alias("lang"),
-        F.min_by("n_tokens", "doc_id").alias("n_tokens"),
-    )
-    h = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
-    cleaned = keep.select(
-        "doc_id",
-        "lang",
-        "n_tokens",
-        F.when(h < "1a", "test").when(h < "34", "val").otherwise("train").alias("split"),
-    )
-    labels = spark.read.parquet(_latest_snapshot_path(labels_root, None)).select(
-        F.col("doc_id").alias("l_doc"), "cluster_id"
-    )
-    j = cleaned.join(F.broadcast(labels), cleaned["doc_id"] == F.col("l_doc"), "left")
-    survivor = F.col("l_doc").isNull() | (F.col("l_doc") == F.col("cluster_id"))
-    result = (
-        j.filter(survivor)
-        .groupBy("lang", "split")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("n_tokens"),
-        )
-    )
+    cleaned = clean_keep_attrs(attrs)
+    labels = spark.read.parquet(_latest_snapshot_path(labels_root, None))
+    result = survivor_budgets(cleaned, labels)
     out = _persist_result(result, "stream_curation_survivors")
     shutil.rmtree(src_dir, ignore_errors=True)
     shutil.rmtree(state_root, ignore_errors=True)

@@ -112,8 +112,13 @@ def test_text_payloads_never_reach_pil():
             return False
 
     netpbm = b"P1 4 4\n0 1 0 1 0 1 0 1 0 1 0 1 0 1 0 1"
+    # ASCII image magics (GIF87a / BM / RIFF) can legitimately start a
+    # TEXT document — the binary (non-UTF-8) requirement must keep
+    # those on the fake path too, not just magic-less text
+    gif_prose = b"GIF87a is an image container format from 1987, ..."
     with _fake_pil(lambda buf: _EvilIm()):
         assert decode_image(netpbm) == _fake_dims(netpbm)
+        assert decode_image(gif_prose) == _fake_dims(gif_prose)
 
 
 def test_multimodal_metadata_formula_end_to_end(spark, oracle_sf_dir):

@@ -574,34 +574,12 @@ def test_curation_processor_replay_idempotent(spark, oracle_sf_dir):
         process(b1, 1)
         process(b1, 1)  # replay
 
+        from tailsql_spark.operators.corpus import clean_keep_attrs, survivor_budgets
+
         attrs = spark.read.parquet(*_mh_state_paths(attrs_root))
-        keep = attrs.groupBy("fingerprint").agg(
-            F2.min("doc_id").alias("doc_id"),
-            F2.min_by("lang", "doc_id").alias("lang"),
-            F2.min_by("n_tokens", "doc_id").alias("n_tokens"),
-        )
-        h = F2.substring(F2.md5(F2.col("doc_id").cast("string").cast("binary")), 1, 2)
-        cleaned = keep.select(
-            "doc_id", "lang", "n_tokens",
-            F2.when(h < "1a", "test").when(h < "34", "val").otherwise("train").alias("split"),
-        )
-        labels = spark.read.parquet(_latest_snapshot_path(labels_root, None)).select(
-            F2.col("doc_id").alias("l_doc"), "cluster_id"
-        )
-        j = cleaned.join(labels, cleaned["doc_id"] == F2.col("l_doc"), "left")
-        survivor = F2.col("l_doc").isNull() | (F2.col("l_doc") == F2.col("cluster_id"))
-        got = sorted(
-            map(
-                tuple,
-                j.filter(survivor)
-                .groupBy("lang", "split")
-                .agg(
-                    F2.count("*").alias("n_docs"),
-                    F2.sum("n_tokens").cast("long").alias("n_tokens"),
-                )
-                .collect(),
-            )
-        )
+        cleaned = clean_keep_attrs(attrs)
+        labels = spark.read.parquet(_latest_snapshot_path(labels_root, None))
+        got = sorted(map(tuple, survivor_budgets(cleaned, labels).collect()))
         want = sorted(
             map(
                 tuple,
