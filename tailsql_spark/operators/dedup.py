@@ -532,7 +532,9 @@ _DUCK_CAPPED_INDEX = f"""
 """
 
 
-def capped_posting_index(sh: DataFrame) -> tuple[DataFrame, DataFrame]:
+def capped_posting_index(
+    sh: DataFrame, cap: int = DF_CAP
+) -> tuple[DataFrame, DataFrame]:
     """df-capped shingle inverted index: ``(kept, sizes)``.
 
     ``kept`` is the exploded ``(doc_id, s)`` posting list with every
@@ -558,7 +560,7 @@ def capped_posting_index(sh: DataFrame) -> tuple[DataFrame, DataFrame]:
     hot = (
         ex.groupBy("s")
         .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > DF_CAP)
+        .filter(F.col("df") > cap)
         .select("s")
     )
     kept = ex.join(F.broadcast(hot), "s", "left_anti")
@@ -593,12 +595,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_from_shingles(doc_shingles(spark, sf_dir))
 
 
-def ngram_jaccard_from_shingles(sh: DataFrame) -> DataFrame:
+def ngram_jaccard_from_shingles(sh: DataFrame, cap: int = DF_CAP) -> DataFrame:
     """Jaccard ≥ 0.5 pairs over a ``(doc_id, shingles)`` frame — the
     query body, factored so the df-cap behavior is testable on a
     synthetic corpus (tests/test_scale.py plants a > DF_CAP boilerplate
     gram and asserts zero pair blowup)."""
-    kept, sizes = capped_posting_index(sh)
+    kept, sizes = capped_posting_index(sh, cap=cap)
     a, b = kept.alias("a"), kept.alias("b")
     pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))

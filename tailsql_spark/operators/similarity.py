@@ -1009,7 +1009,22 @@ def _pq_kmeans_oracle() -> str:
     "as ann_kmeans_lloyd.",
 )
 def ann_pq_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _pq_adc_rank(pq_trained_distances(spark, sf_dir))
+    dist = pq_trained_distances(spark, sf_dir).persist()
+    out = _materialized(_pq_adc_rank(dist), "ann_pq_kmeans_topk")
+    dist.unpersist()
+    return out
+
+
+def _materialized(df: DataFrame, name: str) -> DataFrame:
+    """Materialize-and-release for the trained-PQ queries: both ADC
+    consumers (codes + LUT) derive from the 3-iteration training
+    chain, so without a cache the chain is evaluated twice inside one
+    plan; with a bare persist the cache would leak for the session
+    (the PageRank lesson).  Write the (top-k-sized) result, return the
+    parquet-backed frame, let callers unpersist."""
+    from tailsql_spark.plans.catalog import materialize_result
+
+    return materialize_result(df, name)
 
 
 def pq_trained_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1371,7 +1386,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id")
     )
-    dist = pq_trained_distances(spark, sf_dir)
+    dist = pq_trained_distances(spark, sf_dir).persist()
     codes = (
         dist.groupBy("vec_id", "m")
         .agg(F.min(F.struct("dist", "code")).alias("mc"))
@@ -1387,7 +1402,10 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("d").alias("adc_dist"))
     )
     w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
-    return (
+    ranked = (
         adc.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
     )
+    out = _materialized(ranked, "ann_ivfpq_topk")
+    dist.unpersist()
+    return out

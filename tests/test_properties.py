@@ -198,3 +198,64 @@ def test_pagerank_fixed_matches_integer_reference(spark, pairs):
     got = {row.doc_id: row.rank_fp for row in pagerank_fixed(df).collect()}
     assert got == r
     assert sum(got.values()) <= PR_SCALE  # floors only ever lose mass
+
+
+@settings(
+    max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(data=st.data())
+def test_capped_ngram_jaccard_matches_python_reference(spark, data):
+    """The df-capped n-gram Jaccard operator == a pure-Python replay
+    (same shingling, same df cap, same threshold) on random corpora
+    with planted duplicates.  Cap pinned to 2 so small corpora really
+    exceed it (the production DF_CAP=64 would never trigger on <=9
+    docs) — hot grams must vanish from BOTH the intersection and the
+    denominators."""
+    from tailsql_spark.operators.dedup import (
+        ngram_jaccard_from_shingles,
+        shingles_col,
+    )
+
+    CAP = 2
+
+    words = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+    n_docs = data.draw(st.integers(3, 8))
+    docs = []
+    for i in range(n_docs):
+        toks = data.draw(st.lists(words, min_size=0, max_size=8))
+        docs.append((i, " ".join(toks)))
+    # plant one near-duplicate pair so the threshold branch is exercised
+    if docs[0][1]:
+        docs.append((n_docs, docs[0][1]))
+
+    def shingle(text: str) -> set[str]:
+        toks = [t for t in text.strip().lower().split() if t]
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        } if len(toks) >= 3 else set()
+
+    sets = {i: shingle(t) for i, t in docs}
+    df_count: dict[str, int] = {}
+    for s in sets.values():
+        for g in s:
+            df_count[g] = df_count.get(g, 0) + 1
+    kept = {i: {g for g in s if df_count[g] <= CAP} for i, s in sets.items()}
+    expected = {}
+    ids = sorted(kept)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(kept[a] & kept[b])
+            union = len(kept[a]) + len(kept[b]) - inter
+            if union and inter / union >= 0.5:
+                expected[(a, b)] = round(inter / union, 4)
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    from pyspark.sql import functions as SF
+
+    sh = sdf.select("doc_id", shingles_col(SF.col("text")).alias("shingles"))
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_from_shingles(sh, cap=CAP).collect()
+    }
+    assert got == expected
