@@ -354,10 +354,15 @@ def test_pq_kmeans_training_stays_broadcast_shaped(spark, oracle_sf_dir):
     """Every Lloyd step of the trained-PQ build must join the corpus
     against a BROADCAST codebook (M×K rows) — the corpus is never
     shuffled against centroids — and ADC scoring keeps the broadcast
-    LUT; no quadratic stage anywhere in the composed plan."""
-    from tailsql_spark.plans.registry import REGISTRY
+    LUT; no quadratic stage anywhere in the composed plan.  Inspects
+    the COMPUTATION plan (the registry query materializes its result
+    and returns a parquet-backed frame, whose plan is just a scan)."""
+    from tailsql_spark.operators.similarity import (
+        _pq_adc_rank,
+        pq_trained_distances,
+    )
 
-    p = _plan(REGISTRY["ann_pq_kmeans_topk"].build(spark, oracle_sf_dir))
+    p = _plan(_pq_adc_rank(pq_trained_distances(spark, oracle_sf_dir)))
     assert p.count("BroadcastHashJoin") >= 3, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
