@@ -1378,7 +1378,12 @@ def _ivfpq_oracle() -> str:
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tailsql_spark.operators.mlprep import lloyd_loop
 
+    # cells and centroids are BOTH consumed (probes from cent, cands
+    # from assigned), each tracing the full 3-iteration Lloyd chain —
+    # cache them for the build, release after materialization below
     assigned, cent = lloyd_loop(spark, sf_dir)
+    assigned = assigned.persist()
+    cent = cent.persist()
     probes = _learned_probes(spark, sf_dir, cent)
     cands = (
         assigned.select("vec_id", "cell")
@@ -1407,5 +1412,6 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
     )
     out = _materialized(ranked, "ann_ivfpq_topk")
-    dist.unpersist()
+    for frame in (dist, assigned, cent):
+        frame.unpersist()
     return out
