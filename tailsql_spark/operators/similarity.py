@@ -1162,9 +1162,26 @@ def _kmeans_multiprobe_oracle() -> str:
     "storage, cost grows with the probe factor never the corpus.",
 )
 def ann_ivf_kmeans_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranked, caches = _kmeans_multiprobe_ranked(spark, sf_dir)
+    out = _materialized(ranked, "ann_ivf_kmeans_multiprobe_topk")
+    for frame in caches:
+        frame.unpersist()
+    return out
+
+
+def _kmeans_multiprobe_ranked(spark: SparkSession, sf_dir: str):
+    """(ranked, caches): the learned-cell multiprobe computation plan
+    plus the Lloyd frames it cached — the query materializes ranked
+    and releases the caches; the plan test inspects ranked directly
+    (the materialized frame's plan is just a parquet scan)."""
     from tailsql_spark.operators.mlprep import lloyd_loop
 
+    # cells and centroids are both consumed (probes from cent, corp
+    # from assigned), each tracing the full Lloyd chain — cache for
+    # the build, release after materialization (see ann_ivfpq_topk)
     assigned, cent = lloyd_loop(spark, sf_dir)
+    assigned = assigned.persist()
+    cent = cent.persist()
     probes = _learned_probes(spark, sf_dir, cent)
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"].select(
@@ -1193,10 +1210,11 @@ def ann_ivf_kmeans_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFram
         .select("query_id", "neighbor_id", F.round(cos, 4).alias("cosine"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (
+    ranked = (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
     )
+    return ranked, (assigned, cent)
 
 
 # ---------------------------------------------------------------------------

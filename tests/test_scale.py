@@ -374,7 +374,12 @@ def test_kmeans_multiprobe_probe_table_broadcasts(spark, oracle_sf_dir):
     probe fan-out."""
     from tailsql_spark.plans.registry import REGISTRY
 
-    p = _plan(REGISTRY["ann_ivf_kmeans_multiprobe_topk"].build(spark, oracle_sf_dir))
+    from tailsql_spark.operators.similarity import _kmeans_multiprobe_ranked
+
+    ranked, caches = _kmeans_multiprobe_ranked(spark, oracle_sf_dir)
+    p = _plan(ranked)
+    for frame in caches:
+        frame.unpersist()
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p
 
