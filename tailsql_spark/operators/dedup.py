@@ -39,10 +39,11 @@ ROWS_PER_BAND = N_HASHES // N_BANDS
 JACCARD_THRESHOLD = 0.8
 
 
-def query(name: str, category: str, oracle: str | None, doc: str = ""):
+def query(name: str, category: str, oracle: str | None, doc: str = "", plan=None):
     def deco(fn):
         REGISTRY[name] = QuerySpec(
-            name=name, category=category, build=fn, oracle=oracle, doc=doc or (fn.__doc__ or "")
+            name=name, category=category, build=fn, oracle=oracle,
+            doc=doc or (fn.__doc__ or ""), plan=plan,
         )
         return fn
 
@@ -534,7 +535,7 @@ _DUCK_CAPPED_INDEX = f"""
 
 def capped_posting_index(
     sh: DataFrame, cap: int = DF_CAP
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """df-capped shingle inverted index: ``(kept, sizes)``.
 
     ``kept`` is the exploded ``(doc_id, s)`` posting list with every
@@ -556,6 +557,9 @@ def capped_posting_index(
     )
     # ex feeds both the df groupBy and the anti-join probe; persist so
     # the interpreted shingle pipeline evaluates once.
+    # the caller OWNS this cache: the registry queries materialize
+    # their (pair-sized) results and unpersist it in a finally; test
+    # helpers on toy corpora may ignore it
     ex = ex.persist()
     hot = (
         ex.groupBy("s")
@@ -565,13 +569,14 @@ def capped_posting_index(
     )
     kept = ex.join(F.broadcast(hot), "s", "left_anti")
     sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
-    return kept, sizes
+    return kept, sizes, ex
 
 
 @query(
     "dedup_ngram_jaccard",
     "dedup",
-    f"""
+    plan=lambda s, d: ngram_jaccard_from_shingles(doc_shingles(s, d)),
+    oracle=f"""
     WITH sh AS ({_DUCK_SHINGLES}),
     {_DUCK_CAPPED_INDEX},
     pairs AS (
@@ -592,15 +597,40 @@ def capped_posting_index(
     "no single hot key can emit a quadratic pair blowup (see DF_CAP).",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_from_shingles(doc_shingles(spark, sf_dir))
+    return _capped_pair_query(
+        spark, sf_dir, "dedup_ngram_jaccard", ngram_jaccard_from_shingles
+    )
 
 
-def ngram_jaccard_from_shingles(sh: DataFrame, cap: int = DF_CAP) -> DataFrame:
+def _capped_pair_query(spark, sf_dir, name, builder) -> DataFrame:
+    """Materialize-and-release wrapper for the capped-posting-index
+    pair queries: the posting cache must not outlive the build (one
+    corpus-sized cache per call would accumulate over a session), so
+    the (pair-sized) result is written keyed by scale factor and the
+    cache released in a finally."""
+    import os
+
+    from tailsql_spark.plans.catalog import materialize_result
+
+    df, ex = builder(doc_shingles(spark, sf_dir), with_cache=True)
+    try:
+        return materialize_result(
+            df, name, key=os.path.basename(sf_dir.rstrip("/")) or "sf"
+        )
+    finally:
+        ex.unpersist()
+
+
+def ngram_jaccard_from_shingles(
+    sh: DataFrame, cap: int = DF_CAP, with_cache: bool = False
+):
     """Jaccard ≥ 0.5 pairs over a ``(doc_id, shingles)`` frame — the
     query body, factored so the df-cap behavior is testable on a
     synthetic corpus (tests/test_scale.py plants a > DF_CAP boilerplate
-    gram and asserts zero pair blowup)."""
-    kept, sizes = capped_posting_index(sh, cap=cap)
+    gram and asserts zero pair blowup).  ``with_cache=True``
+    additionally returns the posting-cache handle the caller must
+    unpersist after consuming the result."""
+    kept, sizes, ex = capped_posting_index(sh, cap=cap)
     a, b = kept.alias("a"), kept.alias("b")
     pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -608,12 +638,13 @@ def ngram_jaccard_from_shingles(sh: DataFrame, cap: int = DF_CAP) -> DataFrame:
         .agg(F.count("*").alias("n_common"))
     )
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    return (
+    out = (
         pairs.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")), "id_a")
         .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")), "id_b")
         .filter(jac >= 0.5)
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
     )
+    return (out, ex) if with_cache else out
 
 
 # ---------------------------------------------------------------------------
@@ -883,6 +914,7 @@ _CONTAIN_ORACLE = f"""
     "dedup_containment",
     "dedup",
     _CONTAIN_ORACLE,
+    plan=lambda s, d: containment_from_shingles(doc_shingles(s, d)),
     doc=f"Asymmetric containment near-dup: |A∩B| / |A| >= "
     f"{CONTAIN_THRESHOLD} over distinct 3-gram shingles — the ordered "
     "pair (id_a contained-in id_b) that catches a short document "
@@ -894,7 +926,15 @@ _CONTAIN_ORACLE = f"""
     "|A| is the capped gram-set size on both engines.",
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    kept, sizes = capped_posting_index(doc_shingles(spark, sf_dir))
+    return _capped_pair_query(
+        spark, sf_dir, "dedup_containment", containment_from_shingles
+    )
+
+
+def containment_from_shingles(
+    sh: DataFrame, cap: int = DF_CAP, with_cache: bool = False
+):
+    kept, sizes, ex = capped_posting_index(sh, cap=cap)
     a, b = kept.alias("a"), kept.alias("b")
     pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") != F.col("b.doc_id")))
@@ -902,11 +942,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_common"))
     )
     cont = F.col("n_common") / F.col("na")
-    return (
+    out = (
         pairs.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")), "id_a")
         .filter((F.col("na") > 0) & (cont >= CONTAIN_THRESHOLD))
         .select("id_a", "id_b", F.round(cont, 4).alias("containment"))
     )
+    return (out, ex) if with_cache else out
 
 
 # ---------------------------------------------------------------------------

@@ -47,10 +47,11 @@ from tailsql_spark.operators.dedup import _MINHASH_ORACLE, dedup_minhash_lsh
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def query(name: str, category: str, oracle: str | None, doc: str = ""):
+def query(name: str, category: str, oracle: str | None, doc: str = "", plan=None):
     def deco(fn):
         REGISTRY[name] = QuerySpec(
-            name=name, category=category, build=fn, oracle=oracle, doc=doc or (fn.__doc__ or "")
+            name=name, category=category, build=fn, oracle=oracle,
+            doc=doc or (fn.__doc__ or ""), plan=plan,
         )
         return fn
 
@@ -346,6 +347,9 @@ def _pagerank_oracle() -> str:
     "graph_pagerank_neardup",
     "graph-analytics",
     _pagerank_oracle(),
+    plan=lambda s, d: _pagerank_ranked(
+        dedup_minhash_lsh(s, d).select("id_a", "id_b")
+    )[0],
     doc=f"Distributed PageRank ({PR_ITERS} damped power-iteration "
     "steps, d=0.85) over the symmetric MinHash near-dup graph — the "
     "link-graph authority score web-scale corpora use for quality "
@@ -360,10 +364,30 @@ def _pagerank_oracle() -> str:
     "textbook Pregel-style PR as pure DataFrame ops.",
 )
 def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pagerank_fixed(dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b"))
+    import os
+
+    return pagerank_fixed(
+        dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b"),
+        key=os.path.basename(sf_dir.rstrip("/")) or "sf",
+    )
 
 
-def pagerank_fixed(pairs: DataFrame) -> DataFrame:
+def pagerank_fixed(pairs: DataFrame, key: str = "") -> DataFrame:
+    result, caches = _pagerank_ranked(pairs)
+    # materialize (keyed so two scale factors never alias the same
+    # files), then RELEASE the caches in a finally — a failed write
+    # must not leak them; the returned frame reads the written files,
+    # so unpersisting cannot re-trigger the re-derivation.
+    from tailsql_spark.plans.catalog import materialize_result
+
+    try:
+        return materialize_result(result, "graph_pagerank", key=key)
+    finally:
+        for frame in caches:
+            frame.unpersist()
+
+
+def _pagerank_ranked(pairs: DataFrame):
     """PR_ITERS fixed-point PageRank steps over undirected unique pairs
     ``(id_a, id_b)`` — the query body, factored so the integer
     trajectory is property-testable against a pure-Python reference on
@@ -413,14 +437,4 @@ def pagerank_fixed(pairs: DataFrame) -> DataFrame:
             F.col("n").cast("long").alias("n_nodes"),
         )
     )
-    # materialize, then RELEASE the three per-invocation caches — a
-    # long-lived session (grading loops, hypothesis examples) would
-    # otherwise accumulate persisted frames nothing ever unpersists;
-    # the returned frame reads the written files, not the cached
-    # lineage, so unpersisting cannot re-trigger the re-derivation.
-    from tailsql_spark.plans.catalog import materialize_result
-
-    out = materialize_result(result, "graph_pagerank")
-    for frame in (edges, deg, nn):
-        frame.unpersist()
-    return out
+    return result, (edges, deg, nn)

@@ -41,10 +41,11 @@ TOP_K = 5
 N_CELLS = 8  # IVF coarse cells (seeded by vec_id < 8)
 
 
-def query(name: str, category: str, oracle: str | None, doc: str = ""):
+def query(name: str, category: str, oracle: str | None, doc: str = "", plan=None):
     def deco(fn):
         REGISTRY[name] = QuerySpec(
-            name=name, category=category, build=fn, oracle=oracle, doc=doc or (fn.__doc__ or "")
+            name=name, category=category, build=fn, oracle=oracle,
+            doc=doc or (fn.__doc__ or ""), plan=plan,
         )
         return fn
 
@@ -997,6 +998,7 @@ def _pq_kmeans_oracle() -> str:
     "ann_pq_kmeans_topk",
     "similarity",
     _pq_kmeans_oracle(),
+    plan=lambda s, d: _pq_adc_rank(pq_trained_distances(s, d)),
     doc=f"PQ/ADC over Lloyd-TRAINED codebooks (closes the round-5 gap: "
     f"ann_pq_adc_topk's codebooks were vec_id<{PQ_CODES} seeds): "
     f"{PQ_KMEANS_ITERS} per-subspace k-means steps train all {PQ_M} "
@@ -1010,21 +1012,27 @@ def _pq_kmeans_oracle() -> str:
 )
 def ann_pq_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = pq_trained_distances(spark, sf_dir).persist()
-    out = _materialized(_pq_adc_rank(dist), "ann_pq_kmeans_topk")
-    dist.unpersist()
-    return out
+    try:
+        return _materialized(_pq_adc_rank(dist), "ann_pq_kmeans_topk", sf_dir)
+    finally:
+        dist.unpersist()
 
 
-def _materialized(df: DataFrame, name: str) -> DataFrame:
+def _materialized(df: DataFrame, name: str, sf_dir: str) -> DataFrame:
     """Materialize-and-release for the trained-PQ queries: both ADC
     consumers (codes + LUT) derive from the 3-iteration training
     chain, so without a cache the chain is evaluated twice inside one
     plan; with a bare persist the cache would leak for the session
-    (the PageRank lesson).  Write the (top-k-sized) result, return the
-    parquet-backed frame, let callers unpersist."""
+    (the PageRank lesson).  Write the (top-k-sized) result keyed by
+    scale factor (a second-sf build must not overwrite files a lazy
+    frame from the first still reads), return the parquet-backed
+    frame, let callers unpersist in a finally."""
+    import os
+
     from tailsql_spark.plans.catalog import materialize_result
 
-    return materialize_result(df, name)
+    key = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return materialize_result(df, name, key=key)
 
 
 def pq_trained_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1151,6 +1159,7 @@ def _kmeans_multiprobe_oracle() -> str:
     "ann_ivf_kmeans_multiprobe_topk",
     "similarity",
     _kmeans_multiprobe_oracle(),
+    plan=lambda s, d: _kmeans_multiprobe_ranked(s, d)[0],
     doc=f"The full production ANN stack certified end-to-end: k-means-"
     "LEARNED cells (the certified Lloyd trajectory) + multiprobe — "
     f"each query searches its {N_PROBES} nearest learned centroids "
@@ -1163,10 +1172,11 @@ def _kmeans_multiprobe_oracle() -> str:
 )
 def ann_ivf_kmeans_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked, caches = _kmeans_multiprobe_ranked(spark, sf_dir)
-    out = _materialized(ranked, "ann_ivf_kmeans_multiprobe_topk")
-    for frame in caches:
-        frame.unpersist()
-    return out
+    try:
+        return _materialized(ranked, "ann_ivf_kmeans_multiprobe_topk", sf_dir)
+    finally:
+        for frame in caches:
+            frame.unpersist()
 
 
 def _kmeans_multiprobe_ranked(spark: SparkSession, sf_dir: str):
@@ -1380,6 +1390,7 @@ def _ivfpq_oracle() -> str:
     "ann_ivfpq_topk",
     "similarity",
     _ivfpq_oracle(),
+    plan=lambda s, d: _ivfpq_ranked(s, d)[0],
     doc=f"The COMPLETE production ANN stack (FAISS IVF-PQ shape) "
     "certified end-to-end in one query: k-means-LEARNED coarse cells "
     f"partition the corpus, each query multiprobes its {N_PROBES} "
@@ -1394,6 +1405,18 @@ def _ivfpq_oracle() -> str:
     "trajectories (cells and codebooks).",
 )
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranked, caches = _ivfpq_ranked(spark, sf_dir)
+    try:
+        return _materialized(ranked, "ann_ivfpq_topk", sf_dir)
+    finally:
+        for frame in caches:
+            frame.unpersist()
+
+
+def _ivfpq_ranked(spark: SparkSession, sf_dir: str):
+    """(ranked, caches): the IVF-PQ computation plan plus the cached
+    frames it pins — the query materializes ranked and releases the
+    caches; plan tooling inspects ranked directly."""
     from tailsql_spark.operators.mlprep import lloyd_loop
 
     # cells and centroids are BOTH consumed (probes from cent, cands
@@ -1429,7 +1452,4 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         adc.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
     )
-    out = _materialized(ranked, "ann_ivfpq_topk")
-    for frame in (dist, assigned, cent):
-        frame.unpersist()
-    return out
+    return ranked, (dist, assigned, cent)

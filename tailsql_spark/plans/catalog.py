@@ -229,7 +229,7 @@ _CATALOG_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
 _ACTIVE_VIEWS: dict[int, str] = {}
 
 
-def materialize_result(df: DataFrame, name: str) -> DataFrame:
+def materialize_result(df: DataFrame, name: str, key: str = "") -> DataFrame:
     """Materialize a final result into a SESSION-OWNED directory via a
     distributed parquet write and return the parquet-backed DataFrame.
 
@@ -242,7 +242,12 @@ def materialize_result(df: DataFrame, name: str) -> DataFrame:
     """
     spark = df.sparkSession
     wh = spark.conf.get("spark.sql.warehouse.dir")
-    dest = f"{wh.rstrip('/')}/tailsql_results/{name}"
+    # ``key`` namespaces the destination (callers pass the sf-dir
+    # basename): without it, building the same query for a SECOND
+    # scale factor would overwrite the files a still-lazy frame from
+    # the first build reads — stale/missing data with no error.
+    sub = f"{name}_{key}" if key else name
+    dest = f"{wh.rstrip('/')}/tailsql_results/{sub}"
     df.write.mode("overwrite").parquet(dest)
     return spark.read.parquet(dest)
 
@@ -314,3 +319,9 @@ class QuerySpec:
     build: Callable[[SparkSession, str], DataFrame]
     oracle: str | None
     doc: str = ""
+    #: optional COMPUTATION builder for queries whose ``build``
+    #: materializes its result (returning a parquet-backed frame whose
+    #: plan is just a scan): plan-shape tooling (tools/plan_audit.py,
+    #: tests/test_scale.py) audits this instead, so materialization
+    #: never blinds the de-optimization gate.
+    plan: Callable[[SparkSession, str], DataFrame] | None = None

@@ -357,14 +357,25 @@ def test_pq_kmeans_training_stays_broadcast_shaped(spark, oracle_sf_dir):
     LUT; no quadratic stage anywhere in the composed plan.  Inspects
     the COMPUTATION plan (the registry query materializes its result
     and returns a parquet-backed frame, whose plan is just a scan)."""
-    from tailsql_spark.operators.similarity import (
-        _pq_adc_rank,
-        pq_trained_distances,
-    )
+    from tailsql_spark.plans.registry import REGISTRY
 
-    p = _plan(_pq_adc_rank(pq_trained_distances(spark, oracle_sf_dir)))
+    p = _plan(REGISTRY["ann_pq_kmeans_topk"].plan(spark, oracle_sf_dir))
     assert p.count("BroadcastHashJoin") >= 3, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_ivfpq_stack_plan_shape(spark, oracle_sf_dir):
+    """The composed IVF-PQ stack: probe table and ADC LUT broadcast,
+    candidates reach scoring through equi-joins only — no cartesian
+    anywhere in the full learned-cells + trained-codebooks plan.  The
+    constant-side nested loops (8-centroid probe fan-out, 1-row
+    count/weights broadcasts of the Lloyd chains) are the documented
+    legal ones."""
+    from tailsql_spark.plans.registry import REGISTRY
+
+    p = _plan(REGISTRY["ann_ivfpq_topk"].plan(spark, oracle_sf_dir))
+    assert p.count("BroadcastHashJoin") >= 4, p
+    assert "CartesianProduct" not in p
 
 
 def test_kmeans_multiprobe_probe_table_broadcasts(spark, oracle_sf_dir):
@@ -374,12 +385,7 @@ def test_kmeans_multiprobe_probe_table_broadcasts(spark, oracle_sf_dir):
     probe fan-out."""
     from tailsql_spark.plans.registry import REGISTRY
 
-    from tailsql_spark.operators.similarity import _kmeans_multiprobe_ranked
-
-    ranked, caches = _kmeans_multiprobe_ranked(spark, oracle_sf_dir)
-    p = _plan(ranked)
-    for frame in caches:
-        frame.unpersist()
+    p = _plan(REGISTRY["ann_ivf_kmeans_multiprobe_topk"].plan(spark, oracle_sf_dir))
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p
 
@@ -441,7 +447,9 @@ def test_exact_similarity_pair_join_input_is_df_capped(spark, oracle_sf_dir):
     from tailsql_spark.plans.registry import REGISTRY
 
     for name in ("dedup_ngram_jaccard", "dedup_containment"):
-        p = _plan(REGISTRY[name].build(spark, oracle_sf_dir))
+        # the registry build materializes (parquet-scan plan); audit
+        # the computation via the spec's plan builder
+        p = _plan(REGISTRY[name].plan(spark, oracle_sf_dir))
         low = p.lower()
         # the hot-gram prune: a broadcast build feeding a left-anti join
         assert "leftanti" in low or "left anti" in low, (name, p)
@@ -507,11 +515,12 @@ def test_df_cap_kills_boilerplate_pair_blowup(spark):
         "doc_id long, text string",
     )
     sh = docs.select("doc_id", dedup.shingles_col(SF.col("text")).alias("shingles"))
-    kept, sizes = dedup.capped_posting_index(sh)
+    kept, sizes, ex_cache = dedup.capped_posting_index(sh)
     # every boilerplate gram (df=100) is pruned; rare grams survive
     assert kept.filter(SF.col("doc_id") < 100).count() == 0
     assert kept.filter(SF.col("doc_id") >= 1000).count() > 0
     pairs = dedup.ngram_jaccard_from_shingles(sh).collect()
+    ex_cache.unpersist()
     assert sorted((r.id_a, r.id_b) for r in pairs) == [(1000, 1001)]
 
 

@@ -32,7 +32,7 @@ def main() -> None:
             print(f"{name:40s} (streaming-executed: audited by its own run)")
             continue
         try:
-            df = spec.build(spark, sf_dir)
+            df = (spec.plan or spec.build)(spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as exc:  # pragma: no cover - audit tool
             print(f"{name:40s} ERROR {exc}")
