@@ -1453,3 +1453,112 @@ def _ivfpq_ranked(spark: SparkSession, sf_dir: str):
         .filter(F.col("rnk") <= 3)
     )
     return ranked, (dist, assigned, cent)
+
+
+def _ivfpq_recall_oracle() -> str:
+    """recall@3 of the composed IVF-PQ stack against brute-force
+    cosine ground truth — the quality number that decides whether the
+    compressed index ships.  ADC ranks by quantized distance while
+    ground truth ranks by cosine, so unlike ann_ivf_recall_at_k this
+    also measures the quantization loss, not just cell pruning."""
+    from tailsql_spark.operators.mlprep import KMEANS_ITERS, kmeans_cte_parts
+
+    parts = kmeans_cte_parts()
+    parts.extend(_pq_kmeans_cte_parts(prefix="p"))
+    from tailsql_spark.operators.mlprep import EMBED_DIM
+
+    ka, kc = f"a{KMEANS_ITERS}", f"c{KMEANS_ITERS - 1}"
+    pd, pa = f"pd{PQ_KMEANS_ITERS}", f"pa{PQ_KMEANS_ITERS}"
+    intdist = (
+        f"CAST(list_sum(list_transform(generate_series(1, {EMBED_DIM}),"
+        f" i -> (e.e[i] - c.c[i]) * (e.e[i] - c.c[i]))) AS BIGINT)"
+    )
+    parts.append(
+        f"""
+    probes AS (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {intdist}, c.cell) AS rn
+            FROM e CROSS JOIN {kc} c
+            WHERE e.vec_id < {N_QUERIES})
+        WHERE rn <= {N_PROBES}
+    ),
+    cands AS (
+        SELECT p.query_id, a.vec_id
+        FROM probes p JOIN {ka} a ON a.cell = p.cell
+        WHERE a.vec_id <> p.query_id
+    ),
+    lut AS (SELECT vec_id AS query_id, m, code, dist AS d
+            FROM {pd} WHERE vec_id < {N_QUERIES}),
+    adc AS (
+        SELECT c.query_id, c.vec_id AS neighbor_id,
+               CAST(SUM(l.d) AS BIGINT) AS adc_dist
+        FROM cands c
+        JOIN {pa} cd ON cd.vec_id = c.vec_id
+        JOIN lut l ON l.query_id = c.query_id
+                  AND l.m = cd.m AND l.code = cd.code
+        GROUP BY 1, 2
+    ),
+    ivfpq3 AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY adc_dist, neighbor_id) AS rnk FROM adc)
+        WHERE rnk <= {RECALL_K}
+    ),
+    qb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+    brute_scored AS (
+        SELECT qb.vec_id AS query_id, cc.vec_id AS neighbor_id,
+               ROUND({_DUCK_DOT.format(a='qb.embedding', b='cc.embedding')}
+                     / ({_DUCK_NORM.format(a='qb.embedding')}
+                        * {_DUCK_NORM.format(a='cc.embedding')}), 4) AS cosine
+        FROM qb JOIN embeddings cc ON cc.vec_id <> qb.vec_id
+    ),
+    brute3 AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+            FROM brute_scored) WHERE rnk <= {RECALL_K}
+    )
+    SELECT b.query_id,
+           CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hit,
+           CAST({RECALL_K} AS BIGINT) AS k,
+           ROUND(COUNT(i.neighbor_id) * 1.0 / {RECALL_K}, 4) AS recall
+    FROM brute3 b
+    LEFT JOIN ivfpq3 i ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id"""
+    )
+    return "\n".join(parts)
+
+
+@query(
+    "ann_ivfpq_recall_at_k",
+    "similarity",
+    _ivfpq_recall_oracle(),
+    doc=f"recall@{RECALL_K} of the COMPLETE IVF-PQ stack against "
+    "brute-force ground truth, per query — the accept/reject number "
+    "for a compressed index. Measures cell-pruning AND quantization "
+    "loss together (ADC ranks by trained-codebook distance, ground "
+    "truth by exact cosine), certified cross-engine end to end.",
+)
+def ann_ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ivfpq3 = ann_ivfpq_topk(spark, sf_dir).filter(
+        F.col("rnk") <= RECALL_K
+    ).select("query_id", "neighbor_id")
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    brute3 = (
+        _scored(spark, sf_dir)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= RECALL_K)
+        .select("query_id", "neighbor_id")
+    )
+    hit = ivfpq3.withColumn("hit", F.lit(1))
+    return (
+        brute3.join(hit, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hit"),
+            F.lit(RECALL_K).cast("long").alias("k"),
+            F.round(F.count("hit") * 1.0 / RECALL_K, 4).alias("recall"),
+        )
+    )
