@@ -1232,6 +1232,63 @@ def _kmeans_multiprobe_ranked(spark: SparkSession, sf_dir: str):
 # ---------------------------------------------------------------------------
 
 RECALL_K = 3  # ivf variants rank top-3; recall is measured at the same k
+# The IVF/IVF-PQ top-k queries rank exactly 3 rows (the literal in their
+# oracles and ranked builders); measuring recall at a larger k would
+# silently cap n_hit at 3 — fail LOUD at import instead.
+assert RECALL_K <= 3, "raise the ranked builders' top-k before RECALL_K"
+
+
+def _brute_recall_tail(approx_cte: str) -> str:
+    """qb/brute_scored/brute3 CTEs + the final recall SELECT, joined
+    against ``approx_cte`` (a CTE yielding (query_id, neighbor_id)
+    top-RECALL_K rows).  THE single definition of the ground-truth
+    side and the recall arithmetic, shared by every recall oracle."""
+    return f"""
+    qb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+    brute_scored AS (
+        SELECT qb.vec_id AS query_id, cc.vec_id AS neighbor_id,
+               ROUND({_DUCK_DOT.format(a='qb.embedding', b='cc.embedding')}
+                     / ({_DUCK_NORM.format(a='qb.embedding')}
+                        * {_DUCK_NORM.format(a='cc.embedding')}), 4) AS cosine
+        FROM qb JOIN embeddings cc ON cc.vec_id <> qb.vec_id
+    ),
+    brute3 AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+            FROM brute_scored) WHERE rnk <= {RECALL_K}
+    )
+    SELECT b.query_id,
+           CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hit,
+           CAST({RECALL_K} AS BIGINT) AS k,
+           ROUND(COUNT(i.neighbor_id) * 1.0 / {RECALL_K}, 4) AS recall
+    FROM brute3 b
+    LEFT JOIN {approx_cte} i ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id"""
+
+
+def _recall_vs_brute(spark: SparkSession, sf_dir: str, approx3: DataFrame) -> DataFrame:
+    """Spark twin of :func:`_brute_recall_tail`: join an approximate
+    top-RECALL_K frame (query_id, neighbor_id) against brute-force
+    cosine ground truth and aggregate per-query recall.  Shared by
+    every recall metric so rounding/tie rules cannot drift."""
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    brute3 = (
+        _scored(spark, sf_dir)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= RECALL_K)
+        .select("query_id", "neighbor_id")
+    )
+    hit = approx3.withColumn("hit", F.lit(1))
+    return (
+        brute3.join(hit, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hit"),
+            F.lit(RECALL_K).cast("long").alias("k"),
+            F.round(F.count("hit") * 1.0 / RECALL_K, 4).alias("recall"),
+        )
+    )
 
 
 def _ivf_recall_oracle() -> str:
@@ -1262,28 +1319,7 @@ def _ivf_recall_oracle() -> str:
             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                 ORDER BY cosine DESC, neighbor_id ASC) AS rnk
             FROM ivf_scored) WHERE rnk <= {RECALL_K}
-    ),
-    qb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
-    brute_scored AS (
-        SELECT qb.vec_id AS query_id, c.vec_id AS neighbor_id,
-               ROUND({_DUCK_DOT.format(a='qb.embedding', b='c.embedding')}
-                     / ({_DUCK_NORM.format(a='qb.embedding')}
-                        * {_DUCK_NORM.format(a='c.embedding')}), 4) AS cosine
-        FROM qb JOIN embeddings c ON c.vec_id <> qb.vec_id
-    ),
-    brute3 AS (
-        SELECT query_id, neighbor_id FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                ORDER BY cosine DESC, neighbor_id ASC) AS rnk
-            FROM brute_scored) WHERE rnk <= {RECALL_K}
-    )
-    SELECT b.query_id,
-           CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hit,
-           CAST({RECALL_K} AS BIGINT) AS k,
-           ROUND(COUNT(i.neighbor_id) * 1.0 / {RECALL_K}, 4) AS recall
-    FROM brute3 b
-    LEFT JOIN ivf3 i ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
-    GROUP BY b.query_id"""
+    ),{_brute_recall_tail('ivf3')}"""
     )
     return "\n".join(parts)
 
@@ -1305,37 +1341,19 @@ def ann_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf3 = ann_ivf_kmeans_topk(spark, sf_dir).filter(
         F.col("rnk") <= RECALL_K
     ).select("query_id", "neighbor_id")
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    brute3 = (
-        _scored(spark, sf_dir)
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= RECALL_K)
-        .select("query_id", "neighbor_id")
-    )
-    hit = ivf3.withColumn("hit", F.lit(1))
-    return (
-        brute3.join(hit, ["query_id", "neighbor_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.count("hit").alias("n_hit"),
-            F.lit(RECALL_K).cast("long").alias("k"),
-            F.round(F.count("hit") * 1.0 / RECALL_K, 4).alias("recall"),
-        )
-    )
+    return _recall_vs_brute(spark, sf_dir, ivf3)
 
 
 # ---------------------------------------------------------------------------
 # IVF-PQ: the complete production ANN stack in one certified query
 # ---------------------------------------------------------------------------
 
-def _ivfpq_oracle() -> str:
-    """Learned cells (Lloyd trajectory) + multiprobe (integer-distance
-    probe selection against the SAME centroids the assignment used) +
-    trained-codebook ADC scoring restricted to probed candidates — the
-    whole FAISS-style IVF-PQ pipeline in one WITH chain.  The PQ
-    training CTEs are 'p'-prefixed so they compose with the cell CTEs
-    without name collisions; both chains quantize the same ×1e6
-    embedding space."""
+def _ivfpq_adc_cte_parts() -> list[str]:
+    """THE single SQL definition of the composed IVF-PQ index: Lloyd
+    cell CTEs + 'p'-prefixed PQ-training CTEs + probes/cands/lut/adc,
+    ending after ``adc`` (no trailing comma).  Shared by the top-k
+    oracle and the recall oracle so the shipped index and the index
+    being measured can never drift apart."""
     from tailsql_spark.operators.mlprep import (
         EMBED_DIM,
         KMEANS_ITERS,
@@ -1376,7 +1394,18 @@ def _ivfpq_oracle() -> str:
         JOIN lut l ON l.query_id = c.query_id
                   AND l.m = cd.m AND l.code = cd.code
         GROUP BY 1, 2
+    )"""
     )
+    return parts
+
+
+def _ivfpq_oracle() -> str:
+    """Learned cells + multiprobe + trained-codebook ADC — the whole
+    FAISS-style IVF-PQ pipeline in one WITH chain (see
+    _ivfpq_adc_cte_parts for the shared index definition)."""
+    parts = _ivfpq_adc_cte_parts()
+    parts.append(
+        """
     SELECT query_id, neighbor_id, adc_dist, CAST(rnk AS BIGINT) AS rnk
     FROM (SELECT *, row_number() OVER (PARTITION BY query_id
               ORDER BY adc_dist, neighbor_id) AS rnk
@@ -1460,73 +1489,19 @@ def _ivfpq_recall_oracle() -> str:
     cosine ground truth — the quality number that decides whether the
     compressed index ships.  ADC ranks by quantized distance while
     ground truth ranks by cosine, so unlike ann_ivf_recall_at_k this
-    also measures the quantization loss, not just cell pruning."""
-    from tailsql_spark.operators.mlprep import KMEANS_ITERS, kmeans_cte_parts
-
-    parts = kmeans_cte_parts()
-    parts.extend(_pq_kmeans_cte_parts(prefix="p"))
-    from tailsql_spark.operators.mlprep import EMBED_DIM
-
-    ka, kc = f"a{KMEANS_ITERS}", f"c{KMEANS_ITERS - 1}"
-    pd, pa = f"pd{PQ_KMEANS_ITERS}", f"pa{PQ_KMEANS_ITERS}"
-    intdist = (
-        f"CAST(list_sum(list_transform(generate_series(1, {EMBED_DIM}),"
-        f" i -> (e.e[i] - c.c[i]) * (e.e[i] - c.c[i]))) AS BIGINT)"
-    )
+    also measures the quantization loss.  Index definition and
+    ground-truth tail are the SHARED builders
+    (_ivfpq_adc_cte_parts / _brute_recall_tail), so the measured
+    index can never drift from the shipped one."""
+    parts = _ivfpq_adc_cte_parts()
     parts.append(
-        f"""
-    probes AS (
-        SELECT vec_id AS query_id, cell FROM (
-            SELECT e.vec_id, c.cell,
-                   row_number() OVER (PARTITION BY e.vec_id
-                                      ORDER BY {intdist}, c.cell) AS rn
-            FROM e CROSS JOIN {kc} c
-            WHERE e.vec_id < {N_QUERIES})
-        WHERE rn <= {N_PROBES}
-    ),
-    cands AS (
-        SELECT p.query_id, a.vec_id
-        FROM probes p JOIN {ka} a ON a.cell = p.cell
-        WHERE a.vec_id <> p.query_id
-    ),
-    lut AS (SELECT vec_id AS query_id, m, code, dist AS d
-            FROM {pd} WHERE vec_id < {N_QUERIES}),
-    adc AS (
-        SELECT c.query_id, c.vec_id AS neighbor_id,
-               CAST(SUM(l.d) AS BIGINT) AS adc_dist
-        FROM cands c
-        JOIN {pa} cd ON cd.vec_id = c.vec_id
-        JOIN lut l ON l.query_id = c.query_id
-                  AND l.m = cd.m AND l.code = cd.code
-        GROUP BY 1, 2
-    ),
+        f""",
     ivfpq3 AS (
         SELECT query_id, neighbor_id FROM (
             SELECT *, row_number() OVER (PARTITION BY query_id
                 ORDER BY adc_dist, neighbor_id) AS rnk FROM adc)
         WHERE rnk <= {RECALL_K}
-    ),
-    qb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
-    brute_scored AS (
-        SELECT qb.vec_id AS query_id, cc.vec_id AS neighbor_id,
-               ROUND({_DUCK_DOT.format(a='qb.embedding', b='cc.embedding')}
-                     / ({_DUCK_NORM.format(a='qb.embedding')}
-                        * {_DUCK_NORM.format(a='cc.embedding')}), 4) AS cosine
-        FROM qb JOIN embeddings cc ON cc.vec_id <> qb.vec_id
-    ),
-    brute3 AS (
-        SELECT query_id, neighbor_id FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                ORDER BY cosine DESC, neighbor_id ASC) AS rnk
-            FROM brute_scored) WHERE rnk <= {RECALL_K}
-    )
-    SELECT b.query_id,
-           CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hit,
-           CAST({RECALL_K} AS BIGINT) AS k,
-           ROUND(COUNT(i.neighbor_id) * 1.0 / {RECALL_K}, 4) AS recall
-    FROM brute3 b
-    LEFT JOIN ivfpq3 i ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
-    GROUP BY b.query_id"""
+    ),{_brute_recall_tail('ivfpq3')}"""
     )
     return "\n".join(parts)
 
@@ -1555,20 +1530,4 @@ def ann_ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivfpq3 = ann_ivfpq_topk(spark, sf_dir).filter(
         F.col("rnk") <= RECALL_K
     ).select("query_id", "neighbor_id")
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    brute3 = (
-        _scored(spark, sf_dir)
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= RECALL_K)
-        .select("query_id", "neighbor_id")
-    )
-    hit = ivfpq3.withColumn("hit", F.lit(1))
-    return (
-        brute3.join(hit, ["query_id", "neighbor_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.count("hit").alias("n_hit"),
-            F.lit(RECALL_K).cast("long").alias("k"),
-            F.round(F.count("hit") * 1.0 / RECALL_K, 4).alias("recall"),
-        )
-    )
+    return _recall_vs_brute(spark, sf_dir, ivfpq3)
