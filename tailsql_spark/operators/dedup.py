@@ -534,7 +534,7 @@ _DUCK_CAPPED_INDEX = f"""
 
 
 def capped_posting_index(
-    sh: DataFrame, cap: int = DF_CAP
+    sh: DataFrame, cap: int = DF_CAP, persist: bool = True
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """df-capped shingle inverted index: ``(kept, sizes)``.
 
@@ -558,9 +558,12 @@ def capped_posting_index(
     # ex feeds both the df groupBy and the anti-join probe; persist so
     # the interpreted shingle pipeline evaluates once.
     # the caller OWNS this cache: the registry queries materialize
-    # their (pair-sized) results and unpersist it in a finally; test
-    # helpers on toy corpora may ignore it
-    ex = ex.persist()
+    # their (pair-sized) results and unpersist it in a finally.
+    # Callers that never materialize — plan-audit lambdas and the
+    # property test's with_cache=False path — pass persist=False so a
+    # dropped handle cannot leak a corpus-sized session cache.
+    if persist:
+        ex = ex.persist()
     hot = (
         ex.groupBy("s")
         .agg(F.count("*").alias("df"))
@@ -606,17 +609,13 @@ def _capped_pair_query(spark, sf_dir, name, builder) -> DataFrame:
     """Materialize-and-release wrapper for the capped-posting-index
     pair queries: the posting cache must not outlive the build (one
     corpus-sized cache per call would accumulate over a session), so
-    the (pair-sized) result is written keyed by scale factor and the
+    the (pair-sized) result is written keyed by corpus path and the
     cache released in a finally."""
-    import os
-
-    from tailsql_spark.plans.catalog import materialize_result
+    from tailsql_spark.plans.catalog import materialize_result, sf_key
 
     df, ex = builder(doc_shingles(spark, sf_dir), with_cache=True)
     try:
-        return materialize_result(
-            df, name, key=os.path.basename(sf_dir.rstrip("/")) or "sf"
-        )
+        return materialize_result(df, name, key=sf_key(sf_dir))
     finally:
         ex.unpersist()
 
@@ -630,7 +629,7 @@ def ngram_jaccard_from_shingles(
     gram and asserts zero pair blowup).  ``with_cache=True``
     additionally returns the posting-cache handle the caller must
     unpersist after consuming the result."""
-    kept, sizes, ex = capped_posting_index(sh, cap=cap)
+    kept, sizes, ex = capped_posting_index(sh, cap=cap, persist=with_cache)
     a, b = kept.alias("a"), kept.alias("b")
     pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -934,7 +933,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def containment_from_shingles(
     sh: DataFrame, cap: int = DF_CAP, with_cache: bool = False
 ):
-    kept, sizes, ex = capped_posting_index(sh, cap=cap)
+    kept, sizes, ex = capped_posting_index(sh, cap=cap, persist=with_cache)
     a, b = kept.alias("a"), kept.alias("b")
     pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") != F.col("b.doc_id")))

@@ -348,7 +348,7 @@ def _pagerank_oracle() -> str:
     "graph-analytics",
     _pagerank_oracle(),
     plan=lambda s, d: _pagerank_ranked(
-        dedup_minhash_lsh(s, d).select("id_a", "id_b")
+        dedup_minhash_lsh(s, d).select("id_a", "id_b"), cache=False
     )[0],
     doc=f"Distributed PageRank ({PR_ITERS} damped power-iteration "
     "steps, d=0.85) over the symmetric MinHash near-dup graph — the "
@@ -364,17 +364,17 @@ def _pagerank_oracle() -> str:
     "textbook Pregel-style PR as pure DataFrame ops.",
 )
 def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
+    from tailsql_spark.plans.catalog import sf_key
 
     return pagerank_fixed(
         dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b"),
-        key=os.path.basename(sf_dir.rstrip("/")) or "sf",
+        key=sf_key(sf_dir),
     )
 
 
-def pagerank_fixed(pairs: DataFrame, key: str = "") -> DataFrame:
+def pagerank_fixed(pairs: DataFrame, key: str = "adhoc") -> DataFrame:
     result, caches = _pagerank_ranked(pairs)
-    # materialize (keyed so two scale factors never alias the same
+    # materialize (keyed so two corpora never alias the same
     # files), then RELEASE the caches in a finally — a failed write
     # must not leak them; the returned frame reads the written files,
     # so unpersisting cannot re-trigger the re-derivation.
@@ -387,7 +387,7 @@ def pagerank_fixed(pairs: DataFrame, key: str = "") -> DataFrame:
             frame.unpersist()
 
 
-def _pagerank_ranked(pairs: DataFrame):
+def _pagerank_ranked(pairs: DataFrame, cache: bool = True):
     """PR_ITERS fixed-point PageRank steps over undirected unique pairs
     ``(id_a, id_b)`` — the query body, factored so the integer
     trajectory is property-testable against a pure-Python reference on
@@ -399,14 +399,19 @@ def _pagerank_ranked(pairs: DataFrame):
     pipeline — the executed plan ballooned to 134 exchanges at sf0.01
     before the cut, 3 iterations re-running MinHash end to end.  All
     three are near-dup-pair-sized (collision-bounded), never
-    corpus-sized, so caching them is safe at any scale."""
-    edges = pairs.select(
+    corpus-sized, so caching them is safe at any scale.  The
+    plan-audit lambda never materializes — it passes ``cache=False``
+    so the dropped handles cannot leak session caches."""
+    def _p(df: DataFrame) -> DataFrame:
+        return df.persist() if cache else df
+
+    edges = _p(pairs.select(
         F.col("id_a").alias("u"), F.col("id_b").alias("v")
     ).unionByName(
         pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
-    ).persist()
-    deg = edges.groupBy("u").agg(F.count("*").alias("deg")).persist()
-    nn = deg.agg(F.count("*").alias("n")).persist()
+    ))
+    deg = _p(edges.groupBy("u").agg(F.count("*").alias("deg")))
+    nn = _p(deg.agg(F.count("*").alias("n")))
     r = deg.crossJoin(F.broadcast(nn)).select(
         "u", F.expr(f"{PR_SCALE} div n").alias("r")
     )
@@ -437,4 +442,4 @@ def _pagerank_ranked(pairs: DataFrame):
             F.col("n").cast("long").alias("n_nodes"),
         )
     )
-    return result, (edges, deg, nn)
+    return result, ((edges, deg, nn) if cache else ())

@@ -1024,15 +1024,12 @@ def _materialized(df: DataFrame, name: str, sf_dir: str) -> DataFrame:
     chain, so without a cache the chain is evaluated twice inside one
     plan; with a bare persist the cache would leak for the session
     (the PageRank lesson).  Write the (top-k-sized) result keyed by
-    scale factor (a second-sf build must not overwrite files a lazy
+    corpus path (a second-corpus build must not overwrite files a lazy
     frame from the first still reads), return the parquet-backed
     frame, let callers unpersist in a finally."""
-    import os
+    from tailsql_spark.plans.catalog import materialize_result, sf_key
 
-    from tailsql_spark.plans.catalog import materialize_result
-
-    key = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    return materialize_result(df, name, key=key)
+    return materialize_result(df, name, key=sf_key(sf_dir))
 
 
 def pq_trained_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1159,7 +1156,7 @@ def _kmeans_multiprobe_oracle() -> str:
     "ann_ivf_kmeans_multiprobe_topk",
     "similarity",
     _kmeans_multiprobe_oracle(),
-    plan=lambda s, d: _kmeans_multiprobe_ranked(s, d)[0],
+    plan=lambda s, d: _kmeans_multiprobe_ranked(s, d, cache=False)[0],
     doc=f"The full production ANN stack certified end-to-end: k-means-"
     "LEARNED cells (the certified Lloyd trajectory) + multiprobe — "
     f"each query searches its {N_PROBES} nearest learned centroids "
@@ -1179,19 +1176,22 @@ def ann_ivf_kmeans_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFram
             frame.unpersist()
 
 
-def _kmeans_multiprobe_ranked(spark: SparkSession, sf_dir: str):
+def _kmeans_multiprobe_ranked(spark: SparkSession, sf_dir: str, cache: bool = True):
     """(ranked, caches): the learned-cell multiprobe computation plan
     plus the Lloyd frames it cached — the query materializes ranked
     and releases the caches; the plan test inspects ranked directly
-    (the materialized frame's plan is just a parquet scan)."""
+    (the materialized frame's plan is just a parquet scan).
+    ``cache=False`` (plan-audit lambdas, which never materialize and
+    drop the handles) skips the persists entirely."""
     from tailsql_spark.operators.mlprep import lloyd_loop
 
     # cells and centroids are both consumed (probes from cent, corp
     # from assigned), each tracing the full Lloyd chain — cache for
     # the build, release after materialization (see ann_ivfpq_topk)
     assigned, cent = lloyd_loop(spark, sf_dir)
-    assigned = assigned.persist()
-    cent = cent.persist()
+    if cache:
+        assigned = assigned.persist()
+        cent = cent.persist()
     probes = _learned_probes(spark, sf_dir, cent)
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"].select(
@@ -1224,7 +1224,7 @@ def _kmeans_multiprobe_ranked(spark: SparkSession, sf_dir: str):
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
     )
-    return ranked, (assigned, cent)
+    return ranked, ((assigned, cent) if cache else ())
 
 
 # ---------------------------------------------------------------------------
@@ -1234,8 +1234,10 @@ def _kmeans_multiprobe_ranked(spark: SparkSession, sf_dir: str):
 RECALL_K = 3  # ivf variants rank top-3; recall is measured at the same k
 # The IVF/IVF-PQ top-k queries rank exactly 3 rows (the literal in their
 # oracles and ranked builders); measuring recall at a larger k would
-# silently cap n_hit at 3 — fail LOUD at import instead.
-assert RECALL_K <= 3, "raise the ranked builders' top-k before RECALL_K"
+# silently cap n_hit at 3 — fail LOUD at import instead.  A real raise,
+# not assert: python -O strips asserts and the cap would go silent.
+if RECALL_K > 3:
+    raise ValueError("raise the ranked builders' top-k before RECALL_K")
 
 
 def _brute_recall_tail(approx_cte: str) -> str:
@@ -1419,7 +1421,7 @@ def _ivfpq_oracle() -> str:
     "ann_ivfpq_topk",
     "similarity",
     _ivfpq_oracle(),
-    plan=lambda s, d: _ivfpq_ranked(s, d)[0],
+    plan=lambda s, d: _ivfpq_ranked(s, d, cache=False)[0],
     doc=f"The COMPLETE production ANN stack (FAISS IVF-PQ shape) "
     "certified end-to-end in one query: k-means-LEARNED coarse cells "
     f"partition the corpus, each query multiprobes its {N_PROBES} "
@@ -1442,18 +1444,20 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             frame.unpersist()
 
 
-def _ivfpq_ranked(spark: SparkSession, sf_dir: str):
+def _ivfpq_ranked(spark: SparkSession, sf_dir: str, cache: bool = True):
     """(ranked, caches): the IVF-PQ computation plan plus the cached
     frames it pins — the query materializes ranked and releases the
-    caches; plan tooling inspects ranked directly."""
+    caches; plan tooling inspects ranked directly with ``cache=False``
+    (it never materializes, so a persist would leak for the session)."""
     from tailsql_spark.operators.mlprep import lloyd_loop
 
     # cells and centroids are BOTH consumed (probes from cent, cands
     # from assigned), each tracing the full 3-iteration Lloyd chain —
     # cache them for the build, release after materialization below
     assigned, cent = lloyd_loop(spark, sf_dir)
-    assigned = assigned.persist()
-    cent = cent.persist()
+    if cache:
+        assigned = assigned.persist()
+        cent = cent.persist()
     probes = _learned_probes(spark, sf_dir, cent)
     cands = (
         assigned.select("vec_id", "cell")
@@ -1461,7 +1465,9 @@ def _ivfpq_ranked(spark: SparkSession, sf_dir: str):
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id")
     )
-    dist = pq_trained_distances(spark, sf_dir).persist()
+    dist = pq_trained_distances(spark, sf_dir)
+    if cache:
+        dist = dist.persist()
     codes = (
         dist.groupBy("vec_id", "m")
         .agg(F.min(F.struct("dist", "code")).alias("mc"))
@@ -1481,7 +1487,7 @@ def _ivfpq_ranked(spark: SparkSession, sf_dir: str):
         adc.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
     )
-    return ranked, (dist, assigned, cent)
+    return ranked, ((dist, assigned, cent) if cache else ())
 
 
 def _ivfpq_recall_oracle() -> str:

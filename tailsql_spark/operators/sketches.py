@@ -50,10 +50,11 @@ BLOOM_M_BITS = 1 << 20
 BLOOM_K = 2
 
 
-def query(name: str, category: str, oracle: str | None, doc: str = ""):
+def query(name: str, category: str, oracle: str | None, doc: str = "", plan=None):
     def deco(fn):
         REGISTRY[name] = QuerySpec(
-            name=name, category=category, build=fn, oracle=oracle, doc=doc or (fn.__doc__ or "")
+            name=name, category=category, build=fn, oracle=oracle,
+            doc=doc or (fn.__doc__ or ""), plan=plan,
         )
         return fn
 
@@ -113,6 +114,7 @@ def bloom_probe(
     "text_contamination_bloom",
     "text-analysis",
     CONTAM_ORACLE,
+    plan=lambda s, d: _contamination_bloom_scored(s, d, cache=False)[0],
     doc="The SAME contamination audit as text_contamination_overlap, "
     "restructured for the 100 TB asymmetry: the TEST-set grams (tiny) "
     "build a broadcast Bloom sketch, the corpus-side gram stream is "
@@ -123,6 +125,25 @@ def bloom_probe(
     "distinct-shuffle of train grams shrinks to (hits + ~1.3% fp).",
 )
 def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    result, caches = _contamination_bloom_scored(spark, sf_dir)
+    # materialize-and-release (the PageRank lesson): the result is
+    # test-set-sized (one row per eval doc), so write it out and drop
+    # both caches in a finally — a bench-headline query must not leak
+    # two session-lifetime caches per run.
+    from tailsql_spark.plans.catalog import materialize_result, sf_key
+
+    try:
+        return materialize_result(result, "text_contamination_bloom", key=sf_key(sf_dir))
+    finally:
+        for frame in caches:
+            frame.unpersist()
+
+
+def _contamination_bloom_scored(spark: SparkSession, sf_dir: str, cache: bool = True):
+    """(result, caches): the sketch-pruned contamination computation
+    plus the frames it pins — the query materializes result and
+    releases the caches; the plan audit passes ``cache=False`` (it
+    never materializes, so a persist would leak for the session)."""
     from tailsql_spark.plans.catalog import load_documents_sized
 
     # bytes-sized split: the gram builder is an interpreted HOF and the
@@ -141,12 +162,15 @@ def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode_outer(contam_gram_arr()).alias("g"))
         .filter(F.col("g").isNotNull())
         .distinct()
-        .persist()
     )
+    if cache:
+        test_grams = test_grams.persist()
     # the word table itself is ≤ m_bits/64 rows (~128 KB): persist so
     # the k broadcast builds in bloom_probe share one aggregation
     # instead of each recomputing the sketch from the raw documents.
-    sketch = bloom_build(test_grams.select("g").distinct(), "g").persist()
+    sketch = bloom_build(test_grams.select("g").distinct(), "g")
+    if cache:
+        sketch = sketch.persist()
     # corpus side: NO distinct before the sketch — pruning first is the
     # whole point; the survivors (test-hit grams + fp) are then distinct
     # and exact-joined exactly like the unsketched operator.
@@ -159,7 +183,7 @@ def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # survivors are (hits + ~1.3% fp) of the EVAL-set gram space — tiny
     # at any corpus size — so the exact join broadcasts them and the
     # test-gram side never shuffles.
-    return (
+    result = (
         test_grams.join(F.broadcast(train_surv.withColumn("hit", F.lit(1))), "g", "left")
         .groupBy("doc_id")
         .agg(
@@ -170,6 +194,7 @@ def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contamination_pct"),
         )
     )
+    return result, ((test_grams, sketch) if cache else ())
 
 
 # ---------------------------------------------------------------------------

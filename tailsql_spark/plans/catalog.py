@@ -229,7 +229,21 @@ _CATALOG_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
 _ACTIVE_VIEWS: dict[int, str] = {}
 
 
-def materialize_result(df: DataFrame, name: str, key: str = "") -> DataFrame:
+def sf_key(sf_dir: str) -> str:
+    """Collision-safe namespace key for a corpus directory: readable
+    basename + short hash of the FULL path.  Two corpora whose
+    directories share a basename (``/a/sf0.1`` vs ``/b/sf0.1``) must
+    not alias the same materialized files — a still-lazy frame from
+    the first build would silently read the second's data."""
+    import hashlib
+    import os
+
+    path = os.path.abspath(sf_dir.rstrip("/"))
+    base = os.path.basename(path) or "sf"
+    return f"{base}-{hashlib.sha1(path.encode()).hexdigest()[:8]}"
+
+
+def materialize_result(df: DataFrame, name: str, key: str) -> DataFrame:
     """Materialize a final result into a SESSION-OWNED directory via a
     distributed parquet write and return the parquet-backed DataFrame.
 
@@ -240,14 +254,15 @@ def materialize_result(df: DataFrame, name: str, key: str = "") -> DataFrame:
     real scale the result is corpus-proportional, so it must never
     funnel through the driver — this is the distributed alternative.
     """
+    # ``key`` namespaces the destination (corpus callers pass
+    # sf_key(sf_dir)): without it, building the same query for a
+    # SECOND corpus would overwrite the files a still-lazy frame from
+    # the first build reads — stale/missing data with no error.
+    if not key:
+        raise ValueError("materialize_result requires a non-empty namespace key")
     spark = df.sparkSession
     wh = spark.conf.get("spark.sql.warehouse.dir")
-    # ``key`` namespaces the destination (callers pass the sf-dir
-    # basename): without it, building the same query for a SECOND
-    # scale factor would overwrite the files a still-lazy frame from
-    # the first build reads — stale/missing data with no error.
-    sub = f"{name}_{key}" if key else name
-    dest = f"{wh.rstrip('/')}/tailsql_results/{sub}"
+    dest = f"{wh.rstrip('/')}/tailsql_results/{name}_{key}"
     df.write.mode("overwrite").parquet(dest)
     return spark.read.parquet(dest)
 
