@@ -561,3 +561,76 @@ def test_sorted_layout_rowgroup_stats_enable_skipping(spark, oracle_sf_dir):
     assert 0 < matching < total_rgs         # the range skips most of them
     p = _plan(REGISTRY["sink_sorted_rowgroup_skipping"].build(spark, oracle_sf_dir))
     assert "l_shipdate" in p.split("PushedFilters", 1)[1][:300], p
+
+
+# ---------------------------------------------------------------------------
+# ANN index QUALITY floors: recall regressions must fail CI, not ship
+# ---------------------------------------------------------------------------
+
+def _mean_recall(df) -> float:
+    rows = df.collect()
+    assert rows, "recall frame is empty"
+    return sum(r.recall for r in rows) / len(rows)
+
+
+def test_learned_ivf_recall_floor(spark, oracle_sf_dir):
+    """The certified recall metric gains a QUALITY gate: the oracle only
+    proves Spark and DuckDB compute the same recall — a seed or probe
+    change could degrade the index with every hash still matching.
+    Measured 0.80 at sf0.01; floor at 0.7."""
+    from tailsql_spark.plans.registry import REGISTRY
+
+    mean = _mean_recall(REGISTRY["ann_ivf_recall_at_k"].build(spark, oracle_sf_dir))
+    assert mean >= 0.7, f"learned-IVF recall@3 degraded: {mean:.3f} < 0.7"
+
+
+def test_multiprobe_recall_at_least_own_cell(spark, oracle_sf_dir):
+    """Multiprobe's candidate set is a superset of own-cell IVF's (probe
+    1 is provably the query's own cell), so its recall can never be
+    lower — if it is, the probe selection broke."""
+    from pyspark.sql import functions as F
+
+    from tailsql_spark.operators.similarity import (
+        RECALL_K,
+        _kmeans_multiprobe_ranked,
+        _recall_vs_brute,
+    )
+    from tailsql_spark.plans.registry import REGISTRY
+
+    ivf = _mean_recall(REGISTRY["ann_ivf_recall_at_k"].build(spark, oracle_sf_dir))
+    mp3 = (
+        _kmeans_multiprobe_ranked(spark, oracle_sf_dir, cache=False)[0]
+        .filter(F.col("rnk") <= RECALL_K)
+        .select("query_id", "neighbor_id")
+    )
+    mp = _mean_recall(_recall_vs_brute(spark, oracle_sf_dir, mp3))
+    assert mp >= ivf, f"multiprobe recall {mp:.3f} < own-cell IVF {ivf:.3f}"
+    assert mp >= 0.7, f"multiprobe recall@3 degraded: {mp:.3f} < 0.7"
+
+
+def test_recall_gate_fires_on_degraded_index(spark, oracle_sf_dir):
+    """Prove the floor can FAIL: feed the shared recall metric a
+    deliberately degraded index (the brute-force *worst* 3 neighbors
+    per query — what a broken distance or seed collapse produces) and
+    assert the measured recall lands far below the floor.  Guards
+    against the metric being vacuously 1.0."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from tailsql_spark.operators.similarity import (
+        RECALL_K,
+        _recall_vs_brute,
+        _scored,
+    )
+
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").asc(), F.col("neighbor_id").desc()
+    )
+    worst3 = (
+        _scored(spark, oracle_sf_dir)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= RECALL_K)
+        .select("query_id", "neighbor_id")
+    )
+    degraded = _mean_recall(_recall_vs_brute(spark, oracle_sf_dir, worst3))
+    assert degraded < 0.3, f"degraded index scored {degraded:.3f} — gate is vacuous"
