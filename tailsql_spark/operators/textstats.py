@@ -35,10 +35,11 @@ _PUNCT_RE = r"[.,!?;:]"
 _BPE_TOKEN_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
 
 
-def query(name: str, category: str, oracle: str | None, doc: str = ""):
+def query(name: str, category: str, oracle: str | None, doc: str = "", plan=None):
     def deco(fn):
         REGISTRY[name] = QuerySpec(
-            name=name, category=category, build=fn, oracle=oracle, doc=doc or (fn.__doc__ or "")
+            name=name, category=category, build=fn, oracle=oracle,
+            doc=doc or (fn.__doc__ or ""), plan=plan,
         )
         return fn
 
@@ -790,3 +791,222 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# iterated BPE training: the full tokenizer-vocabulary merge loop
+# ---------------------------------------------------------------------------
+
+#: merge steps in the certified training loop — enough to exercise the
+#: re-pairing semantics (a merged symbol must be able to win a LATER
+#: step, e.g. (aa, a) after (a, a)); the oracle unrolls one CTE block
+#: per step, so keep it Lloyd-sized.
+BPE_MERGES = 3
+
+
+def _bpe_step_ctes(r: int) -> str:
+    """One unrolled DuckDB merge step: best pair by (count desc, pair
+    asc), greedy left-to-right non-overlapping merge via island parity
+    (see ``_bpe_apply_merge`` for the shared semantics)."""
+    return f"""
+    b{r} AS (
+        SELECT sym AS l, nxt AS r2, SUM(cnt) AS n FROM e{r} WHERE nxt IS NOT NULL
+        GROUP BY sym, nxt ORDER BY n DESC, sym ASC, nxt ASC LIMIT 1
+    ),
+    m{r} AS (
+        SELECT w, pos FROM (
+            SELECT w, pos, pos - MIN(pos) OVER (PARTITION BY w, grp) AS off
+            FROM (
+                SELECT e.w, e.pos,
+                       e.pos - ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY e.pos) AS grp
+                FROM e{r} e, b{r} b
+                WHERE e.sym = b.l AND e.nxt = b.r2
+            )
+        ) WHERE off % 2 = 0
+    ),
+    ne{r} AS (
+        SELECT e.w, e.cnt, e.pos,
+               CASE WHEN ml.pos IS NOT NULL THEN e.sym || e.nxt ELSE e.sym END AS sym
+        FROM e{r} e
+        LEFT JOIN m{r} ml ON ml.w = e.w AND ml.pos = e.pos
+        LEFT JOIN m{r} mr ON mr.w = e.w AND mr.pos = e.pos - 1
+        WHERE mr.pos IS NULL
+    ),
+    e{r + 1} AS (
+        SELECT w, cnt,
+               ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS pos, sym,
+               LEAD(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+        FROM ne{r}
+    )"""
+
+
+def _bpe_train_oracle() -> str:
+    head = r"""
+    WITH words AS (
+        SELECT w, COUNT(*) AS cnt FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+            FROM documents
+        ) WHERE len(w) >= 2 GROUP BY w
+    ),
+    e1 AS (
+        SELECT w, cnt, i AS pos, substring(w, CAST(i AS INT), 1) AS sym,
+               CASE WHEN i < len(w) THEN substring(w, CAST(i + 1 AS INT), 1) END AS nxt
+        FROM words, unnest(generate_series(1, len(w))) AS t(i)
+    ),"""
+    tail = " UNION ALL ".join(
+        f"SELECT {r} AS step, l AS pair_left, r2 AS pair_right,"
+        f" l || r2 AS merged, CAST(n AS BIGINT) AS n FROM b{r}"
+        for r in range(1, BPE_MERGES + 1)
+    )
+    return (
+        head
+        + ",".join(_bpe_step_ctes(r) for r in range(1, BPE_MERGES + 1))
+        + f"\n    SELECT * FROM ({tail}) ORDER BY step"
+    )
+
+
+def _bpe_apply_merge(e: DataFrame, best: DataFrame) -> DataFrame:
+    """Apply one BPE merge to the exploded symbol table ``e`` ``(w, cnt,
+    pos, sym, nxt)`` given the 1-row winning pair ``best (l, r2, n)``.
+
+    Greedy left-to-right NON-overlapping semantics, declaratively: a
+    position merges iff it matches the pair AND sits at an even offset
+    within its maximal run of consecutive matches (runs only exist when
+    l = r2 — for l ≠ r2 adjacent matches would force l = r2).  Right
+    halves of merged pairs are dropped via an equi anti-condition, then
+    positions are RENUMBERED contiguous (row_number per word) before the
+    per-word LEAD recomputes the successor — the run/right-half logic
+    above joins on ``pos ± 1``, so contiguity is an invariant every step
+    must restore, not a nicety (a gapped pos after step k would let the
+    right half of a step-k+1 merge survive as a phantom symbol).  All
+    per-word windows are vocab-keyed (the word-TYPE table, never the
+    corpus), the classic BPE trick that makes training
+    corpus-size-independent."""
+    matches = e.join(
+        F.broadcast(best), (e.sym == best.l) & (e.nxt == best.r2)
+    ).select("w", "pos")
+    wrn = W.partitionBy("w").orderBy("pos")
+    m = (
+        matches.withColumn("grp", F.col("pos") - F.row_number().over(wrn))
+        .withColumn("off", F.col("pos") - F.min("pos").over(W.partitionBy("w", "grp")))
+        .filter(F.col("off") % 2 == 0)
+        .select("w", F.col("pos").alias("mpos"))
+    )
+    ml = m.select("w", F.col("mpos").alias("pos"), F.lit(1).alias("mleft"))
+    mr = m.select("w", (F.col("mpos") + 1).alias("pos"), F.lit(1).alias("mright"))
+    ne = (
+        e.join(ml, ["w", "pos"], "left")
+        .join(mr, ["w", "pos"], "left")
+        .filter(F.col("mright").isNull())
+        .select(
+            "w", "cnt", "pos",
+            F.when(F.col("mleft").isNotNull(), F.concat("sym", "nxt"))
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+        )
+    )
+    return (
+        ne.withColumn("pos", F.row_number().over(wrn))
+        .withColumn("nxt", F.lead("sym").over(wrn))
+    )
+
+
+def _bpe_train_frames(spark: SparkSession, sf_dir: str, cache: bool = True):
+    """(merges, caches) over the ``documents`` corpus — see
+    :func:`bpe_train_merges` for the loop itself."""
+    t = load_tables(spark, sf_dir)
+    words = (
+        t["documents"]
+        .select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return bpe_train_merges(words, cache=cache)
+
+
+def bpe_train_merges(
+    words: DataFrame, n_steps: int = BPE_MERGES, cache: bool = True
+):
+    """(merges, caches): the n_steps BPE training trajectory over a
+    ``(w, cnt)`` word-frequency frame, plus the per-step symbol tables
+    it pins.  Each step's exploded table is consumed ~4× (pair count,
+    match probe, two merge joins) and the NEXT step re-derives from it,
+    so without the cut step r re-runs everything back to the corpus
+    scan r times over.  The plan audit and the property test pass
+    ``cache=False`` (they never materialize).  Factored off the corpus
+    so the merge semantics are property-testable against a pure-Python
+    BPE reference on arbitrary word sets."""
+    wrn = W.partitionBy("w").orderBy("pos")
+    e = (
+        words.select(
+            "w", "cnt",
+            F.posexplode(
+                F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+            ).alias("pos0", "sym"),
+        )
+        .select("w", "cnt", (F.col("pos0") + 1).alias("pos"), "sym")
+        .withColumn("nxt", F.lead("sym").over(wrn))
+    )
+    caches: list[DataFrame] = []
+    steps: list[DataFrame] = []
+    for step in range(1, BPE_MERGES + 1):
+        if cache:
+            e = e.persist()
+            caches.append(e)
+        best = (
+            e.filter(F.col("nxt").isNotNull())
+            .groupBy(F.col("sym").alias("l"), F.col("nxt").alias("r2"))
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), F.asc("l"), F.asc("r2"))
+            .limit(1)
+        )
+        if cache:
+            best = best.persist()
+            caches.append(best)
+        steps.append(
+            best.select(
+                F.lit(step).alias("step"),
+                F.col("l").alias("pair_left"),
+                F.col("r2").alias("pair_right"),
+                F.concat("l", "r2").alias("merged"),
+                F.col("n").cast("long").alias("n"),
+            )
+        )
+        if step < BPE_MERGES:
+            e = _bpe_apply_merge(e, best)
+    merges = steps[0]
+    for s in steps[1:]:
+        merges = merges.unionByName(s)
+    return merges.orderBy("step"), tuple(caches)
+
+
+@query(
+    "text_bpe_train",
+    "text-analysis",
+    _bpe_train_oracle(),
+    plan=lambda s, d: _bpe_train_frames(s, d, cache=False)[0],
+    doc=f"The ITERATED BPE training loop ({BPE_MERGES} merge steps), "
+    "trajectory-certified like ann_kmeans_lloyd: each step counts "
+    "corpus-weighted adjacent symbol-pair frequencies over the distinct "
+    "WORD-TYPE table, picks the winner deterministically (count desc, "
+    "pair asc) and applies the greedy non-overlapping merge so the new "
+    "symbol re-pairs in the NEXT step — the vocabulary-evolution table "
+    "(step, pair, merged, count) hash-matches DuckDB's unrolled-CTE "
+    "replay exactly (integer counts, lexicographic ties). Scale: the "
+    "symbol table is vocab-sized (distinct words × chars), NEVER "
+    "corpus-sized — the one corpus-wide pass is the word groupBy; each "
+    "step is one map-combined pair agg + a broadcast 1-row winner + "
+    "per-word windows on the vocab key. Merge semantics (runs of a "
+    "repeated symbol merge left-to-right, non-overlapping) are the "
+    "island-parity rule, identical in both engines.",
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges, caches = _bpe_train_frames(spark, sf_dir)
+    from tailsql_spark.plans.catalog import materialize_result, sf_key
+
+    try:
+        return materialize_result(merges, "text_bpe_train", key=sf_key(sf_dir))
+    finally:
+        for frame in caches:
+            frame.unpersist()

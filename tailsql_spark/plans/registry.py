@@ -77,7 +77,11 @@ GRADED_WINDOW: tuple[str, ...] = (
     "scalar_date_funcs",
     "scalar_math_funcs",
     "array_hof_ops",                # array / map / json
-    "json_struct_parse",
+    # r7: json_struct_parse rotated to the local gate (array_hof_ops
+    # keeps the array/map/json category repped) to make room for the
+    # previously-unrepresented storage-layout family's flagship — the
+    # zero-exchange bucketed co-located join
+    "join_bucketed_colocated",
     "subquery_correlated",          # subqueries
     "cte_top_supplier",             # CTEs
     # event-time windows + event analytics
@@ -97,7 +101,11 @@ GRADED_WINDOW: tuple[str, ...] = (
     "stream_session_append",        # r4: append mode + watermark — sessions
     #   emitted once, state dropped (the 100 TB state-bounding shape)
     "stream_dedup_exact",
-    "stream_hourly_rollup_daily",
+    # r7: stream_hourly_rollup_daily rotated to the local gate (the
+    # cascaded-rollup shape is a cousin of stream_tumbling_counts) for
+    # the r6 streaming flagship — the FULL curation DAG incremental,
+    # certified ≡ the batch composition via one shared oracle
+    "stream_curation_survivors",
     "stream_interval_join",         # r2 addition: stream-stream interval join
     # similarity / ANN candidate generation (r2 addition)
     "ann_signlsh_bucket_pairs",
@@ -109,8 +117,11 @@ GRADED_WINDOW: tuple[str, ...] = (
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_lsh_verified",
-    "dedup_clusters",               # r3: transitive closure of near-dup pairs
-    #   (iterative min-label propagation; recursive-CTE oracle)
+    # r7: dedup_clusters rotated to the local gate (incremental CC stays
+    # hard-graded via stream_dedup_clusters above) for the stronger
+    # iterative-graph certification — fixed-point integer PageRank over
+    # the near-dup graph
+    "graph_pagerank_neardup",
     # similarity / ANN
     "ann_cosine_topk_arrow",        # §2D Arrow pandas-UDF path
     # r6: the seeded ann_ivf_topk row upgraded to the COMPLETE IVF-PQ
@@ -120,7 +131,10 @@ GRADED_WINDOW: tuple[str, ...] = (
     "ann_ivfpq_topk",
     # text analysis
     "text_langid",
-    "text_tfidf_topk",
+    # r7: text_tfidf_topk rotated to the local gate for the round's
+    # LLM-pipeline flagship — the ITERATED BPE training loop,
+    # trajectory-certified against DuckDB's unrolled-CTE replay
+    "text_bpe_train",
     # multimodal (mapInPandas over binary payloads)
     "multimodal_feature_extract",
     # skew handling

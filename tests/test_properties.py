@@ -259,3 +259,55 @@ def test_capped_ngram_jaccard_matches_python_reference(spark, data):
         for r in ngram_jaccard_from_shingles(sh, cap=CAP).collect()
     }
     assert got == expected
+
+
+@settings(
+    max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(data=st.data())
+def test_bpe_train_matches_python_reference(spark, data):
+    """The iterated BPE training loop == a pure-Python greedy BPE (count
+    desc / pair-lex-asc winner, left-to-right non-overlapping merge) on
+    random word-frequency tables over a tiny alphabet.  The 2-char
+    alphabet forces repeated-symbol runs and multi-step re-merges
+    ("aaaa" → (a,a) then (aa,aa)) — exactly the shapes where the
+    island-parity + pos-renumbering rules can silently diverge from
+    greedy semantics (a gapped pos lets a phantom right-half survive;
+    this test is what caught that)."""
+    from tailsql_spark.operators.textstats import BPE_MERGES, bpe_train_merges
+
+    alphabet = st.sampled_from("ab")
+    n_words = data.draw(st.integers(1, 5))
+    words: dict[str, int] = {}
+    for _ in range(n_words):
+        w = "".join(data.draw(st.lists(alphabet, min_size=2, max_size=6)))
+        words[w] = words.get(w, 0) + data.draw(st.integers(1, 9))
+
+    syms = {w: list(w) for w in words}
+    expected = []
+    for step in range(1, BPE_MERGES + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, s in syms.items():
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + words[w]
+        if not counts:
+            continue
+        (left, right), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((step, left, right, left + right, n))
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+
+    wdf = spark.createDataFrame(list(words.items()), "w string, cnt long")
+    merges, _ = bpe_train_merges(wdf, cache=False)
+    got = [
+        (r.step, r.pair_left, r.pair_right, r.merged, r.n) for r in merges.collect()
+    ]
+    assert got == expected
