@@ -62,6 +62,58 @@ def _staged(df: DataFrame, tag: str) -> str:
     return path
 
 
+def _resolve_state_root(tag: str, state_root: str | None) -> tuple[str, bool]:
+    """Where an incremental operator keeps its persistent state (index
+    parquet dir families + the streaming checkpoint). Returns
+    ``(root, owned)``.
+
+    Default (``state_root=None``): a fresh LOCAL tempdir OWNED by this
+    run — the grading/test mode; the operator deletes it after
+    materializing its result.  With an explicit root (a shared path or
+    a ``hdfs://`` / ``s3a://`` / ``file://`` URI): a CALLER-owned
+    location that survives the run, so a later run resumes the same
+    index and checkpoint — the production incremental mode.  All state
+    I/O below the root goes through Spark's Hadoop-FS-aware
+    readers/writers plus the `_fs_list`/`_fs_rmtree` dispatchers, so
+    the same certified code path serves local disk and object stores.
+    One root belongs to ONE logical pipeline instance: the checkpoint
+    under it pins the source the stream reads, so reuse means
+    "continue this pipeline", never "share between pipelines".  Layout
+    under the root: SCALING.md, "Incremental state layout"."""
+    if state_root is not None:
+        return state_root.rstrip("/"), False
+    return tempfile.mkdtemp(prefix=f"tailsql_{tag}_state_"), True
+
+
+def _fs_list(root: str) -> list[str]:
+    """Child names under ``root`` — POSIX listdir for plain paths, the
+    Hadoop FileSystem API for URI roots (hdfs/s3a/file), resolved via
+    the active session's JVM.  foreachBatch processors run on the
+    driver, so the JVM handle is always available where this is
+    called."""
+    if "://" not in root:
+        import os
+
+        return os.listdir(root)
+    spark = SparkSession.getActiveSession()
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(root)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return [st.getPath().getName() for st in fs.listStatus(jpath)]
+
+
+def _fs_rmtree(path: str) -> None:
+    """Recursive delete — shutil for plain paths, Hadoop FS for URIs."""
+    if "://" not in path:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        return
+    spark = SparkSession.getActiveSession()
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(jpath, True)
+
+
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → readStream → 1h tumbling window counts, complete mode."""
     t = load_tables(spark, sf_dir)
@@ -531,19 +583,14 @@ def _mh_state_paths(root: str, exclude_bid: int | None = None) -> list:
     schema seed), excluding ``b{exclude_bid}`` — a replayed batch must
     see the index exactly as it stood BEFORE its original run.
 
-    LOCAL-FS assumption (shared by _latest_snapshot_path and
-    _prune_snapshots): snapshot-dir listing and pruning use POSIX
-    primitives (os.listdir / shutil.rmtree), which is correct here
-    because foreachBatch runs these on the driver against driver-local
-    state roots. On a cluster whose state roots live on a DFS, swap
-    these three helpers for the Hadoop FileSystem API
-    (jvm.org.apache.hadoop.fs.FileSystem.get) — the snapshot layout,
-    numeric-id rule, and replay discipline transfer unchanged; only the
-    list/delete calls are FS-specific."""
-    import os
-
+    Listing/pruning go through `_fs_list`/`_fs_rmtree` (shared by
+    _latest_snapshot_path and _prune_snapshots): POSIX primitives for
+    plain local roots, the Hadoop FileSystem API for `hdfs://` /
+    `s3a://` / `file://` state roots — the snapshot layout, numeric-id
+    rule, and replay discipline are identical on both; only the
+    list/delete dispatch is FS-specific."""
     paths = [f"{root}/seed"]
-    for d in sorted(os.listdir(root)):
+    for d in sorted(_fs_list(root)):
         # exclusion compares PARSED numeric ids, the same rule as
         # _latest_snapshot_path: a name-format comparison would fail to
         # exclude a dir written with a different pad width (e.g. b7 for
@@ -687,7 +734,9 @@ def _mh_seed_state(docs, state_root: str) -> tuple:
     return ex_root, sig_root, out_root
 
 
-def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_dedup_minhash(
+    spark: SparkSession, sf_dir: str, state_root: str | None = None
+) -> DataFrame:
     """INCREMENTAL near-duplicate detection over a document stream:
     each micro-batch MinHash-fingerprints its new docs, probes them
     against the ACCUMULATED band index (new-vs-history + new-vs-new),
@@ -724,7 +773,7 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = tempfile.mkdtemp(prefix="tailsql_stream_mhdedup_")
     docs.repartition(4).write.mode("overwrite").parquet(src_dir)
 
-    state_root = tempfile.mkdtemp(prefix="tailsql_mhdedup_state_")
+    state_root, _owned_state = _resolve_state_root("mhdedup", state_root)
     ex_root, sig_root, out_root = _mh_seed_state(docs, state_root)
     process = _minhash_batch_processor(ex_root, sig_root, out_root)
 
@@ -746,7 +795,8 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.read.parquet(*_mh_state_paths(out_root))
     out = _persist_result(result, "stream_dedup_minhash")
     shutil.rmtree(src_dir, ignore_errors=True)
-    shutil.rmtree(state_root, ignore_errors=True)
+    if _owned_state:
+        _fs_rmtree(state_root)
     return out
 
 
@@ -782,14 +832,12 @@ def _latest_snapshot_path(root: str, exclude_bid: int | None) -> str:
     freeze the snapshot pick in a long-running stream. Shared by the
     incremental clustering (label snapshots) and incremental ANN
     (top-k snapshots) processors."""
-    import os
-
     # keep (id, listed name) pairs: the path returned must be the dir
     # that actually exists, not a reconstruction from one writer's pad
     # width (a b7 or b0000007 writer would otherwise break the read)
     bids = sorted(
         (int(d[1:]), d)
-        for d in os.listdir(root)
+        for d in _fs_list(root)
         if d.startswith("b") and d[1:].isdigit()
         and (exclude_bid is None or int(d[1:]) < exclude_bid)
     )
@@ -803,12 +851,9 @@ def _prune_snapshots(root: str, keep_from_bid: int) -> None:
     pruning, a long-running stream accumulates one full-state copy per
     micro-batch and the 'bounded state' claim silently becomes
     O(batches)."""
-    import os
-    import shutil
-
-    for d in os.listdir(root):
+    for d in _fs_list(root):
         if d.startswith("b") and d[1:].isdigit() and int(d[1:]) < keep_from_bid:
-            shutil.rmtree(f"{root}/{d}", ignore_errors=True)
+            _fs_rmtree(f"{root}/{d}")
 
 
 def _cc_batch_processor(edges_root: str, labels_root: str):
@@ -837,7 +882,9 @@ def _cc_batch_processor(edges_root: str, labels_root: str):
     return process
 
 
-def stream_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_dedup_clusters(
+    spark: SparkSession, sf_dir: str, state_root: str | None = None
+) -> DataFrame:
     """INCREMENTAL transitive near-dup clustering: the certified
     MinHash pair set streams in micro-batches and the component labels
     are MAINTAINED, not recomputed — each batch seeds min-label
@@ -869,7 +916,7 @@ def stream_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4 staged files + maxFilesPerTrigger=1 → 4 genuine micro-batches
     pairs.repartition(4).write.mode("overwrite").parquet(src_dir)
 
-    state_root = tempfile.mkdtemp(prefix="tailsql_cc_state_")
+    state_root, _owned_state = _resolve_state_root("cc", state_root)
     edges_root = f"{state_root}/edges"
     labels_root = f"{state_root}/labels"
     pairs.limit(0).write.mode("overwrite").parquet(f"{edges_root}/seed")
@@ -901,7 +948,8 @@ def stream_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _persist_result(result, "stream_dedup_clusters")
     shutil.rmtree(src_dir, ignore_errors=True)
-    shutil.rmtree(state_root, ignore_errors=True)
+    if _owned_state:
+        _fs_rmtree(state_root)
     return out
 
 
@@ -991,7 +1039,9 @@ def _ann_batch_processor(topk_root: str, queries_path: str, seeds_path: str):
     return process
 
 
-def stream_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_ann_topk(
+    spark: SparkSession, sf_dir: str, state_root: str | None = None
+) -> DataFrame:
     """INCREMENTAL ANN serving index: the corpus streams in and each
     micro-batch updates the per-query IVF top-3 — assign new vectors
     to their coarse cell, score only the queries sharing the cell,
@@ -1019,7 +1069,7 @@ def stream_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"].select("vec_id", "embedding")
-    state_root = tempfile.mkdtemp(prefix="tailsql_ann_state_")
+    state_root, _owned_state = _resolve_state_root("ann", state_root)
     topk_root = f"{state_root}/topk"
 
     # fixed model parameters: coarse-cell seed vectors and the query
@@ -1070,7 +1120,8 @@ def stream_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _persist_result(final, "stream_ann_topk")
     shutil.rmtree(src_dir, ignore_errors=True)
-    shutil.rmtree(state_root, ignore_errors=True)
+    if _owned_state:
+        _fs_rmtree(state_root)
     return out
 
 
@@ -1144,7 +1195,9 @@ def _doc_5grams(docs: DataFrame) -> DataFrame:
     )
 
 
-def stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_contamination(
+    spark: SparkSession, sf_dir: str, state_root: str | None = None
+) -> DataFrame:
     """INCREMENTAL train/test decontamination audit: the TRAIN split
     streams in and each micro-batch updates the per-test-doc overlap —
     only grams entering the training corpus for the FIRST time probe
@@ -1167,7 +1220,7 @@ def stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_docs = docs.filter(F.col("is_test")).select("doc_id", "text")
     train_docs = docs.filter(~F.col("is_test")).select("doc_id", "text")
 
-    state_root = tempfile.mkdtemp(prefix="tailsql_contam_state_")
+    state_root, _owned_state = _resolve_state_root("contam", state_root)
     train_root = f"{state_root}/train_grams"
     hits_root = f"{state_root}/hits"
     test_grams = _doc_5grams(test_docs)
@@ -1218,7 +1271,8 @@ def stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _persist_result(result, "stream_contamination")
     shutil.rmtree(src_dir, ignore_errors=True)
-    shutil.rmtree(state_root, ignore_errors=True)
+    if _owned_state:
+        _fs_rmtree(state_root)
     return out
 
 
@@ -1336,7 +1390,9 @@ def _semdedup_batch_processor(members_root: str, snap_root: str, cent_path: str)
     return process
 
 
-def stream_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_dedup_semantic(
+    spark: SparkSession, sf_dir: str, state_root: str | None = None
+) -> DataFrame:
     """INCREMENTAL SemDeDup: keep/prune labels maintained as the
     embedding corpus streams in, certified equal to the batch
     ``dedup_semantic`` via the same per-cell oracle. Completes the
@@ -1356,7 +1412,7 @@ def stream_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"].select("vec_id", "embedding")
-    state_root = tempfile.mkdtemp(prefix="tailsql_semdedup_state_")
+    state_root, _owned_state = _resolve_state_root("semdedup", state_root)
     members_root = f"{state_root}/members"
     snap_root = f"{state_root}/snap"
     cent_path = f"{state_root}/centroids"
@@ -1398,7 +1454,8 @@ def stream_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _persist_result(final, "stream_dedup_semantic")
     shutil.rmtree(src_dir, ignore_errors=True)
-    shutil.rmtree(state_root, ignore_errors=True)
+    if _owned_state:
+        _fs_rmtree(state_root)
     return out
 
 
@@ -1487,7 +1544,9 @@ def _substr_batch_processor(pos_root: str, dup_root: str, pending_root: str):
     return process
 
 
-def stream_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_substring_spans(
+    spark: SparkSession, sf_dir: str, state_root: str | None = None
+) -> DataFrame:
     """INCREMENTAL duplicated-substring span detection: documents
     stream in and the duplicated-gram set is MAINTAINED — each gram is
     flagged exactly once, in the micro-batch where its corpus-wide
@@ -1518,7 +1577,7 @@ def stream_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from tailsql_spark.operators.dedup import doc_pos_grams, spans_from_flagged
 
-    state_root = tempfile.mkdtemp(prefix="tailsql_substr_state_")
+    state_root, _owned_state = _resolve_state_root("substr", state_root)
     pos_root = f"{state_root}/pos"
     dup_root = f"{state_root}/dup"
     pending_root = f"{state_root}/pending"
@@ -1552,7 +1611,8 @@ def stream_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     dpos = pos.join(dup, "g").select("doc_id", "pos")
     out = _persist_result(spans_from_flagged(dpos), "stream_substring_spans")
     shutil.rmtree(src_dir, ignore_errors=True)
-    shutil.rmtree(state_root, ignore_errors=True)
+    if _owned_state:
+        _fs_rmtree(state_root)
     return out
 
 
@@ -1612,7 +1672,9 @@ def _curation_batch_processor(mh_process, cc_process, attrs_root: str, out_root:
     return process
 
 
-def stream_curation_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_curation_survivors(
+    spark: SparkSession, sf_dir: str, state_root: str | None = None
+) -> DataFrame:
     """The COMPLETE curation DAG maintained INCREMENTALLY: documents
     stream in micro-batches; per batch the quality gate appends its
     passing docs' attributes, MinHash pair discovery probes the
@@ -1637,7 +1699,7 @@ def stream_curation_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4 staged files + maxFilesPerTrigger=1 → 4 genuine micro-batches
     docs.repartition(4).write.mode("overwrite").parquet(src_dir)
 
-    state_root = tempfile.mkdtemp(prefix="tailsql_curation_state_")
+    state_root, _owned_state = _resolve_state_root("curation", state_root)
     ex_root, sig_root, out_root = _mh_seed_state(docs.select("doc_id", "text"), state_root)
     edges_root = f"{state_root}/edges"
     labels_root = f"{state_root}/labels"
@@ -1682,7 +1744,8 @@ def stream_curation_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = survivor_budgets(cleaned, labels)
     out = _persist_result(result, "stream_curation_survivors")
     shutil.rmtree(src_dir, ignore_errors=True)
-    shutil.rmtree(state_root, ignore_errors=True)
+    if _owned_state:
+        _fs_rmtree(state_root)
     return out
 
 

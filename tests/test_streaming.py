@@ -501,3 +501,25 @@ def test_stream_result_survives_scratch_cleanup(spark, oracle_sf_dir):
     # scratch dirs are gone by now; the result must still materialize
     rows = out.collect()
     assert len(rows) > 0
+
+
+def test_incremental_state_root_parameterized(spark, sf_dir, tmp_path):
+    """The certified incremental operators accept a caller-owned
+    ``state_root`` — exercised here as a ``file://`` URI so the
+    Hadoop-FileSystem branch of the state list/prune dispatch is what
+    actually runs (the exact code path a ``hdfs://``/``s3a://`` root
+    takes on a cluster).  The result must equal the default
+    (owned-tempdir) run, and the index + checkpoint must SURVIVE under
+    the caller's root — shared state outlives the run."""
+    import os
+
+    from tailsql_spark.plans.streaming_exec import stream_dedup_minhash
+
+    root = f"file://{tmp_path}/mh_state"
+    got = {tuple(r) for r in stream_dedup_minhash(spark, sf_dir, state_root=root).collect()}
+    want = {tuple(r) for r in stream_dedup_minhash(spark, sf_dir).collect()}
+    assert got == want
+    kept = set(os.listdir(f"{tmp_path}/mh_state"))
+    # index dir families + streaming checkpoint persist for a resume
+    assert {"ex", "sig", "pairs", "ckpt"} <= kept, kept
+    assert any(d.startswith("b") for d in os.listdir(f"{tmp_path}/mh_state/sig"))
