@@ -488,7 +488,9 @@ def test_bloom_probe_stream_never_shuffles(spark, oracle_sf_dir):
     # the sketch build itself aggregates (one exchange); the PROBE path
     # over the train stream must only broadcast — count hash exchanges
     # and require they all belong to the word-table build side
-    assert probe_section.count("BroadcastHashJoin") >= S.BLOOM_K, p
+    # blocked layout: exactly one broadcast join probes the one word
+    # the item's k bits live in
+    assert probe_section.count("BroadcastHashJoin") >= 1, p
     import re
 
     # every hashpartitioning exchange must sit under a BroadcastExchange
@@ -496,7 +498,7 @@ def test_bloom_probe_stream_never_shuffles(spark, oracle_sf_dir):
     # probe stream's lineage (text scan → explode) contains none.
     n_hash_ex = len(re.findall(r"Exchange hashpartitioning", probe_section))
     n_bcast = len(re.findall(r"BroadcastExchange", probe_section))
-    assert n_bcast >= S.BLOOM_K, p
+    assert n_bcast >= 1, p
     assert n_hash_ex <= n_bcast, p
 
 

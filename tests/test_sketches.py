@@ -30,8 +30,8 @@ def test_bloom_no_false_negatives_and_bounded_fp(spark):
 def test_bloom_word_table_is_tiny(spark):
     member = spark.range(0, 5000).select(F.col("id").cast("string").alias("v"))
     words = bloom_build(member, "v").collect()
-    # ≤ one row per 64-bit word, and ≤ k·n words ever touched
-    assert len(words) <= min((1 << 20) // 64, 2 * 5000)
+    # ≤ one row per 64-bit word, and (blocked layout) ≤ n words touched
+    assert len(words) <= min((1 << 20) // 64, 5000)
     assert all(r.word != 0 for r in words)
 
 
