@@ -220,7 +220,7 @@ def grouped_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMEANS_ITERS = 3  # assignments under c0, c1, c2 (2 centroid updates)
 
 
-def kmeans_cte_parts() -> list[str]:
+def kmeans_cte_parts(src: str = "embeddings", pre: str = "") -> list[str]:
     """Unrolled CTE chain for KMEANS_ITERS Lloyd steps, ending with the
     final assignment ``a{KMEANS_ITERS}`` (trailing comma on every part,
     so callers can append further CTEs and a final SELECT).  Shared by
@@ -234,9 +234,9 @@ def kmeans_cte_parts() -> list[str]:
     exactly (no float-summation-order hazard anywhere)."""
     d = EMBED_DIM
     parts = [
-        "WITH e AS (SELECT vec_id, list_transform(embedding,"
+        f"WITH {pre}e AS (SELECT vec_id, list_transform(embedding,"
         " x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS e"
-        " FROM embeddings),",
+        f" FROM {src}),",
         f"c0 AS (SELECT vec_id AS cell, e AS c FROM e WHERE vec_id < {N_CELLS}),",
     ]
     for r in range(1, KMEANS_ITERS + 1):
@@ -346,17 +346,15 @@ def assign_quantized(emb: DataFrame, cent: DataFrame) -> DataFrame:
     return scored.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
 
 
-def lloyd_loop(spark: SparkSession, sf_dir: str):
+def lloyd_loop(spark: SparkSession, sf_dir: str, raw: DataFrame | None = None):
     """KMEANS_ITERS Lloyd steps; returns ``(assigned, cent)`` — the
     final integer-distance assignment ``(vec_id, cell, dist)`` and the
     centroids it was computed under.  The Spark twin of
     :func:`kmeans_cte_parts`; ann_kmeans_lloyd certifies the trajectory,
     and ann_ivf_kmeans_topk (operators/similarity.py) composes the
     assignment as its learned IVF partitioning."""
-    t = load_tables(spark, sf_dir)
-    emb = t["embeddings"].select(
-        "vec_id", quantize_embedding("embedding").alias("e")
-    )
+    base = raw if raw is not None else load_tables(spark, sf_dir)["embeddings"]
+    emb = base.select("vec_id", quantize_embedding("embedding").alias("e"))
     cent = emb.filter(F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").alias("cell"), F.col("e").alias("c")
     )

@@ -92,9 +92,11 @@ _BRUTE_ORACLE = f"""
 """
 
 
-def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir)
-    emb = t["embeddings"].select(
+def _scored(
+    spark: SparkSession, sf_dir: str, raw: DataFrame | None = None
+) -> DataFrame:
+    base = raw if raw is not None else load_tables(spark, sf_dir)["embeddings"]
+    emb = base.select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     ).withColumn("nrm", norm(F.col("v")))
     q = (
@@ -847,12 +849,14 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_adc_rank(cand)
 
 
-def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_subvectors(
+    spark: SparkSession, sf_dir: str, raw: DataFrame | None = None
+) -> DataFrame:
     """(vec_id, m, sv): ×1e6-quantized BIGINT subvectors, one row per
     (vector, subspace) — the shared input of the seeded and the
     Lloyd-trained PQ builds."""
-    t = load_tables(spark, sf_dir)
-    e = t["embeddings"].select(
+    base = raw if raw is not None else load_tables(spark, sf_dir)["embeddings"]
+    e = base.select(
         "vec_id",
         F.expr(
             "transform(embedding, x -> cast(round(cast(x as double) * 1000000, 0) as bigint))"
@@ -919,7 +923,7 @@ def _pq_adc_rank(cand: DataFrame) -> DataFrame:
 PQ_KMEANS_ITERS = 3
 
 
-def _pq_kmeans_cte_parts(prefix: str = "") -> list[str]:
+def _pq_kmeans_cte_parts(prefix: str = "", src: str = "embeddings") -> list[str]:
     """CTE chain (no ``WITH``, trailing commas) for per-subspace
     k-means codebook training — the subspace id ``m`` rides through
     every CTE as an extra grouping key, so ONE chain trains all
@@ -935,7 +939,7 @@ def _pq_kmeans_cte_parts(prefix: str = "") -> list[str]:
     parts = [
         f"{p}e AS (SELECT vec_id, list_transform(embedding,"
         " x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v"
-        " FROM embeddings),",
+        f" FROM {src}),",
         f"{p}ms AS (SELECT unnest(range({PQ_M})) AS m),",
         f"{p}sub AS (SELECT vec_id, {p}ms.m,"
         f" {p}e.v[{p}ms.m * {PQ_DSUB} + 1 : {p}ms.m * {PQ_DSUB} + {PQ_DSUB}] AS sv"
@@ -1032,13 +1036,15 @@ def _materialized(df: DataFrame, name: str, sf_dir: str) -> DataFrame:
     return materialize_result(df, name, key=sf_key(sf_dir))
 
 
-def pq_trained_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pq_trained_distances(
+    spark: SparkSession, sf_dir: str, raw: DataFrame | None = None
+) -> DataFrame:
     """Train the per-subspace codebooks (PQ_KMEANS_ITERS Lloyd steps)
     and return the FINAL distance table ``(vec_id, m, code, dist)`` —
     codes and query LUTs both derive from it.  The Spark twin of
     ``_pq_kmeans_cte_parts``; shared by ann_pq_kmeans_topk and the
     composed IVF-PQ stack."""
-    sub = _pq_subvectors(spark, sf_dir)
+    sub = _pq_subvectors(spark, sf_dir, raw)
     cb = sub.filter(F.col("vec_id") < PQ_CODES).select(
         "m", F.col("vec_id").alias("code"), F.col("sv").alias("cv")
     )
@@ -1072,7 +1078,9 @@ def pq_trained_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multiprobe over LEARNED cells (the full production ANN stack)
 # ---------------------------------------------------------------------------
 
-def _learned_probes(spark: SparkSession, sf_dir: str, cent: DataFrame) -> DataFrame:
+def _learned_probes(
+    spark: SparkSession, sf_dir: str, cent: DataFrame, raw: DataFrame | None = None
+) -> DataFrame:
     """(query_id, cell): each query's N_PROBES nearest LEARNED
     centroids, selected by the SAME exact-integer distance the Lloyd
     assignment used (ties -> lower cell) — probe 1 is therefore
@@ -1081,9 +1089,9 @@ def _learned_probes(spark: SparkSession, sf_dir: str, cent: DataFrame) -> DataFr
     diverge between them or their oracles."""
     from tailsql_spark.operators.mlprep import quantize_embedding
 
-    t = load_tables(spark, sf_dir)
+    base = raw if raw is not None else load_tables(spark, sf_dir)["embeddings"]
     eq = (
-        t["embeddings"]
+        base
         .filter(F.col("vec_id") < N_QUERIES)
         .select("vec_id", quantize_embedding("embedding").alias("e"))
     )
@@ -1240,19 +1248,19 @@ if RECALL_K > 3:
     raise ValueError("raise the ranked builders' top-k before RECALL_K")
 
 
-def _brute_recall_tail(approx_cte: str) -> str:
+def _brute_recall_tail(approx_cte: str, src: str = "embeddings") -> str:
     """qb/brute_scored/brute3 CTEs + the final recall SELECT, joined
     against ``approx_cte`` (a CTE yielding (query_id, neighbor_id)
     top-RECALL_K rows).  THE single definition of the ground-truth
     side and the recall arithmetic, shared by every recall oracle."""
     return f"""
-    qb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+    qb AS (SELECT vec_id, embedding FROM {src} WHERE vec_id < {N_QUERIES}),
     brute_scored AS (
         SELECT qb.vec_id AS query_id, cc.vec_id AS neighbor_id,
                ROUND({_DUCK_DOT.format(a='qb.embedding', b='cc.embedding')}
                      / ({_DUCK_NORM.format(a='qb.embedding')}
                         * {_DUCK_NORM.format(a='cc.embedding')}), 4) AS cosine
-        FROM qb JOIN embeddings cc ON cc.vec_id <> qb.vec_id
+        FROM qb JOIN {src} cc ON cc.vec_id <> qb.vec_id
     ),
     brute3 AS (
         SELECT query_id, neighbor_id FROM (
@@ -1269,14 +1277,16 @@ def _brute_recall_tail(approx_cte: str) -> str:
     GROUP BY b.query_id"""
 
 
-def _recall_vs_brute(spark: SparkSession, sf_dir: str, approx3: DataFrame) -> DataFrame:
+def _recall_vs_brute(
+    spark: SparkSession, sf_dir: str, approx3: DataFrame, raw: DataFrame | None = None
+) -> DataFrame:
     """Spark twin of :func:`_brute_recall_tail`: join an approximate
     top-RECALL_K frame (query_id, neighbor_id) against brute-force
     cosine ground truth and aggregate per-query recall.  Shared by
     every recall metric so rounding/tie rules cannot drift."""
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     brute3 = (
-        _scored(spark, sf_dir)
+        _scored(spark, sf_dir, raw)
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= RECALL_K)
         .select("query_id", "neighbor_id")
@@ -1350,7 +1360,7 @@ def ann_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF-PQ: the complete production ANN stack in one certified query
 # ---------------------------------------------------------------------------
 
-def _ivfpq_adc_cte_parts() -> list[str]:
+def _ivfpq_adc_cte_parts(src: str = "embeddings", pre: str = "") -> list[str]:
     """THE single SQL definition of the composed IVF-PQ index: Lloyd
     cell CTEs + 'p'-prefixed PQ-training CTEs + probes/cands/lut/adc,
     ending after ``adc`` (no trailing comma).  Shared by the top-k
@@ -1362,8 +1372,8 @@ def _ivfpq_adc_cte_parts() -> list[str]:
         kmeans_cte_parts,
     )
 
-    parts = kmeans_cte_parts()
-    parts.extend(_pq_kmeans_cte_parts(prefix="p"))
+    parts = kmeans_cte_parts(src=src, pre=pre)
+    parts.extend(_pq_kmeans_cte_parts(prefix="p", src=src))
     ka, kc = f"a{KMEANS_ITERS}", f"c{KMEANS_ITERS - 1}"
     pd, pa = f"pd{PQ_KMEANS_ITERS}", f"pa{PQ_KMEANS_ITERS}"
     intdist = (
@@ -1444,7 +1454,9 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             frame.unpersist()
 
 
-def _ivfpq_ranked(spark: SparkSession, sf_dir: str, cache: bool = True):
+def _ivfpq_ranked(
+    spark: SparkSession, sf_dir: str, cache: bool = True, raw: DataFrame | None = None
+):
     """(ranked, caches): the IVF-PQ computation plan plus the cached
     frames it pins — the query materializes ranked and releases the
     caches; plan tooling inspects ranked directly with ``cache=False``
@@ -1454,18 +1466,18 @@ def _ivfpq_ranked(spark: SparkSession, sf_dir: str, cache: bool = True):
     # cells and centroids are BOTH consumed (probes from cent, cands
     # from assigned), each tracing the full 3-iteration Lloyd chain —
     # cache them for the build, release after materialization below
-    assigned, cent = lloyd_loop(spark, sf_dir)
+    assigned, cent = lloyd_loop(spark, sf_dir, raw=raw)
     if cache:
         assigned = assigned.persist()
         cent = cent.persist()
-    probes = _learned_probes(spark, sf_dir, cent)
+    probes = _learned_probes(spark, sf_dir, cent, raw=raw)
     cands = (
         assigned.select("vec_id", "cell")
         .join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id")
     )
-    dist = pq_trained_distances(spark, sf_dir)
+    dist = pq_trained_distances(spark, sf_dir, raw=raw)
     if cache:
         dist = dist.persist()
     codes = (
@@ -1537,3 +1549,101 @@ def ann_ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rnk") <= RECALL_K
     ).select("query_id", "neighbor_id")
     return _recall_vs_brute(spark, sf_dir, ivfpq3)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ recall on SEPARABLE structure: the recovery demonstration
+# ---------------------------------------------------------------------------
+
+#: The structured slice plants groups of STRUCT_GROUP vectors around a
+#: shared center with weight STRUCT_W: cos(within-group) ≈ W²/(W²+1)
+#: ≈ 0.96 vs cross-group ≈ the base corpus's noise floor.  Group size 4
+#: makes each query's true top-3 exactly its groupmates — the geometry
+#: a curated near-dup corpus actually has, and the one the r6 sweep
+#: predicted PQ recovers (numpy pre-check at this geometry: 0.97).
+STRUCT_GROUP = 4
+STRUCT_W = 5
+
+
+def _struct_semb_cte() -> str:
+    """The structured-corpus CTE, derived DETERMINISTICALLY from the
+    embeddings table in pure SQL (both engines compute the identical
+    doubles: int×double product + one sum, each correctly rounded):
+    vector v = W·center(v) + base(v), center(v) = embeddings[v ÷ G]."""
+    from tailsql_spark.operators.mlprep import EMBED_DIM
+
+    return (
+        f"semb AS (SELECT b.vec_id, list_transform(generate_series(1, {EMBED_DIM}),"
+        f" i -> {STRUCT_W} * CAST(c.embedding[i] AS DOUBLE)"
+        " + CAST(b.embedding[i] AS DOUBLE)) AS embedding"
+        f" FROM embeddings b JOIN embeddings c ON c.vec_id = b.vec_id // {STRUCT_GROUP}), "
+    )
+
+
+def structured_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of :func:`_struct_semb_cte`: (vec_id, embedding) with
+    planted group structure.  One self-equi-join on the group id — at
+    corpus scale this shuffles once on a dense integer key; the derived
+    frame feeds the UNCHANGED IVF-PQ builders via their ``raw`` hook."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select("vec_id", "embedding")
+    c = e.select(F.col("vec_id").alias("gid"), F.col("embedding").alias("cemb"))
+    comb = F.zip_with(
+        "cemb", "embedding",
+        lambda a, b: F.lit(float(STRUCT_W)) * a.cast("double") + b.cast("double"),
+    )
+    return (
+        e.withColumn("gid", F.expr(f"vec_id DIV {STRUCT_GROUP}"))
+        .join(c, "gid")
+        .select("vec_id", comb.alias("embedding"))
+    )
+
+
+def _ivfpq_structured_recall_oracle() -> str:
+    """The SAME composed IVF-PQ chain and the SAME ground-truth tail as
+    ann_ivfpq_recall_at_k, pointed at the structured CTE — only the
+    corpus changes, never the index or the metric."""
+    parts = _ivfpq_adc_cte_parts(src="semb", pre=_struct_semb_cte())
+    parts.append(
+        f""",
+    ivfpq3 AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY adc_dist, neighbor_id) AS rnk FROM adc)
+        WHERE rnk <= {RECALL_K}
+    ),{_brute_recall_tail('ivfpq3', src='semb')}"""
+    )
+    return "\n".join(parts)
+
+
+@query(
+    "ann_ivfpq_recall_structured",
+    "similarity",
+    _ivfpq_structured_recall_oracle(),
+    doc=f"recall@{RECALL_K} of the UNCHANGED IVF-PQ stack on a corpus "
+    "with SEPARABLE structure (planted groups of "
+    f"{STRUCT_GROUP} around shared centers, weight {STRUCT_W}) — the "
+    "counterpart to ann_ivfpq_recall_at_k's ~0.17 on noise-floor "
+    "cosines: same cells, same codebooks, same ADC, same ground-truth "
+    "rule; only the corpus differs, and recall recovers to ~0.97 "
+    "(floor-gated ≥ 0.6 in pytest). Together the two metrics certify "
+    "the r6 diagnosis: the compressed stack's loss was a corpus "
+    "property, not a pipeline defect. The structured corpus is itself "
+    "derived in-plan from the embeddings table (deterministic doubles "
+    "in both engines), so the whole demonstration is cross-engine "
+    "certified end to end.",
+)
+def ann_ivfpq_recall_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = structured_embeddings(spark, sf_dir).persist()
+    ranked, caches = _ivfpq_ranked(spark, sf_dir, raw=raw)
+    try:
+        top3 = _materialized(
+            ranked.filter(F.col("rnk") <= RECALL_K).select("query_id", "neighbor_id"),
+            "ann_ivfpq_recall_structured_top3",
+            sf_dir,
+        )
+        return _recall_vs_brute(spark, sf_dir, top3, raw=raw)
+    finally:
+        for frame in caches:
+            frame.unpersist()
+        raw.unpersist()

@@ -636,3 +636,18 @@ def test_recall_gate_fires_on_degraded_index(spark, oracle_sf_dir):
     )
     degraded = _mean_recall(_recall_vs_brute(spark, oracle_sf_dir, worst3))
     assert degraded < 0.3, f"degraded index scored {degraded:.3f} — gate is vacuous"
+
+
+def test_ivfpq_recall_recovers_on_structured_corpus(spark, oracle_sf_dir):
+    """The r6 diagnosis, now a gate: the same compressed IVF-PQ stack
+    that lands ~0.17 on noise-floor cosines must land ≥ 0.6 on the
+    planted-group corpus (measured 0.967 at sf0.01) — quantization
+    loses noise-floor rankings, not separable structure.  If this
+    floor fires while the unstructured metric is unchanged, the index
+    pipeline itself regressed."""
+    from tailsql_spark.plans.registry import REGISTRY
+
+    mean = _mean_recall(
+        REGISTRY["ann_ivfpq_recall_structured"].build(spark, oracle_sf_dir)
+    )
+    assert mean >= 0.6, f"IVF-PQ structured recall degraded: {mean:.3f} < 0.6"
