@@ -912,7 +912,7 @@ def _bpe_apply_merge(e: DataFrame, best: DataFrame) -> DataFrame:
 
 
 def _bpe_train_frames(spark: SparkSession, sf_dir: str, cache: bool = True):
-    """(merges, caches) over the ``documents`` corpus — see
+    """(merges, final_syms, caches) over the ``documents`` corpus — see
     :func:`bpe_train_merges` for the loop itself."""
     t = load_tables(spark, sf_dir)
     words = (
@@ -928,15 +928,18 @@ def _bpe_train_frames(spark: SparkSession, sf_dir: str, cache: bool = True):
 def bpe_train_merges(
     words: DataFrame, n_steps: int = BPE_MERGES, cache: bool = True
 ):
-    """(merges, caches): the n_steps BPE training trajectory over a
-    ``(w, cnt)`` word-frequency frame, plus the per-step symbol tables
-    it pins.  Each step's exploded table is consumed ~4× (pair count,
-    match probe, two merge joins) and the NEXT step re-derives from it,
-    so without the cut step r re-runs everything back to the corpus
-    scan r times over.  The plan audit and the property test pass
-    ``cache=False`` (they never materialize).  Factored off the corpus
-    so the merge semantics are property-testable against a pure-Python
-    BPE reference on arbitrary word sets."""
+    """(merges, final_syms, caches): the n_steps BPE training trajectory
+    over a ``(w, cnt)`` word-frequency frame, the symbol table AFTER the
+    last merge (the trained vocabulary's segmentation of every word —
+    what tokenization applies), and the per-step tables the chain pins.
+    Each step's exploded table is consumed ~4× (pair count, match probe,
+    two merge joins) and the NEXT step re-derives from it, so without
+    the cut step r re-runs everything back to the corpus scan r times
+    over.  ``final_syms`` is lazy — the train query never pays for the
+    last application; only the tokenizer does.  The plan audit and the
+    property test pass ``cache=False`` (they never materialize).
+    Factored off the corpus so the merge semantics are property-testable
+    against a pure-Python BPE reference on arbitrary word sets."""
     wrn = W.partitionBy("w").orderBy("pos")
     e = (
         words.select(
@@ -950,7 +953,7 @@ def bpe_train_merges(
     )
     caches: list[DataFrame] = []
     steps: list[DataFrame] = []
-    for step in range(1, BPE_MERGES + 1):
+    for step in range(1, n_steps + 1):
         if cache:
             e = e.persist()
             caches.append(e)
@@ -973,12 +976,11 @@ def bpe_train_merges(
                 F.col("n").cast("long").alias("n"),
             )
         )
-        if step < BPE_MERGES:
-            e = _bpe_apply_merge(e, best)
+        e = _bpe_apply_merge(e, best)
     merges = steps[0]
     for s in steps[1:]:
         merges = merges.unionByName(s)
-    return merges.orderBy("step"), tuple(caches)
+    return merges.orderBy("step"), e, tuple(caches)
 
 
 @query(
@@ -1002,11 +1004,85 @@ def bpe_train_merges(
     "island-parity rule, identical in both engines.",
 )
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    merges, caches = _bpe_train_frames(spark, sf_dir)
+    merges, _final, caches = _bpe_train_frames(spark, sf_dir)
     from tailsql_spark.plans.catalog import materialize_result, sf_key
 
     try:
         return materialize_result(merges, "text_bpe_train", key=sf_key(sf_dir))
+    finally:
+        for frame in caches:
+            frame.unpersist()
+
+
+def _bpe_tokenize_oracle() -> str:
+    """Per-doc subword token counts under the trained vocabulary: the
+    train chain's ``e{BPE_MERGES+1}`` IS the vocabulary's segmentation
+    of every word type — count symbols per word, weight by the doc's
+    word instances (words below the training length floor count 1)."""
+    head = r"""
+    WITH words AS (
+        SELECT w, COUNT(*) AS cnt FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+            FROM documents
+        ) WHERE len(w) >= 2 GROUP BY w
+    ),
+    e1 AS (
+        SELECT w, cnt, i AS pos, substring(w, CAST(i AS INT), 1) AS sym,
+               CASE WHEN i < len(w) THEN substring(w, CAST(i + 1 AS INT), 1) END AS nxt
+        FROM words, unnest(generate_series(1, len(w))) AS t(i)
+    ),"""
+    tail = f"""
+    nsyms AS (SELECT w, COUNT(*) AS n_sym FROM e{BPE_MERGES + 1} GROUP BY w),
+    dwords AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents
+    )
+    SELECT d.doc_id,
+           CAST(SUM(CASE WHEN len(d.w) >= 2 THEN ns.n_sym ELSE 1 END) AS BIGINT)
+               AS n_tokens
+    FROM dwords d LEFT JOIN nsyms ns ON ns.w = d.w
+    WHERE len(d.w) >= 1
+    GROUP BY d.doc_id"""
+    return head + ",".join(_bpe_step_ctes(r) for r in range(1, BPE_MERGES + 1)) + "," + tail
+
+
+@query(
+    "text_bpe_tokenize",
+    "text-analysis",
+    _bpe_tokenize_oracle(),
+    doc=f"Tokenizer INFERENCE under the trained BPE vocabulary: the "
+    f"{BPE_MERGES}-step training chain's final symbol table is the "
+    "vocabulary's segmentation of every word TYPE; per-doc subword "
+    "token counts are one corpus word pass joined to that vocab-sized "
+    "table (words under the length floor count 1 token). Train + apply "
+    "in one certified composition — the oracle replays the identical "
+    "chain and weights by word instances. Scale: training stays "
+    "vocab-sized; inference is one corpus pass + a broadcast "
+    "vocab join + one doc_id agg — the exact shape of production "
+    "tokenizer counting jobs.",
+)
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _merges, final_syms, caches = _bpe_train_frames(spark, sf_dir)
+    from tailsql_spark.plans.catalog import materialize_result, sf_key
+
+    t = load_tables(spark, sf_dir)
+    nsyms = final_syms.groupBy("w").agg(F.count("*").alias("n_sym"))
+    dwords = (
+        t["documents"]
+        .select("doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"))
+        .filter(F.length("w") >= 1)
+    )
+    out = (
+        dwords.join(F.broadcast(nsyms), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.length("w") >= 2, F.col("n_sym")).otherwise(F.lit(1))
+            ).cast("long").alias("n_tokens")
+        )
+    )
+    try:
+        return materialize_result(out, "text_bpe_tokenize", key=sf_key(sf_dir))
     finally:
         for frame in caches:
             frame.unpersist()

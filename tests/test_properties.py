@@ -306,8 +306,14 @@ def test_bpe_train_matches_python_reference(spark, data):
             syms[w] = out
 
     wdf = spark.createDataFrame(list(words.items()), "w string, cnt long")
-    merges, _ = bpe_train_merges(wdf, cache=False)
+    merges, final_syms, _ = bpe_train_merges(wdf, cache=False)
     got = [
         (r.step, r.pair_left, r.pair_right, r.merged, r.n) for r in merges.collect()
     ]
     assert got == expected
+    # the post-training segmentation (what tokenization applies) must
+    # equal the python reference's final symbol lists, order included
+    got_syms: dict[str, list[str]] = {}
+    for r in final_syms.orderBy("w", "pos").collect():
+        got_syms.setdefault(r.w, []).append(r.sym)
+    assert got_syms == syms

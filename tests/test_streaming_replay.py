@@ -591,3 +591,66 @@ def test_curation_processor_replay_idempotent(spark, oracle_sf_dir):
         assert got == want
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_minhash_shared_root_continues_across_runs(spark, oracle_sf_dir, tmp_path):
+    """The production incremental mode the r7 state_root parameter
+    exists for: run the stream over an initial corpus slice against a
+    SHARED state root, then — in a completely separate invocation
+    reusing the same root — land new data and run again.  The second
+    run must resume the checkpoint (only the new files process), probe
+    the new docs against the PERSISTED index, and end with the pair set
+    equal to the batch operator over the full corpus."""
+    import os
+
+    from tailsql_spark.operators.dedup import REGISTRY as _DEDUP
+    from tailsql_spark.plans.catalog import load_tables
+    from tailsql_spark.plans.streaming_exec import (
+        _await_or_raise,
+        _mh_seed_state,
+        _mh_state_paths,
+        _minhash_batch_processor,
+    )
+
+    docs = load_tables(spark, oracle_sf_dir)["documents"].select("doc_id", "text")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    rest = docs.filter(F.col("doc_id") % 2 == 1)
+
+    root = str(tmp_path / "shared_state")
+    src = f"{root}/src"  # source lives under the root: one pipeline, one tree
+    ex_root, sig_root, out_root = _mh_seed_state(docs, root)
+    process = _minhash_batch_processor(ex_root, sig_root, out_root)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            _await_or_raise(q, "shared-root minhash run")
+        finally:
+            q.stop()
+
+    half.repartition(2).write.mode("append").parquet(src)
+    run_once()
+    n_batches_first = sum(d.startswith("b") for d in os.listdir(sig_root))
+    first = _pairs(spark.read.parquet(*_mh_state_paths(out_root)))
+
+    rest.repartition(2).write.mode("append").parquet(src)
+    run_once()
+    n_batches_second = sum(d.startswith("b") for d in os.listdir(sig_root))
+
+    got = _pairs(spark.read.parquet(*_mh_state_paths(out_root)))
+    want = _pairs(_DEDUP["dedup_minhash_lsh"].build(spark, oracle_sf_dir))
+    assert got == want, f"extra={got - want}, missing={want - got}"
+    # the second invocation RESUMED: new batch dirs appended, the first
+    # run's emissions preserved verbatim
+    assert n_batches_second > n_batches_first > 0
+    assert first <= got
