@@ -1616,10 +1616,25 @@ def _ivfpq_structured_recall_oracle() -> str:
     return "\n".join(parts)
 
 
+def _structured_recall_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncached computation plan for the audit tooling: the full
+    structured-corpus IVF-PQ recall chain with zero persists and no
+    materialized scans, so the de-optimization gates inspect the real
+    computation."""
+    raw = structured_embeddings(spark, sf_dir)
+    top3 = (
+        _ivfpq_ranked(spark, sf_dir, cache=False, raw=raw)[0]
+        .filter(F.col("rnk") <= RECALL_K)
+        .select("query_id", "neighbor_id")
+    )
+    return _recall_vs_brute(spark, sf_dir, top3, raw=raw)
+
+
 @query(
     "ann_ivfpq_recall_structured",
     "similarity",
     _ivfpq_structured_recall_oracle(),
+    plan=_structured_recall_plan,
     doc=f"recall@{RECALL_K} of the UNCHANGED IVF-PQ stack on a corpus "
     "with SEPARABLE structure (planted groups of "
     f"{STRUCT_GROUP} around shared centers, weight {STRUCT_W}) — the "

@@ -1046,25 +1046,11 @@ def _bpe_tokenize_oracle() -> str:
     return head + ",".join(_bpe_step_ctes(r) for r in range(1, BPE_MERGES + 1)) + "," + tail
 
 
-@query(
-    "text_bpe_tokenize",
-    "text-analysis",
-    _bpe_tokenize_oracle(),
-    doc=f"Tokenizer INFERENCE under the trained BPE vocabulary: the "
-    f"{BPE_MERGES}-step training chain's final symbol table is the "
-    "vocabulary's segmentation of every word TYPE; per-doc subword "
-    "token counts are one corpus word pass joined to that vocab-sized "
-    "table (words under the length floor count 1 token). Train + apply "
-    "in one certified composition — the oracle replays the identical "
-    "chain and weights by word instances. Scale: training stays "
-    "vocab-sized; inference is one corpus pass + a broadcast "
-    "vocab join + one doc_id agg — the exact shape of production "
-    "tokenizer counting jobs.",
-)
-def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _merges, final_syms, caches = _bpe_train_frames(spark, sf_dir)
-    from tailsql_spark.plans.catalog import materialize_result, sf_key
-
+def _bpe_tokenize_counts(spark: SparkSession, sf_dir: str, cache: bool = True):
+    """(out, caches): the tokenize computation (pre-materialization) —
+    the plan audit passes ``cache=False`` so it inspects the real
+    computation, not a materialized scan, and leaks no persists."""
+    _merges, final_syms, caches = _bpe_train_frames(spark, sf_dir, cache=cache)
     t = load_tables(spark, sf_dir)
     nsyms = final_syms.groupBy("w").agg(F.count("*").alias("n_sym"))
     dwords = (
@@ -1081,6 +1067,29 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_tokens")
         )
     )
+    return out, caches
+
+
+@query(
+    "text_bpe_tokenize",
+    "text-analysis",
+    _bpe_tokenize_oracle(),
+    plan=lambda s, d: _bpe_tokenize_counts(s, d, cache=False)[0],
+    doc=f"Tokenizer INFERENCE under the trained BPE vocabulary: the "
+    f"{BPE_MERGES}-step training chain's final symbol table is the "
+    "vocabulary's segmentation of every word TYPE; per-doc subword "
+    "token counts are one corpus word pass joined to that vocab-sized "
+    "table (words under the length floor count 1 token). Train + apply "
+    "in one certified composition — the oracle replays the identical "
+    "chain and weights by word instances. Scale: training stays "
+    "vocab-sized; inference is one corpus pass + a broadcast "
+    "vocab join + one doc_id agg — the exact shape of production "
+    "tokenizer counting jobs.",
+)
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, caches = _bpe_tokenize_counts(spark, sf_dir)
+    from tailsql_spark.plans.catalog import materialize_result, sf_key
+
     try:
         return materialize_result(out, "text_bpe_tokenize", key=sf_key(sf_dir))
     finally:
