@@ -1011,3 +1011,141 @@ def corpus_curation_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleaned = corpus_clean_pipeline(spark, sf_dir)
     labels = connected_components(dedup_minhash_lsh(spark, sf_dir))
     return survivor_budgets(cleaned, labels)
+
+
+# ---------------------------------------------------------------------------
+# quality-percentile gating and per-source caps (web-corpus curation)
+# ---------------------------------------------------------------------------
+
+#: Integer quality score shared by the percentile gate and the source
+#: cap: whitespace tokens ×1000 + distinct tokens.  Pure-integer so the
+#: thresholds and rankings certify exactly cross-engine.
+def _quality_score():
+    t = F.trim("text")
+    distinct_toks = F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.array_distinct(F.split(F.lower(t), r"\s+")))
+    )
+    return (_n_tokens() * 1000 + distinct_toks).cast("long")
+
+
+_QSCORE_SQL = r"""(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END) * 1000
+         + (CASE WHEN trim(text) = '' THEN 0
+              ELSE len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) END)"""
+
+PCTL_GATE = 0.25  # drop the bottom quartile per language
+
+
+@query(
+    "corpus_quality_percentile_gate",
+    "corpus",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, lang, CAST({_QSCORE_SQL} AS BIGINT) AS score
+        FROM documents
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY lang
+                       ORDER BY score, doc_id) AS rnk,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM scored
+    ),
+    thresh AS (
+        SELECT lang, score AS threshold
+        FROM ranked WHERE rnk = CAST(ceil({PCTL_GATE} * n) AS BIGINT)
+    )
+    SELECT s.lang, t.threshold,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN s.score >= t.threshold THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept
+    FROM scored s JOIN thresh t USING (lang)
+    GROUP BY 1, 2
+    """,
+    doc=f"Per-language quality-percentile gating: the EXACT rank-based "
+    f"P{int(PCTL_GATE * 100)} of an integer quality score (tokens ×1000 "
+    "+ distinct tokens) becomes each language's admission threshold; "
+    "docs at or above it survive. Rank-based, all-integer — thresholds "
+    "and counts certify exactly cross-engine (quantile interpolation "
+    "would not). Scale: one scoring scan, one per-lang rank to find "
+    "the threshold row, then the thresholds (|langs| rows) broadcast "
+    "back over the scan — the corpus never shuffles twice. With very "
+    "few languages the rank shuffle is skewed; at 100 TB swap the "
+    "exact rank for approx_percentile per key (same plan shape, "
+    "documented trade), or salt the rank by score bucket.",
+)
+def corpus_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    scored = t["documents"].select("doc_id", "lang", _quality_score().alias("score"))
+    wl = W.partitionBy("lang").orderBy(F.asc("score"), F.asc("doc_id"))
+    ranked = scored.withColumn("rnk", F.row_number().over(wl)).withColumn(
+        "n", F.count("*").over(W.partitionBy("lang"))
+    )
+    thresh = ranked.filter(
+        F.col("rnk") == F.ceil(F.lit(PCTL_GATE) * F.col("n")).cast("long")
+    ).select("lang", F.col("score").alias("threshold"))
+    return (
+        scored.join(F.broadcast(thresh), "lang")
+        .groupBy("lang", "threshold")
+        .agg(
+            F.count("*").cast("long").alias("n_total"),
+            F.sum((F.col("score") >= F.col("threshold")).cast("long"))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )
+
+
+SOURCE_CAP = 5  # max admitted docs per source
+
+
+@query(
+    "corpus_source_cap",
+    "corpus",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, source, CAST({_QSCORE_SQL} AS BIGINT) AS score,
+               (CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END) AS n_tokens
+        FROM documents
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY source
+                       ORDER BY score DESC, doc_id) AS rnk
+        FROM scored
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN rnk <= {SOURCE_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(SUM(CASE WHEN rnk <= {SOURCE_CAP} THEN n_tokens ELSE 0 END) AS BIGINT)
+               AS tokens_kept
+    FROM ranked GROUP BY source
+    """,
+    doc=f"Per-source document caps (the anti-domination rule of web "
+    f"corpora: no source contributes more than {SOURCE_CAP} docs): rank "
+    "each source's docs by the shared integer quality score (desc, "
+    "doc_id tiebreak) and admit the top "
+    f"{SOURCE_CAP}. Scale: one scoring scan + one rank window on the "
+    "source key + the same-keyed aggregation riding that shuffle — one "
+    "exchange total. Hot sources (the reason the cap exists) are "
+    "bounded by the rank itself; a pre-aggregation per (source, score "
+    "bucket) salts the pathological single-source skew if needed.",
+)
+def corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    scored = t["documents"].select(
+        "doc_id",
+        "source",
+        _quality_score().alias("score"),
+        _n_tokens().cast("long").alias("n_tokens"),
+    )
+    ws = W.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = scored.withColumn("rnk", F.row_number().over(ws))
+    kept = F.col("rnk") <= SOURCE_CAP
+    return ranked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum(kept.cast("long")).cast("long").alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("tokens_kept"),
+    )
