@@ -1542,7 +1542,9 @@ def _ivfpq_recall_oracle() -> str:
     "noise floor, and 8-byte compression cannot preserve noise-floor "
     "rankings (the planted near-dup structure, which IS separable, "
     "survives the coarse cells — hence IVF's 0.80). Exactly the "
-    "diagnosis this metric exists to enable.",
+    "diagnosis this metric exists to enable — and "
+    "ann_ivfpq_recall_structured certifies it: the SAME stack on a "
+    "planted-group corpus recovers recall@3 to 0.967.",
 )
 def ann_ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivfpq3 = ann_ivfpq_topk(spark, sf_dir).filter(
