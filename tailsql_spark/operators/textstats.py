@@ -1095,3 +1095,88 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for frame in caches:
             frame.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# bigram LM quality scoring (CCNet-style perplexity filter)
+# ---------------------------------------------------------------------------
+
+BACKOFF = 0.4  # Stupid Backoff weight for unseen bigrams
+
+
+@query(
+    "text_bigram_surprisal",
+    "text-analysis",
+    f"""
+    WITH fw AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+        FROM documents
+    ),
+    toks AS (SELECT doc_id, unnest(ws) AS term FROM fw),
+    uni AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+    tot AS (SELECT SUM(cnt) AS total FROM uni),
+    pairs AS (
+        SELECT doc_id, ws[CAST(i + 1 AS INT)] AS w1, ws[CAST(i + 2 AS INT)] AS w2
+        FROM fw, unnest(generate_series(0, len(ws) - 2)) AS t(i)
+        WHERE len(ws) >= 2
+    ),
+    bi AS (SELECT w1, w2, COUNT(*) AS bcnt FROM pairs GROUP BY w1, w2)
+    SELECT p.doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(AVG(ln(1.0 / (CASE WHEN b.bcnt IS NOT NULL
+                    THEN b.bcnt * 1.0 / u1.cnt
+                    ELSE {BACKOFF} * u2.cnt * 1.0 / t.total END))), 6)
+               AS avg_surprisal_nats
+    FROM pairs p
+    LEFT JOIN bi b USING (w1, w2)
+    JOIN uni u1 ON u1.term = p.w1
+    JOIN uni u2 ON u2.term = p.w2
+    CROSS JOIN tot t
+    GROUP BY p.doc_id
+    """,
+    doc=f"Bigram language-model quality score with Stupid Backoff "
+    f"(α={BACKOFF}): per-token surprisal -ln p(w2|w1), where p is the "
+    "corpus bigram MLE when the bigram was seen and α·p_unigram(w2) "
+    "otherwise — the CCNet-style perplexity proxy one rank up from "
+    "text_unigram_surprisal, sensitive to word ORDER, not just word "
+    "choice. Scale: bigram construction is a map-side array transform "
+    "(no per-doc window shuffle); the bigram and unigram count tables "
+    "are vocabulary-sized and broadcast; the corpus total is a 1-row "
+    "broadcast; scoring is map-side with one final per-doc agg — the "
+    "same plan shape as the certified unigram operator, and the same "
+    "ROUND(AVG(ln(·)),6) cross-engine exactness device.",
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    fw = t["documents"].select(
+        "doc_id", F.expr("filter(split(lower(text), ' '), x -> x != '')").alias("ws")
+    )
+    toks = fw.select("doc_id", F.explode("ws").alias("term"))
+    uni = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    tot = uni.agg(F.sum("cnt").alias("total"))
+    pairs = fw.filter(F.size("ws") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 2),"
+                " i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("bcnt"))
+    u1 = uni.select(F.col("term").alias("w1"), F.col("cnt").alias("u1cnt"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("cnt").alias("u2cnt"))
+    p = F.when(
+        F.col("bcnt").isNotNull(), F.col("bcnt") * F.lit(1.0) / F.col("u1cnt")
+    ).otherwise(F.lit(BACKOFF) * F.col("u2cnt") * F.lit(1.0) / F.col("total"))
+    return (
+        pairs.join(F.broadcast(bi), ["w1", "w2"], "left")
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(F.log(F.lit(1.0) / p)), 6).alias("avg_surprisal_nats"),
+        )
+    )
