@@ -443,3 +443,107 @@ def _pagerank_ranked(pairs: DataFrame, cache: bool = True):
         )
     )
     return result, ((edges, deg, nn) if cache else ())
+
+
+# ---------------------------------------------------------------------------
+# triangle counting / clustering coefficients over the candidate graph
+# ---------------------------------------------------------------------------
+
+def _triangle_oracle() -> str:
+    from tailsql_spark.operators.similarity import REGISTRY as _SIM
+
+    sign_pairs = _SIM["ann_signlsh_bucket_pairs"].oracle
+    return f"""
+    WITH p0 AS ({sign_pairs}),
+    pairs AS (SELECT id_a, id_b FROM p0),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
+    o AS (
+        SELECT s.u, s.v FROM sym s
+        JOIN deg d1 ON d1.u = s.u JOIN deg d2 ON d2.u = s.v
+        WHERE d1.deg < d2.deg OR (d1.deg = d2.deg AND s.u < s.v)
+    ),
+    w AS (SELECT o1.u, o1.v AS v1, o2.v AS v2
+          FROM o o1 JOIN o o2 ON o2.u = o1.u AND o1.v < o2.v),
+    tri AS (SELECT w.u, w.v1, w.v2
+            FROM w JOIN pairs p ON p.id_a = w.v1 AND p.id_b = w.v2),
+    tn AS (
+        SELECT node AS doc_id, COUNT(*) AS n_triangles FROM (
+            SELECT u AS node FROM tri
+            UNION ALL SELECT v1 FROM tri
+            UNION ALL SELECT v2 FROM tri
+        ) GROUP BY node
+    )
+    SELECT d.u AS doc_id, CAST(d.deg AS BIGINT) AS degree,
+           CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           ROUND(CASE WHEN d.deg >= 2
+                 THEN 2.0 * COALESCE(t.n_triangles, 0) / (d.deg * (d.deg - 1))
+                 ELSE 0.0 END, 6) AS clustering_coeff
+    FROM deg d LEFT JOIN tn t ON t.doc_id = d.u
+    """
+
+
+@query(
+    "graph_triangle_counts",
+    "graph",
+    _triangle_oracle(),
+    doc="Per-node triangle counts + local clustering coefficients over "
+    "the sign-LSH candidate graph, by DEGREE-ORDERED orientation (the "
+    "production triangle algorithm): orient every edge from its lower "
+    "(degree, id) endpoint, enumerate wedges only from each triangle's "
+    "minimum-degree apex, and close them against the canonical edge "
+    "list — each triangle found exactly once, and wedge fan-out is "
+    "bounded by out-degree ≤ O(√m) instead of max degree (the "
+    "difference between feasible and quadratic on power-law graphs). "
+    "Clustering coefficient 2T/(deg·(deg−1)) flags spammy near-clique "
+    "neighborhoods in candidate graphs — a curation signal exact "
+    "pairwise dedup can't see. Scale: degree table broadcasts, wedges "
+    "are one self-equi-join on the apex, closure is one equi-join on "
+    "the (v1, v2) pair key; all-integer until the one rounded "
+    "division.",
+)
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tailsql_spark.operators.similarity import _sign_bucket_pairs
+
+    pairs = _sign_bucket_pairs(spark, sf_dir)
+    sym = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).unionAll(
+        pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
+    dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("degv"))
+    o = (
+        sym.join(F.broadcast(deg), "u")
+        .join(F.broadcast(dv), "v")
+        .filter(
+            (F.col("deg") < F.col("degv"))
+            | ((F.col("deg") == F.col("degv")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v")
+    )
+    o1 = o.select("u", F.col("v").alias("v1"))
+    o2 = o.select("u", F.col("v").alias("v2"))
+    wedge = o1.join(o2, "u").filter(F.col("v1") < F.col("v2"))
+    tri = wedge.join(
+        pairs, (wedge["v1"] == pairs["id_a"]) & (wedge["v2"] == pairs["id_b"])
+    ).select("u", "v1", "v2")
+    pern = (
+        tri.select(F.explode(F.array("u", "v1", "v2")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    nt = F.coalesce(F.col("n_triangles"), F.lit(0))
+    coeff = F.when(
+        F.col("deg") >= 2,
+        F.lit(2.0) * nt / (F.col("deg") * (F.col("deg") - 1)),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.select(F.col("u").alias("doc_id"), "deg")
+        .join(pern, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("deg").cast("long").alias("degree"),
+            nt.cast("long").alias("n_triangles"),
+            F.round(coeff, 6).alias("clustering_coeff"),
+        )
+    )
