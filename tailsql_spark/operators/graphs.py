@@ -488,6 +488,7 @@ def _triangle_oracle() -> str:
     "graph_triangle_counts",
     "graph",
     _triangle_oracle(),
+    plan=lambda s, d: _triangle_frames(s, d, cache=False)[0],
     doc="Per-node triangle counts + local clustering coefficients over "
     "the sign-LSH candidate graph, by DEGREE-ORDERED orientation (the "
     "production triangle algorithm): orient every edge from its lower "
@@ -504,9 +505,23 @@ def _triangle_oracle() -> str:
     "division.",
 )
 def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    result, caches = _triangle_frames(spark, sf_dir)
+    from tailsql_spark.plans.catalog import materialize_result, sf_key
+
+    try:
+        return materialize_result(result, "graph_triangle_counts", key=sf_key(sf_dir))
+    finally:
+        for frame in caches:
+            frame.unpersist()
+
+
+def _triangle_frames(spark: SparkSession, sf_dir: str, cache: bool = True):
+    """(result, caches): the triangle computation plus the bucket cache
+    the candidate graph pins — the query materializes and releases; the
+    plan audit passes ``cache=False``."""
     from tailsql_spark.operators.similarity import _sign_bucket_pairs
 
-    pairs = _sign_bucket_pairs(spark, sf_dir)
+    pairs, caches = _sign_bucket_pairs(spark, sf_dir, cache=cache)
     sym = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).unionAll(
         pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
     )
@@ -537,7 +552,7 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("deg") >= 2,
         F.lit(2.0) * nt / (F.col("deg") * (F.col("deg") - 1)),
     ).otherwise(F.lit(0.0))
-    return (
+    result = (
         deg.select(F.col("u").alias("doc_id"), "deg")
         .join(pern, "doc_id", "left")
         .select(
@@ -547,3 +562,4 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(coeff, 6).alias("clustering_coeff"),
         )
     )
+    return result, caches

@@ -648,7 +648,8 @@ _DUCK_SIGN_BUCKETS = " UNION ALL ".join(
 @query(
     "ann_signlsh_bucket_pairs",
     "similarity",
-    f"""
+    plan=lambda s, d: _sign_bucket_pairs(s, d, cache=False)[0],
+    oracle=f"""
     WITH buckets AS ({_DUCK_SIGN_BUCKETS})
     SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
     FROM buckets a JOIN buckets b
@@ -660,11 +661,23 @@ _DUCK_SIGN_BUCKETS = " UNION ALL ".join(
     "cosine cross product — the embedding near-dup scale path.",
 )
 def ann_signlsh_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _sign_bucket_pairs(spark, sf_dir)
+    pairs, caches = _sign_bucket_pairs(spark, sf_dir)
+    # materialize-and-release (the PageRank lesson): the pair table is
+    # candidate-sized; write it out and drop the bucket cache so a
+    # session running the sign-LSH family repeatedly leaks nothing.
+    try:
+        return _materialized(pairs, "ann_signlsh_bucket_pairs", sf_dir)
+    finally:
+        for frame in caches:
+            frame.unpersist()
 
 
-def _sign_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared core: multi-table sign-LSH candidate pairs (id_a < id_b)."""
+def _sign_bucket_pairs(spark: SparkSession, sf_dir: str, cache: bool = True):
+    """Shared core: (pairs, caches) — multi-table sign-LSH candidate
+    pairs (id_a < id_b) plus the persisted bucket table the self-join
+    pins.  Callers materialize their result and release the caches;
+    plan tooling passes ``cache=False`` (it never materializes, so a
+    persist would leak for the session)."""
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"].select(
         "vec_id", as_double(F.col("embedding")).alias("v")
@@ -684,21 +697,22 @@ def _sign_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("vec_id", "tbl")
         .agg(F.sum("bit").cast("long").alias("bucket"))
-        # The bucket table self-joins below.  Without a persist the
-        # O(n·L·d) plane fan-out — the one interpreted-HOF stage in this
-        # pipeline — is planned AND COMPUTED once per join side (the
-        # round-1 minhash lesson, dedup.py: never cache nothing when a
-        # DAG self-joins).  Three narrow scalar columns (vec_id, tbl,
-        # bucket): cheap to cache at any corpus size, and the columnar
-        # checkpoint you'd write to scratch storage at 1e9 docs.
-        .persist()
     )
-    signed.count()
+    # The bucket table self-joins below.  Without a persist the
+    # O(n·L·d) plane fan-out — the one interpreted-HOF stage in this
+    # pipeline — is planned AND COMPUTED once per join side (the
+    # round-1 minhash lesson, dedup.py: never cache nothing when a
+    # DAG self-joins).  Three narrow scalar columns (vec_id, tbl,
+    # bucket): cheap to cache at any corpus size, and the columnar
+    # checkpoint you'd write to scratch storage at 1e9 docs.
+    if cache:
+        signed = signed.persist()
+        signed.count()
     a = signed.select(F.col("vec_id").alias("id_a"), "tbl", "bucket")
     b = signed.select(
         F.col("vec_id").alias("id_b"), F.col("tbl").alias("t2"), F.col("bucket").alias("b2")
     )
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("tbl") == F.col("t2"))
@@ -708,6 +722,7 @@ def _sign_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
+    return pairs, ((signed,) if cache else ())
 
 
 COSINE_DUP_THRESHOLD = 0.42  # same corpus-relative cut as dedup_embedding_cosine
@@ -716,7 +731,8 @@ COSINE_DUP_THRESHOLD = 0.42  # same corpus-relative cut as dedup_embedding_cosin
 @query(
     "dedup_embedding_lsh_verified",
     "dedup",
-    f"""
+    plan=lambda s, d: _verified_pairs(s, d, cache=False)[0],
+    oracle=f"""
     WITH buckets AS ({_DUCK_SIGN_BUCKETS}),
     cand AS (
         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -743,8 +759,20 @@ COSINE_DUP_THRESHOLD = 0.42  # same corpus-relative cut as dedup_embedding_cosin
     "extension per the build brief.",
 )
 def dedup_embedding_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    result, caches = _verified_pairs(spark, sf_dir)
+    try:
+        return _materialized(result, "dedup_embedding_lsh_verified", sf_dir)
+    finally:
+        for frame in caches:
+            frame.unpersist()
+
+
+def _verified_pairs(spark: SparkSession, sf_dir: str, cache: bool = True):
+    """(result, caches) for the sign-LSH-pruned exact-cosine near-dup
+    verify — the query materializes and releases; plan tooling and the
+    plan-shape test consume the frames directly."""
     t = load_tables(spark, sf_dir)
-    cand = _sign_bucket_pairs(spark, sf_dir)
+    cand, caches = _sign_bucket_pairs(spark, sf_dir, cache=cache)
     emb = t["embeddings"].select(
         "vec_id",
         as_double(F.col("embedding")).alias("v"),
@@ -756,13 +784,14 @@ def dedup_embedding_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcasts when they fit; no hint — at 1e9 docs the candidate
     # table is legitimately large and must shuffle.
     cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
+    result = (
         cand.join(ea, "id_a")
         .join(eb, "id_b")
         .withColumn("cosine_raw", cos)
         .filter(F.col("cosine_raw") >= COSINE_DUP_THRESHOLD)
         .select("id_a", "id_b", F.round("cosine_raw", 4).alias("cosine"))
     )
+    return result, caches
 
 
 # ---------------------------------------------------------------------------

@@ -183,12 +183,20 @@ def test_embedding_lsh_verified_no_quadratic_stage(spark, oracle_sf_dir):
     # AQE's AdaptiveSparkPlan wrapper is childless until execution —
     # disable it for this plan-shape probe so the tree walk sees the
     # real operators (the production default stays on, test_aqe_*).
+    from tailsql_spark.operators.similarity import _verified_pairs
+
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    caches = ()
     try:
-        df = REGISTRY["dedup_embedding_lsh_verified"].build(spark, oracle_sf_dir)
+        # the cached builder (not the registered build, which returns a
+        # materialized scan): the per-query plan must read the bucket
+        # cache on both self-join sides
+        df, caches = _verified_pairs(spark, oracle_sf_dir)
         ops = _runtime_ops(df)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+        for frame in caches:
+            frame.unpersist()
     # The O(n·L·d) plane fan-out (the one legal nested-loop: vs the
     # CONSTANT 16-row plane broadcast) lives inside the persisted bucket
     # table and is computed ONCE at cache populate — the per-query plan
