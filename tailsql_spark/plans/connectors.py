@@ -522,3 +522,100 @@ def sink_sorted_rowgroup_skipping(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (multi-dimension) clustering — the OPTIMIZE ZORDER layout
+# ---------------------------------------------------------------------------
+
+ZBITS = 16  # bits interleaved per dimension (covers both demo key ranges)
+
+#: Spark-side Z-value: interleave ZBITS bits of (ck, d) — odd bit
+#: positions take the custkey, even take the day number.  Closed-form
+#: integer HOF, identical arithmetic to the DuckDB spelling below.
+_Z_SPARK = (
+    f"aggregate(sequence(0, {ZBITS - 1}), 0L, (acc, i) -> acc"
+    " + shiftleft(cast(shiftright(ck, i) & 1 as bigint), 2 * i + 1)"
+    " + shiftleft(cast(shiftright(d, i) & 1 as bigint), 2 * i))"
+)
+
+_Z_DUCK = (
+    f"CAST(list_sum(list_transform(generate_series(0, {ZBITS - 1}), i ->"
+    " (((ck >> i) & 1) << (2 * i + 1)) + (((d >> i) & 1) << (2 * i))))"
+    " AS BIGINT)"
+)
+
+
+def zorder_orders_path(spark: SparkSession, sf_dir: str) -> str:
+    """Stage orders Z-ORDERED by (o_custkey, order day) with small row
+    groups (once per sf_dir).  A single-column sort clusters row-group
+    min/max stats on ONE dimension only; interleaving the bits of both
+    keys gives every row group a tight bounding BOX in (custkey, day)
+    space, so predicates on EITHER dimension skip most row groups —
+    the multi-dimensional generalization of sorted_lineitem_path and
+    exactly what Delta/Iceberg `OPTIMIZE ZORDER BY` does at 100 TB."""
+    t = load_tables(spark, sf_dir)
+    path = _stage_dir(sf_dir, "zorder_orders")
+    (
+        t["orders"]
+        .select(
+            F.col("o_custkey").cast("long").alias("ck"),
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+            .cast("long")
+            .alias("d"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_cents"),
+        )
+        .withColumn("z", F.expr(_Z_SPARK))
+        .repartition(2)
+        .sortWithinPartitions("z")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 64 * 1024)
+        .parquet(path)
+    )
+    return path
+
+
+@query(
+    "sink_zorder_skipping",
+    "sinks",
+    f"""
+    WITH src AS (
+        SELECT CAST(o_custkey AS BIGINT) AS ck,
+               CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS d,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders
+    ),
+    zd AS (SELECT *, {_Z_DUCK} AS z FROM src)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price_cents) AS BIGINT) AS sum_price_cents,
+           MIN(z) AS min_z, MAX(z) AS max_z
+    FROM zd
+    WHERE ck >= 100 AND ck < 200 AND d >= 1000 AND d < 1400
+    """,
+    doc="Z-order clustering certified differentially: orders staged "
+    f"sorted by the {ZBITS}-bit-interleaved Z-value of (custkey, order "
+    "day) with small row groups; the query aggregates a BOX predicate "
+    "(a custkey range AND a date range) from the Z layout — including "
+    "min/max of the Z-value itself, so the bit-interleave arithmetic "
+    "is certified cross-engine — while the oracle recomputes from the "
+    "original table. Because Z-sorting gives every row group a tight "
+    "bounding box in both dimensions, EITHER predicate prunes row "
+    "groups via parquet min/max stats (footer-verified for both "
+    "dimensions in tests/test_scale.py) — the property a single-column "
+    "sort cannot provide, and what OPTIMIZE ZORDER buys on a 100 TB "
+    "fact table queried by more than one key.",
+)
+def sink_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    back = spark.read.parquet(zorder_orders_path(spark, sf_dir))
+    return (
+        back.filter(
+            (F.col("ck") >= 100) & (F.col("ck") < 200)
+            & (F.col("d") >= 1000) & (F.col("d") < 1400)
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("price_cents").alias("sum_price_cents"),
+            F.min("z").alias("min_z"),
+            F.max("z").alias("max_z"),
+        )
+    )

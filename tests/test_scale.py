@@ -659,3 +659,35 @@ def test_ivfpq_recall_recovers_on_structured_corpus(spark, oracle_sf_dir):
         REGISTRY["ann_ivfpq_recall_structured"].build(spark, oracle_sf_dir)
     )
     assert mean >= 0.6, f"IVF-PQ structured recall degraded: {mean:.3f} < 0.6"
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, oracle_sf_dir):
+    """sink_zorder_skipping's contract: the Z-sorted layout gives every
+    row group a tight bounding box in (custkey, day) space, so a range
+    predicate on EITHER dimension matches a strict subset of row groups
+    — the property single-column sorting provides for one dimension
+    only.  Verified straight from the parquet footers."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from tailsql_spark.plans.connectors import zorder_orders_path
+
+    path = zorder_orders_path(spark, oracle_sf_dir)
+    files = glob.glob(f"{path}/*.parquet")
+    assert files
+    spans: dict[str, list] = {"ck": [], "d": []}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for rg in range(md.num_row_groups):
+            for col in ("ck", "d"):
+                st = md.row_group(rg).column(idx[col]).statistics
+                spans[col].append((st.min, st.max))
+    total = len(spans["ck"])
+    assert total >= 8, total  # row groups exist to skip
+    # the certified query's box predicate, dimension by dimension
+    ck_hit = sum(1 for lo, hi in spans["ck"] if hi >= 100 and lo < 200)
+    d_hit = sum(1 for lo, hi in spans["d"] if hi >= 1000 and lo < 1400)
+    assert 0 < ck_hit < total, (ck_hit, total)  # custkey range prunes
+    assert 0 < d_hit < total, (d_hit, total)    # date range prunes TOO
