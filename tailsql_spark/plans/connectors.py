@@ -619,3 +619,102 @@ def sink_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("z").alias("max_z"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# manifest-based file pruning (the lakehouse data-skipping index)
+# ---------------------------------------------------------------------------
+
+def manifest_orders_path(spark: SparkSession, sf_dir: str) -> str:
+    """Stage orders range-partitioned by order date into many files
+    (once per sf_dir): each file covers a narrow date range, the
+    precondition for file-level skipping.  GENUINELY once: a restage
+    would mint new part-file names and silently invalidate every
+    manifest row already collected from the old ones — the exact
+    stale-pointer hazard lakehouse formats solve with transactional
+    manifests, emulated here by an idempotent-staging guard."""
+    t = load_tables(spark, sf_dir)
+    path = _stage_dir(sf_dir, "manifest_orders")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    (
+        t["orders"]
+        .select(
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_cents"),
+        )
+        .repartitionByRange(16, "o_orderdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def orders_file_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MANIFEST of the staged layout: one row per data file with its
+    min/max order date and row count — computed DISTRIBUTED in one scan
+    (`input_file_name` + groupBy).  This is the metadata layer every
+    lakehouse format (Delta/Iceberg/Hudi) maintains transactionally; at
+    100 TB the manifest is ~files-counted (thousands of rows for
+    millions of row groups), which is why planning reads manifests, not
+    footers."""
+    back = spark.read.parquet(manifest_orders_path(spark, sf_dir))
+    return (
+        back.groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.min("o_orderdate").alias("min_date"),
+            F.max("o_orderdate").alias("max_date"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "sink_manifest_file_pruning",
+    "sinks",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_price_cents
+    FROM orders
+    WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1995-07-01'
+    GROUP BY o_orderstatus
+    """,
+    doc="Manifest-based FILE pruning, the lakehouse data-skipping "
+    "index: a per-file min/max manifest (built distributed from one "
+    "scan of the range-partitioned staging layout) is consulted at "
+    "planning time and ONLY the files whose ranges overlap the "
+    "predicate are handed to the scan — a strict subset, "
+    "pytest-asserted. This is the layer ABOVE row-group skipping: "
+    "vanilla parquet still schedules a task per file and prunes row "
+    "groups inside; manifest pruning never schedules the "
+    "non-overlapping files at all, which at 100 TB is the difference "
+    "between a metadata lookup and a million no-op tasks. The file "
+    "list is planning METADATA (manifest rows are file-counted, not "
+    "row-counted) — collecting it to the planner is exactly what "
+    "Delta/Iceberg query planning does. Results certify against the "
+    "oracle's full scan of the original table.",
+)
+def sink_manifest_file_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    lo, hi = datetime.date(1995, 1, 1), datetime.date(1995, 7, 1)
+    manifest = orders_file_manifest(spark, sf_dir)
+    files = [
+        r.file
+        for r in manifest.filter(
+            (F.col("max_date") >= F.lit(lo)) & (F.col("min_date") < F.lit(hi))
+        ).collect()
+    ]
+    back = spark.read.parquet(*files)
+    return (
+        # the residual predicate still applies inside surviving files
+        back.filter((F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") < F.lit(hi)))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("price_cents").alias("sum_price_cents"),
+        )
+    )

@@ -691,3 +691,34 @@ def test_zorder_layout_prunes_both_dimensions(spark, oracle_sf_dir):
     d_hit = sum(1 for lo, hi in spans["d"] if hi >= 1000 and lo < 1400)
     assert 0 < ck_hit < total, (ck_hit, total)  # custkey range prunes
     assert 0 < d_hit < total, (d_hit, total)    # date range prunes TOO
+
+
+def test_manifest_pruning_reads_strict_file_subset(spark, oracle_sf_dir):
+    """sink_manifest_file_pruning's contract: the manifest consultation
+    hands the scan a STRICT subset of the staged files (file-level
+    skipping), and the pruned read still returns exactly the rows the
+    full scan's predicate keeps."""
+    import datetime
+
+    from tailsql_spark.plans.connectors import (
+        manifest_orders_path,
+        orders_file_manifest,
+    )
+
+    lo, hi = datetime.date(1995, 1, 1), datetime.date(1995, 7, 1)
+    manifest = orders_file_manifest(spark, oracle_sf_dir).collect()
+    n_total = len(manifest)
+    surviving = [r for r in manifest if r.max_date >= lo and r.min_date < hi]
+    assert n_total >= 8, n_total
+    assert 0 < len(surviving) < n_total, (len(surviving), n_total)
+    # correctness of the pruning rule: rows outside surviving files
+    # cannot satisfy the predicate
+    full = spark.read.parquet(manifest_orders_path(spark, oracle_sf_dir))
+    n_pred = full.filter(
+        (F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") < F.lit(hi))
+    ).count()
+    pruned = spark.read.parquet(*[r.file for r in surviving])
+    n_pruned = pruned.filter(
+        (F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") < F.lit(hi))
+    ).count()
+    assert n_pred == n_pruned > 0
