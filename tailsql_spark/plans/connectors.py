@@ -466,6 +466,8 @@ def sorted_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
     full-file reads into a handful of row groups."""
     t = load_tables(spark, sf_dir)
     path = _stage_dir(sf_dir, "sorted_lineitem")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
     (
         t["lineitem"]
         .select(
@@ -556,6 +558,8 @@ def zorder_orders_path(spark: SparkSession, sf_dir: str) -> str:
     exactly what Delta/Iceberg `OPTIMIZE ZORDER BY` does at 100 TB."""
     t = load_tables(spark, sf_dir)
     path = _stage_dir(sf_dir, "zorder_orders")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
     (
         t["orders"]
         .select(

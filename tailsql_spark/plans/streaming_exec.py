@@ -1764,3 +1764,103 @@ REGISTRY["stream_curation_survivors"] = QuerySpec(
     "the same composed oracle (streaming ≡ batch for the whole "
     "pipeline, not just its stages).",
 )
+
+
+def _bpe_pairs_batch_processor(counts_root: str):
+    """Per micro-batch: adjacent symbol-pair partial counts of the NEW
+    docs, written to a per-batch-id overwrite dir.  Replay-idempotent
+    by construction — the processor reads no history, so a replayed
+    batch rewrites byte-identical partials into its own dir; read-time
+    summation therefore counts every batch exactly once."""
+
+    def process(batch_df, batch_id):
+        words = (
+            batch_df.select(
+                F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+            )
+            .filter(F.length("w") >= 2)
+        )
+        pairs = words.select(
+            F.explode(
+                F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+            ).alias("pair")
+        )
+        partial = pairs.groupBy("pair").agg(F.count("*").alias("n"))
+        partial.write.mode("overwrite").parquet(f"{counts_root}/{_bdir(int(batch_id))}")
+
+    return process
+
+
+def stream_bpe_pair_counts(
+    spark: SparkSession, sf_dir: str, state_root: str | None = None
+) -> DataFrame:
+    """INCREMENTAL tokenizer-training statistics: the corpus-wide
+    adjacent symbol-pair frequencies (the statistic every BPE merge
+    step maximizes) maintained as documents stream in — per batch one
+    map-side pair explode + a partial count over the NEW docs only,
+    appended to a mergeable count log; the top-20 table at read time
+    equals the batch ``text_bpe_pair_counts`` exactly (same oracle).
+
+    Scale: per-batch cost tracks the batch; state is one parquet dir
+    family of (pair, n) partials whose key space is symbol pairs
+    (tiny), so the log compacts by the same read-time sum at any
+    corpus size — the shape of continuously-refreshed vocabulary
+    statistics for a tokenizer retrained on a growing corpus.
+    """
+    import shutil
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+    src_dir = tempfile.mkdtemp(prefix="tailsql_stream_bpepairs_")
+    # 4 staged files + maxFilesPerTrigger=1 → 4 genuine micro-batches
+    docs.repartition(4).write.mode("overwrite").parquet(src_dir)
+
+    state_root, _owned_state = _resolve_state_root("bpepairs", state_root)
+    counts_root = f"{state_root}/counts"
+    spark.createDataFrame([], "pair string, n long").write.mode("overwrite").parquet(
+        f"{counts_root}/seed"
+    )
+    process = _bpe_pairs_batch_processor(counts_root)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{state_root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _await_or_raise(q, "stream_bpe_pair_counts")
+    finally:
+        q.stop()
+    result = (
+        spark.read.parquet(*_mh_state_paths(counts_root))
+        .groupBy("pair")
+        .agg(F.sum("n").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )
+    out = _persist_result(result, "stream_bpe_pair_counts")
+    shutil.rmtree(src_dir, ignore_errors=True)
+    if _owned_state:
+        _fs_rmtree(state_root)
+    return out
+
+
+from tailsql_spark.operators.textstats import REGISTRY as _TEXT_REGISTRY  # noqa: E402
+
+REGISTRY["stream_bpe_pair_counts"] = QuerySpec(
+    name="stream_bpe_pair_counts",
+    category="streaming-executed",
+    build=stream_bpe_pair_counts,
+    oracle=_TEXT_REGISTRY["text_bpe_pair_counts"].oracle,
+    doc="BPE-training pair statistics maintained INCREMENTALLY: each "
+    "micro-batch appends map-side partial pair counts for its NEW docs "
+    "to a mergeable count log (replay-idempotent per-batch-id dirs); "
+    "the read-time top-20 equals batch text_bpe_pair_counts via the "
+    "same oracle — continuously-refreshed vocabulary statistics for a "
+    "tokenizer retrained on a growing corpus.",
+)
