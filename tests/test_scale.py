@@ -722,3 +722,31 @@ def test_manifest_pruning_reads_strict_file_subset(spark, oracle_sf_dir):
         (F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") < F.lit(hi))
     ).count()
     assert n_pred == n_pruned > 0
+
+
+def test_cache_using_queries_release_their_persists(spark, oracle_sf_dir):
+    """The materialize-and-release discipline as a gate: every query
+    that persists intermediate frames must UNPERSIST them before
+    returning (its result reads materialized parquet, not cached
+    lineage).  A leak here is a session-lifetime memory hold that
+    compounds across a long-lived service running the registry — the
+    exact class the r7 sign-LSH fix closed."""
+    from tailsql_spark.plans.registry import REGISTRY
+
+    CACHE_USERS = [
+        "text_bpe_train",
+        "text_contamination_bloom",
+        "ann_signlsh_bucket_pairs",
+        "dedup_embedding_lsh_verified",
+        "graph_triangle_counts",
+        "ann_ivfpq_topk",
+    ]
+
+    def n_persisted() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    spark.catalog.clearCache()
+    base = n_persisted()
+    for name in CACHE_USERS:
+        REGISTRY[name].build(spark, oracle_sf_dir)
+        assert n_persisted() == base, f"{name} leaked a persisted frame"
