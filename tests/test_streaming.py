@@ -523,3 +523,21 @@ def test_incremental_state_root_parameterized(spark, sf_dir, tmp_path):
     # index dir families + streaming checkpoint persist for a resume
     assert {"ex", "sig", "pairs", "ckpt"} <= kept, kept
     assert any(d.startswith("b") for d in os.listdir(f"{tmp_path}/mh_state/sig"))
+
+
+def test_fs_dispatchers_hadoop_branch(spark, tmp_path):
+    """_fs_list/_fs_rmtree's URI branch (the code path hdfs://s3a://
+    roots take) driven directly over file:// — list children, delete a
+    subtree recursively, leave siblings intact."""
+    import os
+
+    from tailsql_spark.plans.streaming_exec import _fs_list, _fs_rmtree
+
+    (tmp_path / "a" / "inner").mkdir(parents=True)
+    (tmp_path / "a" / "inner" / "f.txt").write_text("x")
+    (tmp_path / "b").mkdir()
+    root = f"file://{tmp_path}"
+    assert sorted(_fs_list(root)) == ["a", "b"]
+    _fs_rmtree(f"{root}/a")
+    assert sorted(_fs_list(root)) == ["b"]
+    assert not os.path.exists(tmp_path / "a")
