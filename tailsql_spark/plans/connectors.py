@@ -42,9 +42,17 @@ def query(name: str, category: str, oracle: str | None, doc: str = ""):
 
 def _stage_dir(sf_dir: str, tag: str) -> str:
     """Deterministic per-(sf_dir, tag) scratch path so repeated builds
-    overwrite instead of leaking temp dirs."""
-    key = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    return os.path.join(tempfile.gettempdir(), f"tailsql_stage_{tag}_{key}")
+    overwrite instead of leaking temp dirs.  Keyed like
+    catalog.sf_key — readable basename + short hash of the FULL path —
+    because the r7 idempotent-staging guards REUSE an existing staging:
+    a basename-only key would hand corpus B a staging built from
+    corpus A whenever their directories share a basename."""
+    import hashlib
+
+    path = os.path.abspath(sf_dir.rstrip("/"))
+    base = os.path.basename(path) or "sf"
+    digest = hashlib.sha1(path.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"tailsql_stage_{tag}_{base}-{digest}")
 
 
 @query(
