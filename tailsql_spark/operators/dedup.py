@@ -1011,3 +1011,82 @@ def dedup_span_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("removal_pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash candidate-generation quality metric (the dedup recall gate)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_minhash_recall",
+    "dedup",
+    f"""
+    WITH found AS (SELECT id_a, id_b FROM ({_MINHASH_ORACLE})),
+    sh AS ({_DUCK_SHINGLES}),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT id_a, id_b
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+    )
+    SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT COUNT(*) FROM found) AS BIGINT) AS n_found,
+           CAST((SELECT COUNT(*) FROM found f JOIN truth t
+                 ON t.id_a = f.id_a AND t.id_b = f.id_b) AS BIGINT) AS n_hit,
+           ROUND((SELECT COUNT(*) FROM found f JOIN truth t
+                  ON t.id_a = f.id_a AND t.id_b = f.id_b) * 1.0
+                 / (SELECT COUNT(*) FROM truth), 4) AS recall
+    """,
+    doc=f"Candidate-generation QUALITY metric for the MinHash pipeline, "
+    "certified: ground truth is every pair at true shingle-Jaccard ≥ "
+    f"{JACCARD_THRESHOLD} (exact posting-list intersection, no cap — "
+    "this is the offline audit pass, run on a slice at 100 TB), found "
+    "is dedup_minhash_lsh's output; recall measures the pairs whose "
+    f"{N_BANDS} bands never collided. Precision is 1 by construction "
+    "(candidates verify at true Jaccard before emission), so this one "
+    "number is the banding scheme's whole quality story — the dedup "
+    "analogue of ann_ivf_recall_at_k, and floor-gated in pytest like "
+    "the ANN metrics.",
+)
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+    ex = docs.select("doc_id", F.explode(shingles_col(F.col("text"))).alias("s"))
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = ex.select(F.col("doc_id").alias("id_a"), "s")
+    b = ex.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s2"))
+    common = (
+        a.join(b, (F.col("s") == F.col("s2")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("c"))
+    )
+    jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
+    truth = (
+        common.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("id_a", "id_b")
+    )
+    found = REGISTRY["dedup_minhash_lsh"].build(spark, sf_dir).select("id_a", "id_b")
+    hit = found.join(truth, ["id_a", "id_b"])
+    nt = truth.agg(F.count("*").alias("n_truth"))
+    nf = found.agg(F.count("*").alias("n_found"))
+    nh = hit.agg(F.count("*").alias("n_hit"))
+    return (
+        nt.crossJoin(nf)
+        .crossJoin(nh)
+        .select(
+            "n_truth",
+            "n_found",
+            "n_hit",
+            F.round(F.col("n_hit") * 1.0 / F.col("n_truth"), 4).alias("recall"),
+        )
+    )

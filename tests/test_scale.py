@@ -750,3 +750,16 @@ def test_cache_using_queries_release_their_persists(spark, oracle_sf_dir):
     for name in CACHE_USERS:
         REGISTRY[name].build(spark, oracle_sf_dir)
         assert n_persisted() == base, f"{name} leaked a persisted frame"
+
+
+def test_minhash_recall_floor(spark, oracle_sf_dir):
+    """The dedup analogue of the ANN recall floors: banded candidate
+    generation must find ≥ 90% of the true Jaccard-threshold pairs
+    (measured 1.0 at sf0.01 — every planted near-dup pair collides in
+    at least one band). A band/hash-count change that silently starts
+    missing pairs fails here, not in a corpus audit months later."""
+    from tailsql_spark.plans.registry import REGISTRY
+
+    r = REGISTRY["dedup_minhash_recall"].build(spark, oracle_sf_dir).collect()[0]
+    assert r.n_truth > 0
+    assert r.recall >= 0.9, f"minhash candidate recall degraded: {r.recall}"
