@@ -114,7 +114,10 @@ GRADED_WINDOW: tuple[str, ...] = (
     # dedup family — each distinct algorithm
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    # r7: dedup_simhash rotated to the local gate for the family's
+    # quality-metric row — certified candidate-generation recall vs
+    # exact-Jaccard ground truth (floor-gated in pytest)
+    "dedup_minhash_recall",
     "dedup_ngram_jaccard",
     "dedup_embedding_lsh_verified",
     # r7: dedup_clusters rotated to the local gate (incremental CC stays
