@@ -925,21 +925,45 @@ def _bpe_train_frames(spark: SparkSession, sf_dir: str, cache: bool = True):
     return bpe_train_merges(words, cache=cache)
 
 
+class _SpoolHandle:
+    """Release handle for a training spool directory — duck-typed to
+    the ``unpersist()`` contract every (result, caches) builder in this
+    repo uses, so callers release parquet spools and persisted frames
+    with the same finally loop."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def unpersist(self) -> None:
+        import shutil
+
+        shutil.rmtree(self.path, ignore_errors=True)
+
+
 def bpe_train_merges(
     words: DataFrame, n_steps: int = BPE_MERGES, cache: bool = True
 ):
     """(merges, final_syms, caches): the n_steps BPE training trajectory
     over a ``(w, cnt)`` word-frequency frame, the symbol table AFTER the
     last merge (the trained vocabulary's segmentation of every word —
-    what tokenization applies), and the per-step tables the chain pins.
-    Each step's exploded table is consumed ~4× (pair count, match probe,
-    two merge joins) and the NEXT step re-derives from it, so without
-    the cut step r re-runs everything back to the corpus scan r times
-    over.  ``final_syms`` is lazy — the train query never pays for the
-    last application; only the tokenizer does.  The plan audit and the
-    property test pass ``cache=False`` (they never materialize).
-    Factored off the corpus so the merge semantics are property-testable
-    against a pure-Python BPE reference on arbitrary word sets."""
+    what tokenization applies), and the release handles the chain pins.
+
+    LINEAGE TRUNCATION, not just caching: each step consumes the prior
+    symbol table ~4× (pair count, match probe, two merge joins), and
+    Catalyst plans are TREES — building step n+1 directly on step n's
+    frame compounds the logical plan ~4^n, so by ~5 steps the
+    OPTIMIZER, not the data, is the bottleneck (measured: analysis
+    explodes before any task runs).  Like the connected-components
+    loop, every step therefore spools its (vocab-sized) symbol table to
+    parquet and rebuilds from the scan — plan size stays CONSTANT per
+    step, the shape a production trainer running thousands of merges
+    needs.  ``final_syms`` is lazy — the train query never pays for the
+    last application; only the tokenizer does.  The plan audit passes
+    ``cache=False`` (lazy chain, no spool — fine at the certified
+    depth it inspects).  Factored off the corpus so the merge semantics
+    are property-testable against a pure-Python BPE reference on
+    arbitrary word sets (the property test runs PAST the certified
+    depth, which is exactly what caught the plan blowup)."""
     wrn = W.partitionBy("w").orderBy("pos")
     e = (
         words.select(
@@ -951,12 +975,19 @@ def bpe_train_merges(
         .select("w", "cnt", (F.col("pos0") + 1).alias("pos"), "sym")
         .withColumn("nxt", F.lead("sym").over(wrn))
     )
-    caches: list[DataFrame] = []
+    caches: list = []
+    spool: str | None = None
+    if cache:
+        import tempfile
+
+        spool = tempfile.mkdtemp(prefix="tailsql_bpe_spool_")
+        caches.append(_SpoolHandle(spool))
+    spark = words.sparkSession
     steps: list[DataFrame] = []
     for step in range(1, n_steps + 1):
         if cache:
-            e = e.persist()
-            caches.append(e)
+            e.write.mode("overwrite").parquet(f"{spool}/e{step}")
+            e = spark.read.parquet(f"{spool}/e{step}")
         best = (
             e.filter(F.col("nxt").isNotNull())
             .groupBy(F.col("sym").alias("l"), F.col("nxt").alias("r2"))
@@ -965,8 +996,8 @@ def bpe_train_merges(
             .limit(1)
         )
         if cache:
-            best = best.persist()
-            caches.append(best)
+            best.write.mode("overwrite").parquet(f"{spool}/b{step}")
+            best = spark.read.parquet(f"{spool}/b{step}")
         steps.append(
             best.select(
                 F.lit(step).alias("step"),

@@ -273,8 +273,14 @@ def test_bpe_train_matches_python_reference(spark, data):
     ("aaaa" → (a,a) then (aa,aa)) — exactly the shapes where the
     island-parity + pos-renumbering rules can silently diverge from
     greedy semantics (a gapped pos lets a phantom right-half survive;
-    this test is what caught that)."""
+    this test is what caught that).  Runs at n_steps = BPE_MERGES + 2,
+    past the certified depth, so the loop generalizes beyond the
+    oracle's unrolled 3 steps — via the CACHED path (released below):
+    uncached, the per-step ~4-way fan-out compounds the logical plan
+    ~4^n and the optimizer, not Spark, becomes the bottleneck."""
     from tailsql_spark.operators.textstats import BPE_MERGES, bpe_train_merges
+
+    n_steps = BPE_MERGES + 2
 
     alphabet = st.sampled_from("ab")
     n_words = data.draw(st.integers(1, 5))
@@ -285,7 +291,7 @@ def test_bpe_train_matches_python_reference(spark, data):
 
     syms = {w: list(w) for w in words}
     expected = []
-    for step in range(1, BPE_MERGES + 1):
+    for step in range(1, n_steps + 1):
         counts: dict[tuple[str, str], int] = {}
         for w, s in syms.items():
             for i in range(len(s) - 1):
@@ -306,14 +312,19 @@ def test_bpe_train_matches_python_reference(spark, data):
             syms[w] = out
 
     wdf = spark.createDataFrame(list(words.items()), "w string, cnt long")
-    merges, final_syms, _ = bpe_train_merges(wdf, cache=False)
-    got = [
-        (r.step, r.pair_left, r.pair_right, r.merged, r.n) for r in merges.collect()
-    ]
-    assert got == expected
+    merges, final_syms, caches = bpe_train_merges(wdf, n_steps=n_steps)
+    try:
+        got = [
+            (r.step, r.pair_left, r.pair_right, r.merged, r.n)
+            for r in merges.collect()
+        ]
+        assert got == expected
     # the post-training segmentation (what tokenization applies) must
     # equal the python reference's final symbol lists, order included
-    got_syms: dict[str, list[str]] = {}
-    for r in final_syms.orderBy("w", "pos").collect():
-        got_syms.setdefault(r.w, []).append(r.sym)
-    assert got_syms == syms
+        got_syms: dict[str, list[str]] = {}
+        for r in final_syms.orderBy("w", "pos").collect():
+            got_syms.setdefault(r.w, []).append(r.sym)
+        assert got_syms == syms
+    finally:
+        for frame in caches:
+            frame.unpersist()
