@@ -346,22 +346,42 @@ def assign_quantized(emb: DataFrame, cent: DataFrame) -> DataFrame:
     return scored.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
 
 
-def lloyd_loop(spark: SparkSession, sf_dir: str, raw: DataFrame | None = None):
-    """KMEANS_ITERS Lloyd steps; returns ``(assigned, cent)`` — the
+def lloyd_loop(
+    spark: SparkSession,
+    sf_dir: str,
+    raw: DataFrame | None = None,
+    n_iters: int = KMEANS_ITERS,
+    spool: str | None = None,
+):
+    """``n_iters`` Lloyd steps; returns ``(assigned, cent)`` — the
     final integer-distance assignment ``(vec_id, cell, dist)`` and the
     centroids it was computed under.  The Spark twin of
     :func:`kmeans_cte_parts`; ann_kmeans_lloyd certifies the trajectory,
     and ann_ivf_kmeans_topk (operators/similarity.py) composes the
-    assignment as its learned IVF partitioning."""
+    assignment as its learned IVF partitioning.
+
+    ``spool``: per-iteration LINEAGE TRUNCATION dir — each round's
+    centroid table (|cells| rows) is written to parquet and rebuilt
+    from the scan.  At the certified depth (3) the direct chain is
+    fine, but each iteration references the previous chain 2-3× and
+    Catalyst plans are trees, so a production run of 20+ iterations
+    compounds the plan ~3^n and stalls analysis (the BPE-loop lesson,
+    operators/textstats.py) — pass a spool for deep runs; the deep-run
+    property test proves the truncated loop walks the identical
+    trajectory.  Caller owns the dir lifecycle (delete after consuming
+    the result)."""
     base = raw if raw is not None else load_tables(spark, sf_dir)["embeddings"]
     emb = base.select("vec_id", quantize_embedding("embedding").alias("e"))
     cent = emb.filter(F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").alias("cell"), F.col("e").alias("c")
     )
     assigned = None
-    for r in range(KMEANS_ITERS):
+    for r in range(n_iters):
+        if spool is not None:
+            cent.write.mode("overwrite").parquet(f"{spool}/c{r}")
+            cent = spark.read.parquet(f"{spool}/c{r}")
         assigned = assign_quantized(emb, cent)
-        if r < KMEANS_ITERS - 1:
+        if r < n_iters - 1:
             per_el = (
                 assigned.join(emb, "vec_id")
                 .select("cell", F.posexplode("e").alias("pos_i", "x"))

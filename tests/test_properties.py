@@ -328,3 +328,57 @@ def test_bpe_train_matches_python_reference(spark, data):
     finally:
         for frame in caches:
             frame.unpersist()
+
+
+def test_lloyd_deep_run_with_spool_matches_python(spark, sf_dir, tmp_path):
+    """lloyd_loop PAST the certified depth (6 iterations, twice the
+    oracle's unrolled 3) with per-iteration lineage truncation ==
+    a pure-Python integer Lloyd replay on the real embeddings — the
+    truncated loop must walk the identical trajectory (exact integer
+    distances, (dist, cell) tie-break, floor'd means), proving the
+    spool changes plan shape only, never the fixpoint path."""
+    import duckdb
+
+    # similarity first: mlprep imports it at module level, and
+    # similarity's decoration-time oracle builders import mlprep back —
+    # importing mlprep first trips the cycle (registry order avoids it)
+    from tailsql_spark.operators.similarity import N_CELLS
+    from tailsql_spark.operators.mlprep import lloyd_loop
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    e = {
+        vid: [int(round(float(x) * 1_000_000)) for x in vec] for vid, vec in rows
+    }
+    cent = {c: list(e[c]) for c in range(N_CELLS)}
+    n_iters = 6
+    assigned: dict[int, tuple[int, int]] = {}
+    for r in range(n_iters):
+        assigned = {}
+        for vid, v in e.items():
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(v, cent[c])), c) for c in cent
+            )
+            assigned[vid] = (best[1], best[0])
+        if r < n_iters - 1:
+            import math
+
+            new_cent = {}
+            for c in cent:
+                members = [e[vid] for vid, (cc, _) in assigned.items() if cc == c]
+                if members:
+                    new_cent[c] = [
+                        math.floor(sum(col) * 1.0 / len(members))
+                        for col in zip(*members)
+                    ]
+                else:
+                    new_cent[c] = cent[c]  # empty cell keeps its centroid
+            cent = new_cent
+
+    got_assigned, _cent = lloyd_loop(
+        spark, sf_dir, n_iters=n_iters, spool=str(tmp_path / "lloyd_spool")
+    )
+    got = {r.vec_id: (r.cell, r.dist) for r in got_assigned.collect()}
+    assert got == assigned
