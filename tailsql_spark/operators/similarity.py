@@ -1066,21 +1066,32 @@ def _materialized(df: DataFrame, name: str, sf_dir: str) -> DataFrame:
 
 
 def pq_trained_distances(
-    spark: SparkSession, sf_dir: str, raw: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    raw: DataFrame | None = None,
+    n_iters: int = PQ_KMEANS_ITERS,
+    spool: str | None = None,
 ) -> DataFrame:
-    """Train the per-subspace codebooks (PQ_KMEANS_ITERS Lloyd steps)
-    and return the FINAL distance table ``(vec_id, m, code, dist)`` —
+    """Train the per-subspace codebooks (``n_iters`` Lloyd steps) and
+    return the FINAL distance table ``(vec_id, m, code, dist)`` —
     codes and query LUTs both derive from it.  The Spark twin of
     ``_pq_kmeans_cte_parts``; shared by ann_pq_kmeans_topk and the
-    composed IVF-PQ stack."""
+    composed IVF-PQ stack.  ``spool``: per-iteration lineage truncation
+    of the codebook table (M×K rows) for deep runs — the same Catalyst
+    plan-tree-growth discipline as lloyd_loop / the BPE trainer; the
+    deep-run property test proves trajectory identity.  Caller owns the
+    dir."""
     sub = _pq_subvectors(spark, sf_dir, raw)
     cb = sub.filter(F.col("vec_id") < PQ_CODES).select(
         "m", F.col("vec_id").alias("code"), F.col("sv").alias("cv")
     )
     cand = None
-    for r in range(PQ_KMEANS_ITERS):
+    for r in range(n_iters):
+        if spool is not None:
+            cb.write.mode("overwrite").parquet(f"{spool}/cb{r}")
+            cb = spark.read.parquet(f"{spool}/cb{r}")
         cand = _pq_code_distances(sub, cb)
-        if r < PQ_KMEANS_ITERS - 1:
+        if r < n_iters - 1:
             assigned = (
                 cand.groupBy("vec_id", "m")
                 .agg(F.min(F.struct("dist", "code")).alias("mc"))

@@ -382,3 +382,72 @@ def test_lloyd_deep_run_with_spool_matches_python(spark, sf_dir, tmp_path):
     )
     got = {r.vec_id: (r.cell, r.dist) for r in got_assigned.collect()}
     assert got == assigned
+
+
+def test_pq_training_deep_run_with_spool_matches_python(spark, sf_dir, tmp_path):
+    """pq_trained_distances past the certified depth (6 iterations)
+    with codebook lineage truncation == a pure-Python per-subspace
+    integer Lloyd replay — final code assignments identical for every
+    (vector, subspace)."""
+    import math
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from tailsql_spark.operators.similarity import (
+        PQ_CODES,
+        PQ_DSUB,
+        PQ_M,
+        pq_trained_distances,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    sub = {
+        (vid, m): [int(round(float(x) * 1_000_000))
+                   for x in vec[m * PQ_DSUB : (m + 1) * PQ_DSUB]]
+        for vid, vec in rows
+        for m in range(PQ_M)
+    }
+    cb = {(m, c): list(sub[(c, m)]) for m in range(PQ_M) for c in range(PQ_CODES)}
+    n_iters = 6
+    codes: dict[tuple[int, int], int] = {}
+    for r in range(n_iters):
+        codes = {}
+        for (vid, m), sv in sub.items():
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(sv, cb[(m, c)])), c)
+                for c in range(PQ_CODES)
+            )
+            codes[(vid, m)] = best[1]
+        if r < n_iters - 1:
+            new_cb = {}
+            for m in range(PQ_M):
+                for c in range(PQ_CODES):
+                    members = [
+                        sub[(vid, mm)]
+                        for (vid, mm), cc in codes.items()
+                        if mm == m and cc == c
+                    ]
+                    if members:
+                        new_cb[(m, c)] = [
+                            math.floor(sum(col) * 1.0 / len(members))
+                            for col in zip(*members)
+                        ]
+                    else:
+                        new_cb[(m, c)] = cb[(m, c)]
+            cb = new_cb
+
+    dist = pq_trained_distances(
+        spark, sf_dir, n_iters=n_iters, spool=str(tmp_path / "pq_spool")
+    )
+    got = {
+        (r.vec_id, r.m): r.code
+        for r in dist.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("dist", "code")).alias("mc"))
+        .select("vec_id", "m", F.col("mc.code").alias("code"))
+        .collect()
+    }
+    assert got == codes
