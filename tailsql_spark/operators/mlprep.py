@@ -513,15 +513,51 @@ def _logreg_oracle() -> str:
     "driver loop only unrolls plan steps.",
 )
 def quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    J = range(_LR_NFEAT)
+    feat = logreg_features(spark, sf_dir)
+    w = logreg_train_weights(feat)
+    dot = sum(F.col(f"w{j}") * F.col(f"x{j}") for j in J)
+    acc = (
+        feat.crossJoin(F.broadcast(w))
+        .agg(
+            F.sum(((dot > 0) == (F.col("y") == 1)).cast("long")).alias("n_correct"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+    return w.crossJoin(acc).select(
+        *[f"w{j}" for j in J], "n_correct", "n_rows"
+    )
+
+
+def logreg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(x0..x3, y) integer feature rows over documents — THE shared
+    feature definition of the certified trainer and the deep-run
+    truncation test."""
     t = load_tables(spark, sf_dir)
     J = range(_LR_NFEAT)
     fcols = _logreg_feature_cols()
     y = (F.instr(F.lower(F.col("text")), " the ") > 0).cast("long")
-    feat = t["documents"].select(
+    return t["documents"].select(
         *[c.alias(f"x{j}") for j, c in zip(J, fcols)], y.alias("y")
     )
+
+
+def logreg_train_weights(
+    feat: DataFrame, n_iters: int = LOGREG_ITERS, spool: str | None = None
+) -> DataFrame:
+    """``n_iters`` full-batch GD steps over the integer feature frame;
+    returns the 1-row fixed-point weight table.  ``spool``: per-step
+    lineage truncation of the weight row — the iterative-loop
+    plan-growth discipline (SCALING.md); truncation is semantically
+    neutral (pytest-proven: spooled ≡ unspooled weights past the
+    certified depth).  Caller owns the dir."""
+    spark = feat.sparkSession
+    J = range(_LR_NFEAT)
     w = None  # None encodes the all-zero start (sigmoid exactly 0.5)
-    for _ in range(LOGREG_ITERS):
+    for it in range(n_iters):
+        if w is not None and spool is not None:
+            w.write.mode("overwrite").parquet(f"{spool}/w{it}")
+            w = spark.read.parquet(f"{spool}/w{it}")
         if w is None:
             scored = feat.withColumn("sq", F.lit(500_000).cast("long"))
         else:
@@ -552,14 +588,4 @@ def quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for j in J
                 ]
             )
-    dot = sum(F.col(f"w{j}") * F.col(f"x{j}") for j in J)
-    acc = (
-        feat.crossJoin(F.broadcast(w))
-        .agg(
-            F.sum(((dot > 0) == (F.col("y") == 1)).cast("long")).alias("n_correct"),
-            F.count("*").alias("n_rows"),
-        )
-    )
-    return w.crossJoin(acc).select(
-        *[f"w{j}" for j in J], "n_correct", "n_rows"
-    )
+    return w

@@ -451,3 +451,20 @@ def test_pq_training_deep_run_with_spool_matches_python(spark, sf_dir, tmp_path)
         .collect()
     }
     assert got == codes
+
+
+def test_logreg_spool_truncation_is_neutral(spark, sf_dir, tmp_path):
+    """logreg_train_weights past the certified depth (5 GD steps) with
+    per-step weight-row lineage truncation == the direct chain at the
+    same depth — truncation changes plan shape only, never the
+    fixed-point trajectory."""
+    from tailsql_spark.operators.similarity import N_CELLS  # noqa: F401 - import order (cycle)
+    from tailsql_spark.operators.mlprep import logreg_features, logreg_train_weights
+
+    feat = logreg_features(spark, sf_dir)
+    direct = logreg_train_weights(feat, n_iters=5).collect()
+    spooled = logreg_train_weights(
+        feat, n_iters=5, spool=str(tmp_path / "lr_spool")
+    ).collect()
+    assert [tuple(r) for r in direct] == [tuple(r) for r in spooled]
+    assert any(v != 0 for v in direct[0])  # the trajectory actually moved
