@@ -78,7 +78,12 @@ def _resolve_state_root(tag: str, state_root: str | None) -> tuple[str, bool]:
     the same certified code path serves local disk and object stores.
     One root belongs to ONE logical pipeline instance: the checkpoint
     under it pins the source the stream reads, so reuse means
-    "continue this pipeline", never "share between pipelines".  Layout
+    "continue this pipeline", never "share between pipelines".  The
+    public wrappers honor this by pinning their staged source at
+    ``{root}/src`` (see ``_stage_stream_source``): re-invoking a
+    wrapper against a used root resumes the checkpoint over the SAME
+    files (a no-op) instead of re-ingesting a fresh corpus copy;
+    continuation means adding new files under ``{root}/src``.  Layout
     under the root: SCALING.md, "Incremental state layout"."""
     if state_root is not None:
         return state_root.rstrip("/"), False
@@ -112,6 +117,45 @@ def _fs_rmtree(path: str) -> None:
     jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     fs.delete(jpath, True)
+
+
+def _fs_exists(path: str) -> bool:
+    """Existence check — os.path for plain paths, Hadoop FS for URIs."""
+    if "://" not in path:
+        import os
+
+        return os.path.exists(path)
+    spark = SparkSession.getActiveSession()
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(jpath)
+
+
+def _stage_stream_source(
+    df: DataFrame, tag: str, state_root: str, owned: bool, n_files: int = 4
+) -> str:
+    """Stage the micro-batch source files for a stateful stream_* op.
+
+    Owned (grading/test) state: a fresh local tempdir the caller
+    deletes after the run.  CALLER-owned ``state_root``: the source is
+    pinned at ``{state_root}/src`` and re-staging is SKIPPED when the
+    pinned copy already exists — the retained checkpoint under the same
+    root has already consumed those files, so a second invocation of
+    the public wrapper resumes as a no-op instead of staging a fresh
+    corpus copy the checkpoint has never seen (which would re-process
+    every batch on top of the persisted index, duplicating index state
+    and pair emissions).  Production continuation therefore means
+    dropping NEW files under ``{state_root}/src``; this staging only
+    bootstraps the first run against a root.
+    """
+    if owned:
+        path = tempfile.mkdtemp(prefix=f"tailsql_stream_{tag}_")
+        df.repartition(n_files).write.mode("overwrite").parquet(path)
+        return path
+    path = f"{state_root}/src"
+    if not _fs_exists(f"{path}/_SUCCESS"):
+        df.repartition(n_files).write.mode("overwrite").parquet(path)
+    return path
 
 
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -769,11 +813,9 @@ def stream_dedup_minhash(
 
     t = load_tables(spark, sf_dir)
     docs = t["documents"].select("doc_id", "text")
-    # 4 staged files + maxFilesPerTrigger=1 → 4 genuine micro-batches
-    src_dir = tempfile.mkdtemp(prefix="tailsql_stream_mhdedup_")
-    docs.repartition(4).write.mode("overwrite").parquet(src_dir)
-
     state_root, _owned_state = _resolve_state_root("mhdedup", state_root)
+    # 4 staged files + maxFilesPerTrigger=1 → 4 genuine micro-batches
+    src_dir = _stage_stream_source(docs, "mhdedup", state_root, _owned_state)
     ex_root, sig_root, out_root = _mh_seed_state(docs, state_root)
     process = _minhash_batch_processor(ex_root, sig_root, out_root)
 
@@ -794,8 +836,8 @@ def stream_dedup_minhash(
         q.stop()
     result = spark.read.parquet(*_mh_state_paths(out_root))
     out = _persist_result(result, "stream_dedup_minhash")
-    shutil.rmtree(src_dir, ignore_errors=True)
     if _owned_state:
+        shutil.rmtree(src_dir, ignore_errors=True)
         _fs_rmtree(state_root)
     return out
 
@@ -912,11 +954,9 @@ def stream_dedup_clusters(
     import shutil
 
     pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
-    src_dir = tempfile.mkdtemp(prefix="tailsql_stream_cc_")
-    # 4 staged files + maxFilesPerTrigger=1 → 4 genuine micro-batches
-    pairs.repartition(4).write.mode("overwrite").parquet(src_dir)
-
     state_root, _owned_state = _resolve_state_root("cc", state_root)
+    # 4 staged files + maxFilesPerTrigger=1 → 4 genuine micro-batches
+    src_dir = _stage_stream_source(pairs, "cc", state_root, _owned_state)
     edges_root = f"{state_root}/edges"
     labels_root = f"{state_root}/labels"
     pairs.limit(0).write.mode("overwrite").parquet(f"{edges_root}/seed")
@@ -947,8 +987,8 @@ def stream_dedup_clusters(
         F.col("cluster_size").cast("long").alias("cluster_size"),
     )
     out = _persist_result(result, "stream_dedup_clusters")
-    shutil.rmtree(src_dir, ignore_errors=True)
     if _owned_state:
+        shutil.rmtree(src_dir, ignore_errors=True)
         _fs_rmtree(state_root)
     return out
 
@@ -1093,9 +1133,8 @@ def stream_ann_topk(
         [], "query_id long, neighbor_id long, cosine double, rnk long"
     ).write.mode("overwrite").parquet(f"{topk_root}/seed")
 
-    src_dir = tempfile.mkdtemp(prefix="tailsql_stream_ann_")
     # 4 staged files + maxFilesPerTrigger=1 → 4 genuine micro-batches
-    emb.repartition(4).write.mode("overwrite").parquet(src_dir)
+    src_dir = _stage_stream_source(emb, "ann", state_root, _owned_state)
     stream = (
         spark.readStream.schema(emb.schema)
         .option("maxFilesPerTrigger", "1")
@@ -1119,8 +1158,8 @@ def stream_ann_topk(
         "query_id", "neighbor_id", "cosine", "rnk"
     )
     out = _persist_result(final, "stream_ann_topk")
-    shutil.rmtree(src_dir, ignore_errors=True)
     if _owned_state:
+        shutil.rmtree(src_dir, ignore_errors=True)
         _fs_rmtree(state_root)
     return out
 
@@ -1236,9 +1275,8 @@ def stream_contamination(
     empty_g.write.mode("overwrite").parquet(f"{train_root}/seed")
     test_grams.limit(0).write.mode("overwrite").parquet(f"{hits_root}/seed")
 
-    src_dir = tempfile.mkdtemp(prefix="tailsql_stream_contam_")
     # 4 staged files + maxFilesPerTrigger=1 → 4 genuine micro-batches
-    train_docs.repartition(4).write.mode("overwrite").parquet(src_dir)
+    src_dir = _stage_stream_source(train_docs, "contam", state_root, _owned_state)
     stream = (
         spark.readStream.schema(train_docs.schema)
         .option("maxFilesPerTrigger", "1")
@@ -1270,8 +1308,8 @@ def stream_contamination(
         )
     )
     out = _persist_result(result, "stream_contamination")
-    shutil.rmtree(src_dir, ignore_errors=True)
     if _owned_state:
+        shutil.rmtree(src_dir, ignore_errors=True)
         _fs_rmtree(state_root)
     return out
 
@@ -1426,9 +1464,8 @@ def stream_dedup_semantic(
         [], "vec_id long, cell long, pruned_by long"
     ).write.mode("overwrite").parquet(f"{snap_root}/seed")
 
-    src_dir = tempfile.mkdtemp(prefix="tailsql_stream_semdedup_")
     # 4 staged files + maxFilesPerTrigger=1 → 4 genuine micro-batches
-    emb.repartition(4).write.mode("overwrite").parquet(src_dir)
+    src_dir = _stage_stream_source(emb, "semdedup", state_root, _owned_state)
     stream = (
         spark.readStream.schema(emb.schema)
         .option("maxFilesPerTrigger", "1")
@@ -1453,8 +1490,8 @@ def stream_dedup_semantic(
         "pruned_by",
     )
     out = _persist_result(final, "stream_dedup_semantic")
-    shutil.rmtree(src_dir, ignore_errors=True)
     if _owned_state:
+        shutil.rmtree(src_dir, ignore_errors=True)
         _fs_rmtree(state_root)
     return out
 
@@ -1586,9 +1623,8 @@ def stream_substring_spans(
     empty_pg.select("g").write.mode("overwrite").parquet(f"{dup_root}/seed")
     empty_pg.select("g").write.mode("overwrite").parquet(f"{pending_root}/seed")
 
-    src_dir = tempfile.mkdtemp(prefix="tailsql_stream_substr_")
     # 4 staged files + maxFilesPerTrigger=1 → 4 genuine micro-batches
-    docs.repartition(4).write.mode("overwrite").parquet(src_dir)
+    src_dir = _stage_stream_source(docs, "substr", state_root, _owned_state)
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1")
@@ -1610,8 +1646,8 @@ def stream_substring_spans(
     pos = spark.read.parquet(*_mh_state_paths(pos_root))
     dpos = pos.join(dup, "g").select("doc_id", "pos")
     out = _persist_result(spans_from_flagged(dpos), "stream_substring_spans")
-    shutil.rmtree(src_dir, ignore_errors=True)
     if _owned_state:
+        shutil.rmtree(src_dir, ignore_errors=True)
         _fs_rmtree(state_root)
     return out
 
@@ -1695,11 +1731,9 @@ def stream_curation_survivors(
 
     t = load_tables(spark, sf_dir)
     docs = t["documents"].select("doc_id", "lang", "text", "n_chars")
-    src_dir = tempfile.mkdtemp(prefix="tailsql_stream_curation_")
-    # 4 staged files + maxFilesPerTrigger=1 → 4 genuine micro-batches
-    docs.repartition(4).write.mode("overwrite").parquet(src_dir)
-
     state_root, _owned_state = _resolve_state_root("curation", state_root)
+    # 4 staged files + maxFilesPerTrigger=1 → 4 genuine micro-batches
+    src_dir = _stage_stream_source(docs, "curation", state_root, _owned_state)
     ex_root, sig_root, out_root = _mh_seed_state(docs.select("doc_id", "text"), state_root)
     edges_root = f"{state_root}/edges"
     labels_root = f"{state_root}/labels"
@@ -1743,8 +1777,8 @@ def stream_curation_survivors(
     labels = spark.read.parquet(_latest_snapshot_path(labels_root, None))
     result = survivor_budgets(cleaned, labels)
     out = _persist_result(result, "stream_curation_survivors")
-    shutil.rmtree(src_dir, ignore_errors=True)
     if _owned_state:
+        shutil.rmtree(src_dir, ignore_errors=True)
         _fs_rmtree(state_root)
     return out
 
@@ -1811,11 +1845,9 @@ def stream_bpe_pair_counts(
 
     t = load_tables(spark, sf_dir)
     docs = t["documents"].select("doc_id", "text")
-    src_dir = tempfile.mkdtemp(prefix="tailsql_stream_bpepairs_")
-    # 4 staged files + maxFilesPerTrigger=1 → 4 genuine micro-batches
-    docs.repartition(4).write.mode("overwrite").parquet(src_dir)
-
     state_root, _owned_state = _resolve_state_root("bpepairs", state_root)
+    # 4 staged files + maxFilesPerTrigger=1 → 4 genuine micro-batches
+    src_dir = _stage_stream_source(docs, "bpepairs", state_root, _owned_state)
     counts_root = f"{state_root}/counts"
     spark.createDataFrame([], "pair string, n long").write.mode("overwrite").parquet(
         f"{counts_root}/seed"
@@ -1844,8 +1876,8 @@ def stream_bpe_pair_counts(
         .limit(20)
     )
     out = _persist_result(result, "stream_bpe_pair_counts")
-    shutil.rmtree(src_dir, ignore_errors=True)
     if _owned_state:
+        shutil.rmtree(src_dir, ignore_errors=True)
         _fs_rmtree(state_root)
     return out
 

@@ -525,6 +525,35 @@ def test_incremental_state_root_parameterized(spark, sf_dir, tmp_path):
     assert any(d.startswith("b") for d in os.listdir(f"{tmp_path}/mh_state/sig"))
 
 
+def test_wrapper_reinvoke_same_root_is_noop_resume(spark, sf_dir, tmp_path):
+    """r7 ADVICE: re-invoking a PUBLIC stream_* wrapper against a used
+    caller-owned root must RESUME — the staged source is pinned at
+    {root}/src, so the retained checkpoint has already consumed every
+    file and the second call processes ZERO batches over the persisted
+    index.  Before the fix each call staged the full corpus into a
+    fresh tempdir the checkpoint had never seen, re-processing all
+    batches and duplicating index state and pair emissions."""
+    import os
+
+    from tailsql_spark.plans.streaming_exec import stream_dedup_minhash
+
+    root = str(tmp_path / "mh_reuse")
+    first = {
+        tuple(r)
+        for r in stream_dedup_minhash(spark, sf_dir, state_root=root).collect()
+    }
+    # the staged source is pinned under the root, not a scratch tempdir
+    assert os.path.exists(f"{root}/src/_SUCCESS")
+    n_sig_dirs = len(os.listdir(f"{root}/sig"))
+    second = {
+        tuple(r)
+        for r in stream_dedup_minhash(spark, sf_dir, state_root=root).collect()
+    }
+    assert second == first
+    # zero new batch dirs: the resume re-processed nothing
+    assert len(os.listdir(f"{root}/sig")) == n_sig_dirs
+
+
 def test_fs_dispatchers_hadoop_branch(spark, tmp_path):
     """_fs_list/_fs_rmtree's URI branch (the code path hdfs://s3a://
     roots take) driven directly over file:// — list children, delete a
