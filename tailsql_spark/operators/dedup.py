@@ -621,14 +621,19 @@ def _capped_pair_query(spark, sf_dir, name, builder) -> DataFrame:
 
 
 def ngram_jaccard_from_shingles(
-    sh: DataFrame, cap: int = DF_CAP, with_cache: bool = False
+    sh: DataFrame,
+    cap: int = DF_CAP,
+    with_cache: bool = False,
+    threshold: float = 0.5,
 ):
-    """Jaccard ≥ 0.5 pairs over a ``(doc_id, shingles)`` frame — the
-    query body, factored so the df-cap behavior is testable on a
-    synthetic corpus (tests/test_scale.py plants a > DF_CAP boilerplate
-    gram and asserts zero pair blowup).  ``with_cache=True``
+    """Jaccard ≥ ``threshold`` pairs over a ``(doc_id, shingles)``
+    frame — the query body, factored so the df-cap behavior is testable
+    on a synthetic corpus (tests/test_scale.py plants a > DF_CAP
+    boilerplate gram and asserts zero pair blowup).  ``with_cache=True``
     additionally returns the posting-cache handle the caller must
-    unpersist after consuming the result."""
+    unpersist after consuming the result.  ``dedup_minhash_recall``
+    reuses this at :data:`JACCARD_THRESHOLD` as its ground-truth
+    builder, so the audit metric inherits the same anti-blowup cap."""
     kept, sizes, ex = capped_posting_index(sh, cap=cap, persist=with_cache)
     a, b = kept.alias("a"), kept.alias("b")
     pairs = (
@@ -640,7 +645,7 @@ def ngram_jaccard_from_shingles(
     out = (
         pairs.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")), "id_a")
         .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")), "id_b")
-        .filter(jac >= 0.5)
+        .filter(jac >= threshold)
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
     )
     return (out, ex) if with_cache else out
@@ -1023,11 +1028,10 @@ def dedup_span_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH found AS (SELECT id_a, id_b FROM ({_MINHASH_ORACLE})),
     sh AS ({_DUCK_SHINGLES}),
-    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+    {_DUCK_CAPPED_INDEX},
     common AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     ),
     truth AS (
@@ -1041,52 +1045,50 @@ def dedup_span_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((SELECT COUNT(*) FROM found) AS BIGINT) AS n_found,
            CAST((SELECT COUNT(*) FROM found f JOIN truth t
                  ON t.id_a = f.id_a AND t.id_b = f.id_b) AS BIGINT) AS n_hit,
-           ROUND((SELECT COUNT(*) FROM found f JOIN truth t
-                  ON t.id_a = f.id_a AND t.id_b = f.id_b) * 1.0
-                 / (SELECT COUNT(*) FROM truth), 4) AS recall
+           CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN CAST(1.0 AS DOUBLE)
+                ELSE ROUND((SELECT COUNT(*) FROM found f JOIN truth t
+                            ON t.id_a = f.id_a AND t.id_b = f.id_b) * 1.0
+                           / (SELECT COUNT(*) FROM truth), 4) END AS recall
     """,
     doc=f"Candidate-generation QUALITY metric for the MinHash pipeline, "
-    "certified: ground truth is every pair at true shingle-Jaccard ≥ "
-    f"{JACCARD_THRESHOLD} (exact posting-list intersection, no cap — "
-    "this is the offline audit pass, run on a slice at 100 TB), found "
-    "is dedup_minhash_lsh's output; recall measures the pairs whose "
-    f"{N_BANDS} bands never collided. Precision is 1 by construction "
-    "(candidates verify at true Jaccard before emission), so this one "
-    "number is the banding scheme's whole quality story — the dedup "
-    "analogue of ann_ivf_recall_at_k, and floor-gated in pytest like "
-    "the ANN metrics.",
+    "certified: ground truth is every pair at shingle-Jaccard ≥ "
+    f"{JACCARD_THRESHOLD} over the df ≤ {DF_CAP} capped posting list "
+    "(the dedup_ngram_jaccard discipline, mirrored in the oracle — a "
+    "boilerplate shingle shared by D docs must not mint D² audit "
+    "pairs, r7 verdict finding); found is dedup_minhash_lsh's output; "
+    f"recall measures the pairs whose {N_BANDS} bands never collided. "
+    "Vacuously 1.0 when the corpus has no true pairs at the threshold "
+    "(guarded identically in both engines). Precision is 1 by "
+    "construction (candidates verify at true Jaccard before emission), "
+    "so this one number is the banding scheme's whole quality story — "
+    "the dedup analogue of ann_ivf_recall_at_k, and floor-gated in "
+    "pytest like the ANN metrics.",
 )
 def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir)
-    docs = t["documents"].select("doc_id", "text")
-    ex = docs.select("doc_id", F.explode(shingles_col(F.col("text"))).alias("s"))
-    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = ex.select(F.col("doc_id").alias("id_a"), "s")
-    b = ex.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s2"))
-    common = (
-        a.join(b, (F.col("s") == F.col("s2")) & (F.col("id_a") < F.col("id_b")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("c"))
+    from tailsql_spark.plans.catalog import materialize_result, sf_key
+
+    truth_pairs, ex = ngram_jaccard_from_shingles(
+        doc_shingles(spark, sf_dir), with_cache=True, threshold=JACCARD_THRESHOLD
     )
-    jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
-    truth = (
-        common.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")), "id_a")
-        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")), "id_b")
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("id_a", "id_b")
-    )
+    truth = truth_pairs.select("id_a", "id_b")
     found = REGISTRY["dedup_minhash_lsh"].build(spark, sf_dir).select("id_a", "id_b")
     hit = found.join(truth, ["id_a", "id_b"])
     nt = truth.agg(F.count("*").alias("n_truth"))
     nf = found.agg(F.count("*").alias("n_found"))
     nh = hit.agg(F.count("*").alias("n_hit"))
-    return (
+    result = (
         nt.crossJoin(nf)
         .crossJoin(nh)
         .select(
             "n_truth",
             "n_found",
             "n_hit",
-            F.round(F.col("n_hit") * 1.0 / F.col("n_truth"), 4).alias("recall"),
+            F.when(F.col("n_truth") == 0, F.lit(1.0))
+            .otherwise(F.round(F.col("n_hit") * 1.0 / F.col("n_truth"), 4))
+            .alias("recall"),
         )
     )
+    try:
+        return materialize_result(result, "dedup_minhash_recall", key=sf_key(sf_dir))
+    finally:
+        ex.unpersist()

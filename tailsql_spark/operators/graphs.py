@@ -372,7 +372,11 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def pagerank_fixed(pairs: DataFrame, key: str = "adhoc") -> DataFrame:
+def pagerank_fixed(pairs: DataFrame, key: str) -> DataFrame:
+    # key is REQUIRED (no default): two ad-hoc pair graphs in one
+    # session must not alias the same materialized result path while a
+    # lazy frame over the first still reads it — matching
+    # materialize_result's non-empty-key contract.
     result, caches = _pagerank_ranked(pairs)
     # materialize (keyed so two corpora never alias the same
     # files), then RELEASE the caches in a finally — a failed write

@@ -24,7 +24,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tailsql_spark.plans.catalog import QuerySpec, load_tables
+from tailsql_spark.plans.catalog import QuerySpec, load_table, load_tables
 from tailsql_spark.sinks.formatters import raw_line_col
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -40,19 +40,50 @@ def query(name: str, category: str, oracle: str | None, doc: str = ""):
     return deco
 
 
-def _stage_dir(sf_dir: str, tag: str) -> str:
+def _stage_dir(sf_dir: str, tag: str, src_tables: tuple[str, ...] = ()) -> str:
     """Deterministic per-(sf_dir, tag) scratch path so repeated builds
     overwrite instead of leaking temp dirs.  Keyed like
     catalog.sf_key — readable basename + short hash of the FULL path —
     because the r7 idempotent-staging guards REUSE an existing staging:
     a basename-only key would hand corpus B a staging built from
-    corpus A whenever their directories share a basename."""
+    corpus A whenever their directories share a basename.
+
+    Guarded (reusing) callers pass ``src_tables``: a content
+    fingerprint of those source tables' parquet files (relative path,
+    size, mtime_ns) is folded into the key, so a corpus REGENERATED at
+    the same absolute path mints a fresh staging dir instead of
+    silently reusing stale staged data that would diverge from the
+    oracle (which reads the fresh table).  Prior-fingerprint siblings
+    for the same (tag, sf_dir) are deleted so regeneration swaps, not
+    leaks."""
+    import glob
     import hashlib
+    import shutil
 
     path = os.path.abspath(sf_dir.rstrip("/"))
     base = os.path.basename(path) or "sf"
     digest = hashlib.sha1(path.encode()).hexdigest()[:8]
-    return os.path.join(tempfile.gettempdir(), f"tailsql_stage_{tag}_{base}-{digest}")
+    stem = os.path.join(tempfile.gettempdir(), f"tailsql_stage_{tag}_{base}-{digest}")
+    if not src_tables:
+        return stem
+    h = hashlib.sha1()
+    for name in src_tables:
+        root = os.path.join(path, f"{name}.parquet")
+        if os.path.isfile(root):
+            st = os.stat(root)
+            h.update(f"{name}:{st.st_size}:{st.st_mtime_ns};".encode())
+            continue
+        for dirpath, dirnames, filenames in os.walk(root):
+            dirnames.sort()
+            for fn in sorted(filenames):
+                st = os.stat(os.path.join(dirpath, fn))
+                rel = os.path.relpath(os.path.join(dirpath, fn), root)
+                h.update(f"{name}/{rel}:{st.st_size}:{st.st_mtime_ns};".encode())
+    fp = h.hexdigest()[:8]
+    for stale in glob.glob(f"{stem}-*"):
+        if stale != f"{stem}-{fp}":
+            shutil.rmtree(stale, ignore_errors=True)
+    return f"{stem}-{fp}"
 
 
 @query(
@@ -472,12 +503,12 @@ def sorted_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
     month; the sorted layout prunes row groups inside each file).  At
     100 TB this is the Z-order-lite that turns a time-range scan from
     full-file reads into a handful of row groups."""
-    t = load_tables(spark, sf_dir)
-    path = _stage_dir(sf_dir, "sorted_lineitem")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    path = _stage_dir(sf_dir, "sorted_lineitem", src_tables=("lineitem",))
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     (
-        t["lineitem"]
+        lineitem
         .select(
             # cast to DATE: the source column is a timestamp that
             # parquet would store as INT96, which carries NO min/max
@@ -564,12 +595,12 @@ def zorder_orders_path(spark: SparkSession, sf_dir: str) -> str:
     space, so predicates on EITHER dimension skip most row groups —
     the multi-dimensional generalization of sorted_lineitem_path and
     exactly what Delta/Iceberg `OPTIMIZE ZORDER BY` does at 100 TB."""
-    t = load_tables(spark, sf_dir)
-    path = _stage_dir(sf_dir, "zorder_orders")
+    orders = load_table(spark, sf_dir, "orders")
+    path = _stage_dir(sf_dir, "zorder_orders", src_tables=("orders",))
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     (
-        t["orders"]
+        orders
         .select(
             F.col("o_custkey").cast("long").alias("ck"),
             F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
@@ -645,12 +676,12 @@ def manifest_orders_path(spark: SparkSession, sf_dir: str) -> str:
     manifest row already collected from the old ones — the exact
     stale-pointer hazard lakehouse formats solve with transactional
     manifests, emulated here by an idempotent-staging guard."""
-    t = load_tables(spark, sf_dir)
-    path = _stage_dir(sf_dir, "manifest_orders")
+    orders = load_table(spark, sf_dir, "orders")
+    path = _stage_dir(sf_dir, "manifest_orders", src_tables=("orders",))
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     (
-        t["orders"]
+        orders
         .select(
             F.col("o_orderdate").cast("date").alias("o_orderdate"),
             "o_orderstatus",
@@ -712,7 +743,12 @@ def orders_file_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sink_manifest_file_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     import datetime
 
-    lo, hi = datetime.date(1995, 1, 1), datetime.date(1995, 7, 1)
+    return manifest_pruned_orders(
+        spark, sf_dir, datetime.date(1995, 1, 1), datetime.date(1995, 7, 1)
+    )
+
+
+def manifest_pruned_orders(spark: SparkSession, sf_dir: str, lo, hi) -> DataFrame:
     manifest = orders_file_manifest(spark, sf_dir)
     files = [
         r.file
@@ -720,7 +756,14 @@ def sink_manifest_file_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("max_date") >= F.lit(lo)) & (F.col("min_date") < F.lit(hi))
         ).collect()
     ]
-    back = spark.read.parquet(*files)
+    if files:
+        back = spark.read.parquet(*files)
+    else:
+        # no manifest entry overlaps the window: the variadic reader
+        # rejects zero paths, but the correct answer is the empty
+        # aggregate the oracle produces — scan the staged schema with a
+        # false filter (zero files scheduled after pruning, same shape)
+        back = spark.read.parquet(manifest_orders_path(spark, sf_dir)).filter(F.lit(False))
     return (
         # the residual predicate still applies inside surviving files
         back.filter((F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") < F.lit(hi)))

@@ -195,7 +195,9 @@ def test_pagerank_fixed_matches_integer_reference(spark, pairs):
         r = {v: (15 * PR_SCALE) // (100 * n) + (85 * s[v]) // 100 for v in deg}
 
     df = spark.createDataFrame(pair_list, "id_a long, id_b long")
-    got = {row.doc_id: row.rank_fp for row in pagerank_fixed(df).collect()}
+    # key is required: namespace per example so no two graphs alias
+    key = f"proptest_{abs(hash(tuple(pair_list))) % 10**9}"
+    got = {row.doc_id: row.rank_fp for row in pagerank_fixed(df, key=key).collect()}
     assert got == r
     assert sum(got.values()) <= PR_SCALE  # floors only ever lose mass
 

@@ -532,6 +532,43 @@ def test_df_cap_kills_boilerplate_pair_blowup(spark):
     pairs = dedup.ngram_jaccard_from_shingles(sh).collect()
     ex_cache.unpersist()
     assert sorted((r.id_a, r.id_b) for r in pairs) == [(1000, 1001)]
+    # the SAME capped builder is dedup_minhash_recall's ground truth
+    # (r7 verdict: the audit metric's truth join must not mint D² pairs
+    # from one boilerplate shingle) — prove the cap holds at the
+    # recall threshold too
+    truth = dedup.ngram_jaccard_from_shingles(
+        sh, threshold=dedup.JACCARD_THRESHOLD
+    ).collect()
+    assert sorted((r.id_a, r.id_b) for r in truth) == [(1000, 1001)]
+
+
+def test_minhash_recall_zero_truth_guard(spark, tmp_path):
+    """r7 ADVICE: on a corpus with NO true pairs at the Jaccard
+    threshold the recall metric must report a DEFINED vacuous 1.0 —
+    not a NULL from a 0/0 division (the oracle guards identically, so
+    certification holds on degenerate inputs)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tailsql_spark.plans.registry import REGISTRY
+
+    sf = str(tmp_path / "sfnodup")
+    shutil.copytree("/root/testdata/sf0.001", sf)
+    t = pq.read_table(f"{sf}/documents.parquet")
+    texts = pa.array(
+        [
+            f"wholly unique text {i} alpha{i} beta{i} gamma{i} delta{i} epsilon{i}"
+            for i in range(t.num_rows)
+        ]
+    )
+    t = t.set_column(t.schema.get_field_index("text"), "text", texts)
+    pq.write_table(t, f"{sf}/documents.parquet")
+
+    r = REGISTRY["dedup_minhash_recall"].build(spark, sf).collect()[0]
+    assert r.n_truth == 0
+    assert r.recall == 1.0
 
 
 def test_sorted_layout_rowgroup_stats_enable_skipping(spark, oracle_sf_dir):
@@ -724,6 +761,25 @@ def test_manifest_pruning_reads_strict_file_subset(spark, oracle_sf_dir):
     assert n_pred == n_pruned > 0
 
 
+def test_manifest_pruning_empty_window_returns_empty(spark, oracle_sf_dir):
+    """r7 ADVICE: a predicate window no manifest entry overlaps must
+    short-circuit to the empty aggregate the oracle would produce —
+    not throw on the zero-path variadic reader."""
+    import datetime
+
+    from tailsql_spark.plans.connectors import manifest_pruned_orders
+
+    out = manifest_pruned_orders(
+        spark, oracle_sf_dir, datetime.date(2050, 1, 1), datetime.date(2050, 7, 1)
+    )
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "o_orderstatus",
+        "n",
+        "sum_price_cents",
+    ]
+
+
 def test_cache_using_queries_release_their_persists(spark, oracle_sf_dir):
     """The materialize-and-release discipline as a gate: every query
     that persists intermediate frames must UNPERSIST them before
@@ -763,3 +819,39 @@ def test_minhash_recall_floor(spark, oracle_sf_dir):
     r = REGISTRY["dedup_minhash_recall"].build(spark, oracle_sf_dir).collect()[0]
     assert r.n_truth > 0
     assert r.recall >= 0.9, f"minhash candidate recall degraded: {r.recall}"
+
+
+def test_staging_invalidated_when_source_regenerates(spark, tmp_path):
+    """r7 ADVICE: the idempotent-staging guards fold a CONTENT
+    fingerprint (file sizes/mtimes) of the source table into the
+    staging key, so a corpus REGENERATED at the same absolute path
+    mints a fresh staging dir instead of silently reusing stale staged
+    data — which would diverge from the oracle (it reads the fresh
+    table) with no invalidation path. The prior-fingerprint staging is
+    swapped out, not leaked."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from tailsql_spark.plans.connectors import sorted_lineitem_path
+
+    sf = tmp_path / "sfregen"
+    sf.mkdir()
+    src = "/root/testdata/sf0.001/lineitem.parquet"
+    dst = str(sf / "lineitem.parquet")
+    (shutil.copy if os.path.isfile(src) else shutil.copytree)(src, dst)
+    p1 = sorted_lineitem_path(spark, str(sf))
+    n1 = spark.read.parquet(p1).count()
+
+    # regenerate the corpus at the SAME path with different content
+    t = pq.read_table(dst)
+    half = t.num_rows // 2
+    if os.path.isdir(dst):
+        shutil.rmtree(dst)
+    pq.write_table(t.slice(0, half), dst)
+
+    p2 = sorted_lineitem_path(spark, str(sf))
+    assert p2 != p1, "regenerated corpus must not reuse the stale staging"
+    assert spark.read.parquet(p2).count() == half != n1
+    assert not os.path.exists(p1), "stale staging must be swapped out, not leaked"
