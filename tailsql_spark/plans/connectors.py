@@ -773,3 +773,150 @@ def manifest_pruned_orders(spark: SparkSession, sf_dir: str, lo, hi) -> DataFram
             F.sum("price_cents").alias("sum_price_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MERGE / upsert — the lakehouse corpus-maintenance shape
+# ---------------------------------------------------------------------------
+
+#: Merge scenario, deterministic from the documents table so both
+#: engines can reconstruct it: the base snapshot is every doc except
+#: the "new crawl" slice; the delta INSERTS that slice (doc_id % 64 ==
+#: 0) and UPDATES the "recrawled, content changed" slice (doc_id % 64
+#: == 17, content bumped by 1000). part = doc_id % 16, so the delta
+#: touches EXACTLY partitions {0, 1} (64 ≡ 0 and 17 ≡ 1 mod 16) — the
+#: strict-subset precondition for proving partition-pruned rewrite.
+MERGE_N_PARTS = 16
+MERGE_INSERT_MOD = 0   # doc_id % 64 == 0  → not in base, inserted by delta
+MERGE_UPDATE_MOD = 17  # doc_id % 64 == 17 → in base, rewritten by delta
+
+
+def _merge_base_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("doc_id") % 64 != MERGE_INSERT_MOD).select(
+        "doc_id",
+        (F.col("doc_id") % MERGE_N_PARTS).alias("part"),
+        F.col("n_chars").alias("content"),
+        F.lit(1).cast("int").alias("version"),
+    )
+
+
+def _merge_delta_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    inserts = docs.filter(F.col("doc_id") % 64 == MERGE_INSERT_MOD).select(
+        "doc_id",
+        (F.col("doc_id") % MERGE_N_PARTS).alias("part"),
+        F.col("n_chars").alias("content"),
+        F.lit(2).cast("int").alias("version"),
+    )
+    updates = docs.filter(F.col("doc_id") % 64 == MERGE_UPDATE_MOD).select(
+        "doc_id",
+        (F.col("doc_id") % MERGE_N_PARTS).alias("part"),
+        (F.col("n_chars") + 1000).alias("content"),
+        F.lit(2).cast("int").alias("version"),
+    )
+    return inserts.unionByName(updates)
+
+
+def merge_base_path(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the base snapshot partitioned by ``part`` (once per
+    corpus content).  The merge MUTATES this staging in place — that is
+    the point: it is the writable lakehouse table the upsert maintains,
+    and re-running the merge against it is idempotent (delta-wins on
+    matching keys re-asserts the same rows)."""
+    path = _stage_dir(sf_dir, "merge_base", src_tables=("documents",))
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    _merge_base_frame(spark, sf_dir).write.mode("overwrite").partitionBy(
+        "part"
+    ).parquet(path)
+    return path
+
+
+def merge_upsert_run(spark: SparkSession, sf_dir: str):
+    """Execute the MERGE and return ``(merged_df, base_path, touched)``.
+
+    Delta-style mechanics, faithfully: (1) the touched-partition list
+    is computed from the delta — planning METADATA, file-count-sized,
+    like a manifest read; (2) ONLY those partitions are read, merged
+    (full-outer on the key, delta wins) and rewritten via dynamic
+    partition overwrite; untouched partition files are never opened,
+    never rewritten.  At 100 TB an incremental crawl touches a sliver
+    of partitions, so the rewrite cost tracks the DELTA, not the
+    table — the whole reason MERGE exists over rewrite-the-world.
+    The delta side of the join is small by construction (one crawl
+    increment), so AQE broadcasts it; the base side reads only the
+    touched partition directories (partition pruning, plan-asserted in
+    pytest)."""
+    base_path = merge_base_path(spark, sf_dir)
+    delta = _merge_delta_frame(spark, sf_dir)
+    touched = sorted(
+        r.part for r in delta.select("part").distinct().collect()
+    )  # planning metadata: bounded by the partition count, never row-sized
+    base = spark.read.parquet(base_path)
+    b = base.filter(F.col("part").isin(touched)).alias("b")
+    d = delta.alias("d")
+    merged_touched = b.join(d, F.col("b.doc_id") == F.col("d.doc_id"), "full_outer").select(
+        F.coalesce(F.col("d.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+        F.coalesce(F.col("d.content"), F.col("b.content")).alias("content"),
+        F.coalesce(F.col("d.version"), F.col("b.version")).alias("version"),
+        F.coalesce(F.col("d.part"), F.col("b.part")).alias("part"),
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged_touched.write.mode("overwrite").partitionBy("part").parquet(base_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return spark.read.parquet(base_path), base_path, touched
+
+
+@query(
+    "sink_merge_upsert",
+    "sinks",
+    f"""
+    WITH base AS (
+        SELECT doc_id, doc_id % {MERGE_N_PARTS} AS part, n_chars AS content,
+               1 AS version
+        FROM documents WHERE doc_id % 64 <> {MERGE_INSERT_MOD}
+    ),
+    delta AS (
+        SELECT doc_id, doc_id % {MERGE_N_PARTS} AS part, n_chars AS content,
+               2 AS version
+        FROM documents WHERE doc_id % 64 = {MERGE_INSERT_MOD}
+        UNION ALL
+        SELECT doc_id, doc_id % {MERGE_N_PARTS} AS part, n_chars + 1000,
+               2 AS version
+        FROM documents WHERE doc_id % 64 = {MERGE_UPDATE_MOD}
+    ),
+    merged AS (
+        SELECT COALESCE(d.doc_id, b.doc_id) AS doc_id,
+               COALESCE(d.part, b.part) AS part,
+               COALESCE(d.content, b.content) AS content,
+               COALESCE(d.version, b.version) AS version
+        FROM base b FULL OUTER JOIN delta d ON b.doc_id = d.doc_id
+    )
+    SELECT CAST(part AS BIGINT) AS part,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(content) AS BIGINT) AS sum_content,
+           CAST(SUM(version) AS BIGINT) AS sum_version
+    FROM merged GROUP BY part
+    """,
+    doc="Lakehouse MERGE/upsert — the incremental-crawl corpus "
+    "maintenance shape: a crawl delta (new doc_ids inserted, changed "
+    "docs updated, delta-wins on key) merges into a part-partitioned "
+    "base snapshot by rewriting ONLY the partitions the delta touches "
+    "(dynamic partition overwrite; the touched list is planning "
+    "metadata like a Delta/Iceberg manifest read). Untouched "
+    "partition files are byte-identical after the merge, "
+    "pytest-asserted. Certified against a DuckDB FULL OUTER JOIN "
+    "replay of the same base/delta construction; the per-partition "
+    "aggregate result detects any lost, duplicated, or stale row.",
+)
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merged, _path, _touched = merge_upsert_run(spark, sf_dir)
+    return merged.groupBy(F.col("part").cast("long").alias("part")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("content").alias("sum_content"),
+        F.sum(F.col("version").cast("long")).alias("sum_version"),
+    )

@@ -855,3 +855,49 @@ def test_staging_invalidated_when_source_regenerates(spark, tmp_path):
     assert p2 != p1, "regenerated corpus must not reuse the stale staging"
     assert spark.read.parquet(p2).count() == half != n1
     assert not os.path.exists(p1), "stale staging must be swapped out, not leaked"
+
+
+def test_merge_upsert_rewrites_only_touched_partitions(spark, oracle_sf_dir):
+    """sink_merge_upsert's Delta-style contract: the crawl delta
+    touches partitions {0, 1} by construction, so the merge must (a)
+    partition-prune the base read to those directories, (b) rewrite
+    them via dynamic partition overwrite, and (c) leave every other
+    partition's files BYTE-IDENTICAL (same names, sizes, mtimes) — the
+    difference between rewrite-the-delta and rewrite-the-world at
+    100 TB."""
+    import glob
+    import os
+    import shutil
+
+    from tailsql_spark.plans.connectors import merge_base_path, merge_upsert_run
+
+    # restage from scratch so the base is the pre-merge snapshot
+    shutil.rmtree(merge_base_path(spark, oracle_sf_dir), ignore_errors=True)
+    base = merge_base_path(spark, oracle_sf_dir)
+
+    def snap():
+        return {
+            f: (os.stat(f).st_size, os.stat(f).st_mtime_ns)
+            for f in glob.glob(f"{base}/part=*/*.parquet")
+        }
+
+    before = snap()
+    assert before, "staged base must contain partition files"
+    merged, path, touched = merge_upsert_run(spark, oracle_sf_dir)
+    assert path == base and touched == [0, 1]
+    after = snap()
+
+    def is_touched(f):
+        return any(f"/part={t}/" in f for t in touched)
+
+    assert {f: v for f, v in before.items() if not is_touched(f)} == {
+        f: v for f, v in after.items() if not is_touched(f)
+    }, "untouched partitions must be byte-identical after the merge"
+    tb = {f: v for f, v in before.items() if is_touched(f)}
+    ta = {f: v for f, v in after.items() if is_touched(f)}
+    assert tb != ta, "touched partitions must actually rewrite"
+
+    # (a) the base side of the merge is partition-pruned, not a full scan
+    pruned = spark.read.parquet(base).filter(F.col("part").isin(touched))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "part" in plan
