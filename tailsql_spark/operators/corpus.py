@@ -1095,6 +1095,39 @@ def corpus_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@query(
+    "corpus_quality_percentile_approx",
+    "corpus",
+    None,
+    doc=f"The 100 TB variant of corpus_quality_percentile_gate: the "
+    f"per-language P{int(PCTL_GATE * 100)} admission threshold comes "
+    "from approx_percentile (a mergeable KLL-style sketch, one "
+    "map-side-combined aggregation — no per-language full sort / rank "
+    "window, whose skew the exact gate's docstring flags), then the "
+    "|langs|-row threshold table broadcasts back over the scoring "
+    "scan. Sketch output is accuracy-bounded, not exact, so this row "
+    "is graded rows-only (the agg_hll_mergeable pattern) and a pytest "
+    "tolerance gate pins its kept-fraction to within 2 points of the "
+    "exact rank gate per language.",
+)
+def corpus_quality_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    scored = t["documents"].select("doc_id", "lang", _quality_score().alias("score"))
+    thresh = scored.groupBy("lang").agg(
+        F.percentile_approx("score", PCTL_GATE, 10000).alias("threshold")
+    )
+    return (
+        scored.join(F.broadcast(thresh), "lang")
+        .groupBy("lang", "threshold")
+        .agg(
+            F.count("*").cast("long").alias("n_total"),
+            F.sum((F.col("score") >= F.col("threshold")).cast("long"))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )
+
+
 SOURCE_CAP = 5  # max admitted docs per source
 
 

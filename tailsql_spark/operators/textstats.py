@@ -911,18 +911,23 @@ def _bpe_apply_merge(e: DataFrame, best: DataFrame) -> DataFrame:
     )
 
 
-def _bpe_train_frames(spark: SparkSession, sf_dir: str, cache: bool = True):
-    """(merges, final_syms, caches) over the ``documents`` corpus — see
-    :func:`bpe_train_merges` for the loop itself."""
+def bpe_corpus_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one corpus-wide pass of BPE training: the distinct word-TYPE
+    frequency table (everything after it is vocab-sized)."""
     t = load_tables(spark, sf_dir)
-    words = (
+    return (
         t["documents"]
         .select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"))
         .filter(F.length("w") >= 2)
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
     )
-    return bpe_train_merges(words, cache=cache)
+
+
+def _bpe_train_frames(spark: SparkSession, sf_dir: str, cache: bool = True):
+    """(merges, final_syms, caches) over the ``documents`` corpus — see
+    :func:`bpe_train_merges` for the loop itself."""
+    return bpe_train_merges(bpe_corpus_words(spark, sf_dir), cache=cache)
 
 
 class _SpoolHandle:
@@ -1040,6 +1045,219 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     try:
         return materialize_result(merges, "text_bpe_train", key=sf_key(sf_dir))
+    finally:
+        for frame in caches:
+            frame.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# BATCHED BPE training: top-k non-interacting merges per round
+# ---------------------------------------------------------------------------
+
+#: merges applied per round in the batched trainer and rounds in the
+#: certified query.  k=2 keeps the oracle's unrolled greedy-selection
+#: CTEs readable while exercising the interaction rule; the Spark
+#: trainer takes any k.
+BPE_BATCH_K = 2
+BPE_BATCH_ROUNDS = 3
+
+
+def _select_disjoint_pairs(ranked_rows, k: int):
+    """Greedy top-k SYMBOL-DISJOINT pair selection over a ranked
+    (count desc, pair asc) candidate list — the batched-BPE interaction
+    rule: a pair joins the batch iff it shares no symbol with any
+    higher-ranked selected pair.  Disjoint pairs cannot overlap in any
+    word and cannot change each other's counts (merging (a,b) only
+    creates/destroys pairs touching a or b), so the batch applies
+    simultaneously with the same island-parity machinery as a single
+    merge."""
+    sel: list = []
+    used: set[str] = set()
+    for row in ranked_rows:
+        if len(sel) == k:
+            break
+        if row.l in used or row.r2 in used:
+            continue
+        sel.append(row)
+        used.update((row.l, row.r2))
+    return sel
+
+
+def bpe_train_merges_batched(
+    words: DataFrame,
+    n_rounds: int = BPE_BATCH_ROUNDS,
+    k: int = BPE_BATCH_K,
+    cache: bool = True,
+):
+    """(merges, final_syms, caches): BATCHED BPE training — per round,
+    ONE pair-count aggregation selects the greedy top-k symbol-disjoint
+    pairs and ONE merge pass applies them all, so a vocabulary of V
+    merges costs ~2·V/k sequential stage launches instead of the
+    1-at-a-time trainer's ~2·V (the launch-bound cost of deep training
+    loops; see SCALING.md).  With k=1 the trajectory IS the sequential
+    trainer's, pytest-certified; for k>1 each round's selection comes
+    from the SAME count table, so a newly-created symbol can only start
+    winning at the next round — the standard batched-BPE approximation,
+    property-tested against a pure-Python replica of exactly these
+    semantics.
+
+    The candidate ranking is read back in a bounded prefix (64 rows,
+    widened ×4 until the greedy selection fills or candidates run
+    out) — planning metadata like a manifest read, never corpus-sized.
+    Per-round lineage truncation (parquet spool) as in
+    :func:`bpe_train_merges`."""
+    wrn = W.partitionBy("w").orderBy("pos")
+    e = (
+        words.select(
+            "w", "cnt",
+            F.posexplode(
+                F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+            ).alias("pos0", "sym"),
+        )
+        .select("w", "cnt", (F.col("pos0") + 1).alias("pos"), "sym")
+        .withColumn("nxt", F.lead("sym").over(wrn))
+    )
+    caches: list = []
+    spool: str | None = None
+    if cache:
+        import tempfile
+
+        spool = tempfile.mkdtemp(prefix="tailsql_bpe_batch_spool_")
+        caches.append(_SpoolHandle(spool))
+    spark = words.sparkSession
+    out_rows: list[tuple] = []
+    for rnd in range(1, n_rounds + 1):
+        if cache:
+            e.write.mode("overwrite").parquet(f"{spool}/e{rnd}")
+            e = spark.read.parquet(f"{spool}/e{rnd}")
+        counts = (
+            e.filter(F.col("nxt").isNotNull())
+            .groupBy(F.col("sym").alias("l"), F.col("nxt").alias("r2"))
+            .agg(F.sum("cnt").alias("n"))
+        )
+        m = 64
+        while True:
+            top = counts.orderBy(F.desc("n"), F.asc("l"), F.asc("r2")).limit(m).collect()
+            sel = _select_disjoint_pairs(top, k)
+            if len(sel) == k or len(top) < m:
+                break
+            m *= 4  # pathological corpora only: widen the prefix
+        if not sel:
+            break
+        for i, row in enumerate(sel, 1):
+            out_rows.append((rnd, i, row.l, row.r2, row.l + row.r2, int(row.n)))
+        best = spark.createDataFrame(
+            [(r.l, r.r2) for r in sel], "l string, r2 string"
+        )
+        e = _bpe_apply_merge(e, best)
+    merges = spark.createDataFrame(
+        out_rows,
+        "round long, sel_rank long, pair_left string, pair_right string,"
+        " merged string, n long",
+    )
+    return merges.orderBy("round", "sel_rank"), e, tuple(caches)
+
+
+def _bpe_batch_step_ctes(r: int) -> str:
+    """One unrolled batched round (k=2): rank ALL pairs, select the
+    top-1 plus the best pair symbol-disjoint from it, then apply both
+    merges in one island-parity pass (disjoint pairs can never be
+    adjacent in a word, so runs stay single-pair and the sequential
+    parity rule carries over verbatim)."""
+    return f"""
+    pc{r} AS (
+        SELECT sym AS l, nxt AS r2, SUM(cnt) AS n FROM be{r} WHERE nxt IS NOT NULL
+        GROUP BY sym, nxt
+    ),
+    rk{r} AS (
+        SELECT l, r2, n, ROW_NUMBER() OVER (ORDER BY n DESC, l ASC, r2 ASC) AS rk
+        FROM pc{r}
+    ),
+    sa{r} AS (SELECT l, r2, n FROM rk{r} WHERE rk = 1),
+    sb{r} AS (
+        SELECT r.l, r.r2, r.n FROM rk{r} r, sa{r} s
+        WHERE r.l <> s.l AND r.l <> s.r2 AND r.r2 <> s.l AND r.r2 <> s.r2
+        ORDER BY r.rk LIMIT 1
+    ),
+    sel{r} AS (
+        SELECT l, r2, n, 1 AS sel_rank FROM sa{r}
+        UNION ALL SELECT l, r2, n, 2 FROM sb{r}
+    ),
+    bm{r} AS (
+        SELECT w, pos FROM (
+            SELECT w, pos, pos - MIN(pos) OVER (PARTITION BY w, grp) AS off
+            FROM (
+                SELECT e.w, e.pos,
+                       e.pos - ROW_NUMBER() OVER (PARTITION BY e.w ORDER BY e.pos) AS grp
+                FROM be{r} e JOIN sel{r} b ON e.sym = b.l AND e.nxt = b.r2
+            )
+        ) WHERE off % 2 = 0
+    ),
+    bne{r} AS (
+        SELECT e.w, e.cnt, e.pos,
+               CASE WHEN ml.pos IS NOT NULL THEN e.sym || e.nxt ELSE e.sym END AS sym
+        FROM be{r} e
+        LEFT JOIN bm{r} ml ON ml.w = e.w AND ml.pos = e.pos
+        LEFT JOIN bm{r} mr ON mr.w = e.w AND mr.pos = e.pos - 1
+        WHERE mr.pos IS NULL
+    ),
+    be{r + 1} AS (
+        SELECT w, cnt,
+               ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS pos, sym,
+               LEAD(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+        FROM bne{r}
+    )"""
+
+
+def _bpe_batch_oracle() -> str:
+    head = r"""
+    WITH words AS (
+        SELECT w, COUNT(*) AS cnt FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+            FROM documents
+        ) WHERE len(w) >= 2 GROUP BY w
+    ),
+    be1 AS (
+        SELECT w, cnt, i AS pos, substring(w, CAST(i AS INT), 1) AS sym,
+               CASE WHEN i < len(w) THEN substring(w, CAST(i + 1 AS INT), 1) END AS nxt
+        FROM words, unnest(generate_series(1, len(w))) AS t(i)
+    ),"""
+    tail = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, CAST(sel_rank AS BIGINT) AS sel_rank,"
+        f" l AS pair_left, r2 AS pair_right, l || r2 AS merged,"
+        f" CAST(n AS BIGINT) AS n FROM sel{r}"
+        for r in range(1, BPE_BATCH_ROUNDS + 1)
+    )
+    return (
+        head
+        + ",".join(_bpe_batch_step_ctes(r) for r in range(1, BPE_BATCH_ROUNDS + 1))
+        + f"\n    SELECT * FROM ({tail}) ORDER BY round, sel_rank"
+    )
+
+
+@query(
+    "text_bpe_train_batched",
+    "text-analysis",
+    _bpe_batch_oracle(),
+    doc=f"BATCHED BPE training ({BPE_BATCH_ROUNDS} rounds × top-"
+    f"{BPE_BATCH_K} symbol-disjoint merges): each round's ONE pair "
+    "count feeds a greedy rank-ordered selection of non-interacting "
+    "pairs (no shared symbol — such merges commute and cannot overlap "
+    "in any word, so one simultaneous island-parity pass applies the "
+    "whole batch), collapsing a V-merge vocabulary from ~2·V to "
+    f"~2·V/{BPE_BATCH_K} sequential stage launches — the r7 verdict's "
+    "launch-bound headroom for production-depth trainers. Certified "
+    "against DuckDB's unrolled replay of the SAME ranked selection + "
+    "batch merge; pytest pins k=1 to the sequential trajectory and a "
+    "property test replays arbitrary word sets past the certified "
+    "depth against a pure-Python reference.",
+)
+def text_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges, _final, caches = bpe_train_merges_batched(bpe_corpus_words(spark, sf_dir))
+    from tailsql_spark.plans.catalog import materialize_result, sf_key
+
+    try:
+        return materialize_result(merges, "text_bpe_train_batched", key=sf_key(sf_dir))
     finally:
         for frame in caches:
             frame.unpersist()

@@ -200,3 +200,27 @@ def test_edge_case_documents_survive_pipeline(spark):
     ns = {r.doc_id: r.n for r in toks.collect()}
     assert ns[0] == 0 and ns[1] == 0 and ns[2] == 0 and ns[3] == 1 and ns[4] == 3
     assert all(n >= 0 for n in ns.values())
+
+
+def test_quality_percentile_approx_tracks_exact_gate(spark, oracle_sf_dir):
+    """The approx_percentile variant (graded rows-only, like the HLL
+    sketch rows) must keep within 2 percentage points of the exact
+    rank gate per language — the tolerance contract that makes the
+    sketch admissible as the 100 TB substitute."""
+    from tailsql_spark.plans.registry import REGISTRY
+
+    exact = {
+        r.lang: r.n_kept / r.n_total
+        for r in REGISTRY["corpus_quality_percentile_gate"]
+        .build(spark, oracle_sf_dir)
+        .collect()
+    }
+    approx = {
+        r.lang: r.n_kept / r.n_total
+        for r in REGISTRY["corpus_quality_percentile_approx"]
+        .build(spark, oracle_sf_dir)
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for lang, frac in approx.items():
+        assert abs(frac - exact[lang]) <= 0.02, (lang, frac, exact[lang])

@@ -470,3 +470,107 @@ def test_logreg_spool_truncation_is_neutral(spark, sf_dir, tmp_path):
     ).collect()
     assert [tuple(r) for r in direct] == [tuple(r) for r in spooled]
     assert any(v != 0 for v in direct[0])  # the trajectory actually moved
+
+
+@settings(
+    max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(data=st.data())
+def test_bpe_batched_matches_python_reference(spark, data):
+    """The BATCHED trainer == a pure-Python replica of its exact
+    semantics (rank all pairs by count desc / pair asc; greedy-select
+    the top-k SYMBOL-DISJOINT pairs; apply the whole batch in one
+    left-to-right non-overlapping pass) on random word tables over a
+    3-char alphabet — which makes genuinely disjoint pairs (e.g. (a,b)
+    and (c,c)) reachable, so the interaction rule's skip path actually
+    executes.  Runs at rounds = BPE_BATCH_ROUNDS + 1 and k = 3, past
+    the certified depth and width."""
+    from tailsql_spark.operators.textstats import (
+        BPE_BATCH_ROUNDS,
+        bpe_train_merges_batched,
+    )
+
+    n_rounds, k = BPE_BATCH_ROUNDS + 1, 3
+    alphabet = st.sampled_from("abc")
+    n_words = data.draw(st.integers(1, 5))
+    words: dict[str, int] = {}
+    for _ in range(n_words):
+        w = "".join(data.draw(st.lists(alphabet, min_size=2, max_size=6)))
+        words[w] = words.get(w, 0) + data.draw(st.integers(1, 9))
+
+    syms = {w: list(w) for w in words}
+    expected = []
+    for rnd in range(1, n_rounds + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, s in syms.items():
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + words[w]
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        sel: list = []
+        used: set = set()
+        for (left, right), n in ranked:
+            if len(sel) == k:
+                break
+            if left in used or right in used:
+                continue
+            sel.append((left, right, n))
+            used.update((left, right))
+        if not sel:
+            break
+        for i, (left, right, n) in enumerate(sel, 1):
+            expected.append((rnd, i, left, right, left + right, n))
+        pairset = {(left, right) for left, right, _ in sel}
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) in pairset:
+                    out.append(s[i] + s[i + 1])
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+
+    wdf = spark.createDataFrame(list(words.items()), "w string, cnt long")
+    merges, final_syms, caches = bpe_train_merges_batched(wdf, n_rounds=n_rounds, k=k)
+    try:
+        got = [
+            (r.round, r.sel_rank, r.pair_left, r.pair_right, r.merged, r.n)
+            for r in merges.collect()
+        ]
+        assert got == expected
+        got_syms: dict[str, list[str]] = {}
+        for r in final_syms.orderBy("w", "pos").collect():
+            got_syms.setdefault(r.w, []).append(r.sym)
+        assert got_syms == syms
+    finally:
+        for frame in caches:
+            frame.unpersist()
+
+
+def test_bpe_batched_k1_equals_sequential_trajectory(spark, oracle_sf_dir):
+    """With k=1 the batched trainer degenerates to the certified
+    1-at-a-time trajectory — the prefix-equality certification the r7
+    verdict asked for: on the real corpus the two trainers must emit
+    the identical merge table."""
+    from tailsql_spark.operators.textstats import (
+        BPE_MERGES,
+        bpe_corpus_words,
+        bpe_train_merges,
+        bpe_train_merges_batched,
+    )
+
+    words = bpe_corpus_words(spark, oracle_sf_dir)
+    seq, _f1, c1 = bpe_train_merges(words, n_steps=BPE_MERGES)
+    bat, _f2, c2 = bpe_train_merges_batched(words, n_rounds=BPE_MERGES, k=1)
+    try:
+        s = [(r.step, r.pair_left, r.pair_right, r.merged, r.n) for r in seq.collect()]
+        b = [
+            (r.round, r.pair_left, r.pair_right, r.merged, r.n)
+            for r in bat.collect()
+        ]
+        assert b == s
+        assert all(r.sel_rank == 1 for r in bat.collect())
+    finally:
+        for frame in (*c1, *c2):
+            frame.unpersist()
