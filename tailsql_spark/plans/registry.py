@@ -73,9 +73,12 @@ GRADED_WINDOW: tuple[str, ...] = (
     "window_topk_per_group",        # window functions
     "orderby_limit_topk",           # sorts / limits / top-k
     "setop_except_all",             # set operations
+    # r8: scalar_date/math rotated to the local gate (scalar_string
+    # keeps the scalar category repped) to make room for the
+    # previously-singleton storage-layout family's r7 flagships
     "scalar_string_funcs",          # scalar functions
-    "scalar_date_funcs",
-    "scalar_math_funcs",
+    "sink_zorder_skipping",         # Z-order row-group pruning (both dims)
+    "sink_manifest_file_pruning",   # lakehouse data skipping
     "array_hof_ops",                # array / map / json
     # r7: json_struct_parse rotated to the local gate (array_hof_ops
     # keeps the array/map/json category repped) to make room for the
@@ -89,9 +92,15 @@ GRADED_WINDOW: tuple[str, ...] = (
     # (events_session_30m moved to the local gate in r4: the session
     #  family is graded by BOTH streaming modes below, and the append
     #  row is the stronger certification)
-    "events_funnel_conversion",
+    # (r8: events_funnel_conversion rotated to the local gate — event
+    #  analytics stays repped by the tumbling row)
+    # r8: the round's storage-maintenance flagship — MERGE/upsert with
+    # partition-pruned rewrite, certified vs a full-outer-join replay
+    "sink_merge_upsert",
     # §2E streaming-EXECUTED (availableNow micro-batch, real sinks)
-    "stream_tumbling_counts",
+    # (r8: stream_tumbling_counts rotated to the local gate — the
+    #  tumbling shape is repped by events_tumbling_1h and the stronger
+    #  append-mode session row below)
     "stream_stateful_user_totals",
     "stream_dedup_minhash",         # r3: incremental dedup, streaming ≡ batch
     "stream_dedup_clusters",        # r4: incremental connected components —
@@ -100,15 +109,23 @@ GRADED_WINDOW: tuple[str, ...] = (
     #    is graded by the stronger append-mode row below)
     "stream_session_append",        # r4: append mode + watermark — sessions
     #   emitted once, state dropped (the 100 TB state-bounding shape)
-    "stream_dedup_exact",
+    # (r8: stream_dedup_exact rotated to the local gate — incremental
+    #  dedup is graded by the strictly stronger stream_dedup_minhash)
+    # r8: incremental BPE pair statistics — the mergeable per-batch
+    # partial-count log feeding continuous tokenizer training
+    "stream_bpe_pair_counts",
     # r7: stream_hourly_rollup_daily rotated to the local gate (the
     # cascaded-rollup shape is a cousin of stream_tumbling_counts) for
     # the r6 streaming flagship — the FULL curation DAG incremental,
     # certified ≡ the batch composition via one shared oracle
     "stream_curation_survivors",
     "stream_interval_join",         # r2 addition: stream-stream interval join
-    # similarity / ANN candidate generation (r2 addition)
-    "ann_signlsh_bucket_pairs",
+    # (r8: ann_signlsh_bucket_pairs rotated to the local gate — ANN
+    #  candidate generation is graded by the complete IVF-PQ stack
+    #  below plus the embedding-LSH dedup row)
+    # r8: degree-ordered triangle counting — the graph family's
+    # anti-blowup enumeration discipline, now driver-graded
+    "graph_triangle_counts",
     # text analysis (r2 addition: eval-set contamination inverted-index)
     "text_contamination_overlap",
     # dedup family — each distinct algorithm
@@ -118,7 +135,9 @@ GRADED_WINDOW: tuple[str, ...] = (
     # quality-metric row — certified candidate-generation recall vs
     # exact-Jaccard ground truth (floor-gated in pytest)
     "dedup_minhash_recall",
-    "dedup_ngram_jaccard",
+    # (r8: dedup_ngram_jaccard rotated to the local gate — its capped
+    #  posting-index code path is now ALSO certified as
+    #  dedup_minhash_recall's ground-truth builder above)
     "dedup_embedding_lsh_verified",
     # r7: dedup_clusters rotated to the local gate (incremental CC stays
     # hard-graded via stream_dedup_clusters above) for the stronger
@@ -134,10 +153,17 @@ GRADED_WINDOW: tuple[str, ...] = (
     "ann_ivfpq_topk",
     # text analysis
     "text_langid",
-    # r7: text_tfidf_topk rotated to the local gate for the round's
-    # LLM-pipeline flagship — the ITERATED BPE training loop,
-    # trajectory-certified against DuckDB's unrolled-CTE replay
-    "text_bpe_train",
+    # r8: text_bpe_train rotated to the local gate for the round's
+    # LLM-pipeline flagship — BATCHED BPE training (top-k
+    # symbol-disjoint merges per round), certified against DuckDB's
+    # unrolled replay of the same ranked selection + batch merge
+    "text_bpe_train_batched",
+    # r8: tokenizer INFERENCE under the trained vocabulary (train +
+    # apply in one certified composition)
+    "text_bpe_tokenize",
+    # r8: bigram-LM surprisal (Stupid Backoff) — the CCNet-style
+    # perplexity quality filter, now driver-graded
+    "text_bigram_surprisal",
     # multimodal (mapInPandas over binary payloads)
     "multimodal_feature_extract",
     # skew handling
@@ -147,7 +173,13 @@ GRADED_WINDOW: tuple[str, ...] = (
     "ann_kmeans_lloyd",
     "grouped_zscore_pandas",        # §2D grouped pandas UDF
     # corpus pipeline
-    "corpus_clean_pipeline",
+    # (r8: corpus_clean_pipeline rotated to the local gate — the full
+    #  curation DAG below CONTAINS the clean pipeline as its first
+    #  stage, in both batch and streaming modes)
+    # r8: per-language quality-percentile gating (exact rank variant;
+    # the approx_percentile 100 TB variant is rows-only + tolerance-
+    # gated in pytest)
+    "corpus_quality_percentile_gate",
     # r6: the mixing row upgraded to the full curation-DAG composition
     # (quality gate → exact dedup → near-dup survivors → budgets);
     # corpus_mix_budget stays green on the local gate
