@@ -101,7 +101,7 @@ def main() -> None:
     # suite, a stall taxes one sample of several queries and the
     # per-query min survives. clearCache before every sample — we time
     # the real pipeline, only codegen stays warm.
-    best: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     rows: dict[str, int] = {}
     for _ in range(5):
         for name in HEADLINE:
@@ -110,8 +110,8 @@ def main() -> None:
             t0 = time.perf_counter()
             df = spec.build(spark, sf_dir)
             rows[name] = len(df.toPandas())
-            best[name] = min(best[name], time.perf_counter() - t0)
-    per_query = {name: round(best[name], 3) for name in HEADLINE}
+            samples[name].append(time.perf_counter() - t0)
+    per_query = {name: round(min(samples[name]), 3) for name in HEADLINE}
     for name in HEADLINE:
         print(f"# {name}: {per_query[name]:.3f}s ({rows[name]} rows)", file=sys.stderr)
 
@@ -124,6 +124,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf,
+                # full sample sets (r8): a headline number that moves
+                # between rounds can be judged against its own spread —
+                # a +0.2 s drift inside one round's sample range is
+                # launch-floor noise, outside it a plan regression
+                "timing": "min_of_5_interleaved_rounds",
+                "samples": {
+                    name: [round(s, 3) for s in samples[name]] for name in HEADLINE
+                },
             }
         )
     )

@@ -174,8 +174,19 @@ def check_schema(name: str, df: DataFrame, *, path: str = "") -> None:
 
 def _nanos_ts_columns(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS) (no Spark equivalent)."""
+    import os
+
     import pyarrow as pa
 
+    if os.path.isdir(path):
+        # Spark-written directory table: every part file shares the
+        # schema, so the footer of any one of them answers for all
+        parts = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        if not parts:
+            return []
+        path = os.path.join(path, parts[0])
     schema = _pq.read_schema(path)
     return [
         f.name

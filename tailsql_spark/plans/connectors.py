@@ -789,6 +789,7 @@ def manifest_pruned_orders(spark: SparkSession, sf_dir: str, lo, hi) -> DataFram
 MERGE_N_PARTS = 16
 MERGE_INSERT_MOD = 0   # doc_id % 64 == 0  → not in base, inserted by delta
 MERGE_UPDATE_MOD = 17  # doc_id % 64 == 17 → in base, rewritten by delta
+MERGE_DELETE_MOD = 34  # doc_id % 64 == 34 → in base, TOMBSTONED by delta
 
 
 def _merge_base_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -801,30 +802,41 @@ def _merge_base_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _merge_delta_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _merge_delta_frame(
+    spark: SparkSession, sf_dir: str, with_deletes: bool = False
+) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    inserts = docs.filter(F.col("doc_id") % 64 == MERGE_INSERT_MOD).select(
-        "doc_id",
-        (F.col("doc_id") % MERGE_N_PARTS).alias("part"),
-        F.col("n_chars").alias("content"),
-        F.lit(2).cast("int").alias("version"),
+
+    def slice_(mod: int, content, op: str) -> DataFrame:
+        return docs.filter(F.col("doc_id") % 64 == mod).select(
+            "doc_id",
+            (F.col("doc_id") % MERGE_N_PARTS).alias("part"),
+            content.alias("content"),
+            F.lit(2).cast("int").alias("version"),
+            F.lit(op).alias("op"),
+        )
+
+    delta = slice_(MERGE_INSERT_MOD, F.col("n_chars"), "U").unionByName(
+        slice_(MERGE_UPDATE_MOD, F.col("n_chars") + 1000, "U")
     )
-    updates = docs.filter(F.col("doc_id") % 64 == MERGE_UPDATE_MOD).select(
-        "doc_id",
-        (F.col("doc_id") % MERGE_N_PARTS).alias("part"),
-        (F.col("n_chars") + 1000).alias("content"),
-        F.lit(2).cast("int").alias("version"),
-    )
-    return inserts.unionByName(updates)
+    if with_deletes:
+        delta = delta.unionByName(
+            slice_(MERGE_DELETE_MOD, F.lit(None).cast("long"), "D")
+        )
+    return delta
 
 
-def merge_base_path(spark: SparkSession, sf_dir: str) -> str:
+def merge_base_path(
+    spark: SparkSession, sf_dir: str, tag: str = "merge_base"
+) -> str:
     """Stage the base snapshot partitioned by ``part`` (once per
     corpus content).  The merge MUTATES this staging in place — that is
     the point: it is the writable lakehouse table the upsert maintains,
     and re-running the merge against it is idempotent (delta-wins on
-    matching keys re-asserts the same rows)."""
-    path = _stage_dir(sf_dir, "merge_base", src_tables=("documents",))
+    matching keys re-asserts the same rows; tombstoned keys stay
+    absent).  Each registered merge query gets its OWN tag so their
+    mutations never interleave."""
+    path = _stage_dir(sf_dir, tag, src_tables=("documents",))
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     _merge_base_frame(spark, sf_dir).write.mode("overwrite").partitionBy(
@@ -833,34 +845,44 @@ def merge_base_path(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-def merge_upsert_run(spark: SparkSession, sf_dir: str):
+def merge_upsert_run(
+    spark: SparkSession, sf_dir: str, with_deletes: bool = False
+):
     """Execute the MERGE and return ``(merged_df, base_path, touched)``.
 
     Delta-style mechanics, faithfully: (1) the touched-partition list
     is computed from the delta — planning METADATA, file-count-sized,
     like a manifest read; (2) ONLY those partitions are read, merged
-    (full-outer on the key, delta wins) and rewritten via dynamic
+    (full-outer on the key: delta 'U' rows win, delta 'D' tombstones
+    REMOVE the key, base-only rows survive) and rewritten via dynamic
     partition overwrite; untouched partition files are never opened,
     never rewritten.  At 100 TB an incremental crawl touches a sliver
     of partitions, so the rewrite cost tracks the DELTA, not the
     table — the whole reason MERGE exists over rewrite-the-world.
-    The delta side of the join is small by construction (one crawl
-    increment), so AQE broadcasts it; the base side reads only the
-    touched partition directories (partition pruning, plan-asserted in
-    pytest)."""
-    base_path = merge_base_path(spark, sf_dir)
-    delta = _merge_delta_frame(spark, sf_dir)
+    Tombstones are the takedown path (robots retroactivity, DMCA,
+    right-to-be-forgotten): physical removal from the rewritten
+    partition, not a filter view.  The delta side of the join is small
+    by construction (one crawl increment), so AQE broadcasts it; the
+    base side reads only the touched partition directories (partition
+    pruning, plan-asserted in pytest)."""
+    tag = "merge_del_base" if with_deletes else "merge_base"
+    base_path = merge_base_path(spark, sf_dir, tag=tag)
+    delta = _merge_delta_frame(spark, sf_dir, with_deletes=with_deletes)
     touched = sorted(
         r.part for r in delta.select("part").distinct().collect()
     )  # planning metadata: bounded by the partition count, never row-sized
     base = spark.read.parquet(base_path)
     b = base.filter(F.col("part").isin(touched)).alias("b")
     d = delta.alias("d")
-    merged_touched = b.join(d, F.col("b.doc_id") == F.col("d.doc_id"), "full_outer").select(
-        F.coalesce(F.col("d.doc_id"), F.col("b.doc_id")).alias("doc_id"),
-        F.coalesce(F.col("d.content"), F.col("b.content")).alias("content"),
-        F.coalesce(F.col("d.version"), F.col("b.version")).alias("version"),
-        F.coalesce(F.col("d.part"), F.col("b.part")).alias("part"),
+    merged_touched = (
+        b.join(d, F.col("b.doc_id") == F.col("d.doc_id"), "full_outer")
+        .filter(F.col("d.op").isNull() | (F.col("d.op") != "D"))
+        .select(
+            F.coalesce(F.col("d.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+            F.coalesce(F.col("d.content"), F.col("b.content")).alias("content"),
+            F.coalesce(F.col("d.version"), F.col("b.version")).alias("version"),
+            F.coalesce(F.col("d.part"), F.col("b.part")).alias("part"),
+        )
     )
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -915,8 +937,65 @@ def merge_upsert_run(spark: SparkSession, sf_dir: str):
 )
 def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged, _path, _touched = merge_upsert_run(spark, sf_dir)
+    return _merge_result_agg(merged)
+
+
+def _merge_result_agg(merged: DataFrame) -> DataFrame:
     return merged.groupBy(F.col("part").cast("long").alias("part")).agg(
         F.count("*").alias("n_docs"),
         F.sum("content").alias("sum_content"),
         F.sum(F.col("version").cast("long")).alias("sum_version"),
     )
+
+
+@query(
+    "sink_merge_delete_tombstones",
+    "sinks",
+    f"""
+    WITH base AS (
+        SELECT doc_id, doc_id % {MERGE_N_PARTS} AS part, n_chars AS content,
+               1 AS version
+        FROM documents WHERE doc_id % 64 <> {MERGE_INSERT_MOD}
+    ),
+    delta AS (
+        SELECT doc_id, doc_id % {MERGE_N_PARTS} AS part, n_chars AS content,
+               2 AS version, 'U' AS op
+        FROM documents WHERE doc_id % 64 = {MERGE_INSERT_MOD}
+        UNION ALL
+        SELECT doc_id, doc_id % {MERGE_N_PARTS} AS part, n_chars + 1000,
+               2 AS version, 'U' AS op
+        FROM documents WHERE doc_id % 64 = {MERGE_UPDATE_MOD}
+        UNION ALL
+        SELECT doc_id, doc_id % {MERGE_N_PARTS} AS part, NULL,
+               2 AS version, 'D' AS op
+        FROM documents WHERE doc_id % 64 = {MERGE_DELETE_MOD}
+    ),
+    merged AS (
+        SELECT COALESCE(d.doc_id, b.doc_id) AS doc_id,
+               COALESCE(d.part, b.part) AS part,
+               COALESCE(d.content, b.content) AS content,
+               COALESCE(d.version, b.version) AS version
+        FROM base b FULL OUTER JOIN delta d ON b.doc_id = d.doc_id
+        WHERE d.op IS NULL OR d.op <> 'D'
+    )
+    SELECT CAST(part AS BIGINT) AS part,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(content) AS BIGINT) AS sum_content,
+           CAST(SUM(version) AS BIGINT) AS sum_version
+    FROM merged GROUP BY part
+    """,
+    doc="MERGE with DELETE tombstones — the takedown path an LLM "
+    "corpus legally needs (robots retroactivity, DMCA, "
+    "right-to-be-forgotten): the delta carries op markers and 'D' keys "
+    "are PHYSICALLY REMOVED from the rewritten partitions (not hidden "
+    "behind a filter view), while 'U' keys upsert and base-only rows "
+    "survive — all through the same partition-pruned dynamic-overwrite "
+    "mechanics as sink_merge_upsert (own base staging, so the two "
+    "merges never interleave; re-running is idempotent — tombstoned "
+    "keys stay absent). Certified against a DuckDB FULL OUTER JOIN + "
+    "tombstone-filter replay; the per-partition aggregate catches a "
+    "row deleted too many or too few.",
+)
+def sink_merge_delete_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merged, _path, _touched = merge_upsert_run(spark, sf_dir, with_deletes=True)
+    return _merge_result_agg(merged)

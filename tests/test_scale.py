@@ -901,3 +901,31 @@ def test_merge_upsert_rewrites_only_touched_partitions(spark, oracle_sf_dir):
     pruned = spark.read.parquet(base).filter(F.col("part").isin(touched))
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "part" in plan
+
+
+def test_merge_tombstones_physically_remove_rows(spark, oracle_sf_dir):
+    """sink_merge_delete_tombstones' takedown contract: 'D' keys are
+    physically absent from the merged table (not filtered at read
+    time), the delta's three slices touch partitions {0, 1, 2} only,
+    and re-running the merge is idempotent — tombstoned keys stay
+    absent, nothing resurrects or double-deletes."""
+    import shutil
+
+    from tailsql_spark.plans.connectors import (
+        MERGE_DELETE_MOD,
+        merge_base_path,
+        merge_upsert_run,
+    )
+
+    shutil.rmtree(
+        merge_base_path(spark, oracle_sf_dir, tag="merge_del_base"),
+        ignore_errors=True,
+    )
+    merged, _path, touched = merge_upsert_run(spark, oracle_sf_dir, with_deletes=True)
+    assert touched == [0, 1, 2]
+    assert merged.filter(F.col("doc_id") % 64 == MERGE_DELETE_MOD).count() == 0
+    n1 = merged.count()
+    assert n1 > 0
+    merged2, _path2, _t2 = merge_upsert_run(spark, oracle_sf_dir, with_deletes=True)
+    assert merged2.count() == n1
+    assert merged2.filter(F.col("doc_id") % 64 == MERGE_DELETE_MOD).count() == 0
