@@ -429,7 +429,8 @@ def _logreg_feature_cols() -> list:
 
 
 _LR_DUCK_FEATS = """
-        SELECT CAST(1 AS BIGINT) AS x0,
+        SELECT lang,
+               CAST(1 AS BIGINT) AS x0,
                CAST(least(len(string_split(text, ' ')), 100) AS BIGINT) AS x1,
                CAST(least(len(string_split(text, 'query')) - 1, 50) AS BIGINT) AS x2,
                CAST(least(len(list_distinct(string_split(lower(text), ' '))), 100) AS BIGINT) AS x3,
@@ -455,6 +456,25 @@ def _logreg_oracle() -> str:
     formula: w' = w − ROUND(g·1000.0/n)."""
     J = range(_LR_NFEAT)
     parts = [f"WITH feat AS ({_LR_DUCK_FEATS}),"]
+    tparts, wprev = _logreg_train_ctes()
+    parts += tparts
+    dot = " + ".join(f"w.w{j} * f.x{j}" for j in range(_LR_NFEAT))
+    parts.append(
+        f"acc AS (SELECT CAST(SUM(CASE WHEN (({dot}) > 0) = (f.y = 1)"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,"
+        f" COUNT(*) AS n_rows FROM feat f CROSS JOIN {wprev} w)"
+    )
+    wcols = ", ".join(f"w.w{j}" for j in range(_LR_NFEAT))
+    parts.append(f"SELECT {wcols}, acc.n_correct, acc.n_rows FROM {wprev} w CROSS JOIN acc")
+    return "\n".join(parts)
+
+
+def _logreg_train_ctes() -> tuple[list[str], str]:
+    """The LOGREG_ITERS training-chain CTE parts (shared by the train
+    oracle and the inference-gate oracle), assuming a ``feat`` CTE is
+    already in scope; returns ``(parts, final_weight_cte_name)``."""
+    J = range(_LR_NFEAT)
+    parts: list[str] = []
     wprev = None
     for it in range(1, LOGREG_ITERS + 1):
         if wprev is None:
@@ -483,14 +503,30 @@ def _logreg_oracle() -> str:
         src = f"g{it} g" if wprev is None else f"g{it} g CROSS JOIN {wprev} w"
         parts.append(f"w{it} AS (SELECT {wsel} FROM {src}),")
         wprev = f"w{it}"
-    dot = " + ".join(f"w.w{j} * f.x{j}" for j in range(_LR_NFEAT))
+    return parts, wprev
+
+
+def _logreg_gate_oracle() -> str:
+    """Train (shared chain) then SCORE AND GATE every document with the
+    final weights — the classifier-filter replay."""
+    J = range(_LR_NFEAT)
+    parts = [f"WITH feat AS ({_LR_DUCK_FEATS}),"]
+    tparts, wprev = _logreg_train_ctes()
+    parts += tparts
+    dot = " + ".join(f"w.w{j} * f.x{j}" for j in J)
+    z = f"(({dot}) / {_LR_WSCALE}.0)"
+    sq = f"CAST(ROUND({_LR_SSCALE}.0 / (1.0 + EXP(0.0 - {z})), 0) AS BIGINT)"
     parts.append(
-        f"acc AS (SELECT CAST(SUM(CASE WHEN (({dot}) > 0) = (f.y = 1)"
-        f" THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,"
-        f" COUNT(*) AS n_rows FROM feat f CROSS JOIN {wprev} w)"
+        f"scored AS (SELECT f.lang, {sq} AS sq,"
+        f" CASE WHEN ({dot}) > 0 THEN 1 ELSE 0 END AS adm"
+        f" FROM feat f CROSS JOIN {wprev} w)"
     )
-    wcols = ", ".join(f"w.w{j}" for j in range(_LR_NFEAT))
-    parts.append(f"SELECT {wcols}, acc.n_correct, acc.n_rows FROM {wprev} w CROSS JOIN acc")
+    parts.append(
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total,"
+        " CAST(SUM(adm) AS BIGINT) AS n_admitted,"
+        " CAST(SUM(sq) AS BIGINT) AS sum_score_q6"
+        " FROM scored GROUP BY lang"
+    )
     return "\n".join(parts)
 
 
@@ -530,15 +566,49 @@ def quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def logreg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(x0..x3, y) integer feature rows over documents — THE shared
-    feature definition of the certified trainer and the deep-run
-    truncation test."""
+    """(lang, x0..x3, y) integer feature rows over documents — THE
+    shared feature definition of the certified trainer, the
+    inference gate, and the deep-run truncation test."""
     t = load_tables(spark, sf_dir)
     J = range(_LR_NFEAT)
     fcols = _logreg_feature_cols()
     y = (F.instr(F.lower(F.col("text")), " the ") > 0).cast("long")
     return t["documents"].select(
-        *[c.alias(f"x{j}") for j, c in zip(J, fcols)], y.alias("y")
+        "lang", *[c.alias(f"x{j}") for j, c in zip(J, fcols)], y.alias("y")
+    )
+
+
+@query(
+    "quality_logreg_gate",
+    "ml-prep",
+    _logreg_gate_oracle(),
+    doc="Classifier-filter INFERENCE — the fastText-style quality-gate "
+    "shape every production corpus runs after training: the certified "
+    "fixed-point weight row broadcasts over one corpus scan, each doc "
+    "scores via an exact integer dot product, admission is "
+    "sigmoid > 0.5 (equivalently z > 0, decided in exact integers), "
+    "and per-language admission counts plus the quantized score mass "
+    "certify cross-engine against the shared training chain + scoring "
+    "replay. Train + gate in ONE certified composition; sigmoids "
+    "quantize to x1e6 BIGINT before summation (the trainer's "
+    "exactness discipline). Scale: training is the certified GD loop; "
+    "inference is one scan + broadcast(1-row weights) + one "
+    "per-language agg — no shuffle beyond the final groupBy.",
+)
+def quality_logreg_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    J = range(_LR_NFEAT)
+    feat = logreg_features(spark, sf_dir)
+    w = logreg_train_weights(feat)
+    dot = sum(F.col(f"w{j}") * F.col(f"x{j}") for j in J)
+    z = dot / F.lit(float(_LR_WSCALE))
+    sq = F.round(F.lit(float(_LR_SSCALE)) / (F.lit(1.0) + F.exp(-z)), 0).cast("long")
+    scored = feat.crossJoin(F.broadcast(w)).select(
+        "lang", sq.alias("sq"), (dot > 0).cast("long").alias("adm")
+    )
+    return scored.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.sum("adm").alias("n_admitted"),
+        F.sum("sq").alias("sum_score_q6"),
     )
 
 

@@ -574,3 +574,70 @@ def test_bpe_batched_k1_equals_sequential_trajectory(spark, oracle_sf_dir):
     finally:
         for frame in (*c1, *c2):
             frame.unpersist()
+
+
+def test_bpe_batched_deep_run_constant_plan(spark):
+    """Production-depth probe for the batched trainer: 12 rounds × k=4
+    over a synthetic vocabulary — 3× the certified depth — against the
+    pure-Python replica.  With per-round lineage truncation the
+    Catalyst plan is constant-size per round, so depth costs launches,
+    not analysis (the r7 lesson that per-step spooling exists for);
+    this test is the regression gate for that property at batched
+    width."""
+    from tailsql_spark.operators.textstats import bpe_train_merges_batched
+
+    words = {
+        "abcabcabc": 7,
+        "dedededede": 5,
+        "fgfgfgfg": 4,
+        "abcfgde": 3,
+        "aabbccddee": 2,
+        "fghfghfgh": 6,
+    }
+    n_rounds, k = 12, 4
+
+    syms = {w: list(w) for w in words}
+    expected = []
+    for rnd in range(1, n_rounds + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, s in syms.items():
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + words[w]
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        sel: list = []
+        used: set = set()
+        for (left, right), n in ranked:
+            if len(sel) == k:
+                break
+            if left in used or right in used:
+                continue
+            sel.append((left, right, n))
+            used.update((left, right))
+        if not sel:
+            break
+        for i, (left, right, n) in enumerate(sel, 1):
+            expected.append((rnd, i, left, right, left + right, n))
+        pairset = {(left, right) for left, right, _ in sel}
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) in pairset:
+                    out.append(s[i] + s[i + 1])
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+
+    wdf = spark.createDataFrame(list(words.items()), "w string, cnt long")
+    merges, _final, caches = bpe_train_merges_batched(wdf, n_rounds=n_rounds, k=k)
+    try:
+        got = [
+            (r.round, r.sel_rank, r.pair_left, r.pair_right, r.merged, r.n)
+            for r in merges.collect()
+        ]
+        assert got == expected
+        assert max(r for r, *_ in got) >= 4, "deep run must exceed certified depth"
+    finally:
+        for frame in caches:
+            frame.unpersist()
