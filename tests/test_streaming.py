@@ -570,3 +570,23 @@ def test_fs_dispatchers_hadoop_branch(spark, tmp_path):
     _fs_rmtree(f"{root}/a")
     assert sorted(_fs_list(root)) == ["b"]
     assert not os.path.exists(tmp_path / "a")
+
+
+def test_stream_merge_equals_batch_merge(spark, sf_dir):
+    """stream_merge_upsert's certified claim, asserted directly: the
+    per-micro-batch partition-pruned MERGE sequence ends with the same
+    per-partition table state as the one-shot batch tombstone merge
+    (disjoint per-key decisions commute)."""
+    from tailsql_spark.plans.registry import REGISTRY
+
+    got = {
+        tuple(r)
+        for r in REGISTRY["stream_merge_upsert"].build(spark, sf_dir).collect()
+    }
+    want = {
+        tuple(r)
+        for r in REGISTRY["sink_merge_delete_tombstones"]
+        .build(spark, sf_dir)
+        .collect()
+    }
+    assert got == want
