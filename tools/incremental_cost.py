@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Measured per-batch cost vs accumulated index size (r8).
+
+The streaming operators' central scale claim is that per-batch cost
+tracks the NEW data, not the corpus: the incremental MinHash probe
+equi-joins |batch|·N_BANDS rows against the accumulated band index,
+so a batch arriving at a 10× index should cost ~the same as at a 1×
+index.  This tool measures exactly that:
+
+for each seed scale (1× = sf0.1 documents, N× = the salted derived
+corpus from tools/scale_curve.py):
+  1. seed the incremental state by streaming the WHOLE seed corpus
+     through the certified foreachBatch processor (a few large files);
+  2. land one FIXED probe batch — the same ~docs for every scale,
+     re-id'd/salted so it collides with nothing — and time the stream
+     run that processes ONLY that batch.
+
+Prints one JSON line {"rows": [{"scale": "...", "seed_docs": N,
+"batch_docs": M, "t_batch_sec": s}, ...]} plus a markdown table on
+stderr.  Flat t_batch across scales = the claim, measured.
+
+Usage: python tools/incremental_cost.py [--factor 10] [--runs 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def seed_and_probe(spark, docs_path: str, probe_df, runs: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from tailsql_spark.plans.streaming_exec import (
+        _await_or_raise,
+        _mh_seed_state,
+        _minhash_batch_processor,
+    )
+
+    docs = spark.read.parquet(docs_path).select("doc_id", "text")
+    n_seed = docs.count()
+
+    best = float("inf")
+    for _ in range(runs):
+        root = tempfile.mkdtemp(prefix="tailsql_inccost_")
+        try:
+            src = f"{root}/src"
+            # seed files: few big files so seeding is fast; the probe
+            # batch is its own file
+            docs.repartition(2).write.mode("append").parquet(src)
+            ex_root, sig_root, out_root = _mh_seed_state(docs, root)
+            process = _minhash_batch_processor(ex_root, sig_root, out_root)
+
+            def run_stream():
+                stream = (
+                    spark.readStream.schema(docs.schema)
+                    .option("maxFilesPerTrigger", "4")
+                    .parquet(src)
+                )
+                q = (
+                    stream.writeStream.foreachBatch(process)
+                    .option("checkpointLocation", f"{root}/ckpt")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                try:
+                    _await_or_raise(q, "inccost")
+                finally:
+                    q.stop()
+
+            run_stream()  # seed the index (cost not measured)
+            probe_df.coalesce(1).write.mode("append").parquet(src)
+            t0 = time.perf_counter()
+            run_stream()  # processes EXACTLY the probe batch
+            best = min(best, time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    return {"seed_docs": n_seed, "t_batch_sec": round(best, 3)}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--runs", type=int, default=3)
+    args = ap.parse_args()
+
+    src_1x = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from pyspark.sql import functions as F
+
+    from tailsql_spark.session import get_spark
+    from tools.scale_curve import build_scaled_corpus
+
+    spark = get_spark(app_name="tailsql_incremental_cost")
+    spark.sparkContext.setLogLevel("ERROR")
+    dest = build_scaled_corpus(spark, src_1x, args.factor)
+
+    # the fixed probe batch: sf0.001 docs, ids offset far above any
+    # corpus and every token salted '~p' so it collides with nothing —
+    # identical content for every seed scale
+    probe = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(
+            (F.col("doc_id") + F.lit(10**12)).alias("doc_id"),
+            F.expr(
+                "concat_ws(' ', transform(split(text, ' '), w -> concat(w, '~p')))"
+            ).alias("text"),
+        )
+    )
+    n_probe = probe.count()
+
+    rows = []
+    for label, path in (
+        ("1x", f"{src_1x}/documents.parquet"),
+        (f"{args.factor}x", f"{dest}/documents.parquet"),
+    ):
+        r = seed_and_probe(spark, path, probe, args.runs)
+        r.update({"scale": label, "batch_docs": n_probe})
+        rows.append(r)
+        print(f"# {label}: seed={r['seed_docs']} docs, "
+              f"probe batch {n_probe} docs → {r['t_batch_sec']} s",
+              file=sys.stderr)
+
+    print(json.dumps({"factor": args.factor, "runs": args.runs, "rows": rows}))
+    print("\n| seed corpus | seed docs | probe-batch sec |", file=sys.stderr)
+    print("|---|---|---|", file=sys.stderr)
+    for r in rows:
+        print(f"| {r['scale']} | {r['seed_docs']} | {r['t_batch_sec']} |",
+              file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
