@@ -9,11 +9,13 @@ index.  This tool measures exactly that:
 
 for each seed scale (1× = sf0.1 documents, N× = the salted derived
 corpus from tools/scale_curve.py):
-  1. seed the incremental state by streaming the WHOLE seed corpus
-     through the certified foreachBatch processor (a few large files);
-  2. land one FIXED probe batch — the same ~docs for every scale,
+  1. PRELOAD the accumulated index state directly from the batch
+     builders under a high batch-id dir (identical bytes to what
+     streamed ingestion would have accumulated — seeding cost is not
+     what this measures);
+  2. land one FIXED probe batch — the same docs for every scale,
      re-id'd/salted so it collides with nothing — and time the stream
-     run that processes ONLY that batch.
+     run that processes ONLY that batch against that history.
 
 Prints one JSON line {"rows": [{"scale": "...", "seed_docs": N,
 "batch_docs": M, "t_batch_sec": s}, ...]} plus a markdown table on
@@ -38,6 +40,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def seed_and_probe(spark, docs_path: str, probe_df, runs: int) -> dict:
     from pyspark.sql import functions as F
 
+    from tailsql_spark.operators.dedup import minhash_signatures, shingles_col
     from tailsql_spark.plans.streaming_exec import (
         _await_or_raise,
         _mh_seed_state,
@@ -52,33 +55,38 @@ def seed_and_probe(spark, docs_path: str, probe_df, runs: int) -> dict:
         root = tempfile.mkdtemp(prefix="tailsql_inccost_")
         try:
             src = f"{root}/src"
-            # seed files: few big files so seeding is fast; the probe
-            # batch is its own file
-            docs.repartition(2).write.mode("append").parquet(src)
             ex_root, sig_root, out_root = _mh_seed_state(docs, root)
+            # preload the ACCUMULATED index directly from the batch
+            # builders (seed cost is not what this measures), under a
+            # high batch-id dir (b99999) so _mh_state_paths reads it as
+            # history for the probe batch (bid 0), exactly as if the
+            # corpus had streamed in
+            ex = docs.select(
+                "doc_id", F.explode_outer(shingles_col(F.col("text"))).alias("s")
+            ).filter(F.col("s").isNotNull())
+            ex.write.mode("overwrite").parquet(f"{ex_root}/b99999")
+            minhash_signatures(
+                spark.read.parquet(f"{ex_root}/b99999")
+            ).write.mode("overwrite").parquet(f"{sig_root}/b99999")
+
             process = _minhash_batch_processor(ex_root, sig_root, out_root)
-
-            def run_stream():
-                stream = (
-                    spark.readStream.schema(docs.schema)
-                    .option("maxFilesPerTrigger", "4")
-                    .parquet(src)
-                )
-                q = (
-                    stream.writeStream.foreachBatch(process)
-                    .option("checkpointLocation", f"{root}/ckpt")
-                    .trigger(availableNow=True)
-                    .start()
-                )
-                try:
-                    _await_or_raise(q, "inccost")
-                finally:
-                    q.stop()
-
-            run_stream()  # seed the index (cost not measured)
             probe_df.coalesce(1).write.mode("append").parquet(src)
+            stream = (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", "4")
+                .parquet(src)
+            )
             t0 = time.perf_counter()
-            run_stream()  # processes EXACTLY the probe batch
+            q = (
+                stream.writeStream.foreachBatch(process)
+                .option("checkpointLocation", f"{root}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                _await_or_raise(q, "inccost")
+            finally:
+                q.stop()
             best = min(best, time.perf_counter() - t0)
         finally:
             shutil.rmtree(root, ignore_errors=True)
