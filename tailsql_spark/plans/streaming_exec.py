@@ -2029,3 +2029,252 @@ REGISTRY["stream_merge_upsert"] = QuerySpec(
     "so this certifies against the SAME tombstone-merge oracle: "
     "streaming ≡ batch for table maintenance.",
 )
+
+
+# ---------------------------------------------------------------------------
+# bucketed-state incremental dedup: the flat-per-batch-cost layout
+# ---------------------------------------------------------------------------
+
+#: State buckets for the bucketed incremental index. 32 here; at real
+#: scale pick ~(index bytes / target scan bytes per probe).
+N_STATE_BUCKETS = 32
+
+
+def _bucket_state_paths(
+    root: str, col: str, touched, exclude_bid: int | None = None
+) -> list[str]:
+    """Leaf bucket dirs (``{root}/b*/{col}={k}``) for the touched
+    buckets, plus the schema seed — the bucketed analogue of
+    ``_mh_state_paths``.  Reading leaf dirs directly (no partition
+    discovery) keeps the bucket column out of the frame and tolerates
+    buckets absent from a batch.  The listing is per-batch-dir driver
+    metadata — what a lakehouse manifest replaces at scale."""
+    paths = [f"{root}/seed"]
+    touched = set(touched)
+    for d in sorted(_fs_list(root)):
+        if (
+            d.startswith("b")
+            and d[1:].isdigit()
+            and (exclude_bid is None or int(d[1:]) != exclude_bid)
+        ):
+            subs = set(_fs_list(f"{root}/{d}"))
+            paths += [
+                f"{root}/{d}/{col}={k}" for k in sorted(touched) if f"{col}={k}" in subs
+            ]
+    return paths
+
+
+def _mh_bucketed_seed(docs, state_root: str) -> tuple:
+    """Create bands/ex/nsh/pairs roots with empty schema seeds."""
+    from tailsql_spark.operators.dedup import (
+        band_long,
+        minhash_signatures,
+        shingles_col,
+    )
+
+    bands_root = f"{state_root}/bands"
+    ex_root = f"{state_root}/ex"
+    nsh_root = f"{state_root}/nsh"
+    out_root = f"{state_root}/pairs"
+    empty = docs.limit(0)
+    empty_ex = empty.select(
+        "doc_id", F.explode_outer(shingles_col(F.col("text"))).alias("s")
+    ).filter(F.col("s").isNotNull())
+    empty_ex.write.mode("overwrite").parquet(f"{ex_root}/seed")
+    sig0 = minhash_signatures(empty_ex)
+    band_long(sig0).write.mode("overwrite").parquet(f"{bands_root}/seed")
+    sig0.select("doc_id", "n_sh").write.mode("overwrite").parquet(f"{nsh_root}/seed")
+    empty_ex.selectExpr(
+        "doc_id AS id_a", "doc_id AS id_b", "CAST(0.0 AS DOUBLE) AS jaccard"
+    ).limit(0).write.mode("overwrite").parquet(f"{out_root}/seed")
+    return bands_root, ex_root, nsh_root, out_root
+
+
+def _minhash_bucketed_processor(
+    bands_root: str, ex_root: str, nsh_root: str, out_root: str
+):
+    """foreachBatch processor for BUCKETED incremental MinHash dedup —
+    the layout that makes per-batch cost genuinely flat in corpus size
+    (the r8 `tools/incremental_cost.py` measurement named the
+    unbucketed history scan as the one corpus-proportional stage):
+
+    * the history index stores MATERIALIZED band rows (doc_id,
+      band_idx, band_hash), so the probe never recomputes md5 bands
+      over the whole corpus per batch;
+    * band state is bucketed by hash(band_hash): the probe lists its
+      batch's touched buckets (≤ N_STATE_BUCKETS values, planning
+      metadata) and reads ONLY those leaf dirs — lossless, since a
+      matching history row shares the band hash and therefore the
+      bucket;
+    * the shingle postings are bucketed by hash(doc_id): candidate
+      verification reads only the buckets containing candidate docs
+      (candidate sets are emission-sized).
+
+    Same exactly-once discipline as `_minhash_batch_processor`:
+    per-batch-id overwrite dirs, history reads exclude the replaying
+    batch's own dir."""
+    from tailsql_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        band_long,
+        minhash_signatures,
+        shingles_col,
+    )
+
+    def process(batch_df, batch_id):
+        sess = batch_df.sparkSession
+        bid = int(batch_id)
+        ex_b = (
+            batch_df.select(
+                "doc_id", F.explode_outer(shingles_col(F.col("text"))).alias("s")
+            )
+            .filter(F.col("s").isNotNull())
+            .persist()
+        )
+        sig_b = minhash_signatures(ex_b).persist()
+        band_b = band_long(sig_b).persist()
+        bb = F.pmod(F.xxhash64("band_hash"), F.lit(N_STATE_BUCKETS))
+        touched_bb = sorted(
+            r.k for r in band_b.select(bb.alias("k")).distinct().collect()
+        )
+        hist_bands = sess.read.parquet(
+            *_bucket_state_paths(bands_root, "bb", touched_bb, bid)
+        )
+        all_bands = hist_bands.unionByName(band_b)
+        probe = band_b.select(
+            F.col("doc_id").alias("p_id"),
+            F.col("band_idx").alias("p_band"),
+            F.col("band_hash").alias("p_hash"),
+        )
+        cand = (
+            all_bands.join(
+                probe,
+                (F.col("band_idx") == F.col("p_band"))
+                & (F.col("band_hash") == F.col("p_hash"))
+                & (F.col("doc_id") != F.col("p_id")),
+            )
+            .select(
+                F.least("doc_id", "p_id").alias("id_a"),
+                F.greatest("doc_id", "p_id").alias("id_b"),
+            )
+            .distinct()
+            .persist()
+        )
+        xb_of = lambda c: F.pmod(c, F.lit(N_STATE_BUCKETS))  # noqa: E731
+        cand_xb = sorted(
+            {
+                r.k
+                for r in cand.select(
+                    F.explode(
+                        F.array(xb_of(F.col("id_a")), xb_of(F.col("id_b")))
+                    ).alias("k")
+                )
+                .distinct()
+                .collect()
+            }
+        )
+        ex_all = sess.read.parquet(
+            *_bucket_state_paths(ex_root, "xb", cand_xb, bid)
+        ).unionByName(ex_b)
+        sizes = (
+            sess.read.parquet(*_mh_state_paths(nsh_root, bid))
+            .unionByName(sig_b.select("doc_id", "n_sh"))
+            .select("doc_id", F.col("n_sh").alias("n"))
+        )
+        exa = ex_all.select(F.col("doc_id").alias("id_a"), "s")
+        exb = ex_all.select(F.col("doc_id").alias("idb2"), F.col("s").alias("sb"))
+        common = (
+            exa.join(F.broadcast(cand), "id_a")
+            .join(exb, (F.col("id_b") == F.col("idb2")) & (F.col("s") == F.col("sb")))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_common"))
+        )
+        jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+        verified = (
+            common.join(
+                sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")),
+                "id_a",
+            )
+            .join(
+                sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")),
+                "id_b",
+            )
+            .filter(jac >= JACCARD_THRESHOLD)
+            .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        )
+        sub = _bdir(bid)
+        verified.write.mode("overwrite").parquet(f"{out_root}/{sub}")
+        band_b.withColumn("bb", bb).write.mode("overwrite").partitionBy("bb").parquet(
+            f"{bands_root}/{sub}"
+        )
+        ex_b.withColumn("xb", xb_of(F.col("doc_id"))).write.mode(
+            "overwrite"
+        ).partitionBy("xb").parquet(f"{ex_root}/{sub}")
+        sig_b.select("doc_id", "n_sh").write.mode("overwrite").parquet(
+            f"{nsh_root}/{sub}"
+        )
+        cand.unpersist()
+        band_b.unpersist()
+        sig_b.unpersist()
+        ex_b.unpersist()
+
+    return process
+
+
+def stream_dedup_minhash_bucketed(
+    spark: SparkSession, sf_dir: str, state_root: str | None = None
+) -> DataFrame:
+    """Incremental MinHash near-dedup over the BUCKETED index layout —
+    semantically identical to ``stream_dedup_minhash`` (same oracle,
+    same exactly-once discipline) with the state organized so per-batch
+    cost is flat in corpus size: materialized band rows bucketed by
+    band hash (probe reads only its touched buckets, never recomputes
+    history bands) and doc-bucketed postings (verification reads only
+    candidate buckets).  Measured in SCALING.md's incremental-dedup
+    entry via tools/incremental_cost.py --bucketed."""
+    import shutil
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+    state_root, _owned_state = _resolve_state_root("mhbucket", state_root)
+    # 4 staged files + maxFilesPerTrigger=1 → 4 genuine micro-batches
+    src_dir = _stage_stream_source(docs, "mhbucket", state_root, _owned_state)
+    bands_root, ex_root, nsh_root, out_root = _mh_bucketed_seed(docs, state_root)
+    process = _minhash_bucketed_processor(bands_root, ex_root, nsh_root, out_root)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{state_root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _await_or_raise(q, "stream_dedup_minhash_bucketed")
+    finally:
+        q.stop()
+    result = spark.read.parquet(*_mh_state_paths(out_root))
+    out = _persist_result(result, "stream_dedup_minhash_bucketed")
+    if _owned_state:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        _fs_rmtree(state_root)
+    return out
+
+
+REGISTRY["stream_dedup_minhash_bucketed"] = QuerySpec(
+    name="stream_dedup_minhash_bucketed",
+    category="streaming-executed",
+    build=stream_dedup_minhash_bucketed,
+    oracle=_MH_ORACLE,
+    doc="Incremental MinHash dedup over the BUCKETED state layout: "
+    "materialized band rows bucketed by band hash (the probe reads "
+    "only its touched buckets and never recomputes history bands) and "
+    "doc-bucketed postings (verification reads only candidate "
+    "buckets) — measured flatter per-batch growth across a 100x "
+    "index (+59% vs +90%) for a constant planning overhead that "
+    "amortizes in the production regime. Same oracle and exactly-once "
+    "replay discipline as the flat-layout stream_dedup_minhash.",
+)

@@ -654,3 +654,37 @@ def test_minhash_shared_root_continues_across_runs(spark, oracle_sf_dir, tmp_pat
     # run's emissions preserved verbatim
     assert n_batches_second > n_batches_first > 0
     assert first <= got
+
+
+def test_bucketed_processor_replay_idempotent(spark, oracle_sf_dir):
+    """The bucketed-state processor keeps the flat processor's
+    exactly-once contract: every batch replayed post-"crash", final
+    pair set still equals the batch operator."""
+    from tailsql_spark.operators.dedup import REGISTRY as _DEDUP
+    from tailsql_spark.plans.catalog import load_tables
+    from tailsql_spark.plans.streaming_exec import (
+        _mh_bucketed_seed,
+        _mh_state_paths,
+        _minhash_bucketed_processor,
+    )
+
+    docs = load_tables(spark, oracle_sf_dir)["documents"].select("doc_id", "text")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    rest = docs.filter(F.col("doc_id") % 2 == 1)
+
+    root = tempfile.mkdtemp(prefix="tailsql_breplay_")
+    try:
+        bands_root, ex_root, nsh_root, out_root = _mh_bucketed_seed(docs, root)
+        process = _minhash_bucketed_processor(bands_root, ex_root, nsh_root, out_root)
+        process(half, 0)
+        process(half, 0)
+        process(rest, 1)
+        process(rest, 1)
+        got = _pairs(spark.read.parquet(*_mh_state_paths(out_root)))
+        want = _pairs(_DEDUP["dedup_minhash_lsh"].build(spark, oracle_sf_dir))
+        assert got == want, (
+            f"replayed bucketed result diverged from batch: "
+            f"extra={got - want}, missing={want - got}"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

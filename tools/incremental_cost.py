@@ -37,14 +37,23 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def seed_and_probe(spark, docs_path: str, probe_df, runs: int) -> dict:
+def seed_and_probe(
+    spark, docs_path: str, probe_df, runs: int, bucketed: bool = False
+) -> dict:
     from pyspark.sql import functions as F
 
-    from tailsql_spark.operators.dedup import minhash_signatures, shingles_col
+    from tailsql_spark.operators.dedup import (
+        band_long,
+        minhash_signatures,
+        shingles_col,
+    )
     from tailsql_spark.plans.streaming_exec import (
+        N_STATE_BUCKETS,
         _await_or_raise,
+        _mh_bucketed_seed,
         _mh_seed_state,
         _minhash_batch_processor,
+        _minhash_bucketed_processor,
     )
 
     docs = spark.read.parquet(docs_path).select("doc_id", "text")
@@ -55,21 +64,45 @@ def seed_and_probe(spark, docs_path: str, probe_df, runs: int) -> dict:
         root = tempfile.mkdtemp(prefix="tailsql_inccost_")
         try:
             src = f"{root}/src"
-            ex_root, sig_root, out_root = _mh_seed_state(docs, root)
             # preload the ACCUMULATED index directly from the batch
             # builders (seed cost is not what this measures), under a
-            # high batch-id dir (b99999) so _mh_state_paths reads it as
-            # history for the probe batch (bid 0), exactly as if the
-            # corpus had streamed in
+            # high batch-id dir (b99999) so the state listing reads it
+            # as history for the probe batch (bid 0), exactly as if
+            # the corpus had streamed in
             ex = docs.select(
                 "doc_id", F.explode_outer(shingles_col(F.col("text"))).alias("s")
             ).filter(F.col("s").isNotNull())
-            ex.write.mode("overwrite").parquet(f"{ex_root}/b99999")
-            minhash_signatures(
-                spark.read.parquet(f"{ex_root}/b99999")
-            ).write.mode("overwrite").parquet(f"{sig_root}/b99999")
-
-            process = _minhash_batch_processor(ex_root, sig_root, out_root)
+            if bucketed:
+                bands_root, ex_root, nsh_root, out_root = _mh_bucketed_seed(
+                    docs, root
+                )
+                ex.withColumn(
+                    "xb", F.pmod(F.col("doc_id"), F.lit(N_STATE_BUCKETS))
+                ).write.mode("overwrite").partitionBy("xb").parquet(
+                    f"{ex_root}/b99999"
+                )
+                sig = minhash_signatures(
+                    spark.read.parquet(f"{ex_root}/b99999").select("doc_id", "s")
+                )
+                band_long(sig).withColumn(
+                    "bb",
+                    F.pmod(F.xxhash64("band_hash"), F.lit(N_STATE_BUCKETS)),
+                ).write.mode("overwrite").partitionBy("bb").parquet(
+                    f"{bands_root}/b99999"
+                )
+                sig.select("doc_id", "n_sh").write.mode("overwrite").parquet(
+                    f"{nsh_root}/b99999"
+                )
+                process = _minhash_bucketed_processor(
+                    bands_root, ex_root, nsh_root, out_root
+                )
+            else:
+                ex_root, sig_root, out_root = _mh_seed_state(docs, root)
+                ex.write.mode("overwrite").parquet(f"{ex_root}/b99999")
+                minhash_signatures(
+                    spark.read.parquet(f"{ex_root}/b99999")
+                ).write.mode("overwrite").parquet(f"{sig_root}/b99999")
+                process = _minhash_batch_processor(ex_root, sig_root, out_root)
             probe_df.coalesce(1).write.mode("append").parquet(src)
             stream = (
                 spark.readStream.schema(docs.schema)
@@ -97,6 +130,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--bucketed", action="store_true")
     args = ap.parse_args()
 
     src_1x = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -128,14 +162,15 @@ def main() -> None:
         ("1x", f"{src_1x}/documents.parquet"),
         (f"{args.factor}x", f"{dest}/documents.parquet"),
     ):
-        r = seed_and_probe(spark, path, probe, args.runs)
+        r = seed_and_probe(spark, path, probe, args.runs, bucketed=args.bucketed)
         r.update({"scale": label, "batch_docs": n_probe})
         rows.append(r)
         print(f"# {label}: seed={r['seed_docs']} docs, "
               f"probe batch {n_probe} docs → {r['t_batch_sec']} s",
               file=sys.stderr)
 
-    print(json.dumps({"factor": args.factor, "runs": args.runs, "rows": rows}))
+    print(json.dumps({"factor": args.factor, "runs": args.runs,
+                      "bucketed": args.bucketed, "rows": rows}))
     print("\n| seed corpus | seed docs | probe-batch sec |", file=sys.stderr)
     print("|---|---|---|", file=sys.stderr)
     for r in rows:
