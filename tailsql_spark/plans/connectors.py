@@ -845,21 +845,84 @@ def merge_base_path(
     return path
 
 
+def _rmtree_any(path: str) -> None:
+    """Recursive delete for plain paths and Hadoop-FS URIs — mirrors
+    streaming_exec's dispatcher (imported lazily: streaming_exec
+    imports this module at load, not vice versa)."""
+    from tailsql_spark.plans.streaming_exec import _fs_rmtree
+
+    _fs_rmtree(path)
+
+
+def merge_apply(spark: SparkSession, base_path: str, delta: DataFrame) -> list:
+    """The MERGE core shared by the batch runs and the streaming
+    per-batch processor (one definition — batch and streaming cannot
+    drift): compute the delta's touched partitions (planning METADATA,
+    bounded by the partition count), full-outer merge ONLY those
+    partitions of the base ('U' wins, 'D' tombstones remove the key,
+    base-only rows survive), rewrite them via dynamic partition
+    overwrite, and explicitly DROP any touched partition left with
+    zero surviving rows — dynamic overwrite only replaces partitions
+    PRESENT in the written data, so a fully-tombstoned partition (a
+    whole-part takedown) would otherwise keep its old files and its
+    legally-deleted rows would silently survive.  The merged touched
+    slice is persisted before the write so the rewrite never reads the
+    files it is replacing.  Returns the touched partition list."""
+    delta = delta.persist()
+    try:
+        touched = sorted(
+            r.part for r in delta.select("part").distinct().collect()
+        )
+        if not touched:
+            return []
+        base = spark.read.parquet(base_path)
+        b = base.filter(F.col("part").isin(touched)).alias("b")
+        d = delta.alias("d")
+        merged = (
+            b.join(d, F.col("b.doc_id") == F.col("d.doc_id"), "full_outer")
+            .filter(F.col("d.op").isNull() | (F.col("d.op") != "D"))
+            .select(
+                F.coalesce(F.col("d.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+                F.coalesce(F.col("d.content"), F.col("b.content")).alias("content"),
+                F.coalesce(F.col("d.version"), F.col("b.version")).alias("version"),
+                F.coalesce(F.col("d.part"), F.col("b.part")).alias("part"),
+            )
+            .persist()
+        )
+        try:
+            surviving = {
+                r.part for r in merged.select("part").distinct().collect()
+            }
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                merged.write.mode("overwrite").partitionBy("part").parquet(base_path)
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            for p in touched:
+                if p not in surviving:
+                    _rmtree_any(f"{base_path}/part={p}")
+        finally:
+            merged.unpersist()
+    finally:
+        delta.unpersist()
+    return touched
+
+
 def merge_upsert_run(
     spark: SparkSession, sf_dir: str, with_deletes: bool = False
 ):
     """Execute the MERGE and return ``(merged_df, base_path, touched)``.
 
-    Delta-style mechanics, faithfully: (1) the touched-partition list
-    is computed from the delta — planning METADATA, file-count-sized,
-    like a manifest read; (2) ONLY those partitions are read, merged
-    (full-outer on the key: delta 'U' rows win, delta 'D' tombstones
-    REMOVE the key, base-only rows survive) and rewritten via dynamic
-    partition overwrite; untouched partition files are never opened,
-    never rewritten.  At 100 TB an incremental crawl touches a sliver
-    of partitions, so the rewrite cost tracks the DELTA, not the
-    table — the whole reason MERGE exists over rewrite-the-world.
-    Tombstones are the takedown path (robots retroactivity, DMCA,
+    Delta-style mechanics, faithfully (see :func:`merge_apply` for the
+    shared core): ONLY the delta's touched partitions are read, merged
+    and rewritten; untouched partition files are never opened, never
+    rewritten.  At 100 TB an incremental crawl touches a sliver of
+    partitions, so the rewrite cost tracks the DELTA, not the table —
+    the whole reason MERGE exists over rewrite-the-world.  Tombstones
+    are the takedown path (robots retroactivity, DMCA,
     right-to-be-forgotten): physical removal from the rewritten
     partition, not a filter view.  The delta side of the join is small
     by construction (one crawl increment), so AQE broadcasts it; the
@@ -868,28 +931,7 @@ def merge_upsert_run(
     tag = "merge_del_base" if with_deletes else "merge_base"
     base_path = merge_base_path(spark, sf_dir, tag=tag)
     delta = _merge_delta_frame(spark, sf_dir, with_deletes=with_deletes)
-    touched = sorted(
-        r.part for r in delta.select("part").distinct().collect()
-    )  # planning metadata: bounded by the partition count, never row-sized
-    base = spark.read.parquet(base_path)
-    b = base.filter(F.col("part").isin(touched)).alias("b")
-    d = delta.alias("d")
-    merged_touched = (
-        b.join(d, F.col("b.doc_id") == F.col("d.doc_id"), "full_outer")
-        .filter(F.col("d.op").isNull() | (F.col("d.op") != "D"))
-        .select(
-            F.coalesce(F.col("d.doc_id"), F.col("b.doc_id")).alias("doc_id"),
-            F.coalesce(F.col("d.content"), F.col("b.content")).alias("content"),
-            F.coalesce(F.col("d.version"), F.col("b.version")).alias("version"),
-            F.coalesce(F.col("d.part"), F.col("b.part")).alias("part"),
-        )
-    )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        merged_touched.write.mode("overwrite").partitionBy("part").parquet(base_path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    touched = merge_apply(spark, base_path, delta)
     return spark.read.parquet(base_path), base_path, touched
 
 
@@ -937,7 +979,7 @@ def merge_upsert_run(
 )
 def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged, _path, _touched = merge_upsert_run(spark, sf_dir)
-    return _merge_result_agg(merged)
+    return _materialized_merge_agg(merged, "sink_merge_upsert", sf_dir)
 
 
 def _merge_result_agg(merged: DataFrame) -> DataFrame:
@@ -946,6 +988,15 @@ def _merge_result_agg(merged: DataFrame) -> DataFrame:
         F.sum("content").alias("sum_content"),
         F.sum(F.col("version").cast("long")).alias("sum_version"),
     )
+
+
+def _materialized_merge_agg(merged: DataFrame, name: str, sf_dir: str) -> DataFrame:
+    """Aggregate and MATERIALIZE: the returned frame must not read the
+    staging files a later build's dynamic overwrite will replace (the
+    aliasing hazard materialize_result exists for)."""
+    from tailsql_spark.plans.catalog import materialize_result, sf_key
+
+    return materialize_result(_merge_result_agg(merged), name, key=sf_key(sf_dir))
 
 
 @query(
@@ -998,4 +1049,4 @@ def _merge_result_agg(merged: DataFrame) -> DataFrame:
 )
 def sink_merge_delete_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged, _path, _touched = merge_upsert_run(spark, sf_dir, with_deletes=True)
-    return _merge_result_agg(merged)
+    return _materialized_merge_agg(merged, "sink_merge_delete_tombstones", sf_dir)

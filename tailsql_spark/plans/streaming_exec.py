@@ -132,7 +132,12 @@ def _fs_exists(path: str) -> bool:
 
 
 def _stage_stream_source(
-    df: DataFrame, tag: str, state_root: str, owned: bool, n_files: int = 4
+    df: DataFrame,
+    tag: str,
+    state_root: str,
+    owned: bool,
+    n_files: int = 4,
+    corpus_tag: str | None = None,
 ) -> str:
     """Stage the micro-batch source files for a stateful stream_* op.
 
@@ -147,14 +152,38 @@ def _stage_stream_source(
     and pair emissions).  Production continuation therefore means
     dropping NEW files under ``{state_root}/src``; this staging only
     bootstraps the first run against a root.
+
+    ``corpus_tag`` (the wrappers pass their ``sf_dir``) is recorded at
+    first staging and CHECKED on reuse: one root belongs to one
+    pipeline, and a resume against a root built from a DIFFERENT
+    corpus would otherwise no-op on the checkpoint and silently return
+    the old corpus's accumulated results.
     """
     if owned:
         path = tempfile.mkdtemp(prefix=f"tailsql_stream_{tag}_")
         df.repartition(n_files).write.mode("overwrite").parquet(path)
         return path
+    spark = df.sparkSession
     path = f"{state_root}/src"
-    if not _fs_exists(f"{path}/_SUCCESS"):
-        df.repartition(n_files).write.mode("overwrite").parquet(path)
+    tag_path = f"{state_root}/src_corpus"
+    if _fs_exists(f"{path}/_SUCCESS"):
+        if corpus_tag is not None and _fs_exists(f"{tag_path}/_SUCCESS"):
+            recorded = spark.read.parquet(tag_path).head()[0]
+            if recorded != corpus_tag:
+                raise ValueError(
+                    f"state root {state_root!r} was built from corpus "
+                    f"{recorded!r} but this call passes {corpus_tag!r}: "
+                    "one root belongs to one pipeline — reusing it with "
+                    "a different corpus would no-op on the checkpoint "
+                    "and return the old corpus's results. Use a fresh "
+                    "root."
+                )
+        return path
+    df.repartition(n_files).write.mode("overwrite").parquet(path)
+    if corpus_tag is not None:
+        spark.createDataFrame([(corpus_tag,)], "corpus string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(tag_path)
     return path
 
 
@@ -815,7 +844,7 @@ def stream_dedup_minhash(
     docs = t["documents"].select("doc_id", "text")
     state_root, _owned_state = _resolve_state_root("mhdedup", state_root)
     # 4 staged files + maxFilesPerTrigger=1 → 4 genuine micro-batches
-    src_dir = _stage_stream_source(docs, "mhdedup", state_root, _owned_state)
+    src_dir = _stage_stream_source(docs, "mhdedup", state_root, _owned_state, corpus_tag=sf_dir)
     ex_root, sig_root, out_root = _mh_seed_state(docs, state_root)
     process = _minhash_batch_processor(ex_root, sig_root, out_root)
 
@@ -956,7 +985,7 @@ def stream_dedup_clusters(
     pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
     state_root, _owned_state = _resolve_state_root("cc", state_root)
     # 4 staged files + maxFilesPerTrigger=1 → 4 genuine micro-batches
-    src_dir = _stage_stream_source(pairs, "cc", state_root, _owned_state)
+    src_dir = _stage_stream_source(pairs, "cc", state_root, _owned_state, corpus_tag=sf_dir)
     edges_root = f"{state_root}/edges"
     labels_root = f"{state_root}/labels"
     pairs.limit(0).write.mode("overwrite").parquet(f"{edges_root}/seed")
@@ -1134,7 +1163,7 @@ def stream_ann_topk(
     ).write.mode("overwrite").parquet(f"{topk_root}/seed")
 
     # 4 staged files + maxFilesPerTrigger=1 → 4 genuine micro-batches
-    src_dir = _stage_stream_source(emb, "ann", state_root, _owned_state)
+    src_dir = _stage_stream_source(emb, "ann", state_root, _owned_state, corpus_tag=sf_dir)
     stream = (
         spark.readStream.schema(emb.schema)
         .option("maxFilesPerTrigger", "1")
@@ -1276,7 +1305,7 @@ def stream_contamination(
     test_grams.limit(0).write.mode("overwrite").parquet(f"{hits_root}/seed")
 
     # 4 staged files + maxFilesPerTrigger=1 → 4 genuine micro-batches
-    src_dir = _stage_stream_source(train_docs, "contam", state_root, _owned_state)
+    src_dir = _stage_stream_source(train_docs, "contam", state_root, _owned_state, corpus_tag=sf_dir)
     stream = (
         spark.readStream.schema(train_docs.schema)
         .option("maxFilesPerTrigger", "1")
@@ -1465,7 +1494,7 @@ def stream_dedup_semantic(
     ).write.mode("overwrite").parquet(f"{snap_root}/seed")
 
     # 4 staged files + maxFilesPerTrigger=1 → 4 genuine micro-batches
-    src_dir = _stage_stream_source(emb, "semdedup", state_root, _owned_state)
+    src_dir = _stage_stream_source(emb, "semdedup", state_root, _owned_state, corpus_tag=sf_dir)
     stream = (
         spark.readStream.schema(emb.schema)
         .option("maxFilesPerTrigger", "1")
@@ -1624,7 +1653,7 @@ def stream_substring_spans(
     empty_pg.select("g").write.mode("overwrite").parquet(f"{pending_root}/seed")
 
     # 4 staged files + maxFilesPerTrigger=1 → 4 genuine micro-batches
-    src_dir = _stage_stream_source(docs, "substr", state_root, _owned_state)
+    src_dir = _stage_stream_source(docs, "substr", state_root, _owned_state, corpus_tag=sf_dir)
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1")
@@ -1733,7 +1762,7 @@ def stream_curation_survivors(
     docs = t["documents"].select("doc_id", "lang", "text", "n_chars")
     state_root, _owned_state = _resolve_state_root("curation", state_root)
     # 4 staged files + maxFilesPerTrigger=1 → 4 genuine micro-batches
-    src_dir = _stage_stream_source(docs, "curation", state_root, _owned_state)
+    src_dir = _stage_stream_source(docs, "curation", state_root, _owned_state, corpus_tag=sf_dir)
     ex_root, sig_root, out_root = _mh_seed_state(docs.select("doc_id", "text"), state_root)
     edges_root = f"{state_root}/edges"
     labels_root = f"{state_root}/labels"
@@ -1847,7 +1876,7 @@ def stream_bpe_pair_counts(
     docs = t["documents"].select("doc_id", "text")
     state_root, _owned_state = _resolve_state_root("bpepairs", state_root)
     # 4 staged files + maxFilesPerTrigger=1 → 4 genuine micro-batches
-    src_dir = _stage_stream_source(docs, "bpepairs", state_root, _owned_state)
+    src_dir = _stage_stream_source(docs, "bpepairs", state_root, _owned_state, corpus_tag=sf_dir)
     counts_root = f"{state_root}/counts"
     spark.createDataFrame([], "pair string, n long").write.mode("overwrite").parquet(
         f"{counts_root}/seed"
@@ -1904,48 +1933,21 @@ REGISTRY["stream_bpe_pair_counts"] = QuerySpec(
 # ---------------------------------------------------------------------------
 
 def _merge_batch_processor(table_root: str):
-    """foreachBatch MERGE: each micro-batch of delta rows computes ITS
-    touched-partition list (planning metadata), full-outer merges
-    against only those partitions of the maintained table ('U' wins,
-    'D' tombstones remove, base-only survives) and rewrites them via
-    dynamic partition overwrite.  Per-batch cost tracks the BATCH, not
-    the table — the streaming form of sink_merge_upsert's pruning
-    contract.  Replay-idempotent: the merge rule is a per-key
-    last-writer-wins with a fixed writer, so re-applying a batch
-    reproduces identical partition contents."""
+    """foreachBatch MERGE: each micro-batch of delta rows runs the ONE
+    shared MERGE core (connectors.merge_apply — batch and streaming
+    cannot drift): touched-partition list from the batch (planning
+    metadata), full-outer merge against only those partitions ('U'
+    wins, 'D' tombstones remove, base-only survives), dynamic
+    partition overwrite, fully-tombstoned partitions dropped.
+    Per-batch cost tracks the BATCH, not the table.  Replay-
+    idempotent: the merge rule is per-key last-writer-wins with a
+    fixed writer, so re-applying a batch reproduces identical
+    partition contents."""
 
     def process(batch_df, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        batch_df = batch_df.persist()
-        try:
-            touched = [
-                r.part for r in batch_df.select("part").distinct().collect()
-            ]
-            if not touched:
-                return
-            base = spark.read.parquet(table_root)
-            b = base.filter(F.col("part").isin(touched)).alias("b")
-            d = batch_df.alias("d")
-            merged = (
-                b.join(d, F.col("b.doc_id") == F.col("d.doc_id"), "full_outer")
-                .filter(F.col("d.op").isNull() | (F.col("d.op") != "D"))
-                .select(
-                    F.coalesce(F.col("d.doc_id"), F.col("b.doc_id")).alias("doc_id"),
-                    F.coalesce(F.col("d.content"), F.col("b.content")).alias("content"),
-                    F.coalesce(F.col("d.version"), F.col("b.version")).alias("version"),
-                    F.coalesce(F.col("d.part"), F.col("b.part")).alias("part"),
-                )
-            )
-            prev = spark.conf.get(
-                "spark.sql.sources.partitionOverwriteMode", "static"
-            )
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            try:
-                merged.write.mode("overwrite").partitionBy("part").parquet(table_root)
-            finally:
-                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        finally:
-            batch_df.unpersist()
+        from tailsql_spark.plans.connectors import merge_apply
+
+        merge_apply(batch_df.sparkSession, table_root, batch_df)
 
     return process
 
@@ -1979,13 +1981,17 @@ def stream_merge_upsert(
 
     state_root, _owned_state = _resolve_state_root("mergeup", state_root)
     table_root = f"{state_root}/table"
-    if not _fs_exists(table_root):
+    # seed the base ONCE per root, guarded on the COMMIT marker (a bare
+    # dir-exists check would treat a crashed partial seed as complete
+    # and merge the delta into a truncated base); the initial static
+    # write and every later dynamic overwrite both (re)write _SUCCESS
+    if not _fs_exists(f"{table_root}/_SUCCESS"):
         _merge_base_frame(spark, sf_dir).write.mode("overwrite").partitionBy(
             "part"
         ).parquet(table_root)
     delta = _merge_delta_frame(spark, sf_dir, with_deletes=True)
     # 4 staged files + maxFilesPerTrigger=1 → 4 genuine micro-batches
-    src_dir = _stage_stream_source(delta, "mergeup", state_root, _owned_state)
+    src_dir = _stage_stream_source(delta, "mergeup", state_root, _owned_state, corpus_tag=sf_dir)
     stream = (
         spark.readStream.schema(delta.schema)
         .option("maxFilesPerTrigger", "1")
@@ -2001,12 +2007,9 @@ def stream_merge_upsert(
         _await_or_raise(q, "stream_merge_upsert")
     finally:
         q.stop()
-    final = spark.read.parquet(table_root)
-    result = final.groupBy(F.col("part").cast("long").alias("part")).agg(
-        F.count("*").alias("n_docs"),
-        F.sum("content").alias("sum_content"),
-        F.sum(F.col("version").cast("long")).alias("sum_version"),
-    )
+    from tailsql_spark.plans.connectors import _merge_result_agg
+
+    result = _merge_result_agg(spark.read.parquet(table_root))
     out = _persist_result(result, "stream_merge_upsert")
     if _owned_state:
         shutil.rmtree(src_dir, ignore_errors=True)
@@ -2133,8 +2136,8 @@ def _minhash_bucketed_processor(
         sig_b = minhash_signatures(ex_b).persist()
         band_b = band_long(sig_b).persist()
         bb = F.pmod(F.xxhash64("band_hash"), F.lit(N_STATE_BUCKETS))
-        touched_bb = sorted(
-            r.k for r in band_b.select(bb.alias("k")).distinct().collect()
+        touched_bb = sorted(  # planning-metadata: ≤ N_STATE_BUCKETS values
+            r.k for r in band_b.select(bb.alias("k")).distinct().collect()  # planning-metadata
         )
         hist_bands = sess.read.parquet(
             *_bucket_state_paths(bands_root, "bb", touched_bb, bid)
@@ -2169,14 +2172,18 @@ def _minhash_bucketed_processor(
                     ).alias("k")
                 )
                 .distinct()
-                .collect()
+                .collect()  # planning-metadata: ≤ N_STATE_BUCKETS values
             }
         )
         ex_all = sess.read.parquet(
             *_bucket_state_paths(ex_root, "xb", cand_xb, bid)
         ).unionByName(ex_b)
+        # sizes bucketed by doc id like the postings: verification
+        # reads only the candidate buckets, never one row per doc ever
+        # ingested (that scan would be the corpus-proportional stage
+        # this layout exists to remove)
         sizes = (
-            sess.read.parquet(*_mh_state_paths(nsh_root, bid))
+            sess.read.parquet(*_bucket_state_paths(nsh_root, "xb", cand_xb, bid))
             .unionByName(sig_b.select("doc_id", "n_sh"))
             .select("doc_id", F.col("n_sh").alias("n"))
         )
@@ -2209,9 +2216,9 @@ def _minhash_bucketed_processor(
         ex_b.withColumn("xb", xb_of(F.col("doc_id"))).write.mode(
             "overwrite"
         ).partitionBy("xb").parquet(f"{ex_root}/{sub}")
-        sig_b.select("doc_id", "n_sh").write.mode("overwrite").parquet(
-            f"{nsh_root}/{sub}"
-        )
+        sig_b.select("doc_id", "n_sh").withColumn(
+            "xb", xb_of(F.col("doc_id"))
+        ).write.mode("overwrite").partitionBy("xb").parquet(f"{nsh_root}/{sub}")
         cand.unpersist()
         band_b.unpersist()
         sig_b.unpersist()
@@ -2237,7 +2244,7 @@ def stream_dedup_minhash_bucketed(
     docs = t["documents"].select("doc_id", "text")
     state_root, _owned_state = _resolve_state_root("mhbucket", state_root)
     # 4 staged files + maxFilesPerTrigger=1 → 4 genuine micro-batches
-    src_dir = _stage_stream_source(docs, "mhbucket", state_root, _owned_state)
+    src_dir = _stage_stream_source(docs, "mhbucket", state_root, _owned_state, corpus_tag=sf_dir)
     bands_root, ex_root, nsh_root, out_root = _mh_bucketed_seed(docs, state_root)
     process = _minhash_bucketed_processor(bands_root, ex_root, nsh_root, out_root)
 

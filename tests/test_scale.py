@@ -929,3 +929,35 @@ def test_merge_tombstones_physically_remove_rows(spark, oracle_sf_dir):
     merged2, _path2, _t2 = merge_upsert_run(spark, oracle_sf_dir, with_deletes=True)
     assert merged2.count() == n1
     assert merged2.filter(F.col("doc_id") % 64 == MERGE_DELETE_MOD).count() == 0
+
+
+def test_merge_drops_fully_tombstoned_partition(spark, tmp_path):
+    """The r8 review's sharpest finding, pinned: dynamic partition
+    overwrite only replaces partitions PRESENT in the written data, so
+    a delta that tombstones EVERY remaining key of a partition (a
+    whole-part takedown — exactly the legal-removal path) must have
+    that partition explicitly dropped, or its deleted rows silently
+    survive the merge."""
+    from tailsql_spark.plans.connectors import merge_apply
+
+    base_path = str(tmp_path / "tomb_base")
+    spark.createDataFrame(
+        [(1, 0, 10, 1), (2, 0, 20, 1), (3, 1, 30, 1)],
+        "doc_id long, part long, content long, version int",
+    ).write.partitionBy("part").parquet(base_path)
+
+    # tombstone BOTH docs of part 0; update the part-1 doc
+    delta = spark.createDataFrame(
+        [(1, 0, None, 2, "D"), (2, 0, None, 2, "D"), (3, 1, 33, 2, "U")],
+        "doc_id long, part long, content long, version int, op string",
+    )
+    touched = merge_apply(spark, base_path, delta)
+    assert touched == [0, 1]
+    got = {(r.doc_id, r.part, r.content, r.version)
+           for r in spark.read.parquet(base_path).collect()}
+    assert got == {(3, 1, 33, 2)}, got
+    import os
+
+    assert not os.path.exists(f"{base_path}/part=0"), (
+        "fully-tombstoned partition directory must be dropped"
+    )

@@ -90,7 +90,9 @@ def seed_and_probe(
                 ).write.mode("overwrite").partitionBy("bb").parquet(
                     f"{bands_root}/b99999"
                 )
-                sig.select("doc_id", "n_sh").write.mode("overwrite").parquet(
+                sig.select("doc_id", "n_sh").withColumn(
+                    "xb", F.pmod(F.col("doc_id"), F.lit(N_STATE_BUCKETS))
+                ).write.mode("overwrite").partitionBy("xb").parquet(
                     f"{nsh_root}/b99999"
                 )
                 process = _minhash_bucketed_processor(

@@ -54,7 +54,13 @@ COPY_TABLES = (
 def build_scaled_corpus(spark, src: str, factor: int) -> str:
     from pyspark.sql import functions as F
 
-    dest = os.path.join(tempfile.gettempdir(), f"tailsql_scale_{factor}x")
+    from tailsql_spark.plans.connectors import _stage_dir
+
+    # keyed by source path AND content fingerprint (the _stage_dir
+    # discipline): a regenerated or different source corpus mints a
+    # fresh scaled corpus instead of silently reusing a stale one
+    dest = _stage_dir(src, f"scale{factor}x",
+                      src_tables=("documents", "embeddings"))
     if os.path.exists(os.path.join(dest, "_DONE")):
         return dest
     os.makedirs(dest, exist_ok=True)
