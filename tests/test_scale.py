@@ -961,3 +961,28 @@ def test_merge_drops_fully_tombstoned_partition(spark, tmp_path):
     assert not os.path.exists(f"{base_path}/part=0"), (
         "fully-tombstoned partition directory must be dropped"
     )
+
+
+def test_merge_apply_empty_delta_is_noop(spark, tmp_path):
+    """An empty crawl increment must touch nothing: no partitions
+    listed, no rewrite, base files byte-identical."""
+    import glob
+    import os
+
+    from tailsql_spark.plans.connectors import merge_apply
+
+    base_path = str(tmp_path / "noop_base")
+    spark.createDataFrame(
+        [(1, 0, 10, 1)], "doc_id long, part long, content long, version int"
+    ).write.partitionBy("part").parquet(base_path)
+    before = {
+        f: os.stat(f).st_mtime_ns for f in glob.glob(f"{base_path}/part=*/*.parquet")
+    }
+    delta = spark.createDataFrame(
+        [], "doc_id long, part long, content long, version int, op string"
+    )
+    assert merge_apply(spark, base_path, delta) == []
+    after = {
+        f: os.stat(f).st_mtime_ns for f in glob.glob(f"{base_path}/part=*/*.parquet")
+    }
+    assert after == before
