@@ -2068,7 +2068,11 @@ def _bucket_state_paths(
 
 
 def _mh_bucketed_seed(docs, state_root: str) -> tuple:
-    """Create bands/ex/nsh/pairs roots with empty schema seeds."""
+    """Create bands/ex/pairs roots with empty schema seeds.  No
+    separate per-doc size family: a doc's shingle count is recomputed
+    from its (bucket-pruned) postings at verification time — one fewer
+    state write and leaf read per batch, and the two can never
+    disagree."""
     from tailsql_spark.operators.dedup import (
         band_long,
         minhash_signatures,
@@ -2077,7 +2081,6 @@ def _mh_bucketed_seed(docs, state_root: str) -> tuple:
 
     bands_root = f"{state_root}/bands"
     ex_root = f"{state_root}/ex"
-    nsh_root = f"{state_root}/nsh"
     out_root = f"{state_root}/pairs"
     empty = docs.limit(0)
     empty_ex = empty.select(
@@ -2086,16 +2089,13 @@ def _mh_bucketed_seed(docs, state_root: str) -> tuple:
     empty_ex.write.mode("overwrite").parquet(f"{ex_root}/seed")
     sig0 = minhash_signatures(empty_ex)
     band_long(sig0).write.mode("overwrite").parquet(f"{bands_root}/seed")
-    sig0.select("doc_id", "n_sh").write.mode("overwrite").parquet(f"{nsh_root}/seed")
     empty_ex.selectExpr(
         "doc_id AS id_a", "doc_id AS id_b", "CAST(0.0 AS DOUBLE) AS jaccard"
     ).limit(0).write.mode("overwrite").parquet(f"{out_root}/seed")
-    return bands_root, ex_root, nsh_root, out_root
+    return bands_root, ex_root, out_root
 
 
-def _minhash_bucketed_processor(
-    bands_root: str, ex_root: str, nsh_root: str, out_root: str
-):
+def _minhash_bucketed_processor(bands_root: str, ex_root: str, out_root: str):
     """foreachBatch processor for BUCKETED incremental MinHash dedup —
     the layout that makes per-batch cost genuinely flat in corpus size
     (the r8 `tools/incremental_cost.py` measurement named the
@@ -2178,15 +2178,12 @@ def _minhash_bucketed_processor(
         ex_all = sess.read.parquet(
             *_bucket_state_paths(ex_root, "xb", cand_xb, bid)
         ).unionByName(ex_b)
-        # sizes bucketed by doc id like the postings: verification
-        # reads only the candidate buckets, never one row per doc ever
-        # ingested (that scan would be the corpus-proportional stage
-        # this layout exists to remove)
-        sizes = (
-            sess.read.parquet(*_bucket_state_paths(nsh_root, "xb", cand_xb, bid))
-            .unionByName(sig_b.select("doc_id", "n_sh"))
-            .select("doc_id", F.col("n_sh").alias("n"))
-        )
+        # per-doc sizes recomputed from the PRUNED postings (a doc's
+        # whole shingle set shares its bucket, so counts are complete
+        # for every candidate): no separate size family to store, and
+        # the size the verifier divides by can never drift from the
+        # postings it counted
+        sizes = ex_all.groupBy("doc_id").agg(F.count("*").alias("n"))
         exa = ex_all.select(F.col("doc_id").alias("id_a"), "s")
         exb = ex_all.select(F.col("doc_id").alias("idb2"), F.col("s").alias("sb"))
         common = (
@@ -2216,9 +2213,6 @@ def _minhash_bucketed_processor(
         ex_b.withColumn("xb", xb_of(F.col("doc_id"))).write.mode(
             "overwrite"
         ).partitionBy("xb").parquet(f"{ex_root}/{sub}")
-        sig_b.select("doc_id", "n_sh").withColumn(
-            "xb", xb_of(F.col("doc_id"))
-        ).write.mode("overwrite").partitionBy("xb").parquet(f"{nsh_root}/{sub}")
         cand.unpersist()
         band_b.unpersist()
         sig_b.unpersist()
@@ -2245,8 +2239,8 @@ def stream_dedup_minhash_bucketed(
     state_root, _owned_state = _resolve_state_root("mhbucket", state_root)
     # 4 staged files + maxFilesPerTrigger=1 → 4 genuine micro-batches
     src_dir = _stage_stream_source(docs, "mhbucket", state_root, _owned_state, corpus_tag=sf_dir)
-    bands_root, ex_root, nsh_root, out_root = _mh_bucketed_seed(docs, state_root)
-    process = _minhash_bucketed_processor(bands_root, ex_root, nsh_root, out_root)
+    bands_root, ex_root, out_root = _mh_bucketed_seed(docs, state_root)
+    process = _minhash_bucketed_processor(bands_root, ex_root, out_root)
 
     stream = (
         spark.readStream.schema(docs.schema)

@@ -674,8 +674,8 @@ def test_bucketed_processor_replay_idempotent(spark, oracle_sf_dir):
 
     root = tempfile.mkdtemp(prefix="tailsql_breplay_")
     try:
-        bands_root, ex_root, nsh_root, out_root = _mh_bucketed_seed(docs, root)
-        process = _minhash_bucketed_processor(bands_root, ex_root, nsh_root, out_root)
+        bands_root, ex_root, out_root = _mh_bucketed_seed(docs, root)
+        process = _minhash_bucketed_processor(bands_root, ex_root, out_root)
         process(half, 0)
         process(half, 0)
         process(rest, 1)

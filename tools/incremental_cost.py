@@ -73,9 +73,7 @@ def seed_and_probe(
                 "doc_id", F.explode_outer(shingles_col(F.col("text"))).alias("s")
             ).filter(F.col("s").isNotNull())
             if bucketed:
-                bands_root, ex_root, nsh_root, out_root = _mh_bucketed_seed(
-                    docs, root
-                )
+                bands_root, ex_root, out_root = _mh_bucketed_seed(docs, root)
                 ex.withColumn(
                     "xb", F.pmod(F.col("doc_id"), F.lit(N_STATE_BUCKETS))
                 ).write.mode("overwrite").partitionBy("xb").parquet(
@@ -90,13 +88,8 @@ def seed_and_probe(
                 ).write.mode("overwrite").partitionBy("bb").parquet(
                     f"{bands_root}/b99999"
                 )
-                sig.select("doc_id", "n_sh").withColumn(
-                    "xb", F.pmod(F.col("doc_id"), F.lit(N_STATE_BUCKETS))
-                ).write.mode("overwrite").partitionBy("xb").parquet(
-                    f"{nsh_root}/b99999"
-                )
                 process = _minhash_bucketed_processor(
-                    bands_root, ex_root, nsh_root, out_root
+                    bands_root, ex_root, out_root
                 )
             else:
                 ex_root, sig_root, out_root = _mh_seed_state(docs, root)
