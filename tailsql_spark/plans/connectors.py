@@ -1050,3 +1050,101 @@ def _materialized_merge_agg(merged: DataFrame, name: str, sf_dir: str) -> DataFr
 def sink_merge_delete_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged, _path, _touched = merge_upsert_run(spark, sf_dir, with_deletes=True)
     return _materialized_merge_agg(merged, "sink_merge_delete_tombstones", sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# snapshot time travel — read-at-version over retained table snapshots
+# ---------------------------------------------------------------------------
+
+def timetravel_root(spark: SparkSession, sf_dir: str) -> str:
+    """Stage a two-version table history (once per corpus content):
+    ``v=1`` is the pre-merge base snapshot, ``v=2`` the state after the
+    tombstone MERGE — the retained-snapshot layout behind lakehouse
+    ``VERSION AS OF`` reads.  Versions are immutable once written
+    (the merge materializes v=2 separately instead of mutating v=1),
+    so historical reads are stable while the live table advances —
+    at 100 TB the versions share unchanged files via manifests instead
+    of copies; the read-at-version SEMANTICS are identical."""
+    root = _stage_dir(sf_dir, "timetravel", src_tables=("documents",))
+    if os.path.exists(os.path.join(root, "_DONE")):
+        return root
+    base = _merge_base_frame(spark, sf_dir)
+    base.write.mode("overwrite").parquet(f"{root}/v=1")
+    delta = _merge_delta_frame(spark, sf_dir, with_deletes=True)
+    b = base.alias("b")
+    d = delta.alias("d")
+    merged = (
+        b.join(d, F.col("b.doc_id") == F.col("d.doc_id"), "full_outer")
+        .filter(F.col("d.op").isNull() | (F.col("d.op") != "D"))
+        .select(
+            F.coalesce(F.col("d.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+            F.coalesce(F.col("d.content"), F.col("b.content")).alias("content"),
+            F.coalesce(F.col("d.version"), F.col("b.version")).alias("version"),
+            F.coalesce(F.col("d.part"), F.col("b.part")).alias("part"),
+        )
+    )
+    merged.write.mode("overwrite").parquet(f"{root}/v=2")
+    with open(os.path.join(root, "_DONE"), "w") as fh:
+        fh.write("ok")
+    return root
+
+
+@query(
+    "sink_snapshot_time_travel",
+    "sinks",
+    f"""
+    WITH base AS (
+        SELECT doc_id, doc_id % {MERGE_N_PARTS} AS part, n_chars AS content,
+               1 AS version
+        FROM documents WHERE doc_id % 64 <> {MERGE_INSERT_MOD}
+    ),
+    delta AS (
+        SELECT doc_id, doc_id % {MERGE_N_PARTS} AS part, n_chars AS content,
+               2 AS version, 'U' AS op
+        FROM documents WHERE doc_id % 64 = {MERGE_INSERT_MOD}
+        UNION ALL
+        SELECT doc_id, doc_id % {MERGE_N_PARTS} AS part, n_chars + 1000,
+               2 AS version, 'U' AS op
+        FROM documents WHERE doc_id % 64 = {MERGE_UPDATE_MOD}
+        UNION ALL
+        SELECT doc_id, doc_id % {MERGE_N_PARTS} AS part, NULL,
+               2 AS version, 'D' AS op
+        FROM documents WHERE doc_id % 64 = {MERGE_DELETE_MOD}
+    ),
+    merged AS (
+        SELECT COALESCE(d.doc_id, b.doc_id) AS doc_id,
+               COALESCE(d.content, b.content) AS content
+        FROM base b FULL OUTER JOIN delta d ON b.doc_id = d.doc_id
+        WHERE d.op IS NULL OR d.op <> 'D'
+    )
+    SELECT CAST(1 AS BIGINT) AS snapshot,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(content) AS BIGINT) AS sum_content
+    FROM base
+    UNION ALL
+    SELECT CAST(2 AS BIGINT) AS snapshot,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(content) AS BIGINT) AS sum_content
+    FROM merged
+    """,
+    doc="Snapshot time travel — the lakehouse VERSION AS OF read: the "
+    "table history retains immutable per-version snapshots (v=1 the "
+    "pre-merge base, v=2 the post-tombstone-MERGE state), and a "
+    "historical query reads an old version byte-stable while the live "
+    "table advances — the audit/rollback/reproduce-the-training-run "
+    "capability every governed corpus needs. Both versions' aggregates "
+    "certify in one row set against a DuckDB replay of the base and "
+    "the merged state; the version column is Hive-partition-discovered "
+    "from the v= directory layout, so version pruning is partition "
+    "pruning.",
+)
+def sink_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = timetravel_root(spark, sf_dir)
+    hist = spark.read.parquet(root)  # v= discovered as a partition column
+    return (
+        hist.groupBy(F.col("v").cast("long").alias("snapshot"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("content").alias("sum_content"),
+        )
+    )

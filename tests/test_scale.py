@@ -986,3 +986,18 @@ def test_merge_apply_empty_delta_is_noop(spark, tmp_path):
         f: os.stat(f).st_mtime_ns for f in glob.glob(f"{base_path}/part=*/*.parquet")
     }
     assert after == before
+
+
+def test_time_travel_version_pruning(spark, oracle_sf_dir):
+    """sink_snapshot_time_travel's VERSION AS OF contract: a
+    historical read filters the version partition column, so version
+    selection is catalog-level partition pruning — the newer
+    snapshot's files are never scheduled."""
+    from tailsql_spark.plans.connectors import timetravel_root
+
+    root = timetravel_root(spark, oracle_sf_dir)
+    old = spark.read.parquet(root).filter(F.col("v") == 1)
+    plan = old._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "v" in plan.split("PartitionFilters", 1)[1][:160]
+    assert old.count() > 0
