@@ -302,3 +302,125 @@ def agg_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.join(exact, "day")
         .select("day", "n_exact", F.expr(_KMV_EST).alias("n_est"))
     )
+
+
+def _kmv_est_sql(p: str) -> str:
+    """The KMV estimator over a ``(cnt, kth)`` stats alias ``p`` —
+    shared literal formula with _KMV_EST so every sketch row in this
+    module estimates identically."""
+    return (
+        f"CASE WHEN {p}.cnt < {KMV_K} THEN {p}.cnt "
+        f"ELSE CAST(ROUND({KMV_K - 1}.0 * {_H_SPACE}.0 / CAST({p}.kth AS DOUBLE), 0)"
+        f" AS BIGINT) END"
+    )
+
+
+_ESTA = _kmv_est_sql("sa")
+_ESTB = _kmv_est_sql("sb")
+_ESTU = _kmv_est_sql("su")
+
+
+@query(
+    "agg_kmv_set_ops",
+    "sketches",
+    f"""
+    WITH eh AS (
+        SELECT DISTINCT event_type,
+               CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    sk AS (
+        SELECT event_type, h FROM (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+            FROM eh
+        ) WHERE rn <= {KMV_K}
+    ),
+    uni AS (SELECT h FROM (SELECT DISTINCT h FROM sk) ORDER BY h LIMIT {KMV_K}),
+    sa AS (SELECT COUNT(*) AS cnt, MAX(h) AS kth FROM sk WHERE event_type = 'click'),
+    sb AS (SELECT COUNT(*) AS cnt, MAX(h) AS kth FROM sk WHERE event_type = 'purchase'),
+    su AS (SELECT COUNT(*) AS cnt, MAX(h) AS kth FROM uni),
+    ov AS (
+        SELECT COUNT(*) AS n_overlap FROM uni u
+        WHERE EXISTS (SELECT 1 FROM sk WHERE event_type = 'click' AND h = u.h)
+          AND EXISTS (SELECT 1 FROM sk WHERE event_type = 'purchase' AND h = u.h)
+    )
+    SELECT CAST({_ESTA} AS BIGINT) AS n_est_a,
+           CAST({_ESTB} AS BIGINT) AS n_est_b,
+           CAST({_ESTU} AS BIGINT) AS union_est,
+           CAST(ov.n_overlap AS BIGINT) AS n_overlap,
+           CASE WHEN su.cnt = 0 THEN 0.0
+                ELSE ROUND(ov.n_overlap * 1.0 / su.cnt, 4) END AS jaccard_est,
+           CAST(CASE WHEN su.cnt = 0 THEN 0
+                ELSE ROUND(ov.n_overlap * 1.0 / su.cnt * {_ESTU}, 0) END
+                AS BIGINT) AS inter_est
+    FROM sa, sb, su, ov
+    """,
+    doc=f"KMV sketch SET ALGEBRA — the mergeable-sketch operations a "
+    "metrics layer runs without rescanning raw data: per-cohort "
+    f"K={KMV_K} minimum-hash sketches for two event cohorts, the "
+    "UNION sketch as the K smallest of the two sketches' hashes "
+    "(never of raw rows), the in-sketch overlap count, and the "
+    "derived Jaccard / intersection estimates "
+    "(|A∩B| ≈ J(sketch) × |A∪B|_est — the classic KMV identity). "
+    "Every value is deterministic md5/integer/one-rounding-per-output "
+    "arithmetic, so the whole algebra certifies EXACTLY cross-engine "
+    "(unlike the tolerance-tested HLL rows). Scale: sketches are "
+    "per-cohort top-K rides on the cohort shuffle; the set operations "
+    "touch only 2K sketch rows — constant-size state, the contract "
+    "that lets 100 TB cohort overlaps come from a sketch store.",
+)
+def agg_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from tailsql_spark.operators.dedup import shingle_hash60
+
+    t = load_tables(spark, sf_dir)
+    ev = (
+        t["events"]
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_type", shingle_hash60(F.col("user_id").cast("string")).alias("h")
+        )
+        .distinct()
+    )
+    rn = F.row_number().over(W.partitionBy("event_type").orderBy("h"))
+    sk = ev.withColumn("rn", rn).filter(F.col("rn") <= KMV_K).select("event_type", "h")
+    a = sk.filter(F.col("event_type") == "click").select("h")
+    b = sk.filter(F.col("event_type") == "purchase").select("h")
+    uni = sk.select("h").distinct().orderBy("h").limit(KMV_K)
+
+    est = _KMV_EST
+    fa = a.agg(F.count("*").alias("cnt"), F.max("h").alias("kth")).select(
+        F.expr(est).cast("long").alias("n_est_a")
+    )
+    fb = b.agg(F.count("*").alias("cnt"), F.max("h").alias("kth")).select(
+        F.expr(est).cast("long").alias("n_est_b")
+    )
+    fu = uni.agg(F.count("*").alias("cnt"), F.max("h").alias("kth")).select(
+        F.expr(est).cast("long").alias("union_est"), F.col("cnt").alias("ucnt")
+    )
+    fo = (
+        uni.join(a, "h")
+        .join(b, "h")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    jac_raw = F.col("n_overlap") * 1.0 / F.col("ucnt")
+    return (
+        fa.crossJoin(fb)
+        .crossJoin(fu)
+        .crossJoin(fo)
+        .select(
+            "n_est_a",
+            "n_est_b",
+            "union_est",
+            F.col("n_overlap").cast("long").alias("n_overlap"),
+            F.when(F.col("ucnt") == 0, F.lit(0.0))
+            .otherwise(F.round(jac_raw, 4))
+            .alias("jaccard_est"),
+            F.when(F.col("ucnt") == 0, F.lit(0))
+            .otherwise(F.round(jac_raw * F.col("union_est"), 0))
+            .cast("long")
+            .alias("inter_est"),
+        )
+    )
