@@ -2279,3 +2279,142 @@ REGISTRY["stream_dedup_minhash_bucketed"] = QuerySpec(
     "amortizes in the production regime. Same oracle and exactly-once "
     "replay discipline as the flat-layout stream_dedup_minhash.",
 )
+
+
+# ---------------------------------------------------------------------------
+# incremental KMV sketches: mergeable distinct-count state per batch
+# ---------------------------------------------------------------------------
+
+def _kmv_batch_processor(sk_root: str):
+    """Per micro-batch: the batch's OWN per-day K-minimum-hash partial
+    sketch, written to a per-batch-id overwrite dir.  Replay-idempotent
+    by construction (no history reads).  Mergeable by the K-min
+    algebra: any hash in the global per-day K smallest is a fortiori
+    among the K smallest of the batch that carried it, so the
+    read-time K-min over the unioned partials equals the K-min over
+    the full distinct set — the associativity that lets a 100 TB
+    metrics layer keep per-partition sketches and combine them."""
+
+    def process(batch_df, batch_id):
+        from pyspark.sql.window import Window as W
+
+        from tailsql_spark.operators.dedup import shingle_hash60
+        from tailsql_spark.operators.sketches import KMV_K
+
+        dh = batch_df.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            shingle_hash60(F.col("user_id").cast("string")).alias("h"),
+        ).distinct()
+        rn = F.row_number().over(W.partitionBy("day").orderBy("h"))
+        partial = dh.withColumn("rn", rn).filter(F.col("rn") <= KMV_K).select(
+            "day", "h"
+        )
+        partial.write.mode("overwrite").parquet(f"{sk_root}/{_bdir(int(batch_id))}")
+
+    return process
+
+
+def stream_kmv_sketch(
+    spark: SparkSession, sf_dir: str, state_root: str | None = None
+) -> DataFrame:
+    """INCREMENTAL distinct-user KMV sketches: per micro-batch one
+    partial per-day K-min sketch lands in the state log; the read-time
+    merge (distinct → per-day K smallest, plus the global K smallest
+    for the ALL row) equals the batch sketch over the full corpus by
+    K-min associativity.  Certified against a DuckDB replay of the
+    SAME sketch pipeline over raw events — the mergeable-sketch
+    contract (agg_kmv_sketch's docstring) exercised end-to-end under
+    continuous arrival, with per-batch state bounded by
+    |days seen in batch| × K rows regardless of corpus size."""
+    import shutil
+
+    from pyspark.sql.window import Window as W
+
+    from tailsql_spark.operators.sketches import _KMV_EST, KMV_K
+
+    t = load_tables(spark, sf_dir)
+    events = t["events"].select("ts", "user_id")
+    state_root, _owned_state = _resolve_state_root("kmv", state_root)
+    # 4 staged files + maxFilesPerTrigger=1 → 4 genuine micro-batches
+    src_dir = _stage_stream_source(events, "kmv", state_root, _owned_state, corpus_tag=sf_dir)
+    sk_root = f"{state_root}/sk"
+    spark.createDataFrame([], "day string, h long").write.mode("overwrite").parquet(
+        f"{sk_root}/seed"
+    )
+    process = _kmv_batch_processor(sk_root)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{state_root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _await_or_raise(q, "stream_kmv_sketch")
+    finally:
+        q.stop()
+    partials = spark.read.parquet(*_mh_state_paths(sk_root)).distinct()
+    rn = F.row_number().over(W.partitionBy("day").orderBy("h"))
+    day_sk = partials.withColumn("rn", rn).filter(F.col("rn") <= KMV_K).select(
+        "day", "h"
+    )
+    all_sk = day_sk.select("h").distinct().orderBy("h").limit(KMV_K)
+    agg = (
+        day_sk.groupBy("day")
+        .agg(F.count("*").alias("cnt"), F.max("h").alias("kth"))
+        .unionByName(
+            all_sk.agg(F.count("*").alias("cnt"), F.max("h").alias("kth")).select(
+                F.lit("ALL").alias("day"), "cnt", "kth"
+            )
+        )
+    )
+    result = agg.select("day", F.expr(_KMV_EST).cast("long").alias("n_est"))
+    out = _persist_result(result, "stream_kmv_sketch")
+    if _owned_state:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        _fs_rmtree(state_root)
+    return out
+
+
+from tailsql_spark.operators.sketches import KMV_K as _KMV_K_DOC  # noqa: E402
+from tailsql_spark.operators.sketches import _KMV_EST as _KMV_EST_ORACLE  # noqa: E402
+
+REGISTRY["stream_kmv_sketch"] = QuerySpec(
+    name="stream_kmv_sketch",
+    category="streaming-executed",
+    build=stream_kmv_sketch,
+    oracle=f"""
+    WITH dh AS (
+        SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day,
+               CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM events
+    ),
+    day_sk AS (
+        SELECT day, h FROM (
+            SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+            FROM dh
+        ) WHERE rn <= {_KMV_K_DOC}
+    ),
+    all_sk AS (
+        SELECT h FROM (SELECT DISTINCT h FROM day_sk) ORDER BY h LIMIT {_KMV_K_DOC}
+    ),
+    agg AS (
+        SELECT day, COUNT(*) AS cnt, MAX(h) AS kth FROM day_sk GROUP BY day
+        UNION ALL
+        SELECT 'ALL' AS day, COUNT(*) AS cnt, MAX(h) AS kth FROM all_sk
+    )
+    SELECT day, CAST({_KMV_EST_ORACLE} AS BIGINT) AS n_est FROM agg
+    """,
+    doc="Distinct-count KMV sketches maintained INCREMENTALLY: each "
+    "micro-batch writes its own per-day K-min partial sketch "
+    "(replay-idempotent, no history reads) and the read-time K-min "
+    "merge over the partial log equals the batch sketch over the full "
+    "corpus — K-min associativity certified end-to-end against the "
+    "DuckDB replay of the same pipeline on raw events. Per-batch "
+    "state is |days in batch| x K rows regardless of corpus size: "
+    "the mergeable-sketch contract under continuous arrival.",
+)
