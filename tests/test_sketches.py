@@ -70,3 +70,70 @@ def test_kmv_estimates_track_exact(spark, oracle_sf_dir):
     assert any(r.day == "ALL" for r in rows)
     for r in rows:
         assert abs(r.n_est - r.n_exact) / max(r.n_exact, 1) < 0.5, r
+
+
+def test_bloom_pruned_join_equals_plain_join(spark, oracle_sf_dir):
+    """join_bloom_pruned's contract: the sketch is invisible — result
+    identical to the plain (unsketched) join, and the pruned fact
+    stream is a strict subset that still contains every true match."""
+    from pyspark.sql import functions as SF
+
+    from tailsql_spark.operators import sketches as S
+    from tailsql_spark.plans.catalog import load_tables
+    from tailsql_spark.plans.registry import REGISTRY
+
+    got = {
+        r["l_returnflag"]: (r["n"], r["qty"])
+        for r in REGISTRY["join_bloom_pruned"].build(spark, oracle_sf_dir).collect()
+    }
+    t = load_tables(spark, oracle_sf_dir)
+    urgent = t["orders"].filter(SF.col("o_orderpriority") == "1-URGENT")
+    plain = (
+        t["lineitem"]
+        .join(urgent.select("o_orderkey"), SF.col("l_orderkey") == SF.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            SF.count("*").alias("n"),
+            SF.sum(SF.round(SF.col("l_quantity"), 0).cast("long")).alias("qty"),
+        )
+    )
+    want = {r["l_returnflag"]: (r["n"], r["qty"]) for r in plain.collect()}
+    assert got == want
+
+    # no false negatives: every lineitem of an urgent order survives the
+    # probe; and the probe actually prunes (fp rate keeps survivors far
+    # below the full fact table)
+    words = S.bloom_build(
+        urgent.select(SF.col("o_orderkey").cast("string").alias("k")), "k"
+    )
+    li = t["lineitem"].withColumn("_k", SF.col("l_orderkey").cast("string"))
+    survivors = S.bloom_probe(li, "_k", words)
+    n_total = t["lineitem"].count()
+    n_true = t["lineitem"].join(
+        urgent.select("o_orderkey"), SF.col("l_orderkey") == SF.col("o_orderkey")
+    ).count()
+    n_surv = survivors.count()
+    assert n_surv >= n_true  # conservative: no false negatives
+    assert n_surv < n_total * 0.5  # and it genuinely prunes (~20% + fp)
+
+
+def test_bloom_pruned_join_probe_side_never_shuffles(spark, oracle_sf_dir):
+    """The fact stream reaches the exact join through broadcast probes
+    only — every hash-partition exchange in the plan belongs to a
+    build/aggregate side, so at 100 TB the full lineitem scan is never
+    shuffled pre-prune."""
+    import contextlib
+    import io
+    import re
+
+    from tailsql_spark.plans.registry import REGISTRY
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        REGISTRY["join_bloom_pruned"].build(spark, oracle_sf_dir).explain("formatted")
+    p = buf.getvalue()
+    # the pruned fact side joins AFTER a broadcast Bloom probe
+    assert "BroadcastHashJoin" in p, p
+    n_hash_ex = len(re.findall(r"Exchange hashpartitioning", p))
+    n_bcast = len(re.findall(r"BroadcastExchange", p))
+    assert n_bcast >= 1, p
