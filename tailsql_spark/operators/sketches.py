@@ -476,3 +476,96 @@ def _bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("l_quantity"), 0).cast("long")).alias("qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: Misra-Gries candidates + exact rescan
+# ---------------------------------------------------------------------------
+
+#: Heavy-hitter threshold: tokens with count * HH_K > N are reported.
+#: 32 puts the cut at a >3.125% corpus share — inside the synthetic
+#: corpus's 3.2-3.6% head so the certified result is non-empty at every
+#: SF (16 selected nothing: no token reaches 1/16 of a 31-word
+#: vocabulary).
+HH_K = 32
+#: Misra-Gries counters held per partition.  Any slot count >= HH_K
+#: preserves the superset guarantee (undercount <= N_p/slots <=
+#: N_p/HH_K); the slack just reduces decrement churn.
+MG_SLOTS = 64
+
+_HH_ORACLE = f"""
+    WITH toks AS (
+        SELECT tok FROM (
+            SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+        ) u WHERE tok <> ''
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM toks)
+    SELECT tok, COUNT(*) AS cnt
+    FROM toks CROSS JOIN tot
+    GROUP BY tok, n
+    HAVING COUNT(*) * {HH_K} > n
+"""
+
+
+def mg_candidates(toks: DataFrame, col: str = "tok", slots: int = MG_SLOTS) -> DataFrame:
+    """Per-partition Misra-Gries summaries, vectorized: each Arrow batch
+    is reduced to exact ``value_counts`` (pandas, no Python row loop),
+    then merged into the partition's running summary with the mergeable-
+    summaries reduction (Agarwal et al., PODS'12): add counts, and if
+    more than ``slots`` keys survive, subtract the (slots+1)-th largest
+    count from all and keep the positive ones.  That preserves the MG
+    undercount bound (<= N_p/slots), so the UNION of partition summaries
+    is a SUPERSET of every token with global count > N/slots — the
+    pigeonhole argument: if f_p <= N_p/slots in every partition then
+    f <= N/slots.  Output is candidate tokens only (counts are
+    re-derived exactly downstream; MG estimates are never reported)."""
+
+    def _mg(batches):
+        import pandas as pd
+
+        counts: "pd.Series | None" = None
+        for pdf in batches:
+            bc = pdf[col].value_counts()
+            counts = bc if counts is None else counts.add(bc, fill_value=0)
+            if len(counts) > slots:
+                counts = counts.sort_values(ascending=False)
+                counts = counts.iloc[:slots] - counts.iloc[slots]
+                counts = counts[counts > 0]
+        yield pd.DataFrame({col: [] if counts is None else counts.index})
+
+    return toks.mapInPandas(_mg, schema=f"{col} string")
+
+
+@query(
+    "text_heavy_hitters",
+    "sketches",
+    _HH_ORACLE,
+    doc="Corpus-wide heavy-hitter tokens (count*HH_K > corpus token "
+    "count) via the production two-pass shape: pass 1 runs a mergeable "
+    "Misra-Gries summary per partition (vectorized per Arrow batch — "
+    "exact batch value_counts merged with the PODS'12 mergeable-"
+    "summaries reduction), whose union is PROVABLY a superset of the "
+    "true heavy hitters; pass 2 rescans only candidate tokens "
+    "(broadcast semi-join) for exact counts and applies the exact "
+    "integer threshold. The oracle is the plain GROUP BY + HAVING — "
+    "the sketch only prunes, never decides. At 100 TB pass 1 touches "
+    "every token once with O(slots) state per task and pass 2's "
+    "group-by shuffles only candidate rows.",
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    toks = (
+        t["documents"]
+        .select(F.explode_outer(F.split(F.lower(F.col("text")), " ")).alias("tok"))
+        .filter((F.col("tok").isNotNull()) & (F.col("tok") != ""))
+    )
+    cands = mg_candidates(toks).distinct()
+    total = toks.agg(F.count("*").alias("n"))
+    return (
+        toks.join(F.broadcast(cands), "tok")
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * HH_K > F.col("n"))
+        .select("tok", "cnt")
+    )

@@ -137,3 +137,47 @@ def test_bloom_pruned_join_probe_side_never_shuffles(spark, oracle_sf_dir):
     n_hash_ex = len(re.findall(r"Exchange hashpartitioning", p))
     n_bcast = len(re.findall(r"BroadcastExchange", p))
     assert n_bcast >= 1, p
+
+
+def test_heavy_hitters_oracle_row_nonempty(spark, oracle_sf_dir):
+    """The certified row must be NON-empty at the graded SF — an empty
+    result would certify nothing about the candidate pass."""
+    from tailsql_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["text_heavy_hitters"].build(spark, oracle_sf_dir).collect()
+    assert len(rows) >= 3, rows
+
+
+def test_misra_gries_candidates_superset_and_pruning(spark):
+    """On a corpus with a LARGE long tail (5000 rare tokens) and a few
+    planted heavy tokens, the per-partition MG summaries must (a)
+    contain every true heavy hitter — the superset guarantee the exact
+    rescan relies on — and (b) actually prune: far fewer candidates
+    than distinct tokens (the thing the sketch is FOR at 100 TB)."""
+    from pyspark.sql import functions as SF
+
+    from tailsql_spark.operators import sketches as S
+
+    # 3 heavy tokens at ~6% each; 5000 singleton-ish tail tokens
+    heavy = spark.range(0, 3000).select(
+        SF.concat(SF.lit("hot"), (SF.col("id") % 3).cast("string")).alias("tok")
+    )
+    tail = spark.range(0, 5000).select(
+        SF.concat(SF.lit("rare"), SF.col("id").cast("string")).alias("tok")
+    )
+    toks = heavy.unionAll(tail).repartition(8)
+    n_total = toks.count()
+
+    cands = set(r["tok"] for r in S.mg_candidates(toks).distinct().collect())
+    true_heavy = {
+        r["tok"]
+        for r in toks.groupBy("tok")
+        .agg(SF.count("*").alias("cnt"))
+        .filter(SF.col("cnt") * S.HH_K > n_total)
+        .collect()
+    }
+    assert true_heavy == {"hot0", "hot1", "hot2"}
+    assert true_heavy <= cands  # no false negatives, ever
+    n_distinct = toks.distinct().count()
+    # 8 partitions x MG_SLOTS is the hard cap; the tail must be pruned
+    assert len(cands) <= 8 * S.MG_SLOTS < n_distinct
