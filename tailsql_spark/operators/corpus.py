@@ -1265,3 +1265,62 @@ def corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("tokens_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# column profiler: the ANALYZE-TABLE shape
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(f"""
+        SELECT '{c}' AS col_name,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_val,
+               CAST(MAX({c}) AS VARCHAR) AS max_val,
+               ROUND(AVG(LENGTH(CAST({c} AS VARCHAR))), 4) AS avg_len
+        FROM documents""")
+    return " UNION ALL ".join(parts)
+
+
+@query(
+    "quality_profile_columns",
+    "data-quality",
+    _profile_oracle(),
+    doc="Whole-table column profile (the ANALYZE TABLE / data-quality "
+    "dashboard shape): per column — null count, exact distinct count, "
+    "min/max, average rendered length — computed in ONE scan. All six "
+    "stats per column live in a single global aggregate (Spark plans "
+    "the multi-count-distinct as one Expand over the scan, i.e. "
+    "column-count x one pass, never column-count scans), then the "
+    "1-row result is unpivoted JVM-side with stack(). At 100 TB the "
+    "drop-in change is approx_count_distinct for the distinct column "
+    "(the HLL convention used by the sketch rows); everything else is "
+    "map-side-partial aggregation with a 1-row shuffle.",
+)
+def quality_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    aggs = []
+    for c in _PROFILE_COLS:
+        col = F.col(c)
+        aggs += [
+            F.sum(col.isNull().cast("long")).alias(f"{c}__n_null"),
+            F.countDistinct(col).alias(f"{c}__n_distinct"),
+            F.min(col).cast("string").alias(f"{c}__min_val"),
+            F.max(col).cast("string").alias(f"{c}__max_val"),
+            F.round(F.avg(F.length(col.cast("string"))), 4).alias(f"{c}__avg_len"),
+        ]
+    one = t["documents"].agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n_null, {c}__n_distinct, {c}__min_val, {c}__max_val, {c}__avg_len"
+        for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(col_name, n_null, n_distinct, min_val, max_val, avg_len)"
+    )

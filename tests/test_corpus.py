@@ -224,3 +224,25 @@ def test_quality_percentile_approx_tracks_exact_gate(spark, oracle_sf_dir):
     assert set(approx) == set(exact)
     for lang, frac in approx.items():
         assert abs(frac - exact[lang]) <= 0.02, (lang, frac, exact[lang])
+
+
+def test_profile_columns_is_one_scan(spark, oracle_sf_dir):
+    """The profiler's whole point: all per-column stats come from ONE
+    pass over the table (a single Expand over a single scan), not one
+    scan per column."""
+    import contextlib
+    import io
+    import re
+
+    from tailsql_spark.plans.registry import REGISTRY
+
+    df = REGISTRY["quality_profile_columns"].build(spark, oracle_sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    # formatted output lists each node once in the tree and once in the
+    # detail section — count detail headers "(N) Scan parquet"
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1, p
+    # and the result is one row per profiled column
+    assert df.count() == 5
