@@ -1092,3 +1092,90 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         return materialize_result(result, "dedup_minhash_recall", key=sf_key(sf_dir))
     finally:
         ex.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup: the crawl-ingest staple
+# ---------------------------------------------------------------------------
+
+#: documents has no URL column, so a synthetic one is DERIVED
+#: deterministically from doc_id — four variants of the same logical
+#: URL differing only in scheme/host case, default port, tracking
+#: params, trailing slash, and fragment, the exact noise crawl dedup
+#: has to see through.  The SAME construction runs on both engines so
+#: the oracle certifies the canonicalizer, not the synthesis.
+def _raw_url_sql(dialect: str = "spark") -> str:
+    s = "VARCHAR" if dialect == "duckdb" else "STRING"
+    return f"""
+CASE CAST(doc_id % 4 AS INTEGER)
+  WHEN 0 THEN 'https://Example.COM:443/docs/' || CAST(doc_id % 50 AS {s}) || '/?utm_source=feed'
+  WHEN 1 THEN 'HTTPS://example.com/docs/' || CAST(doc_id % 50 AS {s})
+  WHEN 2 THEN 'https://example.com/docs/' || CAST(doc_id % 50 AS {s}) || '/?ref=kept&utm_campaign=x'
+  ELSE 'https://EXAMPLE.com:443/docs/' || CAST(doc_id % 50 AS {s}) || '#top'
+END
+"""
+
+
+def canonical_url_sql(url: str, dialect: str = "spark") -> str:
+    """One shared canonicalization, emitted for either engine: lowercase
+    scheme+host, strip default ports, drop the fragment, drop utm_*
+    tracking params (keeping the rest of the query string), strip
+    trailing slashes.  Regexes stay in the syntax subset Java regex and
+    RE2 agree on; DuckDB's regexp_replace needs the explicit 'g' flag
+    (it replaces first-match-only by default, Spark replaces all)."""
+    g = ", 'g'" if dialect == "duckdb" else ""
+    scheme = f"lower(regexp_extract({url}, '^([a-zA-Z]+)://', 1))"
+    host = (
+        f"regexp_replace(lower(regexp_extract({url}, '^[a-zA-Z]+://([^/#?]+)', 1)),"
+        f" ':(443|80)$', ''{g})"
+    )
+    pathq = f"regexp_extract({url}, '^[a-zA-Z]+://[^/#?]+([^#]*)', 1)"
+    path = f"regexp_replace(regexp_extract({pathq}, '^([^?]*)', 1), '/+$', ''{g})"
+    qraw = f"regexp_extract({pathq}, '[?](.*)$', 1)"
+    q1 = (
+        f"regexp_replace(regexp_replace({qraw}, '(^|&)utm_[a-z]+=[^&]*', ''{g}),"
+        f" '^&+', ''{g})"
+    )
+    qs = f"CASE WHEN {q1} = '' THEN '' ELSE '?' || {q1} END"
+    return f"{scheme} || '://' || {host} || {path} || {qs}"
+
+
+_URL_DEDUP_ORACLE = f"""
+    WITH urls AS (SELECT doc_id, {_raw_url_sql('duckdb')} AS url FROM documents),
+    canon AS (SELECT doc_id, url, {canonical_url_sql('url', 'duckdb')} AS canonical_url
+              FROM urls)
+    SELECT canonical_url,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_variants,
+           MIN(doc_id) AS canonical_doc
+    FROM canon GROUP BY canonical_url
+"""
+
+
+@query(
+    "dedup_url_canonical",
+    "dedup",
+    _URL_DEDUP_ORACLE,
+    doc="URL canonicalization dedup — the first dedup any crawl "
+    "pipeline runs, BEFORE any content hashing: scheme/host "
+    "lowercasing, default-port and fragment stripping, utm_* tracking-"
+    "param removal, trailing-slash normalization, all as JVM regex/"
+    "string expressions (zero Python), then one hash-groupBy on the "
+    "canonical URL electing min-doc_id as survivor. The oracle runs "
+    "the IDENTICAL canonicalization in DuckDB dialect (shared "
+    "generator, per-engine regexp_replace flag handling). At 100 TB "
+    "this is a single key-shuffle on the canonical URL, and the "
+    "canonical key doubles as the partition key for every downstream "
+    "per-site stage.",
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    urls = t["documents"].selectExpr("doc_id", f"{_raw_url_sql('spark')} AS url")
+    canon = urls.selectExpr(
+        "doc_id", "url", f"{canonical_url_sql('url', 'spark')} AS canonical_url"
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("url").alias("n_variants"),
+        F.min("doc_id").alias("canonical_doc"),
+    )

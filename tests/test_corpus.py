@@ -246,3 +246,32 @@ def test_profile_columns_is_one_scan(spark, oracle_sf_dir):
     assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1, p
     # and the result is one row per profiled column
     assert df.count() == 5
+
+
+def test_url_canonicalizer_collapses_crawl_noise(spark):
+    """The four synthetic variants of one logical URL — case noise,
+    default port, utm tracking params, trailing slash, fragment — all
+    canonicalize to the same key; non-tracking query params survive."""
+    from tailsql_spark.operators.dedup import canonical_url_sql
+
+    raw = [
+        ("https://Example.COM:443/docs/7/?utm_source=feed",),
+        ("HTTPS://example.com/docs/7",),
+        ("https://EXAMPLE.com:443/docs/7#top",),
+        ("https://example.com/docs/7/?ref=kept&utm_campaign=x",),
+        ("https://example.com:80/other?a=1&utm_medium=z&b=2",),
+    ]
+    df = spark.createDataFrame(raw, ["url"]).selectExpr(
+        "url", f"{canonical_url_sql('url', 'spark')} AS curl"
+    )
+    got = {r["url"]: r["curl"] for r in df.collect()}
+    assert got["https://Example.COM:443/docs/7/?utm_source=feed"] == "https://example.com/docs/7"
+    assert got["HTTPS://example.com/docs/7"] == "https://example.com/docs/7"
+    assert got["https://EXAMPLE.com:443/docs/7#top"] == "https://example.com/docs/7"
+    assert got["https://example.com/docs/7/?ref=kept&utm_campaign=x"] == (
+        "https://example.com/docs/7?ref=kept"
+    )
+    # utm param dropped mid-string, other params stitched back together
+    assert got["https://example.com:80/other?a=1&utm_medium=z&b=2"] == (
+        "https://example.com/other?a=1&b=2"
+    )
