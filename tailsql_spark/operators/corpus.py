@@ -1324,3 +1324,75 @@ def quality_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
         "(col_name, n_null, n_distinct, min_val, max_val, avg_len)"
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted systematic sampling (PPS) via distributed prefix sum
+# ---------------------------------------------------------------------------
+
+#: Systematic-sample size: selection points at k·T/n for k = 0..n-1
+#: over the cumulative-weight line (T = total weight).
+PPS_N = 100
+#: Prefix-sum bucket width over the dense doc_id space: the global
+#: cumulative sum is computed as intra-bucket window + per-bucket
+#: offsets, so no stage ever windows over a single global partition.
+PPS_BUCKET = 128
+
+_PPS_ORACLE = f"""
+    WITH w AS (SELECT doc_id, n_chars AS w FROM documents),
+    tot AS (SELECT SUM(w) AS t FROM w),
+    c AS (SELECT doc_id, w, SUM(w) OVER (ORDER BY doc_id) AS wi FROM w)
+    SELECT doc_id, w,
+           CAST((wi * {PPS_N}) // t - ((wi - w) * {PPS_N}) // t AS BIGINT) AS n_picks
+    FROM c CROSS JOIN tot
+    WHERE (wi * {PPS_N}) // t > ((wi - w) * {PPS_N}) // t
+"""
+
+
+@query(
+    "sample_weighted_systematic",
+    "sampling",
+    _PPS_ORACLE,
+    doc="Weighted (probability-proportional-to-size) systematic "
+    "sampling, integer-exact: selection points at k*T/n over the "
+    "cumulative-weight line; a doc is picked once per point its "
+    "[prev, cum) interval covers (n_picks = (cum*n) div T - (prev*n) "
+    "div T), so exactly n picks total, deterministically, with zero "
+    "floating point — both engines run the same bigint arithmetic. "
+    "The cumulative sum is a DISTRIBUTED prefix sum, not a global-"
+    "order window: intra-bucket running totals (window partitioned by "
+    "doc_id div bucket) plus a per-bucket offset table that is "
+    "corpus_size/bucket rows — tiny — and broadcast back. At 100 TB "
+    "this is the standard two-pass scan shape; the one full-width "
+    "stage is the bucket-partitioned window, and weights*n must stay "
+    "under int64 (swap to decimal(38,0) past ~1e14 total weight).",
+)
+def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = t["documents"].select(
+        "doc_id",
+        F.col("n_chars").alias("w"),
+        (F.col("doc_id") / PPS_BUCKET).cast("long").alias("b"),
+    )
+    intra = w.withColumn(
+        "intra",
+        F.sum("w").over(W.partitionBy("b").orderBy("doc_id")),
+    )
+    # per-bucket totals: a corpus_size/PPS_BUCKET-row table; its own
+    # prefix sum runs on the tiny table, never the corpus
+    btot = w.groupBy("b").agg(F.sum("w").alias("bw"))
+    offs = btot.withColumn(
+        "off", F.sum("bw").over(W.orderBy("b")) - F.col("bw")
+    ).select("b", "off")
+    tot = w.agg(F.sum("w").alias("t"))
+    c = (
+        intra.join(F.broadcast(offs), "b")
+        .withColumn("wi", F.col("intra") + F.col("off"))
+        .crossJoin(F.broadcast(tot))
+    )
+    picks = F.expr(f"(wi * {PPS_N}) DIV t") - F.expr(f"((wi - w) * {PPS_N}) DIV t")
+    return (
+        c.withColumn("n_picks", picks)
+        .filter(F.col("n_picks") > 0)
+        .select("doc_id", "w", "n_picks")
+    )

@@ -275,3 +275,30 @@ def test_url_canonicalizer_collapses_crawl_noise(spark):
     assert got["https://example.com:80/other?a=1&utm_medium=z&b=2"] == (
         "https://example.com/other?a=1&b=2"
     )
+
+
+def test_pps_systematic_sample_exact_count_and_coverage(spark, oracle_sf_dir):
+    """Integer-exact PPS: total picks is EXACTLY n; any doc whose
+    weight spans a full stride (w >= T/n) is guaranteed selection; and
+    the corpus-wide cumulative sum is bucket-partitioned (the
+    distributed-prefix-sum shape), never a global-order window over
+    the corpus."""
+    from tailsql_spark.operators import corpus as C
+    from tailsql_spark.plans.registry import REGISTRY
+
+    df = REGISTRY["sample_weighted_systematic"].build(spark, oracle_sf_dir)
+    rows = df.collect()
+    assert sum(r["n_picks"] for r in rows) == C.PPS_N
+
+    docs = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet")
+    total = docs.agg(F.sum("n_chars").alias("t")).collect()[0]["t"]
+    picked = {r["doc_id"] for r in rows}
+    stride_docs = {
+        r["doc_id"]
+        for r in docs.filter(F.col("n_chars") * C.PPS_N >= total).collect()
+    }
+    assert stride_docs <= picked
+
+    p = _plan(df)
+    # the corpus window is partitioned by the prefix bucket
+    assert "windowspecdefinition(b#" in p, p
