@@ -519,6 +519,18 @@ def mg_candidates(toks: DataFrame, col: str = "tok", slots: int = MG_SLOTS) -> D
     pigeonhole argument: if f_p <= N_p/slots in every partition then
     f <= N/slots.  Output is candidate tokens only (counts are
     re-derived exactly downstream; MG estimates are never reported)."""
+    return mg_partition_summaries(toks, col, slots).select(col)
+
+
+def mg_partition_summaries(
+    toks: DataFrame, col: str = "tok", slots: int = MG_SLOTS
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries WITH their (under)count
+    estimates — ``(col, cnt_est)`` rows, at most ``slots`` per
+    partition.  The estimates carry the standard MG bound (true count
+    minus at most N_p/slots) and are themselves mergeable via
+    :func:`mg_summary_reduce`; they are never reported as final counts
+    — the exact rescan does that."""
 
     def _mg(batches):
         import pandas as pd
@@ -531,9 +543,45 @@ def mg_candidates(toks: DataFrame, col: str = "tok", slots: int = MG_SLOTS) -> D
                 counts = counts.sort_values(ascending=False)
                 counts = counts.iloc[:slots] - counts.iloc[slots]
                 counts = counts[counts > 0]
-        yield pd.DataFrame({col: [] if counts is None else counts.index})
+        if counts is None:
+            yield pd.DataFrame({col: [], "cnt_est": []})
+        else:
+            yield pd.DataFrame(
+                {col: counts.index, "cnt_est": counts.to_numpy("int64")}
+            )
 
-    return toks.mapInPandas(_mg, schema=f"{col} string")
+    return toks.mapInPandas(_mg, schema=f"{col} string, cnt_est long")
+
+
+def mg_summary_reduce(
+    summaries: DataFrame, col: str = "tok", slots: int = MG_SLOTS
+) -> DataFrame:
+    """Merge a pile of MG summaries — ``(col, cnt_est)`` rows from any
+    number of partitions/micro-batches — into ONE summary of at most
+    ``slots`` rows, DataFrame-side: sum estimates per key, then apply
+    the PODS'12 reduction (subtract the (slots+1)-th largest total
+    from all, keep positive).  Merging preserves the MG error bound
+    over the COMBINED input, so the reduced summary still supersets
+    every key with total count > N/slots — the property the streaming
+    heavy-hitter state log relies on."""
+    from pyspark.sql.window import Window as W
+
+    summed = summaries.groupBy(col).agg(F.sum("cnt_est").alias("cnt_est"))
+    rn = F.row_number().over(W.orderBy(F.col("cnt_est").desc(), F.col(col)))
+    ranked = summed.withColumn("_rn", rn)
+    thresh = (
+        ranked.filter(F.col("_rn") == slots + 1)
+        .select(F.col("cnt_est").alias("_th"))
+    )
+    return (
+        ranked.filter(F.col("_rn") <= slots)
+        .crossJoin(F.broadcast(thresh.unionByName(
+            ranked.sparkSession.createDataFrame([(0,)], "_th long")
+        ).agg(F.max("_th").alias("_th"))))
+        .withColumn("cnt_est", F.col("cnt_est") - F.col("_th"))
+        .filter(F.col("cnt_est") > 0)
+        .select(col, "cnt_est")
+    )
 
 
 @query(

@@ -2418,3 +2418,112 @@ REGISTRY["stream_kmv_sketch"] = QuerySpec(
     "state is |days in batch| x K rows regardless of corpus size: "
     "the mergeable-sketch contract under continuous arrival.",
 )
+
+
+# ---------------------------------------------------------------------------
+# incremental heavy hitters: mergeable Misra-Gries state per batch
+# ---------------------------------------------------------------------------
+
+def _hh_toks(df):
+    return (
+        df.select(F.explode_outer(F.split(F.lower(F.col("text")), " ")).alias("tok"))
+        .filter((F.col("tok").isNotNull()) & (F.col("tok") != ""))
+    )
+
+
+def _hh_batch_processor(hh_root: str):
+    """Per micro-batch: the batch's OWN Misra-Gries summary — per-
+    partition MG summaries reduced to at most MG_SLOTS (tok, cnt_est)
+    rows — written to a per-batch-id overwrite dir.  Replay-idempotent
+    (no history reads).  Mergeable summaries (PODS'12): the read-time
+    reduce over the whole partial log carries the MG error bound over
+    the COMBINED stream, so the merged candidate set still supersets
+    every token above the heavy-hitter threshold."""
+
+    def process(batch_df, batch_id):
+        from tailsql_spark.operators.sketches import (
+            mg_partition_summaries,
+            mg_summary_reduce,
+        )
+
+        summary = mg_summary_reduce(mg_partition_summaries(_hh_toks(batch_df)))
+        summary.write.mode("overwrite").parquet(f"{hh_root}/{_bdir(int(batch_id))}")
+
+    return process
+
+
+def stream_heavy_hitters(
+    spark: SparkSession, sf_dir: str, state_root: str | None = None
+) -> DataFrame:
+    """INCREMENTAL heavy-hitter candidates: each micro-batch appends
+    its own bounded Misra-Gries summary to the state log; at read time
+    the partial summaries are merged with the same PODS'12 reduction
+    (still a superset of every true heavy hitter, by summary
+    mergeability) and the exact rescan + integer threshold runs over
+    the full corpus — certified against the SAME DuckDB oracle as the
+    batch ``text_heavy_hitters``.  Per-batch state is at most MG_SLOTS
+    rows regardless of batch size: the mergeable-sketch contract under
+    continuous arrival, for the quality dashboards a 100 TB ingest
+    keeps per shard and folds on demand."""
+    import shutil
+
+    from tailsql_spark.operators.sketches import HH_K, mg_summary_reduce
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+    state_root, _owned_state = _resolve_state_root("hh", state_root)
+    src_dir = _stage_stream_source(docs, "hh", state_root, _owned_state, corpus_tag=sf_dir)
+    hh_root = f"{state_root}/hh"
+    spark.createDataFrame([], "tok string, cnt_est long").write.mode(
+        "overwrite"
+    ).parquet(f"{hh_root}/seed")
+    process = _hh_batch_processor(hh_root)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{state_root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _await_or_raise(q, "stream_heavy_hitters")
+    finally:
+        q.stop()
+    partials = spark.read.parquet(*_mh_state_paths(hh_root))
+    cands = mg_summary_reduce(partials).select("tok")
+    toks = _hh_toks(spark.read.parquet(src_dir))
+    total = toks.agg(F.count("*").alias("n"))
+    result = (
+        toks.join(F.broadcast(cands), "tok")
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * HH_K > F.col("n"))
+        .select("tok", "cnt")
+    )
+    out = _persist_result(result, "stream_heavy_hitters")
+    if _owned_state:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        _fs_rmtree(state_root)
+    return out
+
+
+from tailsql_spark.operators.sketches import _HH_ORACLE as _HH_ORACLE_STREAM  # noqa: E402
+
+REGISTRY["stream_heavy_hitters"] = QuerySpec(
+    name="stream_heavy_hitters",
+    category="streaming-executed",
+    build=stream_heavy_hitters,
+    oracle=_HH_ORACLE_STREAM,
+    doc="Heavy-hitter candidates maintained INCREMENTALLY: each "
+    "micro-batch writes its own bounded Misra-Gries summary "
+    "(replay-idempotent, at most MG_SLOTS rows per batch), the "
+    "read-time merge applies the same PODS'12 reduction — still a "
+    "superset of every true heavy hitter, by summary mergeability — "
+    "and the exact rescan + integer threshold certifies against the "
+    "SAME oracle as the batch text_heavy_hitters.",
+)

@@ -181,3 +181,54 @@ def test_misra_gries_candidates_superset_and_pruning(spark):
     n_distinct = toks.distinct().count()
     # 8 partitions x MG_SLOTS is the hard cap; the tail must be pruned
     assert len(cands) <= 8 * S.MG_SLOTS < n_distinct
+
+
+def test_mg_summary_reduce_merges_and_truncates(spark):
+    """The DataFrame-side PODS'12 reduction: summed estimates, the
+    (slots+1)-th largest total subtracted from all, positives kept —
+    bounded output that still supersets the combined heavy keys."""
+    from tailsql_spark.operators import sketches as S
+
+    # 80 singleton keys + 3 heavy keys split across two "batches"
+    rows = [(f"rare{i}", 1) for i in range(80)]
+    rows += [("hot0", 40), ("hot1", 35), ("hot2", 30)]
+    summaries = spark.createDataFrame(rows, "tok string, cnt_est long")
+    reduced = S.mg_summary_reduce(summaries, slots=16)
+    got = {r["tok"]: r["cnt_est"] for r in reduced.collect()}
+    assert len(got) <= 16
+    # heavies survive with estimates reduced by exactly the threshold (1)
+    assert got["hot0"] == 39 and got["hot1"] == 34 and got["hot2"] == 29
+    # under slots keys → reduction is a no-op (threshold 0)
+    small = spark.createDataFrame([("a", 5), ("b", 2)], "tok string, cnt_est long")
+    got2 = {r["tok"]: r["cnt_est"] for r in S.mg_summary_reduce(small, slots=16).collect()}
+    assert got2 == {"a": 5, "b": 2}
+
+
+def test_mg_multi_batch_merge_supersets_heavies(spark):
+    """Simulate the streaming state log: per-chunk MG summaries over a
+    long-tail corpus, merged with the reduction — the merged candidate
+    set must still contain every global heavy hitter."""
+    from pyspark.sql import functions as SF
+
+    from tailsql_spark.operators import sketches as S
+
+    toks = (
+        spark.range(0, 3000)
+        .select(SF.concat(SF.lit("hot"), (SF.col("id") % 3).cast("string")).alias("tok"))
+        .unionAll(
+            spark.range(0, 5000).select(
+                SF.concat(SF.lit("rare"), SF.col("id").cast("string")).alias("tok")
+            )
+        )
+        .withColumn("chunk", (SF.monotonically_increasing_id() % 4).cast("int"))
+    )
+    partials = None
+    for c in range(4):
+        s = S.mg_summary_reduce(
+            S.mg_partition_summaries(toks.filter(SF.col("chunk") == c).select("tok"))
+        )
+        partials = s if partials is None else partials.unionByName(s)
+    merged = S.mg_summary_reduce(partials)
+    cands = {r["tok"] for r in merged.collect()}
+    assert {"hot0", "hot1", "hot2"} <= cands
+    assert len(cands) <= S.MG_SLOTS
