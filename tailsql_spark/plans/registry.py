@@ -119,7 +119,13 @@ GRADED_WINDOW: tuple[str, ...] = (
     # the r6 streaming flagship — the FULL curation DAG incremental,
     # certified ≡ the batch composition via one shared oracle
     "stream_curation_survivors",
-    "stream_interval_join",         # r2 addition: stream-stream interval join
+    # (r8 late rotation: stream_interval_join to the local gate — the
+    #  streaming family keeps six driver rows; its slot goes to the
+    #  round's new join-pruning family below)
+    # r8: runtime-filter join pruning — the selective side's keys build
+    # a broadcast blocked-Bloom that prunes the fact stream BEFORE the
+    # join shuffle; oracle is the plain join (sketch invisible)
+    "join_bloom_pruned",
     # (r8: ann_signlsh_bucket_pairs rotated to the local gate — ANN
     #  candidate generation is graded by the complete IVF-PQ stack
     #  below plus the embedding-LSH dedup row)
@@ -131,19 +137,23 @@ GRADED_WINDOW: tuple[str, ...] = (
     # dedup family — each distinct algorithm
     "dedup_exact",
     "dedup_minhash_lsh",
-    # r7: dedup_simhash rotated to the local gate for the family's
-    # quality-metric row — certified candidate-generation recall vs
-    # exact-Jaccard ground truth (floor-gated in pytest)
-    "dedup_minhash_recall",
+    # (r8 late rotation: dedup_minhash_recall to the local gate — the
+    #  recall floor is hard-gated in pytest and the row stays certified
+    #  there; its slot goes to the new data-quality family)
+    # r8: one-scan column profiler (the ANALYZE TABLE shape) — per-
+    # column nulls/distincts/min-max/avg-length from a single Expand
+    "quality_profile_columns",
     # (r8: dedup_ngram_jaccard rotated to the local gate — its capped
     #  posting-index code path is now ALSO certified as
     #  dedup_minhash_recall's ground-truth builder above)
     "dedup_embedding_lsh_verified",
-    # r7: dedup_clusters rotated to the local gate (incremental CC stays
-    # hard-graded via stream_dedup_clusters above) for the stronger
-    # iterative-graph certification — fixed-point integer PageRank over
-    # the near-dup graph
-    "graph_pagerank_neardup",
+    # (r8 late rotation: graph_pagerank_neardup to the local gate —
+    #  iterative fixed-point stays driver-graded via ann_kmeans_lloyd
+    #  and stream_dedup_clusters, graphs via graph_triangle_counts; its
+    #  slot goes to the previously-unrepresented sampling family)
+    # r8: integer-exact weighted systematic (PPS) sampling over a
+    # distributed prefix sum — exactly n picks, zero floating point
+    "sample_weighted_systematic",
     # similarity / ANN
     "ann_cosine_topk_arrow",        # §2D Arrow pandas-UDF path
     # r6: the seeded ann_ivf_topk row upgraded to the COMPLETE IVF-PQ
@@ -151,8 +161,12 @@ GRADED_WINDOW: tuple[str, ...] = (
     # strongest single certification of the ANN family; the seeded
     # variant stays green on the local gate
     "ann_ivfpq_topk",
-    # text analysis
-    "text_langid",
+    # (r8 late rotation: text_langid to the local gate after seven
+    #  green rounds; its slot goes to the sketch family's new exact-
+    #  certified row)
+    # r8: heavy-hitter tokens — mergeable Misra-Gries candidates +
+    # exact rescan, certified against the plain GROUP BY + HAVING
+    "text_heavy_hitters",
     # r8: text_bpe_train rotated to the local gate for the round's
     # LLM-pipeline flagship — BATCHED BPE training (top-k
     # symbol-disjoint merges per round), certified against DuckDB's

@@ -11,7 +11,7 @@ from tailsql_spark.plans.registry import (
     REGISTRY,
 )
 
-EXPECTED_TOTAL = 217  # r8 additions: sink_merge_upsert, sink_merge_delete_tombstones, stream_merge_upsert, stream_dedup_minhash_bucketed, sink_snapshot_time_travel, agg_kmv_set_ops, stream_kmv_sketch, text_bpe_train_batched, corpus_quality_percentile_approx, corpus_length_bucket_batches, quality_logreg_gate (r7 additions: dedup_minhash_recall, stream_bpe_pair_counts, sink_manifest_file_pruning, sink_zorder_skipping, graph_triangle_counts, text_bpe_train, text_bpe_tokenize, text_bigram_surprisal, ann_ivfpq_recall_structured, corpus_quality_percentile_gate, corpus_source_cap (r6 additions: ann_pq_kmeans_topk, ann_ivf_kmeans_multiprobe_topk, ann_ivf_recall_at_k, dedup_span_removal_stats, graph_pagerank_neardup, corpus_curation_survivors, sink_compact_small_files, join_bucketed_colocated, ann_ivfpq_topk, sink_sorted_rowgroup_skipping, stream_curation_survivors, ann_ivfpq_recall_at_k)
+EXPECTED_TOTAL = 223  # r8 late additions: join_bloom_pruned, text_heavy_hitters, quality_profile_columns, dedup_url_canonical, sample_weighted_systematic, stream_heavy_hitters (earlier r8: sink_merge_upsert, sink_merge_delete_tombstones, stream_merge_upsert, stream_dedup_minhash_bucketed, sink_snapshot_time_travel, agg_kmv_set_ops, stream_kmv_sketch, text_bpe_train_batched, corpus_quality_percentile_approx, corpus_length_bucket_batches, quality_logreg_gate)
 
 
 def test_no_silent_import_failures():
