@@ -1148,3 +1148,104 @@ def sink_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("content").alias("sum_content"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension history — versioned rows instead of in-place upsert
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id, n_chars AS content FROM documents
+        WHERE doc_id % 64 <> {MERGE_INSERT_MOD}
+    ),
+    delta AS (
+        SELECT doc_id, n_chars AS content, 'U' AS op
+        FROM documents WHERE doc_id % 64 = {MERGE_INSERT_MOD}
+        UNION ALL
+        SELECT doc_id, n_chars + 1000, 'U' AS op
+        FROM documents WHERE doc_id % 64 = {MERGE_UPDATE_MOD}
+        UNION ALL
+        SELECT doc_id, NULL, 'D' AS op
+        FROM documents WHERE doc_id % 64 = {MERGE_DELETE_MOD}
+    ),
+    m AS (
+        SELECT b.doc_id AS b_id, b.content AS b_content,
+               d.doc_id AS d_id, d.content AS d_content, d.op
+        FROM base b FULL OUTER JOIN delta d ON b.doc_id = d.doc_id
+    )
+    SELECT b_id AS doc_id, b_content AS content,
+           1 AS valid_from,
+           CASE WHEN d_id IS NULL OR (op = 'U' AND d_content = b_content)
+                THEN NULL ELSE 2 END AS valid_to,
+           CASE WHEN d_id IS NULL OR (op = 'U' AND d_content = b_content)
+                THEN 1 ELSE 0 END AS is_current
+    FROM m WHERE b_id IS NOT NULL
+    UNION ALL
+    SELECT d_id, d_content, 2, NULL, 1
+    FROM m
+    WHERE d_id IS NOT NULL AND op = 'U'
+      AND (b_id IS NULL OR d_content <> b_content)
+"""
+
+
+@query(
+    "sink_scd2_history",
+    "sinks",
+    _SCD2_ORACLE,
+    doc="Slowly-changing-dimension type-2 history maintenance — the "
+    "versioned sibling of sink_merge_upsert for pipelines that must "
+    "keep provenance instead of overwriting (what did the corpus "
+    "contain when checkpoint X trained?): unchanged keys stay one "
+    "current row; genuinely-changed keys close the old row "
+    "(valid_to=2) AND append a new current one; inserts open at "
+    "version 2; tombstones close without a successor; a no-op update "
+    "(same content) closes NOTHING — change detection by value "
+    "comparison, not delta presence. Implemented as ONE full-outer "
+    "join producing per key an array of 0-2 version-row structs, "
+    "exploded and flattened — one shuffle on the key, never a "
+    "self-union of two joins. Certified against a DuckDB two-branch "
+    "replay over the shared MERGE base/delta construction.",
+)
+def sink_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _merge_base_frame(spark, sf_dir).select("doc_id", "content")
+    delta = _merge_delta_frame(spark, sf_dir, with_deletes=True).select(
+        "doc_id", "content", "op"
+    )
+    return scd2_apply(base, delta)
+
+
+def scd2_apply(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """SCD2 core (see sink_scd2_history's doc): base(doc_id, content)
+    x delta(doc_id, content, op in U/D) -> versioned history rows."""
+    j = base.alias("b").join(
+        delta.alias("d"), F.col("b.doc_id") == F.col("d.doc_id"), "full_outer"
+    )
+    b_id, b_c = F.col("b.doc_id"), F.col("b.content")
+    d_id, d_c, op = F.col("d.doc_id"), F.col("d.content"), F.col("d.op")
+    unchanged = d_id.isNull() | ((op == "U") & d_c.eqNullSafe(b_c))
+    v1 = F.when(
+        b_id.isNotNull(),
+        F.struct(
+            b_id.alias("doc_id"),
+            b_c.alias("content"),
+            F.lit(1).alias("valid_from"),
+            F.when(unchanged, F.lit(None).cast("int")).otherwise(F.lit(2)).alias("valid_to"),
+            F.when(unchanged, F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
+        ),
+    )
+    new_version = d_id.isNotNull() & (op == "U") & (b_id.isNull() | (d_c != b_c))
+    v2 = F.when(
+        new_version,
+        F.struct(
+            d_id.alias("doc_id"),
+            d_c.alias("content"),
+            F.lit(2).alias("valid_from"),
+            F.lit(None).cast("int").alias("valid_to"),
+            F.lit(1).alias("is_current"),
+        ),
+    )
+    rows = j.select(F.explode(F.array(v1, v2)).alias("r")).filter(
+        F.col("r").isNotNull()
+    )
+    return rows.select("r.*")

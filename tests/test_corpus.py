@@ -302,3 +302,31 @@ def test_pps_systematic_sample_exact_count_and_coverage(spark, oracle_sf_dir):
     p = _plan(df)
     # the corpus window is partitioned by the prefix bucket
     assert "windowspecdefinition(b#" in p, p
+
+
+def test_scd2_all_transition_branches(spark):
+    """Every SCD2 transition on a hand-built base/delta — including the
+    no-op update (same content), which the derived corpus never
+    exercises: it must close NOTHING (change detection by value, not
+    delta presence)."""
+    from tailsql_spark.plans.connectors import scd2_apply
+
+    base = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40)], "doc_id long, content long"
+    )
+    delta = spark.createDataFrame(
+        [(2, 20, "U"), (3, 99, "U"), (5, 50, "U"), (4, None, "D")],
+        "doc_id long, content long, op string",
+    )
+    got = {
+        (r.doc_id, r.content, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_apply(base, delta).collect()
+    }
+    assert got == {
+        (1, 10, 1, None, 1),   # untouched: one current row
+        (2, 20, 1, None, 1),   # no-op update: NOT closed
+        (3, 30, 1, 2, 0),      # changed: old row closed...
+        (3, 99, 2, None, 1),   # ...new version opened
+        (4, 40, 1, 2, 0),      # tombstone: closed, no successor
+        (5, 50, 2, None, 1),   # insert: opens at version 2
+    }
