@@ -613,6 +613,59 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_banded_range",
+    "joins",
+    """
+    SELECT a.p_size AS size_a, COUNT(*) AS n_pairs
+    FROM (SELECT p_partkey, p_size FROM part WHERE p_partkey <= 300) a
+    JOIN (SELECT p_partkey, p_size FROM part WHERE p_partkey <= 300) b
+      ON a.p_partkey < b.p_partkey AND b.p_size BETWEEN a.p_size - 1 AND a.p_size + 1
+    GROUP BY a.p_size
+    """,
+    doc="The SAME range join as join_theta_range, decomposed for scale: "
+    "band p_size into width-3 buckets, explode each probe row to the "
+    "(at most 2) buckets its +/-1 window overlaps, EQUI-join on the "
+    "bucket id, then re-apply the exact range predicate. Each "
+    "qualifying pair matches exactly once (the build side's bucket is "
+    "unique and probe buckets are distinct), so the oracle is the "
+    "plain theta join verbatim. The plan becomes a hash-partitioned "
+    "equi join instead of the O(n*m) BroadcastNestedLoopJoin the pure "
+    "theta form compiles to (plan-asserted in pytest) - the standard "
+    "interval-join decomposition at 100 TB.",
+)
+def join_banded_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    band_w = 3  # equals the window width, so each window spans <= 2 bands
+    t = load_tables(spark, sf_dir)
+    p = t["part"].filter(F.col("p_partkey") <= 300).select("p_partkey", "p_size")
+    a = p.select(
+        F.col("p_partkey").alias("a_key"),
+        F.col("p_size").alias("a_size"),
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor((F.col("p_size") - 1) / band_w),
+                    F.floor((F.col("p_size") + 1) / band_w),
+                )
+            )
+        ).alias("band"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("b_key"),
+        F.col("p_size").alias("b_size"),
+        F.floor(F.col("p_size") / band_w).alias("band"),
+    )
+    return (
+        a.join(b, "band")
+        .filter(
+            (F.col("a_key") < F.col("b_key"))
+            & F.col("b_size").between(F.col("a_size") - 1, F.col("a_size") + 1)
+        )
+        .groupBy(F.col("a_size").alias("size_a"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@query(
     "join_star_5way",
     "joins",
     """

@@ -1001,3 +1001,21 @@ def test_time_travel_version_pruning(spark, oracle_sf_dir):
     assert "PartitionFilters" in plan
     assert "v" in plan.split("PartitionFilters", 1)[1][:160]
     assert old.count() > 0
+
+
+def test_banded_range_join_is_equi_not_nested_loop(spark, oracle_sf_dir):
+    """The decomposition's point: join_theta_range compiles to a
+    nested-loop join (no equi key); join_banded_range over the SAME
+    semantics must compile to a hash/sort-merge EQUI join on the band
+    — and return identical results."""
+    from tailsql_spark.plans.registry import REGISTRY
+
+    theta = _plan(REGISTRY["join_theta_range"].build(spark, oracle_sf_dir))
+    banded = _plan(REGISTRY["join_banded_range"].build(spark, oracle_sf_dir))
+    assert "BroadcastNestedLoopJoin" in theta, theta
+    assert "BroadcastNestedLoopJoin" not in banded, banded
+    assert ("SortMergeJoin" in banded) or ("HashJoin" in banded), banded
+
+    a = sorted(map(tuple, REGISTRY["join_theta_range"].build(spark, oracle_sf_dir).collect()))
+    b = sorted(map(tuple, REGISTRY["join_banded_range"].build(spark, oracle_sf_dir).collect()))
+    assert a == b
