@@ -1249,3 +1249,62 @@ def scd2_apply(base: DataFrame, delta: DataFrame) -> DataFrame:
         F.col("r").isNotNull()
     )
     return rows.select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# dynamic partition pruning — runtime partition elimination via join
+# ---------------------------------------------------------------------------
+
+_DPP_ORACLE = """
+    WITH yrs AS (
+        SELECT DISTINCT year(o_orderdate) AS yr FROM orders
+        WHERE o_orderkey % 97 = 0 AND year(o_orderdate) % 2 = 0
+    )
+    SELECT year(o_orderdate) AS o_year,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_price_cents
+    FROM orders JOIN yrs ON year(o_orderdate) = yr
+    GROUP BY year(o_orderdate)
+"""
+
+
+@query(
+    "join_dynamic_partition_pruning",
+    "sinks",
+    _DPP_ORACLE,
+    doc="Dynamic partition pruning, certified: the year-partitioned "
+    "orders staging joins a dim of qualifying years that is only "
+    "known at RUNTIME (a data-dependent distinct over the raw table), "
+    "and Catalyst injects a dynamicpruning#N subquery into the fact "
+    "scan's PartitionFilters — the fact side reads ONLY the "
+    "partitions the dim's runtime values name (plan-asserted in "
+    "pytest; 3 of 7 year partitions here). At 100 TB this is the "
+    "date-dim x fact pattern: the dim filter prunes years/days of "
+    "fact files without any static predicate on the fact table. "
+    "Oracle replays the same join on the raw table.",
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dpp_join(spark, sf_dir)
+
+
+def _dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    fact = partitioned_orders_scan(spark, sf_dir)
+    yrs = (
+        t["orders"]
+        .filter(
+            (F.col("o_orderkey") % 97 == 0)
+            & (F.year(F.col("o_orderdate").cast("date")) % 2 == 0)
+        )
+        .select(F.year(F.col("o_orderdate").cast("date")).alias("yr"))
+        .distinct()
+    )
+    return (
+        fact.join(yrs, fact["o_year"] == yrs["yr"])
+        .groupBy("o_year")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_price_cents").alias("sum_price_cents"),
+        )
+    )

@@ -1019,3 +1019,46 @@ def test_banded_range_join_is_equi_not_nested_loop(spark, oracle_sf_dir):
     a = sorted(map(tuple, REGISTRY["join_theta_range"].build(spark, oracle_sf_dir).collect()))
     b = sorted(map(tuple, REGISTRY["join_banded_range"].build(spark, oracle_sf_dir).collect()))
     assert a == b
+
+
+def test_dynamic_partition_pruning_fires(spark, oracle_sf_dir):
+    """join_dynamic_partition_pruning's contract: the year-partitioned
+    fact scan carries a dynamicpruning subquery in its
+    PartitionFilters — the runtime values of the dim join key prune
+    fact partitions at execution time, with no static year predicate
+    on the fact. Results must equal the unpartitioned plain join."""
+    from pyspark.sql import functions as SF
+
+    from tailsql_spark.plans.catalog import load_tables
+    from tailsql_spark.plans.registry import REGISTRY
+
+    df = REGISTRY["join_dynamic_partition_pruning"].build(spark, oracle_sf_dir)
+    p = _plan(df)
+    assert "dynamicpruningexpression" in p, p
+
+    got = {r.o_year: (r.n, r.sum_price_cents) for r in df.collect()}
+    t = load_tables(spark, oracle_sf_dir)
+    yr = SF.year(SF.col("o_orderdate").cast("date"))
+    yrs = (
+        t["orders"]
+        .filter((SF.col("o_orderkey") % 97 == 0) & (yr % 2 == 0))
+        .select(yr.alias("yr"))
+        .distinct()
+    )
+    plain = (
+        t["orders"]
+        .withColumn("o_year", yr)
+        .join(yrs, SF.col("o_year") == SF.col("yr"))
+        .groupBy("o_year")
+        .agg(
+            SF.count("*").alias("n"),
+            SF.sum(SF.round(SF.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "sum_price_cents"
+            ),
+        )
+    )
+    want = {r.o_year: (r.n, r.sum_price_cents) for r in plain.collect()}
+    assert got == want
+    # the dim predicate selects a strict subset of years: pruning is real
+    n_years_all = t["orders"].select(yr).distinct().count()
+    assert 0 < len(got) < n_years_all
