@@ -1429,3 +1429,56 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.log(F.lit(1.0) / p)), 6).alias("avg_surprisal_nats"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit: corpus-health diagnostic
+# ---------------------------------------------------------------------------
+
+_ZIPF_ORACLE = """
+    WITH toks AS (
+        SELECT tok FROM (
+            SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+        ) u WHERE tok <> ''
+    ),
+    tf AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+    ranked AS (
+        SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rnk FROM tf
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(regr_slope(ln(cnt), ln(rnk)), 4) AS zipf_slope,
+           ROUND(regr_intercept(ln(cnt), ln(rnk)), 4) AS zipf_intercept
+    FROM ranked
+"""
+
+
+@query(
+    "text_zipf_slope",
+    "text-analysis",
+    _ZIPF_ORACLE,
+    doc="Zipf-law fit over the token rank-frequency curve: OLS slope "
+    "of ln(count) against ln(rank) — natural corpora sit near -1; a "
+    "slope collapsing toward 0 flags template/boilerplate floods and "
+    "one diving below -1.5 flags a head-heavy (deduplication-starved) "
+    "mix, so this is the one-number corpus-health dial quality "
+    "dashboards track per source/snapshot. One token pass + one "
+    "vocab-sized shuffle; the rank window orders the VOCABULARY (types, "
+    "not tokens), and regr_slope aggregates map-side. Rounded to 4 dp "
+    "for cross-engine float determinism (engines agree to ~1e-14; the "
+    "summation-order slack is 10 orders below the rounding step).",
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    toks = (
+        t["documents"]
+        .select(F.explode_outer(F.split(F.lower(F.col("text")), " ")).alias("tok"))
+        .filter((F.col("tok").isNotNull()) & (F.col("tok") != ""))
+    )
+    tf = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    rnk = F.row_number().over(W.orderBy(F.col("cnt").desc(), F.col("tok")))
+    ranked = tf.withColumn("rnk", rnk)
+    return ranked.agg(
+        F.count("*").alias("n_types"),
+        F.round(F.expr("regr_slope(ln(cnt), ln(rnk))"), 4).alias("zipf_slope"),
+        F.round(F.expr("regr_intercept(ln(cnt), ln(rnk))"), 4).alias("zipf_intercept"),
+    )

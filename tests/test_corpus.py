@@ -330,3 +330,33 @@ def test_scd2_all_transition_branches(spark):
         (4, 40, 1, 2, 0),      # tombstone: closed, no successor
         (5, 50, 2, None, 1),   # insert: opens at version 2
     }
+
+
+def test_zipf_slope_recovers_planted_exponent(spark, oracle_sf_dir):
+    """On a corpus built to follow count = 1000/rank exactly, the
+    fitted slope must be ~-1 (the planted exponent); and the certified
+    row over the real corpus returns a finite slope over its full
+    vocabulary."""
+    from pyspark.sql.window import Window as W
+
+    from tailsql_spark.plans.registry import REGISTRY
+
+    # planted: 50 types, counts 1000/r → ln-ln slope -1
+    counts = [(f"t{r:03d}", 1000 // r) for r in range(1, 51)]
+    toks = (
+        spark.createDataFrame(counts, "tok string, cnt long")
+        .select("tok", F.expr("explode(sequence(1, cnt))").alias("_i"))
+        .select("tok")
+    )
+    tf = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    rnk = F.row_number().over(W.orderBy(F.col("cnt").desc(), F.col("tok")))
+    got = (
+        tf.withColumn("rnk", rnk)
+        .agg(F.round(F.expr("regr_slope(ln(cnt), ln(rnk))"), 4).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert -1.05 < got < -0.95, got
+
+    row = REGISTRY["text_zipf_slope"].build(spark, oracle_sf_dir).collect()[0]
+    assert row["n_types"] > 0
+    assert row["zipf_slope"] < 0
