@@ -688,3 +688,26 @@ def test_bucketed_processor_replay_idempotent(spark, oracle_sf_dir):
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_heavy_hitters_reinvocation_against_used_root_is_idempotent(
+    spark, oracle_sf_dir, tmp_path
+):
+    """Calling the PUBLIC stream_heavy_hitters twice with the same
+    caller-owned state_root must return the same result: the staged
+    source is pinned under the root (the r8 staging fix), so the
+    second run's checkpoint sees no new files, processes zero batches,
+    and the read-time merge over the intact partial log reproduces the
+    first answer — no duplicated summaries, no re-ingestion."""
+    from tailsql_spark.plans.streaming_exec import stream_heavy_hitters
+
+    root = str(tmp_path / "hh_root")
+    a = {
+        (r["tok"], r["cnt"])
+        for r in stream_heavy_hitters(spark, oracle_sf_dir, state_root=root).collect()
+    }
+    b = {
+        (r["tok"], r["cnt"])
+        for r in stream_heavy_hitters(spark, oracle_sf_dir, state_root=root).collect()
+    }
+    assert a == b and len(a) >= 3
