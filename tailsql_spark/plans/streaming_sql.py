@@ -553,3 +553,82 @@ def events_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("island").alias("n_islands"),
         F.max("cnt").alias("longest_island"),
     )
+
+
+# ---------------------------------------------------------------------------
+# watermark lateness audit — choosing the delay before you stream
+# ---------------------------------------------------------------------------
+
+#: Prefix-scan bucket width over the dense event_id arrival order —
+#: the running event-time maximum is computed as intra-bucket windows
+#: plus a tiny per-bucket offset table (the sample_weighted_systematic
+#: discipline), never one global-order window over the corpus.
+LATENESS_BUCKET = 4096
+
+_LATENESS_ORACLE = """
+    WITH arr AS (
+        SELECT event_id, epoch_us(ts) AS tu FROM events
+    ),
+    scanned AS (
+        SELECT event_id, tu,
+               MAX(tu) OVER (ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS seen_max
+        FROM arr
+    )
+    SELECT CAST(FLOOR(GREATEST(seen_max - tu, 0) / 600000000) AS BIGINT)
+               AS late_10m_bucket,
+           COUNT(*) AS n_events
+    FROM scanned WHERE seen_max IS NOT NULL
+    GROUP BY 1
+"""
+
+
+@query(
+    "events_watermark_lateness",
+    "event-analytics",
+    _LATENESS_ORACLE,
+    doc="Watermark-delay design audit: for each event, its LATENESS "
+    "against the maximum event time already seen in arrival order "
+    "(event_id is the synthetic arrival proxy) — histogrammed in "
+    "10-minute buckets, this is exactly the curve that answers 'what "
+    "withWatermark delay keeps X% of events' BEFORE committing state "
+    "bounds to a stream. The running prefix maximum is DISTRIBUTED: "
+    "intra-bucket exclusive-prefix windows (partitioned by event_id "
+    "div 4096) plus a tiny broadcast table of exclusive per-bucket "
+    "prefix maxima — never a global-order window over the corpus "
+    "(the sample_weighted_systematic prefix-scan discipline; the "
+    "oracle uses the plain global window, proving the decomposition "
+    "exact).",
+)
+def events_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    arr = t["events"].select(
+        "event_id",
+        F.unix_micros("ts").alias("tu"),
+        (F.col("event_id") / LATENESS_BUCKET).cast("long").alias("b"),
+    )
+    w_intra_excl = (
+        W.partitionBy("b")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    intra = arr.withColumn("intra_max", F.max("tu").over(w_intra_excl))
+    # per-bucket maxima: corpus/4096 rows; their EXCLUSIVE prefix max
+    # runs on the tiny table only
+    bmax = arr.groupBy("b").agg(F.max("tu").alias("bm"))
+    w_excl_b = W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+    offs = bmax.withColumn("prev_max", F.max("bm").over(w_excl_b)).select(
+        "b", "prev_max"
+    )
+    scanned = intra.join(F.broadcast(offs), "b").withColumn(
+        "seen_max", F.greatest(F.col("intra_max"), F.col("prev_max"))
+    )
+    late = F.floor(
+        F.greatest(F.col("seen_max") - F.col("tu"), F.lit(0)) / 600000000
+    ).cast("long")
+    return (
+        scanned.filter(F.col("seen_max").isNotNull())
+        .groupBy(late.alias("late_10m_bucket"))
+        .agg(F.count("*").alias("n_events"))
+    )

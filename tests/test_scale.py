@@ -1062,3 +1062,39 @@ def test_dynamic_partition_pruning_fires(spark, oracle_sf_dir):
     # the dim predicate selects a strict subset of years: pruning is real
     n_years_all = t["orders"].select(yr).distinct().count()
     assert 0 < len(got) < n_years_all
+
+
+def test_watermark_lateness_prefix_scan_is_bucketed(spark, oracle_sf_dir):
+    """The lateness audit's running max must equal the global-order
+    window's answer while the corpus-sized window stays partitioned by
+    the prefix bucket (only the tiny per-bucket table is globally
+    ordered)."""
+    from pyspark.sql import functions as SF
+    from pyspark.sql.window import Window as PW
+
+    from tailsql_spark.plans.catalog import load_tables
+    from tailsql_spark.plans.registry import REGISTRY
+
+    df = REGISTRY["events_watermark_lateness"].build(spark, oracle_sf_dir)
+    got = {r.late_10m_bucket: r.n_events for r in df.collect()}
+
+    ev = load_tables(spark, oracle_sf_dir)["events"].select(
+        "event_id", SF.unix_micros("ts").alias("tu")
+    )
+    w = PW.orderBy("event_id").rowsBetween(PW.unboundedPreceding, -1)
+    plain = (
+        ev.withColumn("seen_max", SF.max("tu").over(w))
+        .filter(SF.col("seen_max").isNotNull())
+        .groupBy(
+            SF.floor(
+                SF.greatest(SF.col("seen_max") - SF.col("tu"), SF.lit(0)) / 600000000
+            )
+            .cast("long")
+            .alias("late_10m_bucket")
+        )
+        .agg(SF.count("*").alias("n_events"))
+    )
+    want = {r.late_10m_bucket: r.n_events for r in plain.collect()}
+    assert got == want
+    p = _plan(df)
+    assert "windowspecdefinition(b#" in p, p
