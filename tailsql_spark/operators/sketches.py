@@ -617,3 +617,113 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") * HH_K > F.col("n"))
         .select("tok", "cnt")
     )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch: point-frequency estimates, exact cross-engine
+# ---------------------------------------------------------------------------
+
+CMS_D = 4      # hash rows
+CMS_W = 1024   # counters per row
+
+_CMS_SEEDS = ", ".join(f"({d})" for d in range(CMS_D))
+
+_CMS_ORACLE = f"""
+    WITH toks AS (
+        SELECT tok FROM (
+            SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+        ) u WHERE tok <> ''
+    ),
+    seeds(d) AS (VALUES {_CMS_SEEDS}),
+    cms AS (
+        SELECT d,
+               CAST(concat('0x', substr(md5(CAST(d AS VARCHAR) || tok), 1, 15))
+                    AS BIGINT) % {CMS_W} AS cell,
+               COUNT(*) AS c
+        FROM toks CROSS JOIN seeds GROUP BY 1, 2
+    ),
+    topk AS (
+        SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+        ORDER BY cnt DESC, tok LIMIT 10
+    )
+    SELECT t.tok, t.cnt AS exact_cnt, MIN(m.c) AS est_cnt
+    FROM topk t CROSS JOIN seeds s
+    JOIN cms m
+      ON m.d = s.d
+     AND m.cell = CAST(concat('0x', substr(md5(CAST(s.d AS VARCHAR) || t.tok), 1, 15))
+                       AS BIGINT) % {CMS_W}
+    GROUP BY t.tok, t.cnt
+"""
+
+
+@query(
+    "agg_countmin_sketch",
+    "sketches",
+    _CMS_ORACLE,
+    doc="Count-min sketch over corpus tokens — point-frequency "
+    "estimates from a fixed 4x1024 counter matrix: build explodes "
+    "each token to its 4 (row, cell) coordinates (seeded 60-bit md5 "
+    "hashes, the KMV convention, so both engines derive IDENTICAL "
+    "cells) and one groupBy yields the <=4096-row matrix; a probe "
+    "takes the min across rows, which never underestimates. The "
+    "top-10 tokens' estimates are certified EXACTLY against DuckDB's "
+    "replay of the same arithmetic — deterministic, unlike the "
+    "tolerance-tested HLL rows. At 100 TB the matrix is a mergeable "
+    "constant-size state (cells sum across shards) and the probe side "
+    "is a broadcast join of the 4096-row table.",
+)
+def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tailsql_spark.operators.dedup import shingle_hash60
+
+    t = load_tables(spark, sf_dir)
+    toks = (
+        t["documents"]
+        .select(F.explode_outer(F.split(F.lower(F.col("text")), " ")).alias("tok"))
+        .filter((F.col("tok").isNotNull()) & (F.col("tok") != ""))
+    )
+
+    def cell(d: int, tok_col) -> "F.Column":
+        return F.pmod(
+            shingle_hash60(F.concat(F.lit(str(d)), tok_col)), F.lit(CMS_W)
+        )
+
+    coords = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), cell(d, F.col("tok")).alias("cell")
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("rc")
+    ).select("rc.d", "rc.cell")
+    cms = coords.groupBy("d", "cell").agg(F.count("*").alias("c"))
+
+    topk = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok"))
+        .limit(10)
+    )
+    probes = topk.select(
+        "tok",
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), cell(d, F.col("tok")).alias("cell")
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("rc"),
+    ).select("tok", "cnt", "rc.d", "rc.cell")
+    return (
+        probes.join(F.broadcast(cms), ["d", "cell"])
+        .groupBy("tok", F.col("cnt").alias("exact_cnt"))
+        .agg(F.min("c").alias("est_cnt"))
+        .select("tok", "exact_cnt", "est_cnt")
+    )

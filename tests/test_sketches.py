@@ -232,3 +232,59 @@ def test_mg_multi_batch_merge_supersets_heavies(spark):
     cands = {r["tok"] for r in merged.collect()}
     assert {"hot0", "hot1", "hot2"} <= cands
     assert len(cands) <= S.MG_SLOTS
+
+
+def test_countmin_never_underestimates_and_merges(spark, oracle_sf_dir):
+    """CMS invariants the oracle row can't see: (a) every estimate in
+    the certified row is >= its exact count; (b) the matrix is bounded
+    by D*W rows regardless of corpus size; (c) MERGEABILITY — the
+    matrices of two corpus halves sum cell-wise to the full matrix."""
+    from pyspark.sql import functions as SF
+
+    from tailsql_spark.operators import sketches as S
+    from tailsql_spark.plans.catalog import load_tables
+    from tailsql_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["agg_countmin_sketch"].build(spark, oracle_sf_dir).collect()
+    assert len(rows) == 10
+    assert all(r["est_cnt"] >= r["exact_cnt"] for r in rows)
+
+    from tailsql_spark.operators.dedup import shingle_hash60
+
+    docs = load_tables(spark, oracle_sf_dir)["documents"]
+
+    def matrix(df):
+        toks = (
+            df.select(SF.explode_outer(SF.split(SF.lower(SF.col("text")), " ")).alias("tok"))
+            .filter((SF.col("tok").isNotNull()) & (SF.col("tok") != ""))
+        )
+        coords = toks.select(
+            SF.explode(
+                SF.array(
+                    *[
+                        SF.struct(
+                            SF.lit(d).alias("d"),
+                            SF.pmod(
+                                shingle_hash60(SF.concat(SF.lit(str(d)), SF.col("tok"))),
+                                SF.lit(S.CMS_W),
+                            ).alias("cell"),
+                        )
+                        for d in range(S.CMS_D)
+                    ]
+                )
+            ).alias("rc")
+        ).select("rc.d", "rc.cell")
+        return {
+            (r["d"], r["cell"]): r["c"]
+            for r in coords.groupBy("d", "cell").agg(SF.count("*").alias("c")).collect()
+        }
+
+    full = matrix(docs)
+    assert len(full) <= S.CMS_D * S.CMS_W
+    a = matrix(docs.filter(SF.col("doc_id") % 2 == 0))
+    b = matrix(docs.filter(SF.col("doc_id") % 2 == 1))
+    summed = {}
+    for m in (a, b):
+        for k, v in m.items():
+            summed[k] = summed.get(k, 0) + v
+    assert summed == full
