@@ -2527,3 +2527,142 @@ REGISTRY["stream_heavy_hitters"] = QuerySpec(
     "and the exact rescan + integer threshold certifies against the "
     "SAME oracle as the batch text_heavy_hitters.",
 )
+
+
+# ---------------------------------------------------------------------------
+# incremental count-min sketch: cell-wise mergeable matrix per batch
+# ---------------------------------------------------------------------------
+
+def _cms_coords(df):
+    from tailsql_spark.operators.dedup import shingle_hash60
+    from tailsql_spark.operators.sketches import CMS_D, CMS_W
+
+    toks = _hh_toks(df)
+    return toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.pmod(
+                            shingle_hash60(F.concat(F.lit(str(d)), F.col("tok"))),
+                            F.lit(CMS_W),
+                        ).alias("cell"),
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("rc")
+    ).select("rc.d", "rc.cell")
+
+
+def _cms_batch_processor(cm_root: str):
+    """Per micro-batch: the batch's OWN counter matrix (bounded at
+    D x W rows regardless of batch size), written to a per-batch-id
+    overwrite dir.  Replay-idempotent (no history reads); cell-wise
+    SUM is the whole merge algebra, so the read-time fold over the
+    partial log IS the corpus matrix."""
+
+    def process(batch_df, batch_id):
+        m = _cms_coords(batch_df).groupBy("d", "cell").agg(F.count("*").alias("c"))
+        m.write.mode("overwrite").parquet(f"{cm_root}/{_bdir(int(batch_id))}")
+
+    return process
+
+
+def stream_countmin_sketch(
+    spark: SparkSession, sf_dir: str, state_root: str | None = None
+) -> DataFrame:
+    """INCREMENTAL count-min sketch: each micro-batch appends its own
+    bounded counter matrix to the state log; the read-time cell-wise
+    sum equals the batch matrix over the full corpus (trivially — the
+    cells are counts), and the top-10 probe certifies against the SAME
+    DuckDB oracle as the batch ``agg_countmin_sketch``.  Per-batch
+    state is at most CMS_D x CMS_W rows: the mergeable-sketch contract
+    for frequency monitoring under continuous arrival."""
+    import shutil
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+    state_root, _owned_state = _resolve_state_root("cms", state_root)
+    src_dir = _stage_stream_source(docs, "cms", state_root, _owned_state, corpus_tag=sf_dir)
+    cm_root = f"{state_root}/cm"
+    spark.createDataFrame([], "d int, cell long, c long").write.mode(
+        "overwrite"
+    ).parquet(f"{cm_root}/seed")
+    process = _cms_batch_processor(cm_root)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{state_root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _await_or_raise(q, "stream_countmin_sketch")
+    finally:
+        q.stop()
+    cms = (
+        spark.read.parquet(*_mh_state_paths(cm_root))
+        .groupBy("d", "cell")
+        .agg(F.sum("c").alias("c"))
+    )
+    toks = _hh_toks(spark.read.parquet(src_dir))
+    topk = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok"))
+        .limit(10)
+    )
+    from tailsql_spark.operators.dedup import shingle_hash60
+    from tailsql_spark.operators.sketches import CMS_D, CMS_W
+
+    probes = topk.select(
+        "tok",
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.pmod(
+                            shingle_hash60(F.concat(F.lit(str(d)), F.col("tok"))),
+                            F.lit(CMS_W),
+                        ).alias("cell"),
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("rc"),
+    ).select("tok", "cnt", "rc.d", "rc.cell")
+    result = (
+        probes.join(F.broadcast(cms), ["d", "cell"])
+        .groupBy("tok", F.col("cnt").alias("exact_cnt"))
+        .agg(F.min("c").alias("est_cnt"))
+        .select("tok", "exact_cnt", "est_cnt")
+    )
+    out = _persist_result(result, "stream_countmin_sketch")
+    if _owned_state:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        _fs_rmtree(state_root)
+    return out
+
+
+from tailsql_spark.operators.sketches import _CMS_ORACLE as _CMS_ORACLE_STREAM  # noqa: E402
+
+REGISTRY["stream_countmin_sketch"] = QuerySpec(
+    name="stream_countmin_sketch",
+    category="streaming-executed",
+    build=stream_countmin_sketch,
+    oracle=_CMS_ORACLE_STREAM,
+    doc="Count-min sketch maintained INCREMENTALLY: each micro-batch "
+    "writes its own bounded (<= D x W rows) counter matrix "
+    "(replay-idempotent, no history reads); the read-time cell-wise "
+    "sum is the exact corpus matrix by count additivity, and the "
+    "top-10 probe certifies against the SAME oracle as the batch "
+    "agg_countmin_sketch.",
+)
