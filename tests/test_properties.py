@@ -641,3 +641,88 @@ def test_bpe_batched_deep_run_constant_plan(spark):
     finally:
         for frame in caches:
             frame.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization: idempotence + noise-invariance
+# ---------------------------------------------------------------------------
+
+_HOSTS = st.sampled_from(["example.com", "EXAMPLE.com", "Sub.Example.COM"])
+_PORTS = st.sampled_from(["", ":443", ":80"])
+_PATHS = st.sampled_from(["", "/a", "/a/b", "/a/"])
+_QS = st.sampled_from(
+    ["", "?x=1", "?utm_source=f", "?x=1&utm_medium=z", "?utm_campaign=c&y=2"]
+)
+_FRAGS = st.sampled_from(["", "#top", "#a/b"])
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    data=st.lists(
+        st.tuples(_HOSTS, _PORTS, _PATHS, _QS, _FRAGS), min_size=1, max_size=8
+    )
+)
+def test_url_canonicalization_idempotent_and_noise_invariant(spark, data):
+    """For any composition of the noise dimensions: (a) canonicalizing
+    twice equals canonicalizing once (idempotence — the property that
+    lets pipelines re-run the pass safely), and (b) the canonical form
+    never contains a fragment, a default port, an utm_ param, or an
+    uppercase scheme/host."""
+    from pyspark.sql import functions as F
+
+    from tailsql_spark.operators.dedup import canonical_url_sql
+
+    urls = [
+        (f"https://{h}{p}{path}{qs}{frag}",) for h, p, path, qs, frag in data
+    ]
+    df = spark.createDataFrame(urls, ["url"]).selectExpr(
+        "url",
+        f"{canonical_url_sql('url', 'spark')} AS c1",
+    )
+    df = df.selectExpr("url", "c1", f"{canonical_url_sql('c1', 'spark')} AS c2")
+    for r in df.collect():
+        assert r["c1"] == r["c2"], (r["url"], r["c1"], r["c2"])
+        host = r["c1"].split("://", 1)[1].split("/", 1)[0].split("?", 1)[0]
+        assert "#" not in r["c1"]
+        assert not host.endswith(":443") and not host.endswith(":80")
+        assert "utm_" not in r["c1"]
+        assert r["c1"].split("://", 1)[0] == "https"
+        assert host == host.lower()
+
+
+# ---------------------------------------------------------------------------
+# PPS systematic sampling: exact-n and proportionality invariants
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    weights=st.lists(st.integers(min_value=1, max_value=10_000), min_size=1, max_size=200)
+)
+def test_pps_invariants_hold_for_random_weights(spark, weights):
+    """For ANY positive integer weight vector: total picks == n exactly;
+    every item gets at most ceil(w*n/T)+1 picks and at least
+    floor(w*n/T) (proportionality); items with w*n >= T are always
+    picked."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as PW
+
+    from tailsql_spark.operators.corpus import PPS_N
+
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    total = sum(weights)
+    c = df.withColumn("wi", F.sum("w").over(PW.orderBy("doc_id")))
+    picks = F.expr(f"(wi * {PPS_N}) DIV {total}") - F.expr(
+        f"((wi - w) * {PPS_N}) DIV {total}"
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in c.select("doc_id", "w", picks.alias("n")).collect()
+    }
+    assert sum(got.values()) == PPS_N
+    for i, w in enumerate(weights):
+        lo = (w * PPS_N) // total
+        hi = -((-w * PPS_N) // total) + 1  # ceil + 1
+        assert lo <= got[i] <= hi, (i, w, got[i], lo, hi)
+        if w * PPS_N >= total:
+            assert got[i] >= 1
