@@ -1482,3 +1482,82 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("regr_slope(ln(cnt), ln(rnk))"), 4).alias("zipf_slope"),
         F.round(F.expr("regr_intercept(ln(cnt), ln(rnk))"), 4).alias("zipf_intercept"),
     )
+
+
+_DECONTAM_ORACLE = """
+    WITH split AS (
+        SELECT doc_id, text,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' AS is_test
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, is_test, string_split(lower(text), ' ') AS ws,
+               len(string_split(lower(text), ' ')) AS n
+        FROM split
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, is_test,
+               unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                       || ws[i+3] || ' ' || ws[i+4] FOR i IN range(1, n - 3)]) AS g
+        FROM toks WHERE n >= 5
+    ),
+    test_grams AS (SELECT DISTINCT g FROM grams WHERE is_test)
+    SELECT t.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN te.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_test_hits,
+           CAST(CASE WHEN SUM(CASE WHEN te.g IS NOT NULL THEN 1 ELSE 0 END) * 5
+                          < COUNT(*)
+                     THEN 1 ELSE 0 END AS INTEGER) AS kept
+    FROM grams t LEFT JOIN test_grams te USING (g)
+    WHERE NOT t.is_test
+    GROUP BY t.doc_id
+"""
+
+
+@query(
+    "corpus_decontaminated",
+    "text-analysis",
+    _DECONTAM_ORACLE,
+    doc="The decontamination FILTTER the audit feeds (the audit scores "
+    "test docs; training pipelines must drop TRAIN docs): each train "
+    "doc's distinct 5-grams probe the eval-set gram index, and the doc "
+    "is kept only while test-hit grams stay under 20% of its grams "
+    "(exact integer rule n_hits*5 < n_grams — no float threshold). "
+    "Same inverted-index equi-join scale shape as the audit: distinct "
+    "(doc, gram) pairs, a tiny distinct test-gram set (broadcastable "
+    "at 100 TB — the eval set is fixed-size), one hash join, nothing "
+    "quadratic; composes with the Bloom pre-prune exactly like "
+    "text_contamination_bloom when the corpus side dominates.",
+)
+def corpus_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    grams = (
+        t["documents"]
+        .select(
+            "doc_id",
+            contam_is_test().alias("is_test"),
+            F.explode_outer(contam_gram_arr()).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+        .distinct()
+    )
+    test_grams = grams.filter(F.col("is_test")).select("g").distinct()
+    scored = (
+        grams.filter(~F.col("is_test"))
+        .join(test_grams.withColumn("hit", F.lit(1)), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_test_hits"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_grams",
+        "n_test_hits",
+        F.when(F.col("n_test_hits") * 5 < F.col("n_grams"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("kept"),
+    )
