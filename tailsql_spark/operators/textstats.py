@@ -1462,10 +1462,17 @@ _ZIPF_ORACLE = """
     "one diving below -1.5 flags a head-heavy (deduplication-starved) "
     "mix, so this is the one-number corpus-health dial quality "
     "dashboards track per source/snapshot. One token pass + one "
-    "vocab-sized shuffle; the rank window orders the VOCABULARY (types, "
-    "not tokens), and regr_slope aggregates map-side. Rounded to 4 dp "
-    "for cross-engine float determinism (engines agree to ~1e-14; the "
-    "summation-order slack is 10 orders below the rounding step).",
+    "vocab-sized shuffle; the rank is a DISTRIBUTED rank, never a "
+    "global-order window over the vocabulary (at web scale the type "
+    "table is 1e8-1e9 rows): types bucket by (cnt, 2-char token "
+    "prefix) — order-compatible with the (cnt DESC, tok) sort key "
+    "because UTF-8 prefix comparison agrees with full-string "
+    "comparison in both engines — rank = broadcast per-bucket offset "
+    "(prefix sum over the tiny bucket table) + intra-bucket "
+    "row_number, the sample_weighted_systematic pattern. regr_slope "
+    "aggregates map-side. Rounded to 4 dp for cross-engine float "
+    "determinism (engines agree to ~1e-14; the summation-order slack "
+    "is 10 orders below the rounding step).",
 )
 def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
@@ -1475,8 +1482,27 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("tok").isNotNull()) & (F.col("tok") != ""))
     )
     tf = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
-    rnk = F.row_number().over(W.orderBy(F.col("cnt").desc(), F.col("tok")))
-    ranked = tf.withColumn("rnk", rnk)
+    # distributed rank over (cnt DESC, tok ASC): bucket by the sort-key
+    # prefix (cnt, first two token chars); all rows of a bucket are
+    # contiguous in the global order, so global rank = bucket offset +
+    # intra-bucket row_number. The offset prefix sum windows only the
+    # bucket table (distinct cnt x distinct prefixes — metadata-sized),
+    # never the type table; the heavy cnt=1 stratum is split across
+    # prefix buckets instead of one straggler task.
+    tf = tf.withColumn("pb", F.substring("tok", 1, 2))
+    bkt = tf.groupBy("cnt", "pb").agg(F.count("*").alias("bn"))
+    offs = bkt.withColumn(
+        "off",
+        F.sum("bn").over(W.orderBy(F.col("cnt").desc(), F.col("pb"))) - F.col("bn"),
+    ).select("cnt", "pb", "off")
+    intra = F.row_number().over(
+        W.partitionBy("cnt", "pb").orderBy(F.col("tok"))
+    )
+    ranked = (
+        tf.withColumn("intra", intra)
+        .join(F.broadcast(offs), ["cnt", "pb"])
+        .withColumn("rnk", F.col("off") + F.col("intra"))
+    )
     return ranked.agg(
         F.count("*").alias("n_types"),
         F.round(F.expr("regr_slope(ln(cnt), ln(rnk))"), 4).alias("zipf_slope"),

@@ -1098,3 +1098,21 @@ def test_watermark_lateness_prefix_scan_is_bucketed(spark, oracle_sf_dir):
     assert got == want
     p = _plan(df)
     assert "windowspecdefinition(b#" in p, p
+
+
+def test_zipf_rank_never_global_windows_type_table(spark, oracle_sf_dir):
+    """The Zipf rank must be distributed: the only window that touches
+    the type table (ordering by tok) is partitioned by (cnt, prefix
+    bucket); the sole unpartitioned window runs on the metadata-sized
+    bucket table (the sample_weighted_systematic pattern)."""
+    import re
+
+    from tailsql_spark.plans.registry import REGISTRY
+
+    p = _plan(REGISTRY["text_zipf_slope"].build(spark, oracle_sf_dir))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", p)
+    assert specs, p
+    for spec in specs:
+        if "tok#" in spec:
+            # type-table window: must carry the bucket partition columns
+            assert "cnt#" in spec and "pb#" in spec, spec
