@@ -2043,28 +2043,63 @@ REGISTRY["stream_merge_upsert"] = QuerySpec(
 N_STATE_BUCKETS = 32
 
 
-def _bucket_state_paths(
-    root: str, col: str, touched, exclude_bid: int | None = None
-) -> list[str]:
-    """Leaf bucket dirs (``{root}/b*/{col}={k}``) for the touched
-    buckets, plus the schema seed — the bucketed analogue of
-    ``_mh_state_paths``.  Reading leaf dirs directly (no partition
-    discovery) keeps the bucket column out of the frame and tolerates
-    buckets absent from a batch.  The listing is per-batch-dir driver
-    metadata — what a lakehouse manifest replaces at scale."""
-    paths = [f"{root}/seed"]
-    touched = set(touched)
-    for d in sorted(_fs_list(root)):
-        if (
-            d.startswith("b")
-            and d[1:].isdigit()
-            and (exclude_bid is None or int(d[1:]) != exclude_bid)
-        ):
-            subs = set(_fs_list(f"{root}/{d}"))
-            paths += [
-                f"{root}/{d}/{col}={k}" for k in sorted(touched) if f"{col}={k}" in subs
-            ]
-    return paths
+def _bucket_manifest_write(frame, root: str, col: str, bid: int) -> None:
+    """Commit this batch's bucket MANIFEST: one row (bid, bucket, path)
+    per leaf dir just written under ``{root}/{_bdir(bid)}``.  Rows are
+    derived DISTRIBUTED from the written frame's distinct bucket values
+    (no driver collect) and land in a per-batch-id overwrite dir, so a
+    replayed batch rewrites byte-identical manifest rows.  Write order
+    is data-then-manifest — readers trust only the manifest, so a crash
+    between the two leaves the batch invisible (exactly as an aborted
+    lakehouse commit), and the replay rewrites both."""
+    sub = _bdir(bid)
+    (
+        frame.select(F.col(col).cast("long").alias("bucket"))
+        .distinct()
+        .select(
+            F.lit(int(bid)).cast("long").alias("bid"),
+            "bucket",
+            F.concat(
+                F.lit(f"{root}/{sub}/{col}="), F.col("bucket").cast("string")
+            ).alias("path"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{root}/_manifest/{sub}")
+    )
+
+
+def _bucket_manifest_seed(empty_frame, root: str) -> None:
+    """Schema seed for a family's manifest (empty, so the first batch's
+    recursive manifest read resolves a schema)."""
+    (
+        empty_frame.select(
+            F.lit(0).cast("long").alias("bid"),
+            F.lit(0).cast("long").alias("bucket"),
+            F.lit("").alias("path"),
+        )
+        .limit(0)
+        .write.mode("overwrite")
+        .parquet(f"{root}/_manifest/seed")
+    )
+
+
+def _bucket_manifest_paths(sess, root: str, touched_df, exclude_bid: int | None) -> list[str]:
+    """History leaf dirs for the touched buckets, pruned through the
+    bucket MANIFEST — no filesystem listing anywhere (an object-store
+    LIST per batch is exactly what lakehouse manifests exist to avoid).
+    One metadata-sized parquet read joined (broadcast) with the batch's
+    distinct-bucket frame, collected as planning metadata: the path
+    list is what every lakehouse planner hands the scan.  The replaying
+    batch's own rows are excluded BY BID, preserving the exactly-once
+    read discipline (a replayed batch sees the index as it stood before
+    its original run); the join also folds the former separate
+    touched-bucket collect into this single job."""
+    man = sess.read.option("recursiveFileLookup", "true").parquet(f"{root}/_manifest")
+    if exclude_bid is not None:
+        man = man.filter(F.col("bid") != int(exclude_bid))
+    pruned = man.join(F.broadcast(touched_df), "bucket").select("path").distinct()
+    # planning-metadata: ≤ n_batches × N_STATE_BUCKETS rows
+    return [f"{root}/seed"] + sorted(r.path for r in pruned.collect())
 
 
 def _mh_bucketed_seed(docs, state_root: str) -> tuple:
@@ -2092,6 +2127,8 @@ def _mh_bucketed_seed(docs, state_root: str) -> tuple:
     empty_ex.selectExpr(
         "doc_id AS id_a", "doc_id AS id_b", "CAST(0.0 AS DOUBLE) AS jaccard"
     ).limit(0).write.mode("overwrite").parquet(f"{out_root}/seed")
+    _bucket_manifest_seed(empty_ex, bands_root)
+    _bucket_manifest_seed(empty_ex, ex_root)
     return bands_root, ex_root, out_root
 
 
@@ -2104,18 +2141,26 @@ def _minhash_bucketed_processor(bands_root: str, ex_root: str, out_root: str):
     * the history index stores MATERIALIZED band rows (doc_id,
       band_idx, band_hash), so the probe never recomputes md5 bands
       over the whole corpus per batch;
-    * band state is bucketed by hash(band_hash): the probe lists its
-      batch's touched buckets (≤ N_STATE_BUCKETS values, planning
-      metadata) and reads ONLY those leaf dirs — lossless, since a
-      matching history row shares the band hash and therefore the
-      bucket;
+    * band state is bucketed by hash(band_hash): the probe reads ONLY
+      its batch's touched buckets — lossless, since a matching history
+      row shares the band hash and therefore the bucket;
     * the shingle postings are bucketed by hash(doc_id): candidate
       verification reads only the buckets containing candidate docs
-      (candidate sets are emission-sized).
+      (candidate sets are emission-sized);
+    * bucket→dir resolution goes through a per-family bucket MANIFEST
+      (r9): a metadata-sized parquet updated per batch replaces the
+      per-batch filesystem listing AND the separate touched-bucket
+      collect (folded into the manifest-prune join) — the r8-measured
+      constant planning overhead;
+    * state files are bucket-PURE: one shuffle by bucket before the
+      partitioned write, so each batch adds ≤ N_STATE_BUCKETS files
+      per family instead of tasks × buckets small files (the write-
+      side cost the r8 measurement also charged to this layout).
 
     Same exactly-once discipline as `_minhash_batch_processor`:
     per-batch-id overwrite dirs, history reads exclude the replaying
-    batch's own dir."""
+    batch's own rows (by manifest bid), data committed before its
+    manifest so readers never see a half-written batch."""
     from tailsql_spark.operators.dedup import (
         JACCARD_THRESHOLD,
         band_long,
@@ -2136,11 +2181,9 @@ def _minhash_bucketed_processor(bands_root: str, ex_root: str, out_root: str):
         sig_b = minhash_signatures(ex_b).persist()
         band_b = band_long(sig_b).persist()
         bb = F.pmod(F.xxhash64("band_hash"), F.lit(N_STATE_BUCKETS))
-        touched_bb = sorted(  # planning-metadata: ≤ N_STATE_BUCKETS values
-            r.k for r in band_b.select(bb.alias("k")).distinct().collect()  # planning-metadata
-        )
+        touched_bb = band_b.select(bb.cast("long").alias("bucket")).distinct()
         hist_bands = sess.read.parquet(
-            *_bucket_state_paths(bands_root, "bb", touched_bb, bid)
+            *_bucket_manifest_paths(sess, bands_root, touched_bb, bid)
         )
         all_bands = hist_bands.unionByName(band_b)
         probe = band_b.select(
@@ -2163,20 +2206,13 @@ def _minhash_bucketed_processor(bands_root: str, ex_root: str, out_root: str):
             .persist()
         )
         xb_of = lambda c: F.pmod(c, F.lit(N_STATE_BUCKETS))  # noqa: E731
-        cand_xb = sorted(
-            {
-                r.k
-                for r in cand.select(
-                    F.explode(
-                        F.array(xb_of(F.col("id_a")), xb_of(F.col("id_b")))
-                    ).alias("k")
-                )
-                .distinct()
-                .collect()  # planning-metadata: ≤ N_STATE_BUCKETS values
-            }
-        )
+        cand_xb = cand.select(
+            F.explode(F.array(xb_of(F.col("id_a")), xb_of(F.col("id_b")))).alias(
+                "bucket"
+            )
+        ).distinct()
         ex_all = sess.read.parquet(
-            *_bucket_state_paths(ex_root, "xb", cand_xb, bid)
+            *_bucket_manifest_paths(sess, ex_root, cand_xb, bid)
         ).unionByName(ex_b)
         # per-doc sizes recomputed from the PRUNED postings (a doc's
         # whole shingle set shares its bucket, so counts are complete
@@ -2207,12 +2243,19 @@ def _minhash_bucketed_processor(bands_root: str, ex_root: str, out_root: str):
         )
         sub = _bdir(bid)
         verified.write.mode("overwrite").parquet(f"{out_root}/{sub}")
-        band_b.withColumn("bb", bb).write.mode("overwrite").partitionBy("bb").parquet(
-            f"{bands_root}/{sub}"
-        )
-        ex_b.withColumn("xb", xb_of(F.col("doc_id"))).write.mode(
-            "overwrite"
-        ).partitionBy("xb").parquet(f"{ex_root}/{sub}")
+        # bucket-PURE state files: shuffle by the bucket column first so
+        # each leaf dir gets one file per owning task, not one per
+        # upstream task — ≤ N_STATE_BUCKETS files/family/batch
+        band_bb = band_b.withColumn("bb", bb)
+        band_bb.repartition(N_STATE_BUCKETS, "bb").write.mode("overwrite").partitionBy(
+            "bb"
+        ).parquet(f"{bands_root}/{sub}")
+        _bucket_manifest_write(band_bb, bands_root, "bb", bid)
+        ex_xb = ex_b.withColumn("xb", xb_of(F.col("doc_id")))
+        ex_xb.repartition(N_STATE_BUCKETS, "xb").write.mode("overwrite").partitionBy(
+            "xb"
+        ).parquet(f"{ex_root}/{sub}")
+        _bucket_manifest_write(ex_xb, ex_root, "xb", bid)
         cand.unpersist()
         band_b.unpersist()
         sig_b.unpersist()

@@ -50,6 +50,7 @@ def seed_and_probe(
     from tailsql_spark.plans.streaming_exec import (
         N_STATE_BUCKETS,
         _await_or_raise,
+        _bucket_manifest_write,
         _mh_bucketed_seed,
         _mh_seed_state,
         _minhash_batch_processor,
@@ -74,20 +75,24 @@ def seed_and_probe(
             ).filter(F.col("s").isNotNull())
             if bucketed:
                 bands_root, ex_root, out_root = _mh_bucketed_seed(docs, root)
-                ex.withColumn(
+                ex_xb = ex.withColumn(
                     "xb", F.pmod(F.col("doc_id"), F.lit(N_STATE_BUCKETS))
-                ).write.mode("overwrite").partitionBy("xb").parquet(
+                )
+                ex_xb.write.mode("overwrite").partitionBy("xb").parquet(
                     f"{ex_root}/b99999"
                 )
+                _bucket_manifest_write(ex_xb, ex_root, "xb", 99999)
                 sig = minhash_signatures(
                     spark.read.parquet(f"{ex_root}/b99999").select("doc_id", "s")
                 )
-                band_long(sig).withColumn(
+                band_bb = band_long(sig).withColumn(
                     "bb",
                     F.pmod(F.xxhash64("band_hash"), F.lit(N_STATE_BUCKETS)),
-                ).write.mode("overwrite").partitionBy("bb").parquet(
+                )
+                band_bb.write.mode("overwrite").partitionBy("bb").parquet(
                     f"{bands_root}/b99999"
                 )
+                _bucket_manifest_write(band_bb, bands_root, "bb", 99999)
                 process = _minhash_bucketed_processor(
                     bands_root, ex_root, out_root
                 )
