@@ -320,3 +320,231 @@ def multimodal_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scalars.select(
         "doc_id", F.array(*[F.col(f"f{k}") for k in range(4)]).alias("features")
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash (dHash) image near-dup dedup
+# ---------------------------------------------------------------------------
+
+#: dHash geometry: a 9x8 grayscale thumbnail; bit j (row r = j//8,
+#: col c = j%8) is 1 iff pixel(r,c) < pixel(r,c+1). 64 bits, split
+#: into 4 bands of 16 bits for Hamming-ball candidate generation:
+#: by pigeonhole, any pair within Hamming distance PHASH_HAMMING_MAX
+#: (= bands - 1) leaves at least one band untouched, so banding is
+#: LOSSLESS for the <= 3 ball (property-tested against brute force).
+PHASH_BANDS = 4
+PHASH_HAMMING_MAX = PHASH_BANDS - 1
+
+
+def _phash_bands_from_pixels(px: list) -> tuple:
+    """4x16-bit dHash bands from a row-major 9x8 pixel list."""
+    bands = [0, 0, 0, 0]
+    for j in range(64):
+        r, c = divmod(j, 8)
+        if px[r * 9 + c] < px[r * 9 + c + 1]:
+            bands[j // 16] |= 1 << (j % 16)
+    return tuple(bands)
+
+
+def phash_bands(payload: bytes, force_fake: bool = False) -> tuple:
+    """Perceptual dHash of an image payload as 4x16-bit band ints.
+
+    Real path (PIL importable AND payload carries image magic AND is
+    genuinely binary AND decodes): grayscale 9x8 thumbnail, adjacent-
+    pixel gradient bits — the standard dHash.  Fake path (everything
+    else — the whole synthetic corpus, by the same binary+magic gate
+    as :func:`decode_image`): the 72 "pixels" are the first 72 nibbles
+    of a 3-chained md5 over the raw payload bytes, bit rule identical —
+    deterministic and replayable in SQL (md5(text) chains), so the
+    certified results are the same with or without PIL installed."""
+    if not force_fake and payload.startswith(_IMAGE_MAGIC) and _is_binary(payload):
+        try:
+            import io
+
+            import PIL.Image
+
+            with PIL.Image.open(io.BytesIO(payload)) as im:
+                px = list(im.convert("L").resize((9, 8)).getdata())
+            return _phash_bands_from_pixels(px)
+        except Exception:
+            pass
+    hx = (
+        hashlib.md5(payload).hexdigest()
+        + hashlib.md5(payload + b"a").hexdigest()
+        + hashlib.md5(payload + b"b").hexdigest()
+    )
+    return _phash_bands_from_pixels([int(ch, 16) for ch in hx[:72]])
+
+
+def _phash_band_sql_exprs() -> list:
+    """The fake path's band arithmetic as SQL (both dialects): nibble
+    i of the chained-md5 hex string ``hx`` via instr/substr (the
+    dedup_simhash construction), dHash bit rule inlined per bit."""
+    px = lambda i: f"(instr('0123456789abcdef', substr(hx, {i + 1}, 1)) - 1)"  # noqa: E731
+    exprs = []
+    for k in range(PHASH_BANDS):
+        terms = []
+        for j in range(16 * k, 16 * k + 16):
+            r, c = divmod(j, 8)
+            terms.append(
+                f"(CASE WHEN {px(r * 9 + c)} < {px(r * 9 + c + 1)}"
+                f" THEN {1 << (j % 16)} ELSE 0 END)"
+            )
+        exprs.append("CAST(" + " + ".join(terms) + f" AS BIGINT) AS b{k}")
+    return exprs
+
+
+def _phash_hamming_sql(a: str, b: str) -> str:
+    return (
+        "("
+        + " + ".join(
+            f"bit_count(xor({a}.b{k}, {b}.b{k}))" for k in range(PHASH_BANDS)
+        )
+        + ")"
+    )
+
+
+_PHASH_ORACLE = f"""
+    WITH img AS (
+        SELECT doc_id, md5(text) || md5(text || 'a') || md5(text || 'b') AS hx
+        FROM documents WHERE CAST(doc_id % 3 AS INT) = 0
+    ),
+    ph AS (SELECT doc_id, {", ".join(_phash_band_sql_exprs())} FROM img),
+    grp AS (
+        SELECT b0, b1, b2, b3, MIN(doc_id) AS canonical_doc,
+               COUNT(*) AS n_docs
+        FROM ph GROUP BY 1, 2, 3, 4
+    ),
+    pairs AS (
+        -- brute force over distinct hashes: certifies the Spark side's
+        -- banded candidate generation as LOSSLESS for the <= ball
+        SELECT a.canonical_doc AS id_a, b.canonical_doc AS id_b,
+               {_phash_hamming_sql('a', 'b')} AS hamming
+        FROM grp a JOIN grp b ON a.canonical_doc < b.canonical_doc
+        WHERE {_phash_hamming_sql('a', 'b')} <= {PHASH_HAMMING_MAX}
+    ),
+    near AS (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS n_near_groups,
+               CAST(MIN(hamming) AS BIGINT) AS min_hamming
+        FROM (SELECT id_a AS id, hamming FROM pairs
+              UNION ALL SELECT id_b AS id, hamming FROM pairs) u
+        GROUP BY id
+    )
+    SELECT g.canonical_doc, g.n_docs,
+           COALESCE(n.n_near_groups, 0) AS n_near_groups,
+           n.min_hamming
+    FROM grp g LEFT JOIN near n ON g.canonical_doc = n.id
+"""
+
+
+@query(
+    "multimodal_phash_dedup",
+    "multimodal",
+    _PHASH_ORACLE,
+    doc="Perceptual-hash (dHash) image near-dup dedup — the image-side "
+    "twin of MinHash that any multimodal training corpus runs: payloads "
+    "hash to 64-bit dHashes in an Arrow-batched mapInPandas stage (real "
+    "PIL thumbnail gradient when the payload is a genuine image, the "
+    "deterministic chained-md5 fake otherwise — same binary+magic gate "
+    "as decode_image, so certified results are PIL-independent), "
+    "identical hashes collapse in one exact groupBy, and near-dup "
+    "GROUPS meet through 4x16-bit Hamming-ball banding (pigeonhole: "
+    "any pair within distance 3 shares a band) before an exact "
+    "bit_count verify — never an all-pairs join. The DuckDB oracle "
+    "replays the identical nibble arithmetic from chained md5(text) "
+    "and brute-forces the distance ball over distinct hashes, so a "
+    "banding recall loss would surface as a row mismatch. At 100 TB: "
+    "one groupBy shuffle on the 64-bit hash, then banding over "
+    "DISTINCT hashes only; band width is the dial — b bands of 64/b "
+    "bits cover distance b-1 and bucket population is n_groups/2^(64/b), "
+    "so a web-scale corpus widens bands (2x32-bit for d<=1) or "
+    "multi-probes rather than letting 16-bit buckets grow quadratic.",
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synth_media(spark, sf_dir).filter(F.col("media_type") == "image")
+
+    def hash_batches(batches):
+        for pdf in batches:
+            bands = pdf["payload"].map(phash_bands)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    **{
+                        f"b{k}": bands.map(lambda t, k=k: t[k]).astype("int64")
+                        for k in range(PHASH_BANDS)
+                    },
+                }
+            )
+
+    ph = media.mapInPandas(
+        hash_batches, schema="doc_id long, b0 long, b1 long, b2 long, b3 long"
+    )
+    bcols = [f"b{k}" for k in range(PHASH_BANDS)]
+    grp = ph.groupBy(*bcols).agg(
+        F.min("doc_id").alias("canonical_doc"), F.count("*").alias("n_docs")
+    )
+    return phash_near_groups(grp)
+
+
+def phash_near_groups(grp: DataFrame) -> DataFrame:
+    """Banded Hamming-ball neighbor stats over a (b0..b3,
+    canonical_doc, n_docs) group frame — factored so the losslessness
+    property test can drive it with synthetic band vectors."""
+    bcols = [f"b{k}" for k in range(PHASH_BANDS)]
+    bands = grp.select(
+        "canonical_doc",
+        *bcols,
+        F.posexplode(F.array(*[F.col(c) for c in bcols])).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.canonical_doc") < F.col("b.canonical_doc")),
+        )
+        .select(
+            F.col("a.canonical_doc").alias("id_a"),
+            F.col("b.canonical_doc").alias("id_b"),
+        )
+        .distinct()
+    )
+    ga = grp.select(
+        F.col("canonical_doc").alias("id_a"),
+        *[F.col(c).alias(f"a_{c}") for c in bcols],
+    )
+    gb = grp.select(
+        F.col("canonical_doc").alias("id_b"),
+        *[F.col(c).alias(f"b_{c}") for c in bcols],
+    )
+    hamming = sum(
+        F.expr(f"bit_count(a_b{k} ^ b_b{k})") for k in range(PHASH_BANDS)
+    )
+    pairs = (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .select("id_a", "id_b", "hamming")
+    )
+    near = (
+        pairs.select(F.col("id_a").alias("id"), "hamming")
+        .unionByName(pairs.select(F.col("id_b").alias("id"), "hamming"))
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_near_groups"),
+            F.min("hamming").alias("min_hamming"),
+        )
+    )
+    return (
+        grp.join(near, grp["canonical_doc"] == near["id"], "left")
+        .select(
+            "canonical_doc",
+            "n_docs",
+            F.coalesce(F.col("n_near_groups"), F.lit(0)).alias("n_near_groups"),
+            "min_hamming",
+        )
+    )

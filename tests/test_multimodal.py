@@ -140,3 +140,91 @@ def test_multimodal_metadata_formula_end_to_end(spark, oracle_sf_dir):
         | (F.col("height") != 16 + F.floor(F.col("n_bytes") / 7) % 64)
     ).count()
     assert bad == 0
+
+
+def test_phash_fake_path_is_pil_independent():
+    """Text payloads (valid UTF-8) take the deterministic fake path
+    whether or not PIL is importable: force_fake and the default gate
+    must agree on every synthetic payload shape."""
+    from tailsql_spark.operators.multimodal import phash_bands
+
+    for payload in (
+        b"plain prose payload",
+        b"GIF87a looks like a magic but is valid UTF-8 prose",
+        b"",
+        "unicode éü text".encode("utf-8"),
+    ):
+        assert phash_bands(payload) == phash_bands(payload, force_fake=True)
+        # deterministic across calls
+        assert phash_bands(payload) == phash_bands(payload)
+
+
+def test_phash_bands_match_sql_nibble_arithmetic():
+    """The Python fake path and the oracle's SQL nibble arithmetic are
+    the same function: replay the SQL construction in DuckDB over raw
+    strings and compare band ints."""
+    import duckdb
+
+    from tailsql_spark.operators.multimodal import (
+        _phash_band_sql_exprs,
+        phash_bands,
+    )
+
+    exprs = ", ".join(_phash_band_sql_exprs())
+    for text in ("hello world", "a", "", "the quick brown fox"):
+        got = phash_bands(text.encode("utf-8"), force_fake=True)
+        row = duckdb.sql(
+            "WITH h AS (SELECT md5($t) || md5($t || 'a') || md5($t || 'b') AS hx) "
+            f"SELECT {exprs} FROM h".replace("$t", f"'{text}'")
+        ).fetchone()
+        assert tuple(row) == got, text
+
+
+def test_phash_banding_lossless_for_hamming_ball(spark):
+    """Pigeonhole certification on adversarial band vectors: the banded
+    candidate path finds EXACTLY the brute-force pairs at distance <=
+    PHASH_HAMMING_MAX — including planted near-dups at distances 1..3
+    and excluding a distance-4 pair that still shares no band."""
+    from pyspark.sql import functions as F
+
+    from tailsql_spark.operators.multimodal import (
+        PHASH_HAMMING_MAX,
+        phash_near_groups,
+    )
+
+    base = [0xAAAA, 0x5555, 0x0F0F, 0x3333]
+    rows = [(1, *base, 1)]
+    # distances 1..3: flip that many bits spread across bands
+    flips = [(0, 0), (1, 3), (2, 7), (3, 11)]
+    for d in (1, 2, 3):
+        v = list(base)
+        for k, bit in flips[:d]:
+            v[k] ^= 1 << bit
+        rows.append((10 + d, *v, 1))
+    # distance 4, one flip in every band: shares NO band with base
+    v4 = [b ^ (1 << (2 * k)) for k, b in enumerate(base)]
+    rows.append((40, *v4, 1))
+    # far-away group, random-ish
+    rows.append((99, 0x1234, 0x8765, 0x4321, 0x9ABC, 1))
+    grp = spark.createDataFrame(
+        rows, "canonical_doc long, b0 long, b1 long, b2 long, b3 long, n_docs long"
+    )
+    out = {r.canonical_doc: r for r in phash_near_groups(grp).collect()}
+    # brute force
+    import itertools
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a[1:5], b[1:5]))
+
+    want_near = {r[0]: [] for r in rows}
+    for a, b in itertools.combinations(rows, 2):
+        d = ham(a, b)
+        if d <= PHASH_HAMMING_MAX:
+            want_near[a[0]].append(d)
+            want_near[b[0]].append(d)
+    assert len(out) == len(rows)
+    for doc, ds in want_near.items():
+        assert out[doc].n_near_groups == len(ds), doc
+        assert out[doc].min_hamming == (min(ds) if ds else None), doc
+    # the planted near-dups really were found through bands
+    assert out[1].n_near_groups >= 3 and out[40].min_hamming != 4
