@@ -1587,3 +1587,253 @@ def corpus_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM (SentencePiece-style) tokenizer trainer
+# ---------------------------------------------------------------------------
+
+#: Unigram-LM trainer shape: seed pieces are all substrings up to
+#: UNI_PIECE_MAX chars of the word-type table (single chars included,
+#: so segmentation is always feasible); words longer than UNI_WORD_MAX
+#: are excluded from training (the long tail a production trainer
+#: pre-splits); the certified query runs UNI_ROUNDS EM rounds.
+UNI_PIECE_MAX = 3
+UNI_WORD_MAX = 16
+UNI_ROUNDS = 2
+_UNI_SEP = "\x1f"
+
+
+def unigram_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-TYPE frequency table for unigram-LM training: the one
+    corpus-wide pass (everything after is vocab-sized)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"))
+        .filter((F.length("w") >= 1) & (F.length("w") <= UNI_WORD_MAX))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def unigram_seed_pieces(words: DataFrame) -> DataFrame:
+    """Seed vocabulary: corpus-weighted counts of every substring of
+    length 1..UNI_PIECE_MAX over the word types (overlapping occurrences
+    counted) — one explode + one vocab-keyed groupBy."""
+    return (
+        words.select(
+            F.col("cnt"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, length(w)), i -> "
+                    f"transform(sequence(1, least({UNI_PIECE_MAX}, length(w) - i + 1)),"
+                    " l -> substring(w, i, l))))"
+                )
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def unigram_piece_costs(pieces: DataFrame) -> dict:
+    """Integer-exact piece costs: rank pieces by (cnt DESC, piece ASC)
+    and charge bit_length(rank) — under a Zipf law ln p ~ -s ln rank,
+    so minimizing sum log2(rank) IS the Viterbi objective of a fitted
+    Zipf unigram LM, with the +1/piece floor acting as a shortness
+    prior.  Integer costs make the E-step argmax engine-exact (no
+    float-log comparisons to drift cross-engine).  The collected
+    piece table is the MODEL (like logreg weights / k-means centroids
+    in mlprep), broadcast to the segmentation workers — model-sized,
+    never corpus-sized; the collect also truncates per-round lineage,
+    so plan size stays constant in depth like the BPE spool."""
+    rk = F.row_number().over(W.orderBy(F.col("cnt").desc(), F.col("piece").asc()))
+    rows = pieces.withColumn("rk", rk).select("piece", "rk").collect()  # model-sized
+    return {r.piece: r.rk.bit_length() for r in rows}
+
+
+def unigram_viterbi(w: str, costs: dict) -> list:
+    """Min-cost segmentation of ``w`` into pieces from ``costs``; ties
+    by (fewer pieces, then lexicographic path) — the identical rule the
+    DuckDB oracle's unrolled DP applies, with the same below-printable
+    separator so path comparison agrees byte-for-byte."""
+    best: list = [None] * (len(w) + 1)
+    best[0] = (0, 0, "")
+    for j in range(1, len(w) + 1):
+        cand = None
+        for length in range(1, min(UNI_PIECE_MAX, j) + 1):
+            prev = best[j - length]
+            if prev is None:
+                continue
+            piece = w[j - length : j]
+            c = costs.get(piece)
+            if c is None:
+                continue
+            path = piece if prev[2] == "" else prev[2] + _UNI_SEP + piece
+            t = (prev[0] + c, prev[1] + 1, path)
+            if cand is None or t < cand:
+                cand = t
+        best[j] = cand
+    return best[len(w)][2].split(_UNI_SEP) if best[len(w)] else []
+
+
+def unigram_em_round(words: DataFrame, costs: dict) -> DataFrame:
+    """One hard-EM round: E-step Viterbi-segments every word TYPE in an
+    Arrow-batched mapInPandas stage under the broadcast cost model;
+    M-step re-counts piece usage corpus-weighted (one vocab-keyed
+    groupBy).  Pieces with zero usage drop out — the prune step; every
+    word stays segmentable because its own previous-round path pieces
+    all survive by construction."""
+    sc = words.sparkSession.sparkContext
+    bc = sc.broadcast(costs)
+
+    def seg(batches):
+        import pandas as pd
+
+        c = bc.value
+        for pdf in batches:
+            out_p: list = []
+            out_c: list = []
+            for w, cnt in zip(pdf["w"], pdf["cnt"]):
+                for piece in unigram_viterbi(w, c):
+                    out_p.append(piece)
+                    out_c.append(int(cnt))
+            yield pd.DataFrame(
+                {
+                    "piece": pd.Series(out_p, dtype="object"),
+                    "cnt": pd.Series(out_c, dtype="int64"),
+                }
+            )
+
+    used = words.mapInPandas(seg, schema="piece string, cnt long")
+    return used.groupBy("piece").agg(F.sum("cnt").alias("cnt"))
+
+
+def unigram_lm_train(words: DataFrame, n_rounds: int = UNI_ROUNDS) -> DataFrame:
+    """(round, piece, cnt) trajectory: round 0 = seed substring counts,
+    round r = the r-th EM round's M-step counts.  Each round's model
+    collect truncates lineage, so depth never grows the plan."""
+    traj = unigram_seed_pieces(words)
+    out = traj.select(
+        F.lit(0).cast("long").alias("round"), "piece", F.col("cnt").cast("long")
+    )
+    cur = traj
+    for r in range(1, n_rounds + 1):
+        cur = unigram_em_round(words, unigram_piece_costs(cur))
+        out = out.unionByName(
+            cur.select(
+                F.lit(r).cast("long").alias("round"),
+                "piece",
+                F.col("cnt").cast("long"),
+            )
+        )
+    return out
+
+
+def _unigram_dp_ctes(r: int) -> list:
+    """Unrolled Viterbi DP for round ``r`` as DuckDB CTEs: d{r}_j holds
+    the lexicographic-min (cost, np, path) state for every word's
+    length-j prefix; transitions come from the last 1..UNI_PIECE_MAX
+    characters matching a piece."""
+    parts = [
+        f"d{r}_0 AS MATERIALIZED (SELECT w, cnt, CAST(0 AS BIGINT) AS cost, 0 AS np,"
+        " '' AS path FROM uwords)"
+    ]
+    for j in range(1, UNI_WORD_MAX + 1):
+        branches = []
+        for length in range(1, min(UNI_PIECE_MAX, j) + 1):
+            branches.append(f"""
+            SELECT d.w, d.cnt, d.cost + p.cost AS cost, d.np + 1 AS np,
+                   CASE WHEN d.path = '' THEN p.piece
+                        ELSE d.path || chr(31) || p.piece END AS path
+            FROM d{r}_{j - length} d JOIN p{r} p
+              ON length(p.piece) = {length}
+             AND p.piece = substring(d.w, {j - length + 1}, {length})
+            WHERE length(d.w) >= {j}""")
+        u = " UNION ALL ".join(branches)
+        parts.append(f"""d{r}_{j} AS MATERIALIZED (
+            SELECT w, cnt, cost, np, path FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY w ORDER BY cost, np, path) AS rn
+                FROM ({u})
+            ) WHERE rn = 1)""")
+    best = " UNION ALL ".join(
+        f"SELECT w, cnt, path FROM d{r}_{j} WHERE length(w) = {j}"
+        for j in range(1, UNI_WORD_MAX + 1)
+    )
+    parts.append(f"best{r} AS MATERIALIZED ({best})")
+    parts.append(f"""m{r} AS (
+        SELECT piece, SUM(cnt) AS cnt FROM (
+            SELECT unnest(string_split(path, chr(31))) AS piece, cnt
+            FROM best{r}
+        ) GROUP BY 1)""")
+    return parts
+
+
+def _unigram_oracle() -> str:
+    parts = [
+        r"""uwords AS MATERIALIZED (
+        SELECT w, COUNT(*) AS cnt FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+            FROM documents
+        ) WHERE length(w) >= 1 AND length(w) <= """
+        + str(UNI_WORD_MAX)
+        + " GROUP BY w)",
+        f"""seed AS MATERIALIZED (
+        SELECT substring(w, CAST(i AS INT), CAST(l AS INT)) AS piece,
+               SUM(cnt) AS cnt
+        FROM uwords,
+             unnest(generate_series(1, length(w))) AS t(i),
+             unnest(generate_series(1, {UNI_PIECE_MAX})) AS u(l)
+        WHERE i + l - 1 <= length(w)
+        GROUP BY 1)""",
+    ]
+    for r in range(1, UNI_ROUNDS + 1):
+        src = "seed" if r == 1 else f"m{r - 1}"
+        parts.append(
+            f"p{r} AS MATERIALIZED (SELECT piece, CAST(length(bin(rk)) AS BIGINT) AS cost"
+            " FROM (SELECT piece, ROW_NUMBER() OVER (ORDER BY cnt DESC,"
+            f" piece ASC) AS rk FROM {src}))"
+        )
+        parts += _unigram_dp_ctes(r)
+    tail = " UNION ALL ".join(
+        [
+            "SELECT CAST(0 AS BIGINT) AS round, piece, CAST(cnt AS BIGINT)"
+            " AS cnt FROM seed"
+        ]
+        + [
+            f"SELECT CAST({r} AS BIGINT), piece, CAST(cnt AS BIGINT) FROM m{r}"
+            for r in range(1, UNI_ROUNDS + 1)
+        ]
+    )
+    return "WITH " + ",\n    ".join(parts) + f"\n    {tail}"
+
+
+@query(
+    "text_unigram_lm_train",
+    "text-analysis",
+    _unigram_oracle(),
+    doc=f"Unigram-LM (SentencePiece-style) tokenizer trainer, "
+    f"trajectory-certified at {UNI_ROUNDS} hard-EM rounds: seed = all "
+    f"substrings to {UNI_PIECE_MAX} chars of the word-type table; "
+    "E-step Viterbi-segments every word TYPE under integer-exact piece "
+    "costs (bit_length of the piece's frequency rank — the Zipf-LM "
+    "surrogate that keeps the argmax engine-exact, no float logs); "
+    "M-step re-counts piece usage; unused pieces prune out. The E-step "
+    "runs as Arrow-batched mapInPandas with the model BROADCAST (the "
+    "mlprep weights pattern) and each round's model collect truncates "
+    "lineage, so plan size is constant in depth like batched BPE. The "
+    "DuckDB oracle unrolls the identical DP (per-prefix lexicographic-"
+    "min states, same tie rule, same below-printable path separator). "
+    "Scale: the corpus appears ONLY in the word-type groupBy; seeding, "
+    "ranking, and M-step are vocab-keyed shuffles; segmentation is "
+    "embarrassingly parallel over word types with a model-sized "
+    "broadcast. A property test replays arbitrary word sets one round "
+    "PAST the certified depth against a pure-Python replica.",
+)
+def text_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tailsql_spark.plans.catalog import materialize_result, sf_key
+
+    traj = unigram_lm_train(unigram_words(spark, sf_dir))
+    return materialize_result(traj, "text_unigram_lm_train", key=sf_key(sf_dir))

@@ -726,3 +726,74 @@ def test_pps_invariants_hold_for_random_weights(spark, weights):
         assert lo <= got[i] <= hi, (i, w, got[i], lo, hi)
         if w * PPS_N >= total:
             assert got[i] >= 1
+
+
+@settings(
+    max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(data=st.data())
+def test_unigram_lm_matches_python_reference(spark, data):
+    """The distributed unigram-LM trainer (seed substring counts →
+    rank-derived integer costs → broadcast-model Viterbi E-step →
+    vocab-keyed M-step) == an independent pure-Python replica on random
+    word tables over a 3-char alphabet, run at UNI_ROUNDS + 1 — one
+    round PAST the certified depth."""
+    from tailsql_spark.operators.textstats import (
+        UNI_PIECE_MAX,
+        UNI_ROUNDS,
+        unigram_lm_train,
+        unigram_viterbi,
+    )
+
+    n_rounds = UNI_ROUNDS + 1
+    alphabet = st.sampled_from("abc")
+    n_words = data.draw(st.integers(1, 5))
+    words: dict[str, int] = {}
+    for _ in range(n_words):
+        w = "".join(data.draw(st.lists(alphabet, min_size=1, max_size=7)))
+        words[w] = words.get(w, 0) + data.draw(st.integers(1, 9))
+
+    # pure-Python replica (reuses only the single-word DP, which the
+    # DuckDB oracle certifies independently)
+    seed: dict[str, int] = {}
+    for w, c in words.items():
+        for i in range(len(w)):
+            for length in range(1, min(UNI_PIECE_MAX, len(w) - i) + 1):
+                p = w[i : i + length]
+                seed[p] = seed.get(p, 0) + c
+    expected = {(0, p, c) for p, c in seed.items()}
+    cur = seed
+    for rnd in range(1, n_rounds + 1):
+        ranked = sorted(cur.items(), key=lambda kv: (-kv[1], kv[0]))
+        costs = {p: rk.bit_length() for rk, (p, _) in enumerate(ranked, 1)}
+        m: dict[str, int] = {}
+        for w, c in words.items():
+            for p in unigram_viterbi(w, costs):
+                m[p] = m.get(p, 0) + c
+        expected |= {(rnd, p, c) for p, c in m.items()}
+        cur = m
+
+    wdf = spark.createDataFrame(list(words.items()), "w string, cnt long")
+    got = {
+        (r["round"], r.piece, r.cnt)
+        for r in unigram_lm_train(wdf, n_rounds=n_rounds).collect()
+    }
+    assert got == expected
+
+
+def test_unigram_viterbi_tie_breaks():
+    """Deterministic tie handling: equal-cost segmentations resolve by
+    fewer pieces, then lexicographic path — the oracle's exact rule."""
+    from tailsql_spark.operators.textstats import unigram_viterbi
+
+    # "ab" as one piece (cost 2) vs "a"+"b" (1+1): equal cost, fewer
+    # pieces wins
+    assert unigram_viterbi("ab", {"ab": 2, "a": 1, "b": 1}) == ["ab"]
+    # "ab"+"c" vs "a"+"bc": equal cost, equal np → lexicographic path:
+    # "a\x1fbc" < "ab\x1fc" since '\x1f' < 'b'
+    assert unigram_viterbi("abc", {"ab": 1, "c": 1, "a": 1, "bc": 1, "b": 5}) == [
+        "a",
+        "bc",
+    ]
+    # unreachable pieces force the single-char fallback
+    assert unigram_viterbi("xy", {"x": 3, "y": 9}) == ["x", "y"]
