@@ -1215,21 +1215,30 @@ def sink_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(base, delta)
 
 
-def scd2_apply(base: DataFrame, delta: DataFrame) -> DataFrame:
+def scd2_apply(
+    base: DataFrame, delta: DataFrame, base_valid_from: bool = False
+) -> DataFrame:
     """SCD2 core (see sink_scd2_history's doc): base(doc_id, content)
-    x delta(doc_id, content, op in U/D) -> versioned history rows."""
+    x delta(doc_id, content, op in U/D) -> versioned history rows.
+
+    ``base_valid_from=True`` makes the surviving/closed row keep the
+    base frame's own ``valid_from`` column instead of the batch
+    constant 1 — what the INCREMENTAL maintainer needs, where a
+    current row may have been opened by an earlier micro-batch (and a
+    replayed batch must not rewind it)."""
     j = base.alias("b").join(
         delta.alias("d"), F.col("b.doc_id") == F.col("d.doc_id"), "full_outer"
     )
     b_id, b_c = F.col("b.doc_id"), F.col("b.content")
     d_id, d_c, op = F.col("d.doc_id"), F.col("d.content"), F.col("d.op")
+    vfrom = F.col("b.valid_from") if base_valid_from else F.lit(1)
     unchanged = d_id.isNull() | ((op == "U") & d_c.eqNullSafe(b_c))
     v1 = F.when(
         b_id.isNotNull(),
         F.struct(
             b_id.alias("doc_id"),
             b_c.alias("content"),
-            F.lit(1).alias("valid_from"),
+            vfrom.alias("valid_from"),
             F.when(unchanged, F.lit(None).cast("int")).otherwise(F.lit(2)).alias("valid_to"),
             F.when(unchanged, F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
         ),
@@ -1249,6 +1258,74 @@ def scd2_apply(base: DataFrame, delta: DataFrame) -> DataFrame:
         F.col("r").isNotNull()
     )
     return rows.select("r.*")
+
+
+def scd2_merge_apply(spark: SparkSession, table_root: str, delta: DataFrame) -> list:
+    """Incremental SCD2 maintenance — the versioned sibling of
+    :func:`merge_apply`, shared by batch replays and the streaming
+    per-batch processor (one definition, no drift): list the batch's
+    touched partitions (planning metadata, bounded by the partition
+    count), close/append ONLY the current rows of those partitions
+    through the same :func:`scd2_apply` core (existing ``valid_from``
+    preserved), carry closed history rows through untouched, and
+    rewrite via dynamic partition overwrite.  Per-batch cost tracks
+    the batch.  Replay-idempotent: a re-applied 'U' meets the row it
+    opened (content equal → no-op) and a re-applied 'D' finds no
+    current row to close."""
+    delta = delta.persist()
+    try:
+        touched = sorted(r.part for r in delta.select("part").distinct().collect())
+        if not touched:
+            return []
+        hist = spark.read.parquet(table_root).filter(F.col("part").isin(touched))
+        cur = hist.filter(F.col("is_current") == 1).select(
+            "doc_id", "content", "valid_from"
+        )
+        closed = hist.filter(F.col("is_current") == 0).select(
+            "doc_id", "content", "valid_from", "valid_to", "is_current"
+        )
+        applied = scd2_apply(
+            cur, delta.select("doc_id", "content", "op"), base_valid_from=True
+        )
+        new_hist = (
+            closed.unionByName(applied)
+            .withColumn("part", F.col("doc_id") % MERGE_N_PARTS)
+            .persist()
+        )
+        try:
+            new_hist.count()  # materialize BEFORE overwriting what it reads
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                new_hist.write.mode("overwrite").partitionBy("part").parquet(
+                    table_root
+                )
+            finally:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+        finally:
+            new_hist.unpersist()
+    finally:
+        delta.unpersist()
+    return touched
+
+
+def expire_snapshots(root: str, keep_from_version: int) -> list:
+    """Snapshot-retention expiry for a ``v=N`` versioned history root
+    (see :func:`timetravel_root`): physically remove every snapshot
+    below ``keep_from_version`` and return the expired version ids.
+    Retained versions are untouched byte-for-byte (pytest-asserted) —
+    the GDPR/storage-budget half of time travel: history is kept for
+    reproducibility but not forever."""
+    expired = []
+    for d in sorted(os.listdir(root)):
+        if d.startswith("v=") and d[2:].isdigit() and int(d[2:]) < keep_from_version:
+            _rmtree_any(os.path.join(root, d))
+            expired.append(int(d[2:]))
+    return expired
 
 
 # ---------------------------------------------------------------------------

@@ -2709,3 +2709,111 @@ REGISTRY["stream_countmin_sketch"] = QuerySpec(
     "top-10 probe certifies against the SAME oracle as the batch "
     "agg_countmin_sketch.",
 )
+
+
+# ---------------------------------------------------------------------------
+# streaming SCD2: governed dimension history maintained incrementally
+# ---------------------------------------------------------------------------
+
+def _scd2_batch_processor(table_root: str):
+    """foreachBatch SCD2: each micro-batch of dimension changes runs
+    the ONE shared incremental core (connectors.scd2_merge_apply —
+    batch and streaming cannot drift): close changed current rows,
+    append new versions, carry closed history through, rewrite only
+    the touched partitions."""
+
+    def process(batch_df, batch_id: int) -> None:
+        from tailsql_spark.plans.connectors import scd2_merge_apply
+
+        scd2_merge_apply(batch_df.sparkSession, table_root, batch_df)
+
+    return process
+
+
+def stream_scd2_history(
+    spark: SparkSession, sf_dir: str, state_root: str | None = None
+) -> DataFrame:
+    """INCREMENTAL SCD2 dimension history: the change feed (upserts +
+    tombstones) arrives as a STREAM and each micro-batch closes/appends
+    version rows in the partitioned history table through a partition-
+    pruned dynamic overwrite — sink_scd2_history run continuously.
+
+    The delta's key sets are disjoint, so each key's history is decided
+    by exactly one micro-batch and sequential application commutes to
+    the one-shot batch SCD2: certified against the SAME oracle —
+    streaming ≡ batch for governed history maintenance.  Replay
+    idempotency comes from value-based change detection (a re-applied
+    'U' meets the row it opened — content equal, no-op; a re-applied
+    'D' finds no current row), pytest-replayed like the MERGE twin."""
+    import shutil
+
+    from tailsql_spark.plans.connectors import (
+        _merge_base_frame,
+        _merge_delta_frame,
+    )
+
+    state_root, _owned_state = _resolve_state_root("scd2", state_root)
+    table_root = f"{state_root}/table"
+    # seed the history ONCE per root, guarded on the COMMIT marker
+    # (the stream_merge_upsert discipline): every base row opens as
+    # the current version-1 row
+    if not _fs_exists(f"{table_root}/_SUCCESS"):
+        (
+            _merge_base_frame(spark, sf_dir)
+            .select(
+                "doc_id",
+                "content",
+                F.lit(1).alias("valid_from"),
+                F.lit(None).cast("int").alias("valid_to"),
+                F.lit(1).alias("is_current"),
+                "part",
+            )
+            .write.mode("overwrite")
+            .partitionBy("part")
+            .parquet(table_root)
+        )
+    delta = _merge_delta_frame(spark, sf_dir, with_deletes=True).select(
+        "doc_id", "content", "op", "part"
+    )
+    # 4 staged files + maxFilesPerTrigger=1 → 4 genuine micro-batches
+    src_dir = _stage_stream_source(delta, "scd2", state_root, _owned_state, corpus_tag=sf_dir)
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_scd2_batch_processor(table_root))
+        .option("checkpointLocation", f"{state_root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _await_or_raise(q, "stream_scd2_history")
+    finally:
+        q.stop()
+    result = spark.read.parquet(table_root).select(
+        "doc_id", "content", "valid_from", "valid_to", "is_current"
+    )
+    out = _persist_result(result, "stream_scd2_history")
+    if _owned_state:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        _fs_rmtree(state_root)
+    return out
+
+
+from tailsql_spark.plans.connectors import _SCD2_ORACLE as _SCD2_ORACLE_STREAM  # noqa: E402
+
+REGISTRY["stream_scd2_history"] = QuerySpec(
+    name="stream_scd2_history",
+    category="streaming-executed",
+    build=stream_scd2_history,
+    oracle=_SCD2_ORACLE_STREAM,
+    doc="SCD2 dimension history maintained INCREMENTALLY: the change "
+    "feed streams in micro-batches, each closing/appending version "
+    "rows in the partitioned history via the shared scd2_merge_apply "
+    "core with a partition-pruned dynamic overwrite. Disjoint per-key "
+    "decisions make sequential application commute to the one-shot "
+    "batch SCD2, so this certifies against the SAME oracle: "
+    "streaming ≡ batch for governed history.",
+)
