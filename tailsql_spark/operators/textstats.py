@@ -1771,7 +1771,9 @@ def _unigram_dp_ctes(r: int) -> list:
     return parts
 
 
-def _unigram_oracle() -> str:
+def _unigram_oracle_parts(n_rounds: int) -> list:
+    """Shared CTE chain: word types, seed, then per round the cost
+    table p{r} and the unrolled DP ending in m{r}."""
     parts = [
         r"""uwords AS MATERIALIZED (
         SELECT w, COUNT(*) AS cnt FROM (
@@ -1789,7 +1791,7 @@ def _unigram_oracle() -> str:
         WHERE i + l - 1 <= length(w)
         GROUP BY 1)""",
     ]
-    for r in range(1, UNI_ROUNDS + 1):
+    for r in range(1, n_rounds + 1):
         src = "seed" if r == 1 else f"m{r - 1}"
         parts.append(
             f"p{r} AS MATERIALIZED (SELECT piece, CAST(length(bin(rk)) AS BIGINT) AS cost"
@@ -1797,6 +1799,11 @@ def _unigram_oracle() -> str:
             f" piece ASC) AS rk FROM {src}))"
         )
         parts += _unigram_dp_ctes(r)
+    return parts
+
+
+def _unigram_oracle() -> str:
+    parts = _unigram_oracle_parts(UNI_ROUNDS)
     tail = " UNION ALL ".join(
         [
             "SELECT CAST(0 AS BIGINT) AS round, piece, CAST(cnt AS BIGINT)"
@@ -1837,3 +1844,97 @@ def text_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     traj = unigram_lm_train(unigram_words(spark, sf_dir))
     return materialize_result(traj, "text_unigram_lm_train", key=sf_key(sf_dir))
+
+
+def _unigram_tokenize_oracle() -> str:
+    """Tokenize under the TRAINED model: one more cost table from the
+    final round's counts, one more unrolled DP pass for the word-type
+    segmentation, then the per-doc aggregation (out-of-scope words —
+    longer than UNI_WORD_MAX — fall back to one piece per char, the
+    same rule both engines apply)."""
+    fr = UNI_ROUNDS + 1  # segmentation-only pass under the final model
+    parts = _unigram_oracle_parts(fr)
+    # m{fr} is never consumed: best{fr} carries the final segmentation
+    tail = f""",
+    nsyms AS MATERIALIZED (
+        SELECT w,
+               CAST(length(path) - length(replace(path, chr(31), '')) + 1
+                    AS BIGINT) AS np
+        FROM best{fr}
+    ),
+    dwords AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(CASE WHEN length(d.w) <= {UNI_WORD_MAX} THEN n.np
+                         ELSE length(d.w) END) AS BIGINT) AS n_pieces
+    FROM dwords d LEFT JOIN nsyms n ON d.w = n.w
+    WHERE length(d.w) >= 1
+    GROUP BY d.doc_id"""
+    return "WITH " + ",\n    ".join(parts) + tail
+
+
+@query(
+    "text_unigram_tokenize",
+    "text-analysis",
+    _unigram_tokenize_oracle(),
+    doc="Tokenization under the TRAINED unigram LM (the apply half of "
+    "text_unigram_lm_train, as bpe_tokenize is to bpe_train): the "
+    "final model's costs segment every word TYPE once (Viterbi, "
+    "broadcast model, Arrow-batched), and per-doc subword counts come "
+    "from joining the doc's word instances against the type-level "
+    "segmentation — the corpus is touched exactly twice (word groupBy, "
+    "doc join), never re-segmented per instance. Words beyond the "
+    f"training length cap fall back to one piece per char. Certified "
+    "against the oracle's additional unrolled DP pass over the same "
+    "trained counts.",
+)
+def text_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tailsql_spark.plans.catalog import materialize_result, sf_key
+
+    words = unigram_words(spark, sf_dir)
+    cur = unigram_seed_pieces(words)
+    for _ in range(UNI_ROUNDS):
+        cur = unigram_em_round(words, unigram_piece_costs(cur))
+    costs = unigram_piece_costs(cur)
+    bc = spark.sparkContext.broadcast(costs)
+
+    def npieces(batches):
+        import pandas as pd
+
+        c = bc.value
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "w": pdf["w"],
+                    "np": pd.Series(
+                        [len(unigram_viterbi(w, c)) for w in pdf["w"]],
+                        dtype="int64",
+                    ),
+                }
+            )
+
+    wordp = words.mapInPandas(npieces, schema="w string, np long")
+    t = load_tables(spark, sf_dir)
+    dwords = (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"),
+        )
+        .filter(F.length("w") >= 1)
+    )
+    out = (
+        dwords.join(wordp, "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.coalesce(F.col("np"), F.length("w").cast("long"))).alias(
+                "n_pieces"
+            ),
+        )
+    )
+    return materialize_result(out, "text_unigram_tokenize", key=sf_key(sf_dir))
