@@ -52,6 +52,12 @@ HEADLINE = [
     # the LLM-pipeline scale path, per the round-5 re-anchor note in
     # BASELINE.md.
     "text_contamination_bloom",
+    # round 9: the two new LLM-pipeline families — perceptual-hash
+    # image near-dup (banded Hamming ball over mapInPandas dHashes)
+    # and the unigram-LM tokenizer trainer (broadcast-model Viterbi
+    # EM); existing keys stay untouched for cross-round comparison.
+    "multimodal_phash_dedup",
+    "text_unigram_lm_train",
 ]
 
 

@@ -67,9 +67,15 @@ GRADED_WINDOW: tuple[str, ...] = (
     "predicate_null_handling",      # predicates
     "join_star_5way",               # equi joins (broadcast star)
     "join_semi",                    # semi/anti family (anti stays on the local gate)
-    "range_join_error_purchase",    # theta / range join
+    # (r9: range_join_error_purchase rotated to the local gate after
+    #  eight green rounds; the theta/range category is graded by the
+    #  banded theta->equi decomposition, the stronger scale shape)
+    "join_banded_range",            # theta / range join (banded decomposition)
     "asof_join_latest_order",       # as-of join
-    "q3_shipping_priority",         # join+agg+topk (TPC-H shape)
+    # (r9: q3_shipping_priority rotated to the local gate — all 22
+    #  TPC-H shapes stay green there and q1 keeps the family repped;
+    #  its slot goes to the event-analytics lateness audit below)
+    "events_watermark_lateness",    # out-of-orderness audit (bucketed prefix max)
     "window_topk_per_group",        # window functions
     "orderby_limit_topk",           # sorts / limits / top-k
     "setop_except_all",             # set operations
@@ -77,8 +83,14 @@ GRADED_WINDOW: tuple[str, ...] = (
     # keeps the scalar category repped) to make room for the
     # previously-singleton storage-layout family's r7 flagships
     "scalar_string_funcs",          # scalar functions
-    "sink_zorder_skipping",         # Z-order row-group pruning (both dims)
-    "sink_manifest_file_pruning",   # lakehouse data skipping
+    # (r9: sink_zorder_skipping rotated to the local gate — row-group
+    #  skipping stays certified there with the sorted variant; the
+    #  slot goes to governed-history time travel)
+    "sink_snapshot_time_travel",    # VERSION AS OF reads over retained snapshots
+    # (r9: sink_manifest_file_pruning rotated to the local gate — the
+    #  manifest pattern is now ALSO load-bearing inside the bucketed
+    #  streaming state; the slot goes to runtime partition pruning)
+    "join_dynamic_partition_pruning",  # dynamicpruning#N in PartitionFilters
     "array_hof_ops",                # array / map / json
     # r7: json_struct_parse rotated to the local gate (array_hof_ops
     # keeps the array/map/json category repped) to make room for the
@@ -113,7 +125,10 @@ GRADED_WINDOW: tuple[str, ...] = (
     #  dedup is graded by the strictly stronger stream_dedup_minhash)
     # r8: incremental BPE pair statistics — the mergeable per-batch
     # partial-count log feeding continuous tokenizer training
-    "stream_bpe_pair_counts",
+    # (r9: stream_bpe_pair_counts rotated to the local gate — the
+    #  mergeable partial-log shape is repped by the sketch rows; the
+    #  slot goes to incremental governed history)
+    "stream_scd2_history",          # r9: streaming SCD2 == batch SCD2, shared oracle
     # r7: stream_hourly_rollup_daily rotated to the local gate (the
     # cascaded-rollup shape is a cousin of stream_tumbling_counts) for
     # the r6 streaming flagship — the FULL curation DAG incremental,
@@ -135,7 +150,10 @@ GRADED_WINDOW: tuple[str, ...] = (
     # text analysis (r2 addition: eval-set contamination inverted-index)
     "text_contamination_overlap",
     # dedup family — each distinct algorithm
-    "dedup_exact",
+    # (r9: dedup_exact rotated to the local gate — the hash-groupBy
+    #  shape is graded by the strictly richer URL-canonicalization
+    #  dedup, and exact dedup stays certified inside the curation DAG)
+    "dedup_url_canonical",
     "dedup_minhash_lsh",
     # (r8 late rotation: dedup_minhash_recall to the local gate — the
     #  recall floor is hard-gated in pytest and the row stays certified
@@ -155,7 +173,11 @@ GRADED_WINDOW: tuple[str, ...] = (
     # distributed prefix sum — exactly n picks, zero floating point
     "sample_weighted_systematic",
     # similarity / ANN
-    "ann_cosine_topk_arrow",        # §2D Arrow pandas-UDF path
+    # (r9: ann_cosine_topk_arrow rotated to the local gate — ANN is
+    #  graded by the complete IVF-PQ stack below and the Arrow path
+    #  by the phash/zscore/kmeans rows; the slot goes to the round's
+    #  tokenizer-family flagship)
+    "text_unigram_lm_train",        # r9: SentencePiece-style EM trainer
     # r6: the seeded ann_ivf_topk row upgraded to the COMPLETE IVF-PQ
     # stack (learned cells + multiprobe + trained-codebook ADC) — the
     # strongest single certification of the ANN family; the seeded
@@ -174,12 +196,21 @@ GRADED_WINDOW: tuple[str, ...] = (
     "text_bpe_train_batched",
     # r8: tokenizer INFERENCE under the trained vocabulary (train +
     # apply in one certified composition)
-    "text_bpe_tokenize",
+    # (r9: text_bpe_tokenize rotated to the local gate — tokenizer
+    #  apply is graded via text_unigram_tokenize's local row and the
+    #  train rows; the slot goes to the corpus-health dial, now with
+    #  the distributed bucketed rank)
+    "text_zipf_slope",
     # r8: bigram-LM surprisal (Stupid Backoff) — the CCNet-style
     # perplexity quality filter, now driver-graded
-    "text_bigram_surprisal",
+    # (r9: text_bigram_surprisal rotated to the local gate; the slot
+    #  gives the sketch family an exact-certified driver row)
+    "agg_countmin_sketch",          # mergeable CMS, exact cross-engine
     # multimodal (mapInPandas over binary payloads)
-    "multimodal_feature_extract",
+    # (r9: multimodal_feature_extract rotated to the local gate — the
+    #  phash row below subsumes the mapInPandas plumbing certification
+    #  and adds the image near-dup semantics)
+    "multimodal_phash_dedup",       # r9: dHash near-dup, banded Hamming ball
     # skew handling
     "agg_salted_skew",
     # ML prep (r3: iterative k-means — the iterative-algorithm family's
