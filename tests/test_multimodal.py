@@ -228,3 +228,144 @@ def test_phash_banding_lossless_for_hamming_ball(spark):
         assert out[doc].min_hamming == (min(ds) if ds else None), doc
     # the planted near-dups really were found through bands
     assert out[1].n_near_groups >= 3 and out[40].min_hamming != 4
+
+
+def test_audio_cdc_realignment_property():
+    """The FastCDC property: inserting a token changes only the chunk
+    containing the edit — every frame after the next boundary hashes
+    identically, so shifted duplicates still share most frames.
+    Fixed-offset chunking loses all post-edit frames; CDC must not."""
+    import random
+
+    from tailsql_spark.operators.multimodal import audio_fingerprint_frames
+
+    rng = random.Random(42)
+    vocab = [f"tok{i}" for i in range(200)]
+    for trial in range(25):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(20, 120))]
+        frames = audio_fingerprint_frames(toks)
+        pos = rng.randrange(len(toks))
+        edited = toks[:pos] + ["INSERTED"] + toks[pos:]
+        frames2 = audio_fingerprint_frames(edited)
+        # frames strictly before the edited chunk are byte-identical
+        # (prefix preserved), and the suffix after the edit's chunk
+        # re-aligns: the shared-set size must cover every frame except
+        # those overlapping the single edited chunk.
+        lost = set(frames) - set(frames2)
+        # the edit damages at most 1 chunk of the original (the chunk
+        # containing the insertion point), so at most one DISTINCT
+        # frame can disappear — everything after re-aligns
+        assert len(lost) <= 1, (trial, toks, pos)
+
+
+def test_audio_tokens_real_wav_path():
+    """A genuine binary WAV payload decodes through stdlib wave into
+    hex PCM windows; the same bytes with the magic broken fall back to
+    the fake path."""
+    import io
+    import wave
+
+    from tailsql_spark.operators.multimodal import (
+        AUDIO_PCM_WINDOW,
+        audio_tokens,
+    )
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(8000)
+        # 1500 samples of a ramp — 3000 PCM bytes, genuinely binary
+        wv.writeframes(
+            b"".join(
+                (i % 251 - 125).to_bytes(2, "little", signed=True)
+                for i in range(1500)
+            )
+        )
+    payload = buf.getvalue()
+    assert payload.startswith(b"RIFF") and payload[8:12] == b"WAVE"
+    toks = audio_tokens(payload)
+    # 3000 bytes / 512-byte windows -> 6 windows, hex-encoded
+    assert len(toks) == -(-3000 // AUDIO_PCM_WINDOW)
+    assert all(set(t) <= set("0123456789abcdef") for t in toks)
+    # deterministic
+    assert toks == audio_tokens(payload)
+
+
+def test_audio_text_payload_never_reaches_wave():
+    """A valid-UTF-8 payload that happens to start with RIFF..WAVE
+    stays on the fake (whitespace-token) path — the binary gate, same
+    provable property as the PIL gate."""
+    from tailsql_spark.operators.multimodal import audio_tokens
+
+    payload = b"RIFFxxxxWAVE this is prose that mimics a wav header"
+    assert audio_tokens(payload) == payload.decode("utf-8").split(" ")
+
+
+def test_audio_frames_match_sql_chunk_arithmetic():
+    """Python CDC chunking and the oracle's SQL prefix-sum chunking are
+    the same function: replay the SQL construction in DuckDB over a raw
+    token list and compare frame-hash sets in order."""
+    import duckdb
+
+    from tailsql_spark.operators.multimodal import (
+        audio_fingerprint_frames,
+        audio_tokens,
+    )
+
+    for text in (
+        "the quick brown fox jumps over the lazy dog again and again",
+        "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+        "solo",
+        "  padded   with   runs\tof\nwhitespace  ",
+    ):
+        toks = audio_tokens(text.encode("utf-8"))
+        got = audio_fingerprint_frames(toks)
+        want = [
+            r[0]
+            for r in duckdb.sql(
+                """
+                WITH audio AS (
+                    SELECT list_filter(regexp_split_to_array($t, '\\s+'),
+                                       x -> x <> '') AS ws
+                ),
+                words AS (SELECT k AS pos, ws[k + 1] AS word
+                          FROM audio, LATERAL unnest(range(0, len(ws))) AS t(k)),
+                flagged AS (SELECT pos, word,
+                                   CASE WHEN substr(md5(word), 1, 1)
+                                        IN ('0','1','2','3') THEN 1 ELSE 0 END AS bdy
+                            FROM words),
+                chunks AS (SELECT pos, word,
+                                  COALESCE(SUM(bdy) OVER (ORDER BY pos
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING), 0) AS cid
+                           FROM flagged)
+                SELECT substr(md5(string_agg(word, ' ' ORDER BY pos)), 1, 15) AS fh
+                FROM chunks GROUP BY cid ORDER BY cid
+                """.replace("$t", "'" + text.replace("'", "''") + "'")
+            ).fetchall()
+        ]
+        assert got == want, text
+
+
+def test_audio_near_groups_df_cap_kills_hot_frames(spark):
+    """A frame present in > AUDIO_DF_CAP docs (corpus boilerplate) must
+    be pruned BEFORE pairing: plant one hot frame across 70 docs plus a
+    genuine 2-frame match pair, and assert only the pair survives."""
+    from tailsql_spark.operators.multimodal import (
+        AUDIO_DF_CAP,
+        audio_near_groups,
+    )
+
+    rows = [(i, "hotframe") for i in range(AUDIO_DF_CAP + 6)]
+    rows += [(1000, "fa"), (1000, "fb"), (1001, "fa"), (1001, "fb")]
+    ff = spark.createDataFrame(rows, "doc_id long, fh string")
+    ids = ff.select("doc_id").distinct()
+    out = {r.doc_id: r for r in audio_near_groups(ids, ff).collect()}
+    assert out[1000].n_matches == 1 and out[1000].best_match_doc == 1001
+    assert out[1001].best_common == 2
+    # every hot-frame-only doc: no frames kept, no matches
+    assert all(
+        out[i].n_frames == 0 and out[i].n_matches == 0
+        for i in range(AUDIO_DF_CAP + 6)
+    )
