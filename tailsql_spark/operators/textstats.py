@@ -1938,3 +1938,166 @@ def text_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return materialize_result(out, "text_unigram_tokenize", key=sf_key(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# BM25 top-k retrieval
+# ---------------------------------------------------------------------------
+
+#: Okapi BM25 constants (the standard defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 5
+#: the retrieval workload: fixed multi-term queries over the corpus
+#: vocabulary — the probe set a decontamination/quality pipeline runs
+#: against its training corpus.
+BM25_QUERIES = (
+    ("q1", "hash join"),
+    ("q2", "window agg"),
+    ("q3", "fast scan filter"),
+    ("q4", "stream batch merge"),
+    ("q5", "customer order query"),
+    ("q6", "vector column data"),
+)
+
+_BM25_QUERY_VALUES = ", ".join(
+    f"('{qid}', '{q}', '{tok}')"
+    for qid, q in BM25_QUERIES
+    for tok in q.split(" ")
+)
+
+#: Per-term weight, written with IDENTICAL expression structure on both
+#: engines so the doubles agree bitwise before the micro-unit round:
+#: idf = ln(1 + (N - df + 0.5)/(df + 0.5));
+#: w   = idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)).
+#: The weight is quantized to BIGINT micro-units BEFORE the per-doc sum
+#: (the repo's _cents discipline): summing doubles is order-dependent
+#: across engines, summing int64 micro-units is exact, and the final
+#: score divides once — so ranking and output are cross-engine stable.
+_BM25_ORACLE = f"""
+    WITH docs AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM docs),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+    tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(ws) AS tok FROM docs)
+        GROUP BY doc_id, tok
+    ),
+    qterms(qid, query, tok) AS (VALUES {_BM25_QUERY_VALUES}),
+    dfreq AS (
+        SELECT tf.tok, CAST(COUNT(*) AS BIGINT) AS df
+        FROM tf WHERE tf.tok IN (SELECT DISTINCT tok FROM qterms)
+        GROUP BY tf.tok
+    ),
+    scored AS (
+        SELECT q.qid, q.query, t.doc_id,
+               CAST(ROUND(
+                   ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * (t.tf * 2.2)
+                   / (t.tf + {BM25_K1} * (1.0 - {BM25_B}
+                      + {BM25_B} * l.dl / (s.sum_dl * 1.0 / s.n_docs)))
+                   * 1000000.0) AS BIGINT) AS w_u
+        FROM tf t
+        JOIN qterms q ON t.tok = q.tok
+        JOIN dfreq d ON t.tok = d.tok
+        JOIN dl l ON t.doc_id = l.doc_id
+        CROSS JOIN stats s
+    ),
+    agg AS (
+        SELECT qid, query, doc_id,
+               CAST(SUM(w_u) AS BIGINT) AS score_u,
+               CAST(COUNT(*) AS BIGINT) AS n_terms
+        FROM scored GROUP BY qid, query, doc_id
+    )
+    SELECT qid, query, doc_id,
+           CAST(score_u AS DOUBLE) / 1000000.0 AS score,
+           n_terms, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY score_u DESC, doc_id) AS rnk FROM agg) r
+    WHERE rnk <= {BM25_TOPK}
+"""
+
+
+@query(
+    "text_bm25_topk",
+    "textstats",
+    _BM25_ORACLE,
+    doc="Okapi BM25 top-k retrieval over the corpus — the probe shape "
+    "a training-data pipeline runs for retrieval-based "
+    "decontamination, eval-set leakage checks, and targeted curation. "
+    "Term frequencies and doc lengths come from one tokenize pass; "
+    "the tiny query-term table BROADCASTS onto the tf posting list so "
+    "only matching postings survive (the corpus never shuffles on "
+    "anything query-sized); document frequencies for the handful of "
+    "query terms aggregate from the already-filtered postings; corpus "
+    "N/avgdl ride a broadcast 1-row stats table. Per-term BM25 "
+    "weights are quantized to int64 micro-units BEFORE the per-doc "
+    "sum (float sums are order-dependent across engines; int sums are "
+    "exact), and top-k is a qid-partitioned window —6 partitions of "
+    "candidate postings, never a global sort. At 100 TB: cost is one "
+    "groupBy over (doc, term) postings + a broadcast probe; with a "
+    "pre-built term-partitioned posting index the probe is an "
+    "index-bucket read, the classic inverted-index serving shape.",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select(
+        "doc_id", F.split(F.lower("text"), " ").alias("ws")
+    )
+    dl = docs.select("doc_id", F.size("ws").cast("long").alias("dl"))
+    tf = (
+        docs.select("doc_id", F.explode("ws").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    qterms = spark.createDataFrame(
+        [
+            (qid, q, tok)
+            for qid, q in BM25_QUERIES
+            for tok in q.split(" ")
+        ],
+        "qid string, query string, tok string",
+    )
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    matched = tf.join(F.broadcast(qterms), "tok")
+    dfreq = (
+        tf.join(F.broadcast(qterms.select("tok").distinct()), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+    )
+    avgdl = F.col("sum_dl") * 1.0 / F.col("n_docs")
+    w = (
+        F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * (F.col("tf") * 2.2)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / avgdl)
+        )
+    )
+    scored = (
+        matched.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("w_u", F.round(w * 1000000.0, 0).cast("long"))
+    )
+    agg = scored.groupBy("qid", "query", "doc_id").agg(
+        F.sum("w_u").alias("score_u"), F.count("*").alias("n_terms")
+    )
+    win = W.partitionBy("qid").orderBy(F.col("score_u").desc(), F.col("doc_id"))
+    return (
+        agg.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= BM25_TOPK)
+        .select(
+            "qid",
+            "query",
+            "doc_id",
+            (F.col("score_u").cast("double") / 1000000.0).alias("score"),
+            "n_terms",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

@@ -797,3 +797,74 @@ def test_unigram_viterbi_tie_breaks():
     ]
     # unreachable pieces force the single-char fallback
     assert unigram_viterbi("xy", {"x": 3, "y": 9}) == ["x", "y"]
+
+
+def test_bm25_matches_python_reference(spark):
+    """BM25 semantics against a pure-Python reference on a planted
+    corpus: same tokenization, same k1/b, same micro-unit quantization
+    — certifies ranking and scores, not just cross-engine equality."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from tailsql_spark.operators.textstats import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERIES,
+        BM25_TOPK,
+        text_bm25_topk,
+    )
+
+    corpus = {
+        1: "hash join hash join hash",
+        2: "window agg window",
+        3: "fast scan filter scan",
+        4: "stream batch merge stream batch",
+        5: "customer order query order",
+        6: "vector column data vector",
+        7: "hash window fast stream customer vector",
+        8: "the quick brown fox",
+    }
+
+    # python reference
+    toks = {d: t.split(" ") for d, t in corpus.items()}
+    N = len(corpus)
+    avgdl = sum(len(v) for v in toks.values()) / N
+    want = {}
+    for qid, q in BM25_QUERIES:
+        scores = {}
+        for d, ws in toks.items():
+            su, nt = 0, 0
+            for term in q.split(" "):
+                tfv = ws.count(term)
+                if not tfv:
+                    continue
+                df = sum(1 for w2 in toks.values() if term in w2)
+                idf = math.log(1.0 + (N - df + 0.5) / (df + 0.5))
+                w = idf * (tfv * 2.2) / (
+                    tfv + BM25_K1 * (1.0 - BM25_B + BM25_B * len(ws) / avgdl)
+                )
+                su += int(round(w * 1_000_000.0))
+                nt += 1
+            if nt:
+                scores[d] = (su, nt)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        for rnk, (d, (su, nt)) in enumerate(ranked[:BM25_TOPK], 1):
+            want[(qid, d)] = (su / 1_000_000.0, nt, rnk)
+
+    # spark over the same corpus, via a monkeypatched documents view
+    import tailsql_spark.operators.textstats as TS
+
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in corpus.items()], "doc_id long, text string"
+    )
+    orig = TS.load_tables
+    TS.load_tables = lambda s, sf: {"documents": docs}
+    try:
+        got = {
+            (r.qid, r.doc_id): (r.score, r.n_terms, r.rnk)
+            for r in text_bm25_topk(spark, "unused").collect()
+        }
+    finally:
+        TS.load_tables = orig
+    assert got == want

@@ -1116,3 +1116,29 @@ def test_zipf_rank_never_global_windows_type_table(spark, oracle_sf_dir):
         if "tok#" in spec:
             # type-table window: must carry the bucket partition columns
             assert "cnt#" in spec and "pb#" in spec, spec
+
+
+def test_bm25_query_terms_broadcast_onto_postings(spark, oracle_sf_dir):
+    """BM25: the query-term table, the per-term df table, and the
+    1-row corpus stats must all BROADCAST onto the tf posting list —
+    the corpus never shuffles on anything query-sized, and top-k is a
+    qid-partitioned window (never a global sort)."""
+    from tailsql_spark.plans.registry import REGISTRY
+
+    p = _plan(REGISTRY["text_bm25_topk"].build(spark, oracle_sf_dir))
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "CartesianProduct" not in p, p
+    # the only window is partitioned by qid, never empty-partition
+    assert "windowspecdefinition(qid" in p, p
+
+
+def test_audio_fp_hot_frames_pruned_before_pairing(spark, oracle_sf_dir):
+    """Audio CDC dedup: the hot-frame prune must be a broadcast
+    anti-join applied BEFORE the pair self-join, and the best-match
+    window must partition by doc id (never a global order)."""
+    from tailsql_spark.plans.registry import REGISTRY
+
+    p = _plan(REGISTRY["multimodal_audio_fp_dedup"].build(spark, oracle_sf_dir))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "windowspecdefinition(id" in p, p
