@@ -2070,6 +2070,18 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count("*").alias("df"))
     )
+    return bm25_rank(matched.join(dl, "doc_id"), dfreq, stats)
+
+
+def bm25_rank(matched: DataFrame, dfreq: DataFrame, stats: DataFrame) -> DataFrame:
+    """Score + rank the already-probed postings.
+
+    ``matched`` is (qid, query, doc_id, tok, tf, dl) — only postings
+    for query terms; ``dfreq`` is (tok, df); ``stats`` is the 1-row
+    (n_docs, sum_dl) corpus table.  Factored so the streaming twin
+    scores its merged incremental state through the IDENTICAL
+    arithmetic as the batch query (shared-code certification: the two
+    cannot drift)."""
     avgdl = F.col("sum_dl") * 1.0 / F.col("n_docs")
     w = (
         F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
@@ -2081,7 +2093,6 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         matched.join(F.broadcast(dfreq), "tok")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .withColumn("w_u", F.round(w * 1000000.0, 0).cast("long"))
     )

@@ -2817,3 +2817,128 @@ REGISTRY["stream_scd2_history"] = QuerySpec(
     "batch SCD2, so this certifies against the SAME oracle: "
     "streaming ≡ batch for governed history.",
 )
+
+
+# ---------------------------------------------------------------------------
+# incremental BM25 retrieval index
+# ---------------------------------------------------------------------------
+
+
+def _bm25_batch_processor(post_root: str, stat_root: str):
+    """Per micro-batch: probe the batch's documents with the broadcast
+    query-term table and write (a) the matching tf postings with doc
+    lengths, (b) the batch's 1-row (n_docs, sum_dl) corpus partial —
+    both to per-batch-id overwrite dirs, no history reads, so replay
+    is idempotent by construction.  All BM25 state is MERGEABLE:
+    postings are disjoint by doc across batches, and N/sum_dl are
+    additive counters."""
+
+    def process(batch_df, batch_id):
+        from tailsql_spark.operators.textstats import BM25_QUERIES
+
+        spark = batch_df.sparkSession
+        qtoks = spark.createDataFrame(
+            [(tok,) for tok in {t for _, q in BM25_QUERIES for t in q.split(" ")}],
+            "tok string",
+        )
+        docs = batch_df.select(
+            "doc_id", F.split(F.lower("text"), " ").alias("ws")
+        )
+        dl = docs.select("doc_id", F.size("ws").cast("long").alias("dl"))
+        tf = (
+            docs.select("doc_id", F.explode("ws").alias("tok"))
+            .groupBy("doc_id", "tok")
+            .agg(F.count("*").alias("tf"))
+        )
+        post = tf.join(F.broadcast(qtoks), "tok").join(dl, "doc_id")
+        post.select("tok", "doc_id", "tf", "dl").write.mode("overwrite").parquet(
+            f"{post_root}/{_bdir(int(batch_id))}"
+        )
+        dl.agg(
+            F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+        ).write.mode("overwrite").parquet(f"{stat_root}/{_bdir(int(batch_id))}")
+
+    return process
+
+
+def stream_bm25_topk(
+    spark: SparkSession, sf_dir: str, state_root: str | None = None
+) -> DataFrame:
+    """INCREMENTAL BM25 retrieval: the corpus streams in and each
+    micro-batch maintains the probe-side retrieval index — query-term
+    tf postings plus the additive (N, sum_dl) corpus counters — as
+    per-batch mergeable partials.  Read time merges the partial log
+    and scores through the SAME ``bm25_rank`` code as the batch query
+    (shared-code certification: the arithmetic cannot drift), so the
+    continuously-maintained index provably equals re-running batch
+    BM25 over the full corpus — the production shape for a standing
+    decontamination/eval-leakage probe over a growing training corpus.
+    Per-batch cost tracks NEW documents only; state is |matching
+    postings| + one counter row per batch, regardless of corpus size."""
+    import shutil
+
+    from tailsql_spark.operators.textstats import bm25_rank, BM25_QUERIES
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+    state_root, _owned_state = _resolve_state_root("bm25", state_root)
+    post_root = f"{state_root}/post"
+    stat_root = f"{state_root}/stat"
+    spark.createDataFrame([], "tok string, doc_id long, tf long, dl long").write.mode(
+        "overwrite"
+    ).parquet(f"{post_root}/seed")
+    spark.createDataFrame([], "n_docs long, sum_dl long").write.mode(
+        "overwrite"
+    ).parquet(f"{stat_root}/seed")
+    src_dir = _stage_stream_source(docs, "bm25", state_root, _owned_state, corpus_tag=sf_dir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_bm25_batch_processor(post_root, stat_root))
+        .option("checkpointLocation", f"{state_root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _await_or_raise(q, "stream_bm25_topk")
+    finally:
+        q.stop()
+    postings = spark.read.parquet(*_mh_state_paths(post_root))
+    stats = spark.read.parquet(*_mh_state_paths(stat_root)).agg(
+        F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl")
+    )
+    dfreq = postings.groupBy("tok").agg(F.count("*").alias("df"))
+    qterms = spark.createDataFrame(
+        [(qid, q_, tok) for qid, q_ in BM25_QUERIES for tok in q_.split(" ")],
+        "qid string, query string, tok string",
+    )
+    matched = postings.join(F.broadcast(qterms), "tok").select(
+        "qid", "query", "doc_id", "tok", "tf", "dl"
+    )
+    result = bm25_rank(matched, dfreq, stats)
+    out = _persist_result(result, "stream_bm25_topk")
+    if _owned_state:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        _fs_rmtree(state_root)
+    return out
+
+
+from tailsql_spark.operators.textstats import _BM25_ORACLE as _BM25_ORACLE_STREAM  # noqa: E402
+
+REGISTRY["stream_bm25_topk"] = QuerySpec(
+    name="stream_bm25_topk",
+    category="streaming-executed",
+    build=stream_bm25_topk,
+    oracle=_BM25_ORACLE_STREAM,
+    doc="BM25 retrieval index maintained INCREMENTALLY: each "
+    "micro-batch appends its query-term tf postings and additive "
+    "(N, sum_dl) counter partial (per-batch-id overwrite dirs, no "
+    "history reads — replay-idempotent), and read time scores the "
+    "merged state through the SAME bm25_rank code as the batch query, "
+    "certified against the SAME DuckDB oracle: streaming ≡ batch for "
+    "the standing retrieval probe. Per-batch state is query-sized, "
+    "not corpus-sized.",
+)

@@ -799,3 +799,58 @@ def test_snapshot_retention_expiry(spark, oracle_sf_dir, tmp_path):
     assert spark.read.parquet(f"{root}/v=2").count() > 0
     # idempotent: nothing further to expire
     assert expire_snapshots(root, keep_from_version=2) == []
+
+
+def test_bm25_processor_replay_idempotent(spark, oracle_sf_dir):
+    """BM25 incremental index: every batch replayed (at-least-once
+    contract) — a double-append would inflate N/sum_dl and every df,
+    shifting all scores. Final merged state scored through bm25_rank
+    must equal the batch text_bm25_topk result exactly."""
+    from tailsql_spark.operators.textstats import (
+        BM25_QUERIES,
+        REGISTRY as _TEXT,
+        bm25_rank,
+    )
+    from tailsql_spark.plans.catalog import load_tables
+    from tailsql_spark.plans.streaming_exec import (
+        _bm25_batch_processor,
+        _mh_state_paths,
+    )
+
+    docs = load_tables(spark, oracle_sf_dir)["documents"].select("doc_id", "text")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    rest = docs.filter(F.col("doc_id") % 2 == 1)
+
+    root = tempfile.mkdtemp(prefix="tailsql_bm25_replay_")
+    try:
+        post_root, stat_root = f"{root}/post", f"{root}/stat"
+        spark.createDataFrame(
+            [], "tok string, doc_id long, tf long, dl long"
+        ).write.parquet(f"{post_root}/seed")
+        spark.createDataFrame([], "n_docs long, sum_dl long").write.parquet(
+            f"{stat_root}/seed"
+        )
+        process = _bm25_batch_processor(post_root, stat_root)
+        process(half, 0)
+        process(half, 0)  # simulated post-crash replay
+        process(rest, 1)
+        process(rest, 1)
+        postings = spark.read.parquet(*_mh_state_paths(post_root))
+        stats = spark.read.parquet(*_mh_state_paths(stat_root)).agg(
+            F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl")
+        )
+        dfreq = postings.groupBy("tok").agg(F.count("*").alias("df"))
+        qterms = spark.createDataFrame(
+            [(qid, q, tok) for qid, q in BM25_QUERIES for tok in q.split(" ")],
+            "qid string, query string, tok string",
+        )
+        matched = postings.join(F.broadcast(qterms), "tok").select(
+            "qid", "query", "doc_id", "tok", "tf", "dl"
+        )
+        got = {tuple(r) for r in bm25_rank(matched, dfreq, stats).collect()}
+        want = {
+            tuple(r) for r in _TEXT["text_bm25_topk"].build(spark, oracle_sf_dir).collect()
+        }
+        assert got == want, f"extra={got - want}, missing={want - got}"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
