@@ -58,6 +58,9 @@ HEADLINE = [
     # EM); existing keys stay untouched for cross-round comparison.
     "multimodal_phash_dedup",
     "text_unigram_lm_train",
+    # round 9: BM25 retrieval — the broadcast-probe inverted-index
+    # shape (decontamination / eval-leakage standing probe).
+    "text_bm25_topk",
 ]
 
 
