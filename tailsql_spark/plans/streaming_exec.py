@@ -2942,3 +2942,116 @@ REGISTRY["stream_bm25_topk"] = QuerySpec(
     "the standing retrieval probe. Per-batch state is query-sized, "
     "not corpus-sized.",
 )
+
+
+# ---------------------------------------------------------------------------
+# incremental perceptual-hash (image) dedup
+# ---------------------------------------------------------------------------
+
+
+def _phash_batch_processor(ph_root: str):
+    """Per micro-batch: dHash the batch's image payloads (the same
+    Arrow-batched stage as the batch operator) and write the
+    (doc_id, b0..b3) hash rows to a per-batch-id overwrite dir — no
+    history reads, replay-idempotent by construction.  Hash rows are
+    trivially mergeable state: docs are disjoint across batches."""
+
+    def process(batch_df, batch_id):
+        import pandas as pd
+
+        from tailsql_spark.operators.multimodal import PHASH_BANDS, phash_bands
+
+        def hash_batches(batches):
+            for pdf in batches:
+                bands = pdf["payload"].map(lambda b: phash_bands(bytes(b)))
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        **{
+                            f"b{k}": bands.map(lambda t, k=k: t[k]).astype("int64")
+                            for k in range(PHASH_BANDS)
+                        },
+                    }
+                )
+
+        ph = batch_df.mapInPandas(
+            hash_batches, schema="doc_id long, b0 long, b1 long, b2 long, b3 long"
+        )
+        ph.write.mode("overwrite").parquet(f"{ph_root}/{_bdir(int(batch_id))}")
+
+    return process
+
+
+def stream_phash_dedup(
+    spark: SparkSession, sf_dir: str, state_root: str | None = None
+) -> DataFrame:
+    """INCREMENTAL perceptual-hash image dedup: images stream in, each
+    micro-batch appends its dHash rows to the state log (per-batch-id
+    overwrite, no history reads), and read time groups identical
+    hashes and runs the banded Hamming-ball neighbor stats over the
+    merged state — the SAME phash_near_groups code and SAME oracle as
+    batch ``multimodal_phash_dedup``, so the continuously-maintained
+    image index provably equals the batch dedup.  Extends the
+    streaming ≡ batch guarantee to the multimodal family: per-batch
+    cost is hashing NEW payloads only (the expensive part — decode —
+    never re-runs over history), and state is 5 ints per image
+    regardless of payload size."""
+    import shutil
+
+    from tailsql_spark.operators.multimodal import (
+        PHASH_BANDS,
+        phash_near_groups,
+        synth_media,
+    )
+
+    media = synth_media(spark, sf_dir).filter(F.col("media_type") == "image")
+    images = media.select("doc_id", "payload")
+    state_root, _owned_state = _resolve_state_root("phash", state_root)
+    ph_root = f"{state_root}/ph"
+    spark.createDataFrame(
+        [], "doc_id long, b0 long, b1 long, b2 long, b3 long"
+    ).write.mode("overwrite").parquet(f"{ph_root}/seed")
+    src_dir = _stage_stream_source(images, "phash", state_root, _owned_state, corpus_tag=sf_dir)
+    stream = (
+        spark.readStream.schema(images.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_phash_batch_processor(ph_root))
+        .option("checkpointLocation", f"{state_root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _await_or_raise(q, "stream_phash_dedup")
+    finally:
+        q.stop()
+    bcols = [f"b{k}" for k in range(PHASH_BANDS)]
+    ph = spark.read.parquet(*_mh_state_paths(ph_root))
+    grp = ph.groupBy(*bcols).agg(
+        F.min("doc_id").alias("canonical_doc"), F.count("*").alias("n_docs")
+    )
+    result = phash_near_groups(grp)
+    out = _persist_result(result, "stream_phash_dedup")
+    if _owned_state:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        _fs_rmtree(state_root)
+    return out
+
+
+from tailsql_spark.operators.multimodal import _PHASH_ORACLE as _PHASH_ORACLE_STREAM  # noqa: E402
+
+REGISTRY["stream_phash_dedup"] = QuerySpec(
+    name="stream_phash_dedup",
+    category="streaming-executed",
+    build=stream_phash_dedup,
+    oracle=_PHASH_ORACLE_STREAM,
+    doc="Perceptual-hash image dedup maintained INCREMENTALLY: each "
+    "micro-batch dHashes only its NEW payloads and appends 5-int hash "
+    "rows to the state log (per-batch-id overwrite dirs, replay-"
+    "idempotent); read time groups identical hashes and runs the same "
+    "banded Hamming-ball stats as the batch operator over the merged "
+    "state, certified against the SAME oracle — streaming ≡ batch "
+    "extended to the multimodal family.",
+)

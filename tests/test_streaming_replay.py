@@ -854,3 +854,52 @@ def test_bm25_processor_replay_idempotent(spark, oracle_sf_dir):
         assert got == want, f"extra={got - want}, missing={want - got}"
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_phash_processor_replay_idempotent(spark, oracle_sf_dir):
+    """Incremental image dedup: every batch replayed — a double-append
+    would double n_docs for every hash group. Merged state through
+    phash_near_groups must equal batch multimodal_phash_dedup."""
+    from tailsql_spark.operators.multimodal import (
+        PHASH_BANDS,
+        REGISTRY as _MM,
+        phash_near_groups,
+        synth_media,
+    )
+    from tailsql_spark.plans.streaming_exec import (
+        _mh_state_paths,
+        _phash_batch_processor,
+    )
+
+    images = (
+        synth_media(spark, oracle_sf_dir)
+        .filter(F.col("media_type") == "image")
+        .select("doc_id", "payload")
+    )
+    half = images.filter(F.col("doc_id") % 2 == 0)
+    rest = images.filter(F.col("doc_id") % 2 == 1)
+
+    root = tempfile.mkdtemp(prefix="tailsql_phash_replay_")
+    try:
+        ph_root = f"{root}/ph"
+        spark.createDataFrame(
+            [], "doc_id long, b0 long, b1 long, b2 long, b3 long"
+        ).write.parquet(f"{ph_root}/seed")
+        process = _phash_batch_processor(ph_root)
+        process(half, 0)
+        process(half, 0)  # simulated post-crash replay
+        process(rest, 1)
+        process(rest, 1)
+        bcols = [f"b{k}" for k in range(PHASH_BANDS)]
+        ph = spark.read.parquet(*_mh_state_paths(ph_root))
+        grp = ph.groupBy(*bcols).agg(
+            F.min("doc_id").alias("canonical_doc"), F.count("*").alias("n_docs")
+        )
+        got = {tuple(r) for r in phash_near_groups(grp).collect()}
+        want = {
+            tuple(r)
+            for r in _MM["multimodal_phash_dedup"].build(spark, oracle_sf_dir).collect()
+        }
+        assert got == want, f"extra={got - want}, missing={want - got}"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
