@@ -221,10 +221,12 @@ GRADED_WINDOW: tuple[str, ...] = (
     # (r8: corpus_clean_pipeline rotated to the local gate — the full
     #  curation DAG below CONTAINS the clean pipeline as its first
     #  stage, in both batch and streaming modes)
-    # r8: per-language quality-percentile gating (exact rank variant;
-    # the approx_percentile 100 TB variant is rows-only + tolerance-
-    # gated in pytest)
-    "corpus_quality_percentile_gate",
+    # r9: BM25 top-k retrieval — the new retrieval family's hard row
+    # (broadcast-probe inverted-index shape; streaming twin certified
+    # on the local gate). corpus_quality_percentile_gate rotates to
+    # the local gate: the corpus family keeps three driver rows
+    # (profiler, PPS sampling, curation DAG).
+    "text_bm25_topk",
     # r6: the mixing row upgraded to the full curation-DAG composition
     # (quality gate → exact dedup → near-dup survivors → budgets);
     # corpus_mix_budget stays green on the local gate
