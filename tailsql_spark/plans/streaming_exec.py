@@ -3055,3 +3055,109 @@ REGISTRY["stream_phash_dedup"] = QuerySpec(
     "state, certified against the SAME oracle — streaming ≡ batch "
     "extended to the multimodal family.",
 )
+
+
+# ---------------------------------------------------------------------------
+# incremental audio-fingerprint dedup
+# ---------------------------------------------------------------------------
+
+
+def _audio_fp_batch_processor(fp_root: str):
+    """Per micro-batch: CDC-fingerprint the batch's audio payloads
+    (the same decode+chunk stage as the batch operator) and write the
+    distinct (doc_id, fh) postings to a per-batch-id overwrite dir —
+    no history reads, replay-idempotent.  Postings are disjoint by doc
+    across batches, so the merged log IS the full fingerprint index."""
+
+    def process(batch_df, batch_id):
+        import pandas as pd
+
+        from tailsql_spark.operators.multimodal import (
+            audio_fingerprint_frames,
+            audio_tokens,
+        )
+
+        def fingerprint(batches):
+            for pdf in batches:
+                ids, fhs = [], []
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                    for fh in set(
+                        audio_fingerprint_frames(audio_tokens(bytes(payload)))
+                    ):
+                        ids.append(doc_id)
+                        fhs.append(fh)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(ids, dtype="int64"),
+                        "fh": pd.Series(fhs, dtype="object"),
+                    }
+                )
+
+        ff = batch_df.mapInPandas(fingerprint, schema="doc_id long, fh string")
+        ff.write.mode("overwrite").parquet(f"{fp_root}/{_bdir(int(batch_id))}")
+
+    return process
+
+
+def stream_audio_fp_dedup(
+    spark: SparkSession, sf_dir: str, state_root: str | None = None
+) -> DataFrame:
+    """INCREMENTAL audio-fingerprint dedup: audio streams in, each
+    micro-batch CDC-fingerprints only its NEW payloads and appends
+    distinct (doc, frame) postings to the state log; read time runs
+    the same df-capped fingerprint-DB matching (``audio_near_groups``)
+    over the merged index, certified against the SAME oracle as batch
+    ``multimodal_audio_fp_dedup`` — the streaming ≡ batch guarantee
+    for the audio modality.  Per-batch cost tracks new payloads; state
+    is ~|tokens|/4 hash rows per doc regardless of payload size."""
+    import shutil
+
+    from tailsql_spark.operators.multimodal import audio_near_groups, synth_media
+
+    media = synth_media(spark, sf_dir).filter(F.col("media_type") == "audio")
+    audio = media.select("doc_id", "payload")
+    state_root, _owned_state = _resolve_state_root("audiofp", state_root)
+    fp_root = f"{state_root}/fp"
+    spark.createDataFrame([], "doc_id long, fh string").write.mode(
+        "overwrite"
+    ).parquet(f"{fp_root}/seed")
+    src_dir = _stage_stream_source(audio, "audiofp", state_root, _owned_state, corpus_tag=sf_dir)
+    stream = (
+        spark.readStream.schema(audio.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_audio_fp_batch_processor(fp_root))
+        .option("checkpointLocation", f"{state_root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _await_or_raise(q, "stream_audio_fp_dedup")
+    finally:
+        q.stop()
+    ff = spark.read.parquet(*_mh_state_paths(fp_root))
+    result = audio_near_groups(audio.select("doc_id"), ff)
+    out = _persist_result(result, "stream_audio_fp_dedup")
+    if _owned_state:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        _fs_rmtree(state_root)
+    return out
+
+
+from tailsql_spark.operators.multimodal import _AUDIO_FP_ORACLE as _AUDIO_FP_ORACLE_STREAM  # noqa: E402
+
+REGISTRY["stream_audio_fp_dedup"] = QuerySpec(
+    name="stream_audio_fp_dedup",
+    category="streaming-executed",
+    build=stream_audio_fp_dedup,
+    oracle=_AUDIO_FP_ORACLE_STREAM,
+    doc="Audio CDC fingerprint index maintained INCREMENTALLY: each "
+    "micro-batch fingerprints only its NEW payloads (decode never "
+    "re-runs over history) and appends distinct (doc, frame) postings "
+    "to per-batch-id overwrite dirs (replay-idempotent); read time "
+    "runs the same df-capped fingerprint-DB matching over the merged "
+    "index, certified against the SAME oracle as the batch operator — "
+    "streaming ≡ batch for the audio modality.",
+)

@@ -903,3 +903,53 @@ def test_phash_processor_replay_idempotent(spark, oracle_sf_dir):
         assert got == want, f"extra={got - want}, missing={want - got}"
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_audio_fp_processor_replay_idempotent(spark, oracle_sf_dir):
+    """Incremental audio dedup: every batch replayed — a double-append
+    would duplicate postings and inflate every frame df toward the
+    cap. Merged state through audio_near_groups must equal batch
+    multimodal_audio_fp_dedup."""
+    from tailsql_spark.operators.multimodal import (
+        REGISTRY as _MM,
+        audio_near_groups,
+        synth_media,
+    )
+    from tailsql_spark.plans.streaming_exec import (
+        _audio_fp_batch_processor,
+        _mh_state_paths,
+    )
+
+    audio = (
+        synth_media(spark, oracle_sf_dir)
+        .filter(F.col("media_type") == "audio")
+        .select("doc_id", "payload")
+    )
+    half = audio.filter(F.col("doc_id") % 2 == 1)   # audio ids are 1 mod 3
+    rest = audio.filter(F.col("doc_id") % 2 == 0)
+
+    root = tempfile.mkdtemp(prefix="tailsql_audiofp_replay_")
+    try:
+        fp_root = f"{root}/fp"
+        spark.createDataFrame([], "doc_id long, fh string").write.parquet(
+            f"{fp_root}/seed"
+        )
+        process = _audio_fp_batch_processor(fp_root)
+        process(half, 0)
+        process(half, 0)  # simulated post-crash replay
+        process(rest, 1)
+        process(rest, 1)
+        ff = spark.read.parquet(*_mh_state_paths(fp_root))
+        got = {
+            tuple(r)
+            for r in audio_near_groups(audio.select("doc_id"), ff).collect()
+        }
+        want = {
+            tuple(r)
+            for r in _MM["multimodal_audio_fp_dedup"]
+            .build(spark, oracle_sf_dir)
+            .collect()
+        }
+        assert got == want, f"extra={got - want}, missing={want - got}"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
