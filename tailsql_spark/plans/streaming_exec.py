@@ -2098,8 +2098,8 @@ def _bucket_manifest_paths(sess, root: str, touched_df, exclude_bid: int | None)
     if exclude_bid is not None:
         man = man.filter(F.col("bid") != int(exclude_bid))
     pruned = man.join(F.broadcast(touched_df), "bucket").select("path").distinct()
-    # planning-metadata: ≤ n_batches × N_STATE_BUCKETS rows
-    return [f"{root}/seed"] + sorted(r.path for r in pruned.collect())
+    paths = pruned.collect()  # planning-metadata: ≤ n_batches × N_STATE_BUCKETS rows
+    return [f"{root}/seed"] + sorted(r.path for r in paths)
 
 
 def _mh_bucketed_seed(docs, state_root: str) -> tuple:
