@@ -1396,3 +1396,123 @@ def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_picks") > 0)
         .select("doc_id", "w", "n_picks")
     )
+
+
+# ---------------------------------------------------------------------------
+# binned-exact percentile gate (the certified approximate variant)
+# ---------------------------------------------------------------------------
+
+#: Histogram bin width in score units.  The quality score is tokens ×
+#: 1000 + distinct tokens, so BIN_W = 1000 bins by whole token count —
+#: the admission threshold is approximate with error bounded by ONE
+#: BIN (vs the sketch variant's probabilistic rank error), and every
+#: number the operator emits is integer-exact and certifiable.
+PCTL_BIN_W = 1000
+
+
+@query(
+    "corpus_quality_percentile_binned",
+    "corpus",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, lang, CAST({_QSCORE_SQL} AS BIGINT) AS score
+        FROM documents
+    ),
+    hist AS (
+        SELECT lang, score // {PCTL_BIN_W} AS bin, CAST(COUNT(*) AS BIGINT) AS c
+        FROM scored GROUP BY 1, 2
+    ),
+    tot AS (SELECT lang, SUM(c) AS n FROM hist GROUP BY lang),
+    cum AS (
+        SELECT lang, bin,
+               SUM(c) OVER (PARTITION BY lang ORDER BY bin) AS cum
+        FROM hist
+    ),
+    thresh AS (
+        SELECT c.lang, MIN(c.bin) AS threshold_bin
+        FROM cum c JOIN tot t USING (lang)
+        WHERE c.cum >= CAST(ceil({PCTL_GATE} * t.n) AS BIGINT)
+        GROUP BY c.lang
+    )
+    SELECT s.lang,
+           t.threshold_bin,
+           CAST(t.threshold_bin * {PCTL_BIN_W} AS BIGINT) AS threshold_floor,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN s.score // {PCTL_BIN_W} >= t.threshold_bin
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM scored s JOIN thresh t USING (lang)
+    GROUP BY 1, 2, 3
+    """,
+    doc=f"The CERTIFIED approximate percentile gate — the 100 TB shape "
+    "with exact cross-engine arithmetic: per-language quality scores "
+    f"fold into an integer histogram (score div {PCTL_BIN_W}; "
+    "|langs| × |bins| rows, map-side combinable — no per-language rank "
+    "window over the corpus, the skew the exact gate's docstring "
+    "flags), the admission threshold is the first bin whose cumulative "
+    "count reaches the target rank (a window over the TINY histogram "
+    "only), and the admission counts are bin mass at or above the "
+    "threshold — ONE corpus pass total. Unlike approx_percentile "
+    "(probabilistic sketch → rows-only grading), every emitted number "
+    "is integer-exact: the threshold error is bounded by ONE bin by "
+    "construction, and pytest pins the invariant that the exact gate's "
+    "threshold falls inside the binned threshold bin. The histogram is "
+    "trivially mergeable (bin counts sum), so the same state "
+    "incrementalizes and shards.",
+)
+def corpus_quality_percentile_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    scored = t["documents"].select(
+        "doc_id", "lang", _quality_score().alias("score")
+    )
+    return binned_gate_from_hist(quality_score_hist(scored))
+
+
+def quality_score_hist(scored: DataFrame) -> DataFrame:
+    """(lang, bin, c) integer histogram of quality scores — the entire
+    mergeable state of the binned gate (bin counts sum across shards
+    and batches)."""
+    return scored.groupBy(
+        "lang", F.expr(f"score div {PCTL_BIN_W}").alias("bin")
+    ).agg(F.count("*").alias("c"))
+
+
+def binned_gate_from_hist(hist: DataFrame) -> DataFrame:
+    """Threshold + admission counts from the histogram ALONE — n_kept
+    is the bin-mass at or above the threshold bin, so no second corpus
+    pass is needed and a streaming twin scores its merged per-batch
+    histogram through this identical arithmetic."""
+    tot = hist.groupBy("lang").agg(F.sum("c").alias("n"))
+    cum = hist.withColumn(
+        "cum", F.sum("c").over(W.partitionBy("lang").orderBy("bin"))
+    )
+    thresh = (
+        cum.join(tot, "lang")
+        .filter(
+            F.col("cum") >= F.ceil(F.lit(PCTL_GATE) * F.col("n")).cast("long")
+        )
+        .groupBy("lang")
+        .agg(F.min("bin").alias("threshold_bin"))
+    )
+    return (
+        hist.join(F.broadcast(thresh), "lang")
+        .groupBy("lang", "threshold_bin")
+        .agg(
+            F.sum("c").cast("long").alias("n_total"),
+            F.sum(
+                F.when(F.col("bin") >= F.col("threshold_bin"), F.col("c")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .select(
+            "lang",
+            "threshold_bin",
+            (F.col("threshold_bin") * PCTL_BIN_W).cast("long").alias(
+                "threshold_floor"
+            ),
+            "n_total",
+            "n_kept",
+        )
+    )

@@ -3161,3 +3161,99 @@ REGISTRY["stream_audio_fp_dedup"] = QuerySpec(
     "index, certified against the SAME oracle as the batch operator — "
     "streaming ≡ batch for the audio modality.",
 )
+
+
+# ---------------------------------------------------------------------------
+# incremental binned percentile gate
+# ---------------------------------------------------------------------------
+
+
+def _binned_gate_batch_processor(hist_root: str):
+    """Per micro-batch: the batch's OWN (lang, bin, c) quality-score
+    histogram partial, written to a per-batch-id overwrite dir — no
+    history reads, replay-idempotent.  Bin counts are additive, so the
+    read-time groupBy-sum over the partial log IS the corpus
+    histogram."""
+
+    def process(batch_df, batch_id):
+        from tailsql_spark.operators.corpus import (
+            _quality_score,
+            quality_score_hist,
+        )
+
+        scored = batch_df.select(
+            "doc_id", "lang", _quality_score().alias("score")
+        )
+        quality_score_hist(scored).write.mode("overwrite").parquet(
+            f"{hist_root}/{_bdir(int(batch_id))}"
+        )
+
+    return process
+
+
+def stream_quality_gate_binned(
+    spark: SparkSession, sf_dir: str, state_root: str | None = None
+) -> DataFrame:
+    """INCREMENTAL binned percentile gate: the per-language admission
+    threshold is maintained as the corpus streams in — each micro-batch
+    contributes an additive (lang, bin, c) histogram partial, and read
+    time folds the partial log (one groupBy-sum over |langs| × |bins| ×
+    |batches| metadata-sized rows) and derives threshold + admission
+    counts through the SAME binned_gate_from_hist code as the batch
+    query, certified against the SAME oracle.  This is the quality
+    gate a growing corpus actually runs: the threshold re-derives per
+    increment from constant-size mergeable state instead of re-ranking
+    the corpus per release."""
+    import shutil
+
+    from tailsql_spark.operators.corpus import binned_gate_from_hist
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "lang", "text")
+    state_root, _owned_state = _resolve_state_root("binnedgate", state_root)
+    hist_root = f"{state_root}/hist"
+    spark.createDataFrame([], "lang string, bin long, c long").write.mode(
+        "overwrite"
+    ).parquet(f"{hist_root}/seed")
+    src_dir = _stage_stream_source(docs, "binnedgate", state_root, _owned_state, corpus_tag=sf_dir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_binned_gate_batch_processor(hist_root))
+        .option("checkpointLocation", f"{state_root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _await_or_raise(q, "stream_quality_gate_binned")
+    finally:
+        q.stop()
+    partials = spark.read.parquet(*_mh_state_paths(hist_root))
+    hist = partials.groupBy("lang", "bin").agg(F.sum("c").alias("c"))
+    result = binned_gate_from_hist(hist)
+    out = _persist_result(result, "stream_quality_gate_binned")
+    if _owned_state:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        _fs_rmtree(state_root)
+    return out
+
+
+from tailsql_spark.operators.corpus import REGISTRY as _CORPUS_REG  # noqa: E402
+
+REGISTRY["stream_quality_gate_binned"] = QuerySpec(
+    name="stream_quality_gate_binned",
+    category="streaming-executed",
+    build=stream_quality_gate_binned,
+    oracle=_CORPUS_REG["corpus_quality_percentile_binned"].oracle,
+    doc="The binned percentile gate maintained INCREMENTALLY: each "
+    "micro-batch writes an additive (lang, bin, count) histogram "
+    "partial (per-batch-id overwrite dirs, replay-idempotent), read "
+    "time folds the metadata-sized partial log and derives threshold + "
+    "admission counts through the SAME binned_gate_from_hist code, "
+    "certified against the SAME oracle as the batch gate — the "
+    "admission threshold of a growing corpus re-derives per increment "
+    "from constant-size mergeable state.",
+)

@@ -360,3 +360,77 @@ def test_zipf_slope_recovers_planted_exponent(spark, oracle_sf_dir):
     row = REGISTRY["text_zipf_slope"].build(spark, oracle_sf_dir).collect()[0]
     assert row["n_types"] > 0
     assert row["zipf_slope"] < 0
+
+
+def test_binned_gate_threshold_bin_contains_exact_threshold(spark, oracle_sf_dir):
+    """The binned gate's one-bin error bound, pinned: the exact rank
+    gate's threshold score must fall INSIDE the binned threshold bin
+    (the rank-r score is by construction in the first bin whose
+    cumulative count reaches r), and the binned kept count can differ
+    from the exact kept count only by sub-bin mass."""
+    from tailsql_spark.operators.corpus import PCTL_BIN_W, REGISTRY
+
+    exact = {
+        r.lang: r
+        for r in REGISTRY["corpus_quality_percentile_gate"]
+        .build(spark, oracle_sf_dir)
+        .collect()
+    }
+    binned = {
+        r.lang: r
+        for r in REGISTRY["corpus_quality_percentile_binned"]
+        .build(spark, oracle_sf_dir)
+        .collect()
+    }
+    assert set(exact) == set(binned)
+    for lang, b in binned.items():
+        e = exact[lang]
+        assert b.threshold_bin == e.threshold // PCTL_BIN_W, (
+            lang,
+            b.threshold_bin,
+            e.threshold,
+        )
+        assert b.n_total == e.n_total
+        # binned keeps AT LEAST the exact survivors (its threshold
+        # floor is <= the exact threshold), and the surplus is bounded
+        # by the threshold bin's own mass — i.e. docs in [floor,
+        # threshold) only
+        assert b.n_kept >= e.n_kept, lang
+        assert b.threshold_floor <= e.threshold < b.threshold_floor + PCTL_BIN_W
+
+
+def test_binned_gate_histogram_is_mergeable(spark, oracle_sf_dir):
+    """Splitting the corpus into shards, histogramming each, and
+    summing bin counts must reproduce the whole-corpus gate exactly —
+    the mergeability the streaming twin relies on."""
+    from pyspark.sql import functions as F
+
+    from tailsql_spark.operators.corpus import (
+        REGISTRY,
+        _quality_score,
+        binned_gate_from_hist,
+        quality_score_hist,
+    )
+    from tailsql_spark.plans.catalog import load_tables
+
+    docs = load_tables(spark, oracle_sf_dir)["documents"]
+    scored = docs.select("doc_id", "lang", _quality_score().alias("score"))
+    parts = [
+        quality_score_hist(scored.filter(F.col("doc_id") % 3 == k))
+        for k in range(3)
+    ]
+    merged = (
+        parts[0]
+        .unionByName(parts[1])
+        .unionByName(parts[2])
+        .groupBy("lang", "bin")
+        .agg(F.sum("c").alias("c"))
+    )
+    got = {tuple(r) for r in binned_gate_from_hist(merged).collect()}
+    want = {
+        tuple(r)
+        for r in REGISTRY["corpus_quality_percentile_binned"]
+        .build(spark, oracle_sf_dir)
+        .collect()
+    }
+    assert got == want
