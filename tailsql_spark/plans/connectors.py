@@ -1385,3 +1385,109 @@ def _dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_price_cents").alias("sum_price_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# point-in-time (temporal) join against a versioned dimension
+# ---------------------------------------------------------------------------
+
+#: Synthetic SCD2-style dimension geometry: 3 versions per customer,
+#: version k valid from 1992-01-01 + k·(300 + c_custkey % 1500) days —
+#: per-customer version boundaries spread across the order-date range
+#: so every version shape (early/mid/late switch, orders before and
+#: after) occurs in the corpus.
+PIT_VERSIONS = 3
+PIT_EPOCH = "1992-01-01"
+PIT_STRIDE_BASE = 300
+PIT_STRIDE_MOD = 1500
+
+
+@query(
+    "join_scd2_point_in_time",
+    "joins",
+    f"""
+    WITH dim AS (
+        SELECT c_custkey, k,
+               CAST(DATE '{PIT_EPOCH}'
+                    + (k * ({PIT_STRIDE_BASE} + c_custkey % {PIT_STRIDE_MOD}))
+                      * INTERVAL 1 DAY AS TIMESTAMP) AS valid_from,
+               CASE WHEN k < {PIT_VERSIONS - 1} THEN
+                   CAST(DATE '{PIT_EPOCH}'
+                        + ((k + 1) * ({PIT_STRIDE_BASE} + c_custkey % {PIT_STRIDE_MOD}))
+                          * INTERVAL 1 DAY AS TIMESTAMP)
+               END AS valid_to,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) + k AS attr_cents
+        FROM customer, LATERAL unnest(range(0, {PIT_VERSIONS})) AS t(k)
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(d.k AS BIGINT) AS version,
+           d.attr_cents,
+           d.valid_from
+    FROM orders o
+    JOIN dim d ON o.o_custkey = d.c_custkey
+              AND o.o_orderdate >= d.valid_from
+              AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+    """,
+    doc="POINT-IN-TIME correct join against a versioned (SCD2-shaped) "
+    "dimension: each order joins the dimension version whose "
+    "[valid_from, valid_to) interval contains the order date — the "
+    "temporal join every leakage-safe ML feature pipeline runs "
+    "(joining TODAY's attributes onto historical facts trains on the "
+    "future; joining the as-of version does not). The dimension is "
+    "synthesized deterministically (3 versions per customer, "
+    "content-spread validity boundaries) so both engines replay the "
+    "identical construction. Scale shape: the KEY EQUALITY carries "
+    "the join — Spark executes an equi-join on custkey with the "
+    "interval predicate as a post-join filter, so this is never a "
+    "range-only join; the version history is |dim| × versions (orders "
+    "of magnitude below fact scale), so it broadcasts, and a "
+    "too-large history falls back to a key shuffle, never a theta "
+    "join. Intervals partition time per key, so the join is provably "
+    "1:1 per fact (pytest-pinned).",
+)
+def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    stride = F.lit(PIT_STRIDE_BASE) + F.col("c_custkey") % PIT_STRIDE_MOD
+    dim = (
+        t["customer"]
+        .select(
+            "c_custkey",
+            F.explode(F.sequence(F.lit(0), F.lit(PIT_VERSIONS - 1))).alias("k"),
+            "c_acctbal",
+        )
+        .select(
+            "c_custkey",
+            "k",
+            F.to_timestamp(
+                F.date_add(F.lit(PIT_EPOCH).cast("date"), (F.col("k") * stride).cast("int"))
+            ).alias("valid_from"),
+            F.when(
+                F.col("k") < PIT_VERSIONS - 1,
+                F.to_timestamp(
+                    F.date_add(
+                        F.lit(PIT_EPOCH).cast("date"),
+                        ((F.col("k") + 1) * stride).cast("int"),
+                    )
+                ),
+            ).alias("valid_to"),
+            (F.round(F.col("c_acctbal") * 100).cast("long") + F.col("k")).alias(
+                "attr_cents"
+            ),
+        )
+    )
+    o = t["orders"].select("o_orderkey", "o_custkey", "o_orderdate")
+    return (
+        o.join(
+            F.broadcast(dim),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderdate") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("o_orderdate") < F.col("valid_to"))),
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("k").cast("long").alias("version"),
+            "attr_cents",
+            "valid_from",
+        )
+    )

@@ -1142,3 +1142,21 @@ def test_audio_fp_hot_frames_pruned_before_pairing(spark, oracle_sf_dir):
     assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
     assert "CartesianProduct" not in p, p
     assert "windowspecdefinition(id" in p, p
+
+
+def test_point_in_time_join_is_keyed_equi_join_and_1to1(spark, oracle_sf_dir):
+    """The temporal join must compile to a KEY equi-join (broadcast
+    hash join on custkey) with the interval predicate as a filter —
+    never a nested-loop/theta join — and intervals partition time per
+    key, so every fact row matches exactly one dimension version."""
+    from pyspark.sql import functions as F
+
+    from tailsql_spark.plans.registry import REGISTRY
+
+    df = REGISTRY["join_scd2_point_in_time"].build(spark, oracle_sf_dir)
+    p = _plan(df)
+    assert "BroadcastHashJoin" in p, p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+    n_orders = spark.read.parquet(f"{oracle_sf_dir}/orders.parquet").count()
+    assert df.count() == n_orders  # 1:1 — no order lost, none duplicated
+    assert df.groupBy("o_orderkey").count().filter(F.col("count") > 1).count() == 0
