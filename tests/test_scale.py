@@ -802,7 +802,15 @@ def test_cache_using_queries_release_their_persists(spark, oracle_sf_dir):
         return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
 
     spark.catalog.clearCache()
+    # settle the baseline deterministically: earlier tests' eager
+    # localCheckpoint() RDDs (e.g. connected_components rounds) linger
+    # in persistentRDDs until the ASYNC ContextCleaner collects them —
+    # a stale baseline here fails this test on cleaner timing, not on
+    # an operator leak. Unpersist every straggler explicitly.
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist()
     base = n_persisted()
+    assert base == 0, "baseline did not settle"
     for name in CACHE_USERS:
         REGISTRY[name].build(spark, oracle_sf_dir)
         assert n_persisted() == base, f"{name} leaked a persisted frame"
