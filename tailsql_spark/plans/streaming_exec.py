@@ -3257,3 +3257,90 @@ REGISTRY["stream_quality_gate_binned"] = QuerySpec(
     "admission threshold of a growing corpus re-derives per increment "
     "from constant-size mergeable state.",
 )
+
+
+# ---------------------------------------------------------------------------
+# incremental rate-anomaly detection
+# ---------------------------------------------------------------------------
+
+
+def _rate_anomaly_batch_processor(cnt_root: str):
+    """Per micro-batch: the batch's OWN hourly (event_type, h, cnt)
+    partial, written to a per-batch-id overwrite dir — no history
+    reads, replay-idempotent.  Counts are additive, so the read-time
+    groupBy-sum over the partial log IS the corpus hourly-count table."""
+
+    def process(batch_df, batch_id):
+        partial = batch_df.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        ).agg(F.count("*").alias("cnt"))
+        partial.write.mode("overwrite").parquet(
+            f"{cnt_root}/{_bdir(int(batch_id))}"
+        )
+
+    return process
+
+
+def stream_rate_anomaly(
+    spark: SparkSession, sf_dir: str, state_root: str | None = None
+) -> DataFrame:
+    """INCREMENTAL rate-anomaly detection — the standing alert rule:
+    events stream in, each micro-batch folds an additive hourly-count
+    partial into the state log, and read time merges the partials and
+    runs the SAME integer-exact two-sigma detection as the batch
+    query over the dense hour grid, certified against the SAME
+    oracle.  Anomaly state is |types| × |hours| counters regardless of
+    event volume — the monitoring table a 100 TB log pipeline keeps
+    hot while the raw stream ages out."""
+    import shutil
+
+    from tailsql_spark.plans.streaming_sql import rate_anomaly_from_counts
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("event_type", "ts")
+    state_root, _owned_state = _resolve_state_root("rateanom", state_root)
+    cnt_root = f"{state_root}/cnt"
+    spark.createDataFrame([], "event_type string, h timestamp, cnt long").write.mode(
+        "overwrite"
+    ).parquet(f"{cnt_root}/seed")
+    src_dir = _stage_stream_source(ev, "rateanom", state_root, _owned_state, corpus_tag=sf_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_rate_anomaly_batch_processor(cnt_root))
+        .option("checkpointLocation", f"{state_root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _await_or_raise(q, "stream_rate_anomaly")
+    finally:
+        q.stop()
+    partials = spark.read.parquet(*_mh_state_paths(cnt_root))
+    cnts = partials.groupBy("event_type", "h").agg(F.sum("cnt").alias("cnt"))
+    result = rate_anomaly_from_counts(cnts)
+    out = _persist_result(result, "stream_rate_anomaly")
+    if _owned_state:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        _fs_rmtree(state_root)
+    return out
+
+
+from tailsql_spark.plans.streaming_sql import _RATE_ANOMALY_SQL as _RATE_ANOMALY_STREAM  # noqa: E402
+
+REGISTRY["stream_rate_anomaly"] = QuerySpec(
+    name="stream_rate_anomaly",
+    category="streaming-executed",
+    build=stream_rate_anomaly,
+    oracle=_RATE_ANOMALY_STREAM,
+    doc="Rate-anomaly detection maintained INCREMENTALLY: each "
+    "micro-batch writes an additive hourly (event_type, h, cnt) "
+    "partial (per-batch-id overwrite dirs, replay-idempotent), read "
+    "time folds the partial log and runs the same integer-exact "
+    "two-sigma detection over the dense hour grid, certified against "
+    "the SAME oracle — the standing alert rule whose state is "
+    "|types| × |hours| counters regardless of event volume.",
+)

@@ -632,3 +632,106 @@ def events_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(late.alias("late_10m_bucket"))
         .agg(F.count("*").alias("n_events"))
     )
+
+
+# ---------------------------------------------------------------------------
+# rate anomaly detection (the alert-rule end product)
+# ---------------------------------------------------------------------------
+
+_RATE_ANOMALY_SQL = """
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS h0,
+               date_trunc('hour', MAX(ts)) AS h1
+        FROM events
+    ),
+    grid AS (
+        SELECT t.event_type, g.h
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+                    FROM bounds) g
+    ),
+    cnts AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    dense AS (
+        SELECT g.event_type, g.h, COALESCE(c.cnt, 0) AS cnt
+        FROM grid g LEFT JOIN cnts c
+          ON g.event_type = c.event_type AND g.h = c.h
+    ),
+    stats AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cnt) AS BIGINT) AS s,
+               CAST(SUM(cnt * cnt) AS BIGINT) AS ss
+        FROM dense GROUP BY event_type
+    )
+    SELECT d.event_type,
+           strftime(d.h, '%Y-%m-%d %H:00') AS hour,
+           d.cnt,
+           CASE WHEN st.n * d.cnt - st.s > 0 THEN 1 ELSE -1 END AS direction
+    FROM dense d JOIN stats st ON d.event_type = st.event_type
+    WHERE (st.n * d.cnt - st.s) * (st.n * d.cnt - st.s)
+          > 4 * (st.n * st.ss - st.s * st.s)
+"""
+
+
+@query(
+    "events_rate_anomaly",
+    "event-analytics",
+    _RATE_ANOMALY_SQL,
+    doc="Rate-anomaly detection — the alert rule a log pipeline runs "
+    "on itself: hourly event counts per type on a DENSE hour grid "
+    "(absent hours count as zero — a silent outage is an anomaly too), "
+    "flagged when the count departs the type's period mean by more "
+    "than two standard deviations. The z-test is INTEGER-EXACT: "
+    "(n·x − S)² > 4·(n·SS − S²) with S/SS the per-type sum and "
+    "sum-of-squares, so no float mean/std ever crosses engines. Scale "
+    "shape: one groupBy to hourly counts (map-side combinable), the "
+    "grid and the |types|-row stats table are period-sized metadata "
+    "that broadcast; the event stream is scanned once.",
+)
+def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("event_type", "ts")
+    cnts = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count("*").alias("cnt"))
+    return rate_anomaly_from_counts(cnts)
+
+
+def rate_anomaly_from_counts(cnts: DataFrame) -> DataFrame:
+    """Dense-grid two-sigma detection from hourly (event_type, h, cnt)
+    alone — the grid bounds and the type set both derive from the
+    counts (the min-ts hour always holds at least one event), so the
+    mergeable count state IS the operator's entire input and the
+    streaming twin folds its per-batch partials through this identical
+    arithmetic."""
+    bounds = cnts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    hours = bounds.select(
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+        ).alias("h")
+    )
+    types = cnts.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(hours))
+    dense = grid.join(cnts, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    stats = dense.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("cnt").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("ss"),
+    )
+    dev = F.col("n") * F.col("cnt") - F.col("s")
+    return (
+        dense.join(F.broadcast(stats), "event_type")
+        .filter(dev * dev > 4 * (F.col("n") * F.col("ss") - F.col("s") * F.col("s")))
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+            "cnt",
+            F.when(dev > 0, 1).otherwise(-1).cast("long").alias("direction"),
+        )
+    )

@@ -953,3 +953,46 @@ def test_audio_fp_processor_replay_idempotent(spark, oracle_sf_dir):
         assert got == want, f"extra={got - want}, missing={want - got}"
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_rate_anomaly_processor_replay_idempotent(spark, oracle_sf_dir):
+    """Incremental alert rule: every batch replayed — a double-append
+    would double hourly counts and shift every mean/variance. Merged
+    partials through rate_anomaly_from_counts must equal the batch
+    events_rate_anomaly result."""
+    from tailsql_spark.plans.catalog import load_tables
+    from tailsql_spark.plans.streaming_exec import (
+        _mh_state_paths,
+        _rate_anomaly_batch_processor,
+    )
+    from tailsql_spark.plans.streaming_sql import (
+        REGISTRY as _EV,
+        rate_anomaly_from_counts,
+    )
+
+    ev = load_tables(spark, oracle_sf_dir)["events"].select("event_type", "ts")
+    # split on a stable column present in the projection
+    half = ev.filter(F.dayofmonth("ts") <= 15)
+    rest = ev.filter(F.dayofmonth("ts") > 15)
+
+    root = tempfile.mkdtemp(prefix="tailsql_rateanom_replay_")
+    try:
+        cnt_root = f"{root}/cnt"
+        spark.createDataFrame(
+            [], "event_type string, h timestamp, cnt long"
+        ).write.parquet(f"{cnt_root}/seed")
+        process = _rate_anomaly_batch_processor(cnt_root)
+        process(half, 0)
+        process(half, 0)  # simulated post-crash replay
+        process(rest, 1)
+        process(rest, 1)
+        partials = spark.read.parquet(*_mh_state_paths(cnt_root))
+        cnts = partials.groupBy("event_type", "h").agg(F.sum("cnt").alias("cnt"))
+        got = {tuple(r) for r in rate_anomaly_from_counts(cnts).collect()}
+        want = {
+            tuple(r)
+            for r in _EV["events_rate_anomaly"].build(spark, oracle_sf_dir).collect()
+        }
+        assert got == want, f"extra={got - want}, missing={want - got}"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
