@@ -868,3 +868,52 @@ def test_bm25_matches_python_reference(spark):
     finally:
         TS.load_tables = orig
     assert got == want
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.text(
+        alphabet=st.sampled_from("ab cd\tef\ngh'ij-kl.mn0 12"),
+        min_size=0,
+        max_size=200,
+    )
+)
+def test_audio_cdc_python_matches_duckdb_replay(text):
+    """Fuzzed Python ↔ SQL chunking equality: for arbitrary ASCII text
+    (spaces, tabs, newlines, quotes, punctuation), the Python CDC
+    fingerprint and the oracle's prefix-sum SQL replay must emit the
+    identical frame sequence — the property the audio oracle's
+    certification rests on."""
+    import duckdb
+
+    from tailsql_spark.operators.multimodal import (
+        audio_fingerprint_frames,
+        audio_tokens,
+    )
+
+    got = audio_fingerprint_frames(audio_tokens(text.encode("utf-8")))
+    want = [
+        r[0]
+        for r in duckdb.sql(
+            """
+            WITH audio AS (
+                SELECT list_filter(regexp_split_to_array($t, '\\s+'),
+                                   x -> x <> '') AS ws
+            ),
+            words AS (SELECT k AS pos, ws[k + 1] AS word
+                      FROM audio, LATERAL unnest(range(0, len(ws))) AS t(k)),
+            flagged AS (SELECT pos, word,
+                               CASE WHEN substr(md5(word), 1, 1)
+                                    IN ('0','1','2','3') THEN 1 ELSE 0 END AS bdy
+                        FROM words),
+            chunks AS (SELECT pos, word,
+                              COALESCE(SUM(bdy) OVER (ORDER BY pos
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS cid
+                       FROM flagged)
+            SELECT substr(md5(string_agg(word, ' ' ORDER BY pos)), 1, 15) AS fh
+            FROM chunks GROUP BY cid ORDER BY cid
+            """.replace("$t", "'" + text.replace("'", "''") + "'")
+        ).fetchall()
+    ]
+    assert got == want, text
