@@ -2036,7 +2036,7 @@ _BM25_ORACLE = f"""
     "N/avgdl ride a broadcast 1-row stats table. Per-term BM25 "
     "weights are quantized to int64 micro-units BEFORE the per-doc "
     "sum (float sums are order-dependent across engines; int sums are "
-    "exact), and top-k is a qid-partitioned window —6 partitions of "
+    "exact), and top-k is a qid-partitioned window — 6 partitions of "
     "candidate postings, never a global sort. At 100 TB: cost is one "
     "groupBy over (doc, term) postings + a broadcast probe; with a "
     "pre-built term-partitioned posting index the probe is an "
