@@ -63,6 +63,34 @@ HEADLINE = [
     "text_bm25_topk",
 ]
 
+#: FROZEN shared-core suite (r10): the 16 queries the headline set held
+#: through rounds 6-8.  Round 9 added three Python-stage-heavy rows to
+#: the interleaved rotation and every r8-shared query drifted +7..+27%
+#: with zero plan-file changes — suite composition changes executor
+#: cache/GC pressure for all co-rotating queries, so cross-round deltas
+#: on the full suite compare unlike against unlike.  This list NEVER
+#: changes: `shared_core_sec` is the round-over-round regression gate;
+#: the full-suite `value` tracks coverage growth.  (Diagnosis + numbers:
+#: BASELINE.md "round-10 drift isolation".)
+SHARED_CORE = [
+    "q1_pricing_summary",
+    "join_star_5way",
+    "q3_shipping_priority",
+    "q8_market_share",
+    "q9_product_profit",
+    "q21_waiting_supplier",
+    "agg_count_distinct",
+    "window_topk_per_group",
+    "events_tumbling_1h",
+    "events_session_30m",
+    "asof_join_latest_order",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk_arrow",
+    "text_quality_score",
+    "text_contamination_bloom",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -70,6 +98,14 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
     except ValueError:
         sf = -1.0
+
+    # isolation hook (r10 drift diagnosis): restrict the interleaved
+    # rotation to an explicit comma-separated query list so a suite can
+    # be timed WITHOUT co-rotating heavy rows perturbing its samples
+    suite = HEADLINE
+    override = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").strip()
+    if override:
+        suite = [q.strip() for q in override.split(",") if q.strip()]
 
     from tailsql_spark.plans.registry import REGISTRY
     from tailsql_spark.session import get_spark
@@ -95,7 +131,7 @@ def main() -> None:
     # constant cost at any scale factor — measured 1.75 s first vs
     # 0.39 s steady-state for q1 at sf0.1). The timed run then measures
     # the engine, not the compiler.
-    for name in HEADLINE:
+    for name in suite:
         REGISTRY[name].build(spark, sf_dir).toPandas()
         spark.catalog.clearCache()
 
@@ -110,21 +146,29 @@ def main() -> None:
     # suite, a stall taxes one sample of several queries and the
     # per-query min survives. clearCache before every sample — we time
     # the real pipeline, only codegen stays warm.
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    samples: dict[str, list[float]] = {name: [] for name in suite}
     rows: dict[str, int] = {}
     for _ in range(5):
-        for name in HEADLINE:
+        for name in suite:
             spec = REGISTRY[name]
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = spec.build(spark, sf_dir)
             rows[name] = len(df.toPandas())
             samples[name].append(time.perf_counter() - t0)
-    per_query = {name: round(min(samples[name]), 3) for name in HEADLINE}
-    for name in HEADLINE:
+    per_query = {name: round(min(samples[name]), 3) for name in suite}
+    for name in suite:
         print(f"# {name}: {per_query[name]:.3f}s ({rows[name]} rows)", file=sys.stderr)
 
     total = round(sum(per_query.values()), 3)
+    # the frozen shared-core subtotal (same samples, fixed query list):
+    # THE apples-to-apples round-over-round number — composition-immune
+    # because the list never changes (only reported when the suite ran
+    # all of it, e.g. not under a partial isolation override)
+    core = [q for q in SHARED_CORE if q in per_query]
+    shared_core_sec = (
+        round(sum(per_query[q] for q in core), 3) if len(core) == len(SHARED_CORE) else None
+    )
     print(
         json.dumps(
             {
@@ -133,13 +177,17 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf,
+                # r10: frozen 16-query shared-core subtotal — the
+                # regression gate; `value` tracks the growing full suite
+                "shared_core_sec": shared_core_sec,
+                "shared_core_queries": SHARED_CORE,
                 # full sample sets (r8): a headline number that moves
                 # between rounds can be judged against its own spread —
                 # a +0.2 s drift inside one round's sample range is
                 # launch-floor noise, outside it a plan regression
                 "timing": "min_of_5_interleaved_rounds",
                 "samples": {
-                    name: [round(s, 3) for s in samples[name]] for name in HEADLINE
+                    name: [round(s, 3) for s in samples[name]] for name in suite
                 },
             }
         )

@@ -134,8 +134,30 @@ def connected_components(
                 )
         sc.setCheckpointDir(checkpoint_dir)
 
-    def _ckpt(df: DataFrame) -> DataFrame:
-        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+    def _rdd_ids() -> set:
+        return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _ckpt(df: DataFrame) -> tuple:
+        """Checkpoint ``df`` eagerly and return (frame, created persistent
+        RDD ids).  localCheckpoint registers its block-backed RDD in the
+        context's persistent map; tracking the ids lets the loop RELEASE
+        each superseded round's storage as soon as its successor is
+        materialized — without it a long iteration holds O(rounds ×
+        labels) blocks for the session lifetime (and dead rounds linger
+        as persistent-RDD stragglers, the r9 ADVICE finding).  Reliable
+        checkpoint() writes files instead of blocks, so its created set
+        is empty and release is a no-op (files are the caller-owned
+        checkpoint_dir's lifecycle)."""
+        before = _rdd_ids()
+        out = df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+        return out, _rdd_ids() - before
+
+    def _release(ids: set) -> None:
+        jmap = sc._jsc.getPersistentRDDs()
+        for i in ids:
+            r = jmap.get(i)
+            if r is not None:
+                r.unpersist()
 
     ids = pairs.select(
         F.col("id_a").cast("long").alias("u"), F.col("id_b").cast("long").alias("v")
@@ -158,7 +180,7 @@ def connected_components(
             label0 = (
                 label0.unionByName(seed).groupBy("node").agg(F.min("label").alias("label"))
             )
-        labels = _ckpt(label0)
+        labels, labels_ids = _ckpt(label0)
         if labels.count() == 0:
             return labels.select(
                 F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
@@ -172,7 +194,7 @@ def connected_components(
             # label0 and nodes are never dropped), so the old-label join is
             # inner and lossless; `chg` is computed BEFORE the checkpoint so
             # the convergence signal is part of the materialized table.
-            new = _ckpt(
+            new, new_ids = _ckpt(
                 neighbor.union(labels.select("node", "label"))
                 .groupBy("node")
                 .agg(F.min("label").alias("label"))
@@ -186,7 +208,11 @@ def connected_components(
                 )
             )
             changed = new.agg(F.sum("chg")).first()[0]
-            labels = new
+            # the successor is materialized (eager checkpoint): release
+            # the superseded round's blocks NOW, so peak label storage
+            # is 2 rounds, not O(rounds)
+            _release(labels_ids)
+            labels, labels_ids = new, new_ids
             if changed == 0:
                 break
         else:

@@ -608,9 +608,14 @@ def audio_tokens(payload: bytes) -> list:
             pass
     import re
 
+    # explicit class = RE2's \s exactly ([\t\n\f\r ]): Python's ASCII \s
+    # also matches \x0b (vertical tab), which DuckDB's RE2 oracles do
+    # not — a \x0b-bearing payload would otherwise tokenize differently
+    # across engines (r9 ADVICE; the CDC fuzz alphabet now includes
+    # \x0b to prove the equality).
     return [
         w
-        for w in re.split(r"\s+", payload.decode("utf-8", "replace"), flags=re.ASCII)
+        for w in re.split(r"[ \t\n\f\r]+", payload.decode("utf-8", "replace"))
         if w
     ]
 

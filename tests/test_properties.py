@@ -873,7 +873,7 @@ def test_bm25_matches_python_reference(spark):
 @settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
     st.text(
-        alphabet=st.sampled_from("ab cd\tef\ngh'ij-kl.mn0 12"),
+        alphabet=st.sampled_from("ab cd\tef\ngh'ij-kl.mn0 12\x0b"),
         min_size=0,
         max_size=200,
     )
