@@ -754,14 +754,234 @@ def multimodal_audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def audio_near_groups(audio_ids: DataFrame, ff: DataFrame) -> DataFrame:
+# ---------------------------------------------------------------------------
+# video near-dup dedup (frame-sampled dHash signatures)
+# ---------------------------------------------------------------------------
+
+#: banded per-frame matching threshold: a pair of videos is a near-dup
+#: candidate-match when it shares at least this many distinct
+#: (band_idx, band_value) frame-band postings.  One shared band can be
+#: a random 16-bit collision; two independent ones essentially cannot.
+#: A truly duplicated frame contributes 4 shared bands, and a frame
+#: within Hamming distance PHASH_HAMMING_MAX contributes >= 1
+#: (pigeonhole over the 4x16-bit split — the property the phash tests
+#: pin), so one shared near-identical frame pair plus any second
+#: frame-band overlap crosses the threshold.
+VIDEO_MIN_SHARED = 2
+#: frame bands seen in more than this many videos are corpus-wide
+#: boilerplate (intros, slates, black frames) — pruned by broadcast
+#: anti-join BEFORE the pair join, the audio AUDIO_DF_CAP discipline.
+VIDEO_DF_CAP = 64
+#: frame sampling stride (every 5th frame), the multimodal_frame_sample
+#: geometry — a signature never touches more than n_frames/5 decodes.
+VIDEO_FRAME_STEP = 5
+#: fake-path frame geometry: frame i's content is the payload's i-th
+#: fixed-width character segment.  A frame IS a segment of the stream,
+#: so two videos sharing scenes share segment content at their frame
+#: boundaries — which makes the matching path genuinely exercised on
+#: the synthetic corpus (near-dup documents share aligned prefixes) at
+#: the sf0.01 correctness gate, not just on planted fixtures.  No CDC
+#: needed (the audio divergence): frame boundaries come from the
+#: decoder, not byte offsets, so they are already insertion-stable in
+#: a real container.
+VIDEO_FRAME_CHARS = 64
+
+_VIDEO_MAGIC_MP4 = b"ftyp"      # at offset 4 of an ISO-BMFF file
+_VIDEO_MAGIC_MKV = b"\x1aE\xdf\xa3"
+_VIDEO_MAGIC_AVI = b"AVI "      # at offset 8 of a RIFF container
+
+
+def _is_video_payload(payload: bytes) -> bool:
+    return (
+        payload[4:8] == _VIDEO_MAGIC_MP4
+        or payload.startswith(_VIDEO_MAGIC_MKV)
+        or (payload.startswith(b"RIFF") and payload[8:12] == _VIDEO_MAGIC_AVI)
+    )
+
+
+def video_frame_bands(payload: bytes, frame_idx: int) -> tuple:
+    """dHash bands of one sampled video frame.
+
+    Real path (video container magic AND genuinely binary AND a frame
+    decoder importable): decode frame ``frame_idx``, grayscale 9x8
+    thumbnail, the standard dHash — this container ships no video
+    codec, so the import fails and the branch is exercised only where
+    PyAV exists; the magic+binary gate gives the same provable
+    codec-independence property as :func:`decode_image` (a text corpus
+    is valid UTF-8, so installing a codec never changes certified
+    results).  Fake path: :func:`phash_bands`'s chained-md5 pixels
+    over the frame's :data:`VIDEO_FRAME_CHARS`-character payload
+    SEGMENT — deterministic, content-keyed (shared scenes → shared
+    hashes, position-free), and replayable in SQL as
+    md5(substring(text, ...)) chains."""
+    if _is_video_payload(payload) and _is_binary(payload):
+        try:
+            import io
+
+            import av  # noqa: F401 — optional frame decoder, absent here
+
+            with av.open(io.BytesIO(payload)) as container:
+                for i, frame in enumerate(container.decode(video=0)):
+                    if i == frame_idx:
+                        px = list(
+                            frame.to_image().convert("L").resize((9, 8)).getdata()
+                        )
+                        return _phash_bands_from_pixels(px)
+        except Exception:
+            pass
+    s = payload.decode("utf-8", "replace")
+    seg = s[frame_idx * VIDEO_FRAME_CHARS : (frame_idx + 1) * VIDEO_FRAME_CHARS]
+    return phash_bands(seg.encode("utf-8"), force_fake=True)
+
+
+def _video_band_postings_pdf(pdf):
+    """(doc_id, fh) band postings for one Arrow batch of video payloads:
+    frame count = 1 + chars // VIDEO_FRAME_CHARS (content-derived, so a
+    sampled frame always covers real payload), sampled every
+    VIDEO_FRAME_STEP (the multimodal_frame_sample stride), each frame's
+    4 dHash bands posted as 'band_idx:band_value' strings."""
+    ids: list = []
+    fhs: list = []
+    for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+        p = bytes(payload)
+        n_frames = 1 + len(p.decode("utf-8", "replace")) // VIDEO_FRAME_CHARS
+        for fi in range(0, n_frames, VIDEO_FRAME_STEP):
+            for k, b in enumerate(video_frame_bands(p, fi)):
+                ids.append(doc_id)
+                fhs.append(f"{k}:{b}")
+    return pd.DataFrame(
+        {"doc_id": pd.Series(ids, dtype="int64"), "fh": pd.Series(fhs, dtype="object")}
+    )
+
+
+def video_band_postings(videos: DataFrame) -> DataFrame:
+    """DISTINCT (doc_id, fh) frame-band postings for a (doc_id,
+    payload) video frame — the signature table both the batch and
+    streaming dedups match on."""
+
+    def emit(batches):
+        for pdf in batches:
+            yield _video_band_postings_pdf(pdf)
+
+    return videos.mapInPandas(emit, schema="doc_id long, fh string").distinct()
+
+
+def _video_fh_sql() -> str:
+    """The fake path's per-frame band postings as a DuckDB CTE chain
+    ending in ``post`` (DISTINCT doc_id, fh): sampled frame indices,
+    chained-md5 'pixels' per (doc, frame), the inlined dHash bit rule
+    (shared with the phash oracle), bands unnested as 'k:value'."""
+    return f"""vids AS (
+        SELECT doc_id, text FROM documents WHERE CAST(doc_id % 3 AS INT) = 2
+    ),
+    vframes AS (
+        SELECT doc_id,
+               substring(text, CAST(fi AS INT) * {VIDEO_FRAME_CHARS} + 1,
+                         {VIDEO_FRAME_CHARS}) AS seg
+        FROM vids, LATERAL unnest(
+            range(0, 1 + length(text) // {VIDEO_FRAME_CHARS},
+                  {VIDEO_FRAME_STEP})) AS t(fi)
+    ),
+    fhx AS (
+        SELECT doc_id,
+               md5(seg) || md5(seg || 'a') || md5(seg || 'b') AS hx
+        FROM vframes
+    ),
+    fbands AS (SELECT doc_id, {", ".join(_phash_band_sql_exprs())} FROM fhx),
+    post AS (
+        SELECT DISTINCT doc_id, fh FROM (
+            SELECT doc_id,
+                   unnest(['0:' || CAST(b0 AS VARCHAR), '1:' || CAST(b1 AS VARCHAR),
+                           '2:' || CAST(b2 AS VARCHAR), '3:' || CAST(b3 AS VARCHAR)]) AS fh
+            FROM fbands
+        )
+    )"""
+
+
+_VIDEO_ORACLE = f"""
+    WITH {_video_fh_sql()},
+    hot AS (SELECT fh FROM post GROUP BY fh HAVING COUNT(*) > {VIDEO_DF_CAP}),
+    kept AS (SELECT p.doc_id, p.fh FROM post p
+             WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.fh = p.fh)),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM kept GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM kept a JOIN kept b ON a.fh = b.fh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= {VIDEO_MIN_SHARED}
+    ),
+    sym AS (SELECT id_a AS id, id_b AS partner, n_common FROM pairs
+            UNION ALL SELECT id_b, id_a, n_common FROM pairs),
+    stats AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_matches FROM sym GROUP BY id),
+    best AS (
+        SELECT id, partner AS best_match_doc, CAST(n_common AS BIGINT) AS best_common
+        FROM (SELECT id, partner, n_common,
+                     ROW_NUMBER() OVER (PARTITION BY id
+                                        ORDER BY n_common DESC, partner) AS rn
+              FROM sym) r
+        WHERE rn = 1
+    )
+    SELECT v.doc_id,
+           COALESCE(s.n, 0) AS n_sig_bands,
+           COALESCE(st.n_matches, 0) AS n_matches,
+           b.best_match_doc,
+           b.best_common
+    FROM vids v
+    LEFT JOIN sizes s  ON v.doc_id = s.doc_id
+    LEFT JOIN stats st ON v.doc_id = st.id
+    LEFT JOIN best b   ON v.doc_id = b.id
+"""
+
+
+@query(
+    "multimodal_video_dedup",
+    "multimodal",
+    _VIDEO_ORACLE,
+    doc="Video near-dup dedup — the last member of the multimodal "
+    "dedup triad (text MinHash / image dHash / audio CDC): each video "
+    "decodes only its SAMPLED frames (every "
+    f"{VIDEO_FRAME_STEP}th of the multimodal_frame_sample geometry) in "
+    "an Arrow-batched mapInPandas stage, each frame hashes to a 64-bit "
+    "dHash (real decode behind a video-magic + binary gate with the "
+    "same provable codec-independence as decode_image; the fake path "
+    "chained-md5-hashes the frame's fixed-width payload SEGMENT — "
+    "content-keyed, so shared scenes share hashes position-free), and "
+    "the video's SIGNATURE is its distinct set of 4x16-bit frame "
+    "bands. Matching "
+    "is banded per-frame with a shared-band threshold (the "
+    "audio_near_groups engine verbatim): corpus-wide boilerplate bands "
+    f"(df > {VIDEO_DF_CAP}: intros, slates, black frames) prune by "
+    "broadcast anti-join BEFORE the pair self-join, pairs sharing >= "
+    f"{VIDEO_MIN_SHARED} bands match (one near-identical frame pair "
+    "shares >= 1 band by the pigeonhole property the phash tests pin; "
+    "a duplicated frame shares 4), per-video best match via a "
+    "doc-partitioned window. The DuckDB oracle replays the identical "
+    "frame sampling, nibble arithmetic, cap, and threshold. At 100 TB: "
+    "decode cost is frames/stride per video and never re-runs for "
+    "matching; the posting table is 4 rows per sampled frame, one "
+    "distinct + one groupBy shuffle; no all-pairs stage exists.",
+)
+def multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synth_media(spark, sf_dir).filter(F.col("media_type") == "video")
+    post = video_band_postings(media.select("doc_id", "payload"))
+    return audio_near_groups(
+        media.select("doc_id"), post, df_cap=VIDEO_DF_CAP, min_shared=VIDEO_MIN_SHARED
+    ).withColumnRenamed("n_frames", "n_sig_bands")
+
+
+def audio_near_groups(
+    audio_ids: DataFrame,
+    ff: DataFrame,
+    df_cap: int = AUDIO_DF_CAP,
+    min_shared: int = AUDIO_MIN_SHARED,
+) -> DataFrame:
     """Fingerprint-DB matching over distinct (doc_id, fh) postings —
     factored so the realignment property test can drive it with
-    synthetic frame sets."""
+    synthetic frame sets, and so the video dedup can reuse the engine
+    with its own cap/threshold."""
     hot = (
         ff.groupBy("fh")
         .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > AUDIO_DF_CAP)
+        .filter(F.col("df") > df_cap)
         .select("fh")
     )
     kept = ff.join(F.broadcast(hot), "fh", "left_anti")
@@ -775,7 +995,7 @@ def audio_near_groups(audio_ids: DataFrame, ff: DataFrame) -> DataFrame:
         )
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .agg(F.count("*").alias("n_common"))
-        .filter(F.col("n_common") >= AUDIO_MIN_SHARED)
+        .filter(F.col("n_common") >= min_shared)
     )
     sym = pairs.select(
         F.col("id_a").alias("id"), F.col("id_b").alias("partner"), "n_common"

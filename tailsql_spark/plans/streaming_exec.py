@@ -3164,6 +3164,112 @@ REGISTRY["stream_audio_fp_dedup"] = QuerySpec(
 
 
 # ---------------------------------------------------------------------------
+# incremental video dedup (frame-sampled dHash signatures)
+# ---------------------------------------------------------------------------
+
+
+def _video_fp_batch_processor(fp_root: str):
+    """Per micro-batch: frame-sample + dHash the batch's video payloads
+    (the same Arrow-batched stage as the batch operator) and write the
+    distinct (doc_id, fh) band postings to a per-batch-id overwrite
+    dir — no history reads, replay-idempotent.  Postings are disjoint
+    by doc across batches, so the merged log IS the signature index."""
+
+    def process(batch_df, batch_id):
+        from tailsql_spark.operators.multimodal import _video_band_postings_pdf
+
+        def emit(batches):
+            for pdf in batches:
+                yield _video_band_postings_pdf(pdf)
+
+        post = batch_df.mapInPandas(emit, schema="doc_id long, fh string").distinct()
+        post.write.mode("overwrite").parquet(f"{fp_root}/{_bdir(int(batch_id))}")
+
+    return process
+
+
+def stream_video_dedup(
+    spark: SparkSession, sf_dir: str, state_root: str | None = None
+) -> DataFrame:
+    """INCREMENTAL video near-dup dedup — completes the streaming side
+    of the multimodal dedup triad (text MinHash / image dHash / audio
+    CDC / video frame-signatures): videos stream in, each micro-batch
+    decodes and dHashes only its NEW payloads' sampled frames and
+    appends distinct (doc, band) postings to the state log; read time
+    runs the same df-capped banded matching (``audio_near_groups`` with
+    the video cap/threshold) over the merged index, certified against
+    the SAME oracle as batch ``multimodal_video_dedup``.  Per-batch
+    cost tracks new payloads (frame decode never re-runs over
+    history); state is 4 ints per sampled frame regardless of payload
+    size."""
+    import shutil
+
+    from tailsql_spark.operators.multimodal import (
+        VIDEO_DF_CAP,
+        VIDEO_MIN_SHARED,
+        audio_near_groups,
+        synth_media,
+    )
+
+    media = synth_media(spark, sf_dir).filter(F.col("media_type") == "video")
+    videos = media.select("doc_id", "payload")
+    state_root, _owned_state = _resolve_state_root("videofp", state_root)
+    fp_root = f"{state_root}/fp"
+    spark.createDataFrame([], "doc_id long, fh string").write.mode(
+        "overwrite"
+    ).parquet(f"{fp_root}/seed")
+    src_dir = _stage_stream_source(videos, "videofp", state_root, _owned_state, corpus_tag=sf_dir)
+    stream = (
+        spark.readStream.schema(videos.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_video_fp_batch_processor(fp_root))
+        .option("checkpointLocation", f"{state_root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _await_or_raise(q, "stream_video_dedup")
+    finally:
+        q.stop()
+    ff = spark.read.parquet(*_mh_state_paths(fp_root))
+    # every video yields >= 1 sampled frame (n_frames >= 1), so the
+    # merged postings' distinct doc set IS the streamed video id set —
+    # no separate id log needed
+    result = audio_near_groups(
+        ff.select("doc_id").distinct(),
+        ff,
+        df_cap=VIDEO_DF_CAP,
+        min_shared=VIDEO_MIN_SHARED,
+    ).withColumnRenamed("n_frames", "n_sig_bands")
+    out = _persist_result(result, "stream_video_dedup")
+    if _owned_state:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        _fs_rmtree(state_root)
+    return out
+
+
+from tailsql_spark.operators.multimodal import _VIDEO_ORACLE as _VIDEO_ORACLE_STREAM  # noqa: E402
+
+REGISTRY["stream_video_dedup"] = QuerySpec(
+    name="stream_video_dedup",
+    category="streaming-executed",
+    build=stream_video_dedup,
+    oracle=_VIDEO_ORACLE_STREAM,
+    doc="Video frame-signature index maintained INCREMENTALLY: each "
+    "micro-batch frame-samples and dHashes only its NEW payloads and "
+    "appends distinct (doc, band) postings to per-batch-id overwrite "
+    "dirs (replay-idempotent); read time runs the same df-capped "
+    "banded matching over the merged index, certified against the "
+    "SAME oracle as batch multimodal_video_dedup — streaming ≡ batch "
+    "for the video modality, completing the multimodal dedup triad's "
+    "incremental twins.",
+)
+
+
+# ---------------------------------------------------------------------------
 # incremental binned percentile gate
 # ---------------------------------------------------------------------------
 

@@ -369,3 +369,63 @@ def test_audio_near_groups_df_cap_kills_hot_frames(spark):
         out[i].n_frames == 0 and out[i].n_matches == 0
         for i in range(AUDIO_DF_CAP + 6)
     )
+
+
+def test_video_frame_bands_deterministic_and_codec_gated():
+    """Per-(payload, frame) dHash bands are deterministic, per-frame
+    distinct, and a valid-UTF-8 payload wearing a video magic stays on
+    the fake path (the binary gate — same provable codec-independence
+    as the PIL/wave gates)."""
+    from tailsql_spark.operators.multimodal import (
+        PHASH_BANDS,
+        VIDEO_FRAME_CHARS,
+        phash_bands,
+        video_frame_bands,
+    )
+
+    p = ("scene one " * 10 + "scene two " * 10).encode()  # spans 2+ frames
+    b0 = video_frame_bands(p, 0)
+    assert b0 == video_frame_bands(p, 0)
+    assert len(b0) == PHASH_BANDS and all(0 <= b < 1 << 16 for b in b0)
+    assert b0 != video_frame_bands(p, 1)  # different segments, different hash
+    # fake path == chained-md5 phash over the frame's payload SEGMENT
+    # (the contract the SQL oracle replays) — content-keyed, so a
+    # second video sharing the segment shares the hash position-free
+    seg = p.decode()[:VIDEO_FRAME_CHARS].encode()
+    assert b0 == phash_bands(seg, force_fake=True)
+    assert video_frame_bands(p[: 2 * VIDEO_FRAME_CHARS] + b" tail differs", 0) == b0
+    # UTF-8 text with an MP4 magic prefix never reaches a decoder
+    mp4ish = b"\x00\x00\x00 ftypisom prose pretending to be a movie"
+    assert mp4ish.decode("utf-8") and video_frame_bands(mp4ish, 0) == phash_bands(
+        mp4ish[:VIDEO_FRAME_CHARS], force_fake=True
+    )
+
+
+def test_video_near_groups_exact_dup_and_threshold(spark):
+    """Two identical payloads share EVERY band posting and must match
+    with best_common = their posting count; a single-band random
+    collision (< VIDEO_MIN_SHARED) must NOT match."""
+    from pyspark.sql import functions as F
+
+    from tailsql_spark.operators.multimodal import (
+        VIDEO_DF_CAP,
+        VIDEO_MIN_SHARED,
+        audio_near_groups,
+        video_band_postings,
+    )
+
+    payload = b"duplicated clip payload with enough bytes to span frames"
+    rows = [(1, bytearray(payload)), (2, bytearray(payload)), (3, bytearray(b"unrelated third clip"))]
+    vids = spark.createDataFrame(rows, "doc_id long, payload binary")
+    post = video_band_postings(vids)
+    n_postings = {r.doc_id: r.n for r in post.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    out = {
+        r.doc_id: r
+        for r in audio_near_groups(
+            post.select("doc_id").distinct(), post,
+            df_cap=VIDEO_DF_CAP, min_shared=VIDEO_MIN_SHARED,
+        ).collect()
+    }
+    assert out[1].best_match_doc == 2 and out[2].best_match_doc == 1
+    assert out[1].best_common == n_postings[1] == n_postings[2]
+    assert out[3].n_matches == 0 and out[3].best_match_doc is None

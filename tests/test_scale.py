@@ -1250,6 +1250,18 @@ def test_audio_fp_hot_frames_pruned_before_pairing(spark, oracle_sf_dir):
     assert "windowspecdefinition(id" in p, p
 
 
+def test_video_dedup_hot_bands_pruned_before_pairing(spark, oracle_sf_dir):
+    """Video dedup: boilerplate frame bands prune via broadcast
+    anti-join BEFORE the pair self-join; best-match window partitions
+    by doc id; never a cartesian stage (the audio discipline)."""
+    from tailsql_spark.plans.registry import REGISTRY
+
+    p = _plan(REGISTRY["multimodal_video_dedup"].build(spark, oracle_sf_dir))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "windowspecdefinition(id" in p, p
+
+
 def test_point_in_time_join_is_keyed_equi_join_and_1to1(spark, oracle_sf_dir):
     """The temporal join must compile to a KEY equi-join (broadcast
     hash join on custkey) with the interval predicate as a filter —

@@ -955,6 +955,65 @@ def test_audio_fp_processor_replay_idempotent(spark, oracle_sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def test_video_fp_processor_replay_idempotent(spark, oracle_sf_dir):
+    """Incremental video dedup: every batch replayed — a double-append
+    would duplicate band postings and inflate every band df toward the
+    cap. Merged state through the video-parameterized audio_near_groups
+    must equal batch multimodal_video_dedup."""
+    from tailsql_spark.operators.multimodal import (
+        REGISTRY as _MM,
+        VIDEO_DF_CAP,
+        VIDEO_MIN_SHARED,
+        audio_near_groups,
+        synth_media,
+    )
+    from tailsql_spark.plans.streaming_exec import (
+        _mh_state_paths,
+        _video_fp_batch_processor,
+    )
+
+    videos = (
+        synth_media(spark, oracle_sf_dir)
+        .filter(F.col("media_type") == "video")
+        .select("doc_id", "payload")
+    )
+    half = videos.filter(F.col("doc_id") % 2 == 0)   # video ids are 2 mod 3
+    rest = videos.filter(F.col("doc_id") % 2 == 1)
+
+    root = tempfile.mkdtemp(prefix="tailsql_videofp_replay_")
+    try:
+        fp_root = f"{root}/fp"
+        spark.createDataFrame([], "doc_id long, fh string").write.parquet(
+            f"{fp_root}/seed"
+        )
+        process = _video_fp_batch_processor(fp_root)
+        process(half, 0)
+        process(half, 0)  # simulated post-crash replay
+        process(rest, 1)
+        process(rest, 1)
+        ff = spark.read.parquet(*_mh_state_paths(fp_root))
+        got = {
+            tuple(r)
+            for r in audio_near_groups(
+                ff.select("doc_id").distinct(),
+                ff,
+                df_cap=VIDEO_DF_CAP,
+                min_shared=VIDEO_MIN_SHARED,
+            )
+            .withColumnRenamed("n_frames", "n_sig_bands")
+            .collect()
+        }
+        want = {
+            tuple(r)
+            for r in _MM["multimodal_video_dedup"]
+            .build(spark, oracle_sf_dir)
+            .collect()
+        }
+        assert got == want, f"extra={got - want}, missing={want - got}"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_rate_anomaly_processor_replay_idempotent(spark, oracle_sf_dir):
     """Incremental alert rule: every batch replayed — a double-append
     would double hourly counts and shift every mean/variance. Merged
