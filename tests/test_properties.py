@@ -741,6 +741,7 @@ def test_unigram_lm_matches_python_reference(spark, data):
     from tailsql_spark.operators.textstats import (
         UNI_PIECE_MAX,
         UNI_ROUNDS,
+        UNI_SEED_CAP,
         unigram_lm_train,
         unigram_viterbi,
     )
@@ -765,7 +766,14 @@ def test_unigram_lm_matches_python_reference(spark, data):
     cur = seed
     for rnd in range(1, n_rounds + 1):
         ranked = sorted(cur.items(), key=lambda kv: (-kv[1], kv[0]))
-        costs = {p: rk.bit_length() for rk, (p, _) in enumerate(ranked, 1)}
+        # the r10 seed prune: rank <= cap OR single-char (cost keeps the
+        # uncapped rank) — the tiny fuzz vocab rarely crosses the cap;
+        # the dedicated cap-bite test forces it
+        costs = {
+            p: rk.bit_length()
+            for rk, (p, _) in enumerate(ranked, 1)
+            if rk <= UNI_SEED_CAP or len(p) == 1
+        }
         m: dict[str, int] = {}
         for w, c in words.items():
             for p in unigram_viterbi(w, costs):
@@ -778,6 +786,37 @@ def test_unigram_lm_matches_python_reference(spark, data):
         (r["round"], r.piece, r.cnt)
         for r in unigram_lm_train(wdf, n_rounds=n_rounds).collect()
     }
+    assert got == expected
+
+
+def test_unigram_seed_cap_prunes_and_single_chars_survive(spark, monkeypatch):
+    """The seed prune pinned at a forced-small cap: pieces ranked past
+    the cap vanish from the model, single-char pieces survive
+    unconditionally (segmentability), and surviving costs keep the
+    UNCAPPED global rank — exactly the replica's rule."""
+    import tailsql_spark.operators.textstats as TS
+
+    monkeypatch.setattr(TS, "UNI_SEED_CAP", 4)
+    # seed ranking: b(45) bb(36) bbb(27) bbbb(18) | bbbbb(9) pruned,
+    # z(1) rank 6 survives ONLY via the single-char rule
+    words = {"bbbbb": 9, "z": 1}
+    seed: dict[str, int] = {}
+    for w, c in words.items():
+        for i in range(len(w)):
+            for ln in range(1, min(TS.UNI_PIECE_MAX, len(w) - i) + 1):
+                p = w[i : i + ln]
+                seed[p] = seed.get(p, 0) + c
+    ranked = sorted(seed.items(), key=lambda kv: (-kv[1], kv[0]))
+    expected = {
+        p: rk.bit_length()
+        for rk, (p, _) in enumerate(ranked, 1)
+        if rk <= 4 or len(p) == 1
+    }
+    assert len(expected) < len(seed)  # the cap genuinely pruned
+    assert any(len(p) == 1 and rk > 4 for rk, (p, _) in enumerate(ranked, 1))
+
+    wdf = spark.createDataFrame(list(words.items()), "w string, cnt long")
+    got = TS.unigram_piece_costs(TS.unigram_seed_pieces(wdf))
     assert got == expected
 
 

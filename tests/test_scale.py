@@ -1135,6 +1135,28 @@ def test_zipf_rank_never_global_windows_type_table(spark, oracle_sf_dir):
             assert "cnt#" in spec and "pb#" in spec, spec
 
 
+def test_unigram_rank_never_global_windows_piece_table(spark, oracle_sf_dir):
+    """The unigram-LM piece rank must be distributed (the r9 verdict's
+    parameter cliff, removed): the only window that touches the piece
+    table (ordering by piece) is partitioned by (cnt, prefix bucket);
+    the sole unpartitioned window runs on the metadata-sized bucket
+    table — the text_zipf_slope pattern."""
+    import re
+
+    from tailsql_spark.operators.textstats import (
+        unigram_piece_ranks,
+        unigram_seed_pieces,
+        unigram_words,
+    )
+
+    p = _plan(unigram_piece_ranks(unigram_seed_pieces(unigram_words(spark, oracle_sf_dir))))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", p)
+    assert specs, p
+    for spec in specs:
+        if "piece#" in spec:
+            assert "cnt#" in spec and "pb#" in spec, spec
+
+
 def test_bm25_query_terms_broadcast_onto_postings(spark, oracle_sf_dir):
     """BM25: the query-term table, the per-term df table, and the
     1-row corpus stats must all BROADCAST onto the tf posting list —
