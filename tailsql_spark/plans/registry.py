@@ -58,8 +58,15 @@ for _mod in _EXTENSION_MODULES:
 GRADED_WINDOW: tuple[str, ...] = (
     # §2A flagship: tail -f → regex parse → typed rows → window/agg
     "tailsql_parse_pipeline",
-    "tailsql_parse_typed_rows",
+    # (r10: tailsql_parse_typed_rows rotated to the local gate after
+    #  nine green rounds — the pipeline row CONTAINS the typed parse;
+    #  its slot goes to the round's BM25 serving index)
     "tailsql_filter_expr",          # §2C filter-expression surface
+    # r10: the persisted term-bucketed posting index, certified by
+    # CONTENT (per-bucket profile vs the oracle's recomputation with
+    # identical md5-bucket arithmetic) — the sink half of the round's
+    # retrieval-serving flagship
+    "sink_bm25_index",
     # §2B: one per category
     "q1_pricing_summary",           # aggregation
     "agg_rollup",                   # grouping sets / rollup / cube family
@@ -106,15 +113,22 @@ GRADED_WINDOW: tuple[str, ...] = (
     #  row is the stronger certification)
     # (r8: events_funnel_conversion rotated to the local gate — event
     #  analytics stays repped by the tumbling row)
-    # r8: the round's storage-maintenance flagship — MERGE/upsert with
-    # partition-pruned rewrite, certified vs a full-outer-join replay
-    "sink_merge_upsert",
+    # (r10: sink_merge_upsert rotated to the local gate — MERGE stays
+    #  certified there with its tombstone variant AND incrementally via
+    #  stream_merge_upsert; the slot goes to the leakage-safe temporal
+    #  feature join, the storage family's r9 flagship)
+    "join_scd2_point_in_time",
     # §2E streaming-EXECUTED (availableNow micro-batch, real sinks)
     # (r8: stream_tumbling_counts rotated to the local gate — the
     #  tumbling shape is repped by events_tumbling_1h and the stronger
     #  append-mode session row below)
     "stream_stateful_user_totals",
-    "stream_dedup_minhash",         # r3: incremental dedup, streaming ≡ batch
+    # (r10: stream_dedup_minhash rotated to the local gate after seven
+    #  green rounds — the incremental-MinHash machinery stays driver-
+    #  graded INSIDE stream_dedup_clusters below and the curation DAG,
+    #  and both bucketed/flat layouts stay certified locally; the slot
+    #  goes to the incremental retrieval index)
+    "stream_bm25_topk",             # r10: standing BM25 probe, streaming ≡ batch
     "stream_dedup_clusters",        # r4: incremental connected components —
     #   warm-started label maintenance certified ≡ the batch closure
     #   (stream_session_30m moved to the local gate: the session family
@@ -158,9 +172,11 @@ GRADED_WINDOW: tuple[str, ...] = (
     # (r8 late rotation: dedup_minhash_recall to the local gate — the
     #  recall floor is hard-gated in pytest and the row stays certified
     #  there; its slot goes to the new data-quality family)
-    # r8: one-scan column profiler (the ANALYZE TABLE shape) — per-
-    # column nulls/distincts/min-max/avg-length from a single Expand
-    "quality_profile_columns",
+    # (r10: quality_profile_columns rotated to the local gate — the
+    #  data-quality family's slot goes to the r9 binned percentile
+    #  gate, the one-pass mergeable-histogram admission threshold whose
+    #  streaming twin shares its code)
+    "corpus_quality_percentile_binned",
     # (r8: dedup_ngram_jaccard rotated to the local gate — its capped
     #  posting-index code path is now ALSO certified as
     #  dedup_minhash_recall's ground-truth builder above)
@@ -186,9 +202,10 @@ GRADED_WINDOW: tuple[str, ...] = (
     # (r8 late rotation: text_langid to the local gate after seven
     #  green rounds; its slot goes to the sketch family's new exact-
     #  certified row)
-    # r8: heavy-hitter tokens — mergeable Misra-Gries candidates +
-    # exact rescan, certified against the plain GROUP BY + HAVING
-    "text_heavy_hitters",
+    # (r10: text_heavy_hitters rotated to the local gate — the
+    #  mergeable-sketch concern stays graded by agg_countmin_sketch;
+    #  its slot goes to event-rate alerting, previously local-only)
+    "events_rate_anomaly",          # dense hour grid, integer-exact two-sigma
     # r8: text_bpe_train rotated to the local gate for the round's
     # LLM-pipeline flagship — BATCHED BPE training (top-k
     # symbol-disjoint merges per round), certified against DuckDB's
@@ -210,23 +227,33 @@ GRADED_WINDOW: tuple[str, ...] = (
     # (r9: multimodal_feature_extract rotated to the local gate — the
     #  phash row below subsumes the mapInPandas plumbing certification
     #  and adds the image near-dup semantics)
-    "multimodal_phash_dedup",       # r9: dHash near-dup, banded Hamming ball
+    # (r10: multimodal_phash_dedup rotated to the local gate after its
+    #  green round — the family's two driver rows are now the r9 audio
+    #  CDC dedup and the r10 video frame-signature dedup, which
+    #  together exercise the banded-matching engine, the df-cap prune,
+    #  AND the frame-sampling composition)
+    "multimodal_audio_fp_dedup",    # r9: CDC fingerprint near-dup
+    "multimodal_video_dedup",       # r10: frame-sampled dHash signatures
     # skew handling
     "agg_salted_skew",
     # ML prep (r3: iterative k-means — the iterative-algorithm family's
     # hard row; hash-split stays certified on the local gate)
     "ann_kmeans_lloyd",
-    "grouped_zscore_pandas",        # §2D grouped pandas UDF
+    # (r10: grouped_zscore_pandas rotated to the local gate — §2D's
+    #  Python-surface concerns stay driver-graded via the Arrow
+    #  mapInPandas rows (audio/video/unigram) and the
+    #  applyInPandasWithState row; grouped applyInPandas stays
+    #  certified locally)
     # corpus pipeline
     # (r8: corpus_clean_pipeline rotated to the local gate — the full
     #  curation DAG below CONTAINS the clean pipeline as its first
     #  stage, in both batch and streaming modes)
-    # r9: BM25 top-k retrieval — the new retrieval family's hard row
-    # (broadcast-probe inverted-index shape; streaming twin certified
-    # on the local gate). corpus_quality_percentile_gate rotates to
-    # the local gate: the corpus family keeps three driver rows
-    # (profiler, PPS sampling, curation DAG).
-    "text_bm25_topk",
+    # r9: BM25 retrieval. r10: the per-run text_bm25_topk rotates to
+    # the local gate and the driver row upgrades to the PERSISTED
+    # serving shape — bucket-pruned probe over the materialized index,
+    # scored through the same bm25_rank code against the same oracle
+    # (sink_bm25_index above certifies the index content itself).
+    "text_bm25_topk_indexed",
     # r6: the mixing row upgraded to the full curation-DAG composition
     # (quality gate → exact dedup → near-dup survivors → budgets);
     # corpus_mix_budget stays green on the local gate

@@ -2038,33 +2038,97 @@ REGISTRY["stream_merge_upsert"] = QuerySpec(
 # bucketed-state incremental dedup: the flat-per-batch-cost layout
 # ---------------------------------------------------------------------------
 
-#: State buckets for the bucketed incremental index. 32 here; at real
-#: scale pick ~(index bytes / target scan bytes per probe).
+#: DELTA-tier state buckets for the bucketed incremental index: every
+#: micro-batch's state lands at this small count (≤ 32 files per
+#: family per batch, bounded write amplification regardless of how
+#: large the dial grows the BASE tier below).
 N_STATE_BUCKETS = 32
+#: The r10 dial (the "production dial" SCALING.md named): target rows
+#: per bucket in the COMPACTED BASE.  When the accumulated family
+#: crosses current_buckets × this target, the committed history is
+#: folded into a fresh base bucketed at state_bucket_count(rows) — so
+#: a probe's pruned read tracks its touched-bucket fraction of a
+#: bucket-count that GROWS with the index, instead of degenerating to
+#: a full scan at a fixed 32.
+STATE_ROWS_PER_BUCKET = 4096
+#: base-tier ceiling: one file per bucket per compaction, so the cap
+#: bounds both the compaction task count and the file population.
+STATE_MAX_BUCKETS = 4096
 
 
-def _bucket_manifest_write(frame, root: str, col: str, bid: int) -> None:
-    """Commit this batch's bucket MANIFEST: one row (bid, bucket, path)
-    per leaf dir just written under ``{root}/{_bdir(bid)}``.  Rows are
-    derived DISTRIBUTED from the written frame's distinct bucket values
-    (no driver collect) and land in a per-batch-id overwrite dir, so a
-    replayed batch rewrites byte-identical manifest rows.  Write order
-    is data-then-manifest — readers trust only the manifest, so a crash
-    between the two leaves the batch invisible (exactly as an aborted
-    lakehouse commit), and the replay rewrites both."""
-    sub = _bdir(bid)
+def state_bucket_count(n_rows: int) -> int:
+    """Bucket count the dial picks for ``n_rows`` of family state:
+    doubles from N_STATE_BUCKETS until rows/bucket <= the target,
+    capped at STATE_MAX_BUCKETS."""
+    b = N_STATE_BUCKETS
+    while b < STATE_MAX_BUCKETS and n_rows > b * STATE_ROWS_PER_BUCKET:
+        b *= 2
+    return b
+
+
+def _state_meta_read(root: str) -> dict:
+    """The family's version pointer: {version, nb, rows}.  version
+    selects the manifest directory (the lakehouse table-version
+    pointer), nb is the BASE tier's bucket count, rows the cumulative
+    row estimate driving the dial.  Absent file = the v0 defaults."""
+    import json
+    import os
+
+    p = f"{root}/_meta.json"
+    if not os.path.exists(p):
+        return {"version": 0, "nb": N_STATE_BUCKETS, "rows": 0}
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _state_meta_write(root: str, meta: dict) -> None:
+    """Atomic pointer swap (write-new + rename): the COMMIT point of a
+    re-bucket.  A local-fs stand-in for the transactional version
+    pointer every lakehouse format provides; on an object store this
+    is the metadata-service CAS."""
+    import json
+    import os
+
+    tmp = f"{root}/_meta.json.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, f"{root}/_meta.json")
+
+
+def _manifest_dir(root: str, version: int) -> str:
+    return f"{root}/_manifest" if version == 0 else f"{root}/_manifest_v{version}"
+
+
+def _bucket_manifest_write(
+    frame, root: str, col: str, bid: int, nb: int = N_STATE_BUCKETS,
+    version: int = 0, data_dir: str | None = None, sub: str | None = None,
+) -> None:
+    """Commit a state dir's bucket MANIFEST: one row (bid, nb, bucket,
+    path) per leaf dir just written.  ``nb`` records the bucket count
+    the rows were bucketed AT — the two-tier layout mixes a big-nb base
+    with small-nb deltas, and the pruner recomputes touched buckets per
+    nb.  Rows are derived DISTRIBUTED from the written frame's distinct
+    bucket values (no driver collect) and land in a per-batch-id
+    overwrite dir, so a replayed batch rewrites byte-identical manifest
+    rows.  Write order is data-then-manifest — readers trust only the
+    manifest, so a crash between the two leaves the batch invisible
+    (exactly as an aborted lakehouse commit), and the replay rewrites
+    both."""
+    sub = sub if sub is not None else _bdir(bid)
+    data_dir = data_dir if data_dir is not None else f"{root}/{sub}"
     (
         frame.select(F.col(col).cast("long").alias("bucket"))
         .distinct()
         .select(
             F.lit(int(bid)).cast("long").alias("bid"),
+            F.lit(int(nb)).cast("long").alias("nb"),
             "bucket",
             F.concat(
-                F.lit(f"{root}/{sub}/{col}="), F.col("bucket").cast("string")
+                F.lit(f"{data_dir}/{col}="), F.col("bucket").cast("string")
             ).alias("path"),
         )
         .write.mode("overwrite")
-        .parquet(f"{root}/_manifest/{sub}")
+        .parquet(f"{_manifest_dir(root, version)}/{sub}")
     )
 
 
@@ -2074,6 +2138,7 @@ def _bucket_manifest_seed(empty_frame, root: str) -> None:
     (
         empty_frame.select(
             F.lit(0).cast("long").alias("bid"),
+            F.lit(0).cast("long").alias("nb"),
             F.lit(0).cast("long").alias("bucket"),
             F.lit("").alias("path"),
         )
@@ -2083,23 +2148,88 @@ def _bucket_manifest_seed(empty_frame, root: str) -> None:
     )
 
 
-def _bucket_manifest_paths(sess, root: str, touched_df, exclude_bid: int | None) -> list[str]:
-    """History leaf dirs for the touched buckets, pruned through the
-    bucket MANIFEST — no filesystem listing anywhere (an object-store
-    LIST per batch is exactly what lakehouse manifests exist to avoid).
-    One metadata-sized parquet read joined (broadcast) with the batch's
-    distinct-bucket frame, collected as planning metadata: the path
-    list is what every lakehouse planner hands the scan.  The replaying
-    batch's own rows are excluded BY BID, preserving the exactly-once
-    read discipline (a replayed batch sees the index as it stood before
-    its original run); the join also folds the former separate
-    touched-bucket collect into this single job."""
-    man = sess.read.option("recursiveFileLookup", "true").parquet(f"{root}/_manifest")
+def _bucket_manifest_paths(
+    sess, root: str, keys_df, exclude_bid: int | None, version: int = 0
+) -> list[str]:
+    """History leaf dirs whose buckets the batch's KEYS touch, pruned
+    through the bucket MANIFEST — no filesystem listing anywhere (an
+    object-store LIST per batch is exactly what lakehouse manifests
+    exist to avoid).  ``keys_df`` is one int64 column ``k`` (the raw
+    bucket key: xxhash64 of the band hash / the doc id); the pruner
+    derives the touched-bucket set PER bucket count present in the
+    manifest (≤ 2 live tiers: the compacted base's nb + the delta
+    tier's N_STATE_BUCKETS), so a base written at 4096 buckets and
+    yesterday's deltas at 32 both prune correctly.  One metadata-sized
+    manifest read joined (broadcast) with the touched frame, collected
+    as planning metadata: the path list is what every lakehouse planner
+    hands the scan.  The replaying batch's own rows are excluded BY
+    BID, preserving the exactly-once read discipline (base versions
+    carry negative bids, never excludable)."""
+    man = sess.read.option("recursiveFileLookup", "true").parquet(
+        _manifest_dir(root, version)
+    )
     if exclude_bid is not None:
         man = man.filter(F.col("bid") != int(exclude_bid))
-    pruned = man.join(F.broadcast(touched_df), "bucket").select("path").distinct()
-    paths = pruned.collect()  # planning-metadata: ≤ n_batches × N_STATE_BUCKETS rows
+    nbs = [int(r.nb) for r in man.select("nb").distinct().collect() if r.nb]
+    touched = None
+    for nb in sorted(nbs):
+        t = (
+            keys_df.select(F.pmod(F.col("k"), F.lit(nb)).alias("bucket"))
+            .distinct()
+            .select(F.lit(nb).cast("long").alias("nb"), "bucket")
+        )
+        touched = t if touched is None else touched.unionByName(t)
+    if touched is None:
+        return [f"{root}/seed"]
+    pruned = man.join(F.broadcast(touched), ["nb", "bucket"]).select("path").distinct()
+    paths = pruned.collect()  # planning-metadata: ≤ dirs × touched-bucket rows
     return [f"{root}/seed"] + sorted(r.path for r in paths)
+
+
+def _rebucket_family(sess, root: str, col: str, key, exclude_bid: int, meta: dict) -> dict:
+    """Decade re-bucket (the dial, applied): fold every COMMITTED state
+    dir of the family into one consolidated base bucketed at
+    state_bucket_count(rows), under a new manifest VERSION whose only
+    initial rows are the base's (bid = -version, so the replay
+    exclusion can never drop it); the atomic meta rename is the commit.
+
+    Replay safety: runs at the START of a batch and EXCLUDES that
+    batch's bid, so a crashed-then-replayed batch's half-committed
+    delta is never folded — the replaying batch re-appends it into the
+    new version exactly as a first run would.  A crash after the base
+    write but before the meta rename leaves the new version invisible;
+    the next trigger rewrites it idempotently (mode overwrite, same
+    inputs).  Old version dirs become garbage for snapshot expiry.
+
+    Cost: one full-family read + one bucket shuffle + ≤ nb files — the
+    classic LSM/lakehouse compaction, paid once per index DECADE, which
+    is what keeps every per-batch probe reading a touched-bucket
+    FRACTION that shrinks as the corpus grows instead of degenerating
+    to a full scan at a fixed bucket count."""
+    new_nb = state_bucket_count(int(meta["rows"]))
+    if new_nb <= int(meta["nb"]):
+        return meta
+    ver = int(meta["version"]) + 1
+    man = sess.read.option("recursiveFileLookup", "true").parquet(
+        _manifest_dir(root, int(meta["version"]))
+    ).filter(F.col("bid") != int(exclude_bid))
+    paths = [r.path for r in man.select("path").distinct().collect()]  # planning metadata
+    base_dir = f"{root}/base_v{ver}"
+    src = sess.read.parquet(f"{root}/seed", *paths)
+    rebucketed = src.withColumn(col, F.pmod(key, F.lit(new_nb)))
+    (
+        rebucketed.repartition(min(new_nb, 1024), col)
+        .write.mode("overwrite")
+        .partitionBy(col)
+        .parquet(base_dir)
+    )
+    _bucket_manifest_write(
+        rebucketed, root, col, bid=-ver, nb=new_nb, version=ver,
+        data_dir=base_dir, sub="base",
+    )
+    meta = {"version": ver, "nb": new_nb, "rows": int(meta["rows"])}
+    _state_meta_write(root, meta)  # the commit point
+    return meta
 
 
 def _mh_bucketed_seed(docs, state_root: str) -> tuple:
@@ -2155,12 +2285,22 @@ def _minhash_bucketed_processor(bands_root: str, ex_root: str, out_root: str):
     * state files are bucket-PURE: one shuffle by bucket before the
       partitioned write, so each batch adds ≤ N_STATE_BUCKETS files
       per family instead of tasks × buckets small files (the write-
-      side cost the r8 measurement also charged to this layout).
+      side cost the r8 measurement also charged to this layout);
+    * r10, the bucket-count DIAL: state is two-tier — per-batch DELTAS
+      stay at N_STATE_BUCKETS (bounded write amplification), and when
+      a family's cumulative rows cross the dial's threshold the
+      committed history folds into a consolidated BASE bucketed at
+      state_bucket_count(rows) under a new manifest version
+      (`_rebucket_family`), so the probe's pruned read keeps shrinking
+      as a fraction of the index instead of degenerating to a full
+      scan at a fixed 32 buckets.
 
     Same exactly-once discipline as `_minhash_batch_processor`:
     per-batch-id overwrite dirs, history reads exclude the replaying
-    batch's own rows (by manifest bid), data committed before its
-    manifest so readers never see a half-written batch."""
+    batch's own rows (by manifest bid; base versions carry negative
+    bids), data committed before its manifest so readers never see a
+    half-written batch; re-buckets exclude the in-flight bid and
+    commit via atomic meta rename."""
     from tailsql_spark.operators.dedup import (
         JACCARD_THRESHOLD,
         band_long,
@@ -2171,6 +2311,15 @@ def _minhash_bucketed_processor(bands_root: str, ex_root: str, out_root: str):
     def process(batch_df, batch_id):
         sess = batch_df.sparkSession
         bid = int(batch_id)
+        # the dial: fold committed history into a bigger-bucketed base
+        # when the estimate crosses the threshold (no-op otherwise)
+        meta_bands = _rebucket_family(
+            sess, bands_root, "bb", F.xxhash64("band_hash"), bid,
+            _state_meta_read(bands_root),
+        )
+        meta_ex = _rebucket_family(
+            sess, ex_root, "xb", F.col("doc_id"), bid, _state_meta_read(ex_root)
+        )
         ex_b = (
             batch_df.select(
                 "doc_id", F.explode_outer(shingles_col(F.col("text"))).alias("s")
@@ -2181,9 +2330,11 @@ def _minhash_bucketed_processor(bands_root: str, ex_root: str, out_root: str):
         sig_b = minhash_signatures(ex_b).persist()
         band_b = band_long(sig_b).persist()
         bb = F.pmod(F.xxhash64("band_hash"), F.lit(N_STATE_BUCKETS))
-        touched_bb = band_b.select(bb.cast("long").alias("bucket")).distinct()
+        keys_bb = band_b.select(F.xxhash64("band_hash").alias("k")).distinct()
         hist_bands = sess.read.parquet(
-            *_bucket_manifest_paths(sess, bands_root, touched_bb, bid)
+            *_bucket_manifest_paths(
+                sess, bands_root, keys_bb, bid, version=int(meta_bands["version"])
+            )
         )
         all_bands = hist_bands.unionByName(band_b)
         probe = band_b.select(
@@ -2206,13 +2357,13 @@ def _minhash_bucketed_processor(bands_root: str, ex_root: str, out_root: str):
             .persist()
         )
         xb_of = lambda c: F.pmod(c, F.lit(N_STATE_BUCKETS))  # noqa: E731
-        cand_xb = cand.select(
-            F.explode(F.array(xb_of(F.col("id_a")), xb_of(F.col("id_b")))).alias(
-                "bucket"
-            )
+        keys_xb = cand.select(
+            F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("k")
         ).distinct()
         ex_all = sess.read.parquet(
-            *_bucket_manifest_paths(sess, ex_root, cand_xb, bid)
+            *_bucket_manifest_paths(
+                sess, ex_root, keys_xb, bid, version=int(meta_ex["version"])
+            )
         ).unionByName(ex_b)
         # per-doc sizes recomputed from the PRUNED postings (a doc's
         # whole shingle set shares its bucket, so counts are complete
@@ -2250,12 +2401,24 @@ def _minhash_bucketed_processor(bands_root: str, ex_root: str, out_root: str):
         band_bb.repartition(N_STATE_BUCKETS, "bb").write.mode("overwrite").partitionBy(
             "bb"
         ).parquet(f"{bands_root}/{sub}")
-        _bucket_manifest_write(band_bb, bands_root, "bb", bid)
+        _bucket_manifest_write(
+            band_bb, bands_root, "bb", bid, version=int(meta_bands["version"])
+        )
         ex_xb = ex_b.withColumn("xb", xb_of(F.col("doc_id")))
         ex_xb.repartition(N_STATE_BUCKETS, "xb").write.mode("overwrite").partitionBy(
             "xb"
         ).parquet(f"{ex_root}/{sub}")
-        _bucket_manifest_write(ex_xb, ex_root, "xb", bid)
+        _bucket_manifest_write(
+            ex_xb, ex_root, "xb", bid, version=int(meta_ex["version"])
+        )
+        # advance the dial's row estimates (drives the NEXT re-bucket;
+        # a replayed batch re-adds its rows — the estimate only picks a
+        # bucket count, so drift is harmless and self-correcting at the
+        # next fold)
+        meta_bands["rows"] = int(meta_bands["rows"]) + band_b.count()
+        _state_meta_write(bands_root, meta_bands)
+        meta_ex["rows"] = int(meta_ex["rows"]) + ex_b.count()
+        _state_meta_write(ex_root, meta_ex)
         cand.unpersist()
         band_b.unpersist()
         sig_b.unpersist()

@@ -690,6 +690,54 @@ def test_bucketed_processor_replay_idempotent(spark, oracle_sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def test_bucketed_rebucket_dial_mid_stream(spark, oracle_sf_dir, monkeypatch):
+    """The r10 bucket-count dial, forced to fire mid-stream: with a
+    tiny rows/bucket target, batch 1 starts by folding batch 0's
+    committed state into a consolidated base at a bigger bucket count
+    under a new manifest version (atomic meta commit); the folded
+    history + the fold-excluded in-flight batch still prune correctly
+    (mixed-nb manifest), a post-fold replay stays idempotent, and the
+    final pair set equals the batch operator."""
+    import tailsql_spark.plans.streaming_exec as SE
+    from tailsql_spark.operators.dedup import REGISTRY as _DEDUP
+    from tailsql_spark.plans.catalog import load_tables
+    from tailsql_spark.plans.streaming_exec import (
+        N_STATE_BUCKETS,
+        _mh_bucketed_seed,
+        _mh_state_paths,
+        _minhash_bucketed_processor,
+        _state_meta_read,
+    )
+
+    monkeypatch.setattr(SE, "STATE_ROWS_PER_BUCKET", 8)
+    docs = load_tables(spark, oracle_sf_dir)["documents"].select("doc_id", "text")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    rest = docs.filter(F.col("doc_id") % 2 == 1)
+
+    root = tempfile.mkdtemp(prefix="tailsql_bdial_")
+    try:
+        bands_root, ex_root, out_root = _mh_bucketed_seed(docs, root)
+        process = _minhash_bucketed_processor(bands_root, ex_root, out_root)
+        process(half, 0)
+        process(rest, 1)   # triggers the fold of batch 0's state first
+        meta_b = _state_meta_read(bands_root)
+        meta_x = _state_meta_read(ex_root)
+        assert meta_b["version"] >= 1 and meta_x["version"] >= 1, (meta_b, meta_x)
+        assert meta_b["nb"] > N_STATE_BUCKETS and meta_x["nb"] > N_STATE_BUCKETS
+        process(rest, 1)   # replay AFTER the fold committed: any refold
+        #                    excludes the replaying bid and the delta
+        #                    re-append lands in the current version
+        assert _state_meta_read(bands_root)["version"] >= meta_b["version"]
+        got = _pairs(spark.read.parquet(*_mh_state_paths(out_root)))
+        want = _pairs(_DEDUP["dedup_minhash_lsh"].build(spark, oracle_sf_dir))
+        assert got == want, (
+            f"dialed bucketed result diverged from batch: "
+            f"extra={got - want}, missing={want - got}"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_heavy_hitters_reinvocation_against_used_root_is_idempotent(
     spark, oracle_sf_dir, tmp_path
 ):

@@ -48,13 +48,14 @@ def seed_and_probe(
         shingles_col,
     )
     from tailsql_spark.plans.streaming_exec import (
-        N_STATE_BUCKETS,
         _await_or_raise,
         _bucket_manifest_write,
         _mh_bucketed_seed,
         _mh_seed_state,
         _minhash_batch_processor,
         _minhash_bucketed_processor,
+        _state_meta_write,
+        state_bucket_count,
     )
 
     docs = spark.read.parquet(docs_path).select("doc_id", "text")
@@ -66,33 +67,59 @@ def seed_and_probe(
         try:
             src = f"{root}/src"
             # preload the ACCUMULATED index directly from the batch
-            # builders (seed cost is not what this measures), under a
-            # high batch-id dir (b99999) so the state listing reads it
-            # as history for the probe batch (bid 0), exactly as if
-            # the corpus had streamed in
+            # builders (seed cost is not what this measures).  r10: the
+            # bucketed preload lands as the DIAL's compacted base — a
+            # base_v1 dir bucketed at state_bucket_count(rows) with a
+            # version-1 manifest and meta pointer, byte-equivalent to
+            # what decade re-buckets would have accumulated — so the
+            # probe measures the two-tier layout as it would stand at
+            # this index size, not the fixed-32 degenerate form
             ex = docs.select(
                 "doc_id", F.explode_outer(shingles_col(F.col("text"))).alias("s")
             ).filter(F.col("s").isNotNull())
             if bucketed:
                 bands_root, ex_root, out_root = _mh_bucketed_seed(docs, root)
-                ex_xb = ex.withColumn(
-                    "xb", F.pmod(F.col("doc_id"), F.lit(N_STATE_BUCKETS))
+                n_ex = ex.count()
+                nb_ex = state_bucket_count(n_ex)
+                ex_xb = ex.withColumn("xb", F.pmod(F.col("doc_id"), F.lit(nb_ex)))
+                (
+                    ex_xb.repartition(min(nb_ex, 1024), "xb")
+                    .write.mode("overwrite").partitionBy("xb")
+                    .parquet(f"{ex_root}/base_v1")
                 )
-                ex_xb.write.mode("overwrite").partitionBy("xb").parquet(
-                    f"{ex_root}/b99999"
+                _bucket_manifest_write(
+                    ex_xb, ex_root, "xb", bid=-1, nb=nb_ex, version=1,
+                    data_dir=f"{ex_root}/base_v1", sub="base",
                 )
-                _bucket_manifest_write(ex_xb, ex_root, "xb", 99999)
+                _state_meta_write(
+                    ex_root, {"version": 1, "nb": nb_ex, "rows": n_ex}
+                )
                 sig = minhash_signatures(
-                    spark.read.parquet(f"{ex_root}/b99999").select("doc_id", "s")
+                    spark.read.parquet(f"{ex_root}/base_v1").select("doc_id", "s")
                 )
-                band_bb = band_long(sig).withColumn(
-                    "bb",
-                    F.pmod(F.xxhash64("band_hash"), F.lit(N_STATE_BUCKETS)),
+                bands = band_long(sig)
+                n_bands = bands.count()
+                nb_b = state_bucket_count(n_bands)
+                band_bb = bands.withColumn(
+                    "bb", F.pmod(F.xxhash64("band_hash"), F.lit(nb_b))
                 )
-                band_bb.write.mode("overwrite").partitionBy("bb").parquet(
-                    f"{bands_root}/b99999"
+                (
+                    band_bb.repartition(min(nb_b, 1024), "bb")
+                    .write.mode("overwrite").partitionBy("bb")
+                    .parquet(f"{bands_root}/base_v1")
                 )
-                _bucket_manifest_write(band_bb, bands_root, "bb", 99999)
+                _bucket_manifest_write(
+                    band_bb, bands_root, "bb", bid=-1, nb=nb_b, version=1,
+                    data_dir=f"{bands_root}/base_v1", sub="base",
+                )
+                _state_meta_write(
+                    bands_root, {"version": 1, "nb": nb_b, "rows": n_bands}
+                )
+                print(
+                    f"#   dial: ex {n_ex} rows -> {nb_ex} buckets, "
+                    f"bands {n_bands} rows -> {nb_b} buckets",
+                    file=sys.stderr,
+                )
                 process = _minhash_bucketed_processor(
                     bands_root, ex_root, out_root
                 )
@@ -131,6 +158,12 @@ def main() -> None:
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--bucketed", action="store_true")
+    # r10: probe-size sweep — the dial's claim is that the pruned read
+    # tracks the BATCH (touched buckets ~ batch keys), so a smaller
+    # probe against the same huge index must cost proportionally less;
+    # the fixed-bucket layout reads the same history either way
+    ap.add_argument("--probe-docs", type=int, default=0,
+                    help="limit the probe batch to N docs (0 = all ~500)")
     args = ap.parse_args()
 
     src_1x = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -155,6 +188,8 @@ def main() -> None:
             ).alias("text"),
         )
     )
+    if args.probe_docs:
+        probe = probe.orderBy("doc_id").limit(args.probe_docs)
     n_probe = probe.count()
 
     rows = []
@@ -170,7 +205,8 @@ def main() -> None:
               file=sys.stderr)
 
     print(json.dumps({"factor": args.factor, "runs": args.runs,
-                      "bucketed": args.bucketed, "rows": rows}))
+                      "bucketed": args.bucketed, "probe_docs": n_probe,
+                      "rows": rows}))
     print("\n| seed corpus | seed docs | probe-batch sec |", file=sys.stderr)
     print("|---|---|---|", file=sys.stderr)
     for r in rows:
