@@ -1245,6 +1245,50 @@ def test_bm25_indexed_probe_prunes_bucket_dirs(spark, oracle_sf_dir):
     assert got == want
 
 
+def test_ivf_indexed_probe_prunes_cell_dirs(spark, oracle_sf_dir):
+    """ann_ivf_topk_indexed's contract: the candidate scan carries a
+    static partition IN-filter on the cell column, the request's
+    probed cells are a STRICT subset of the on-disk cells, and the
+    served ranking equals ann_ivf_topk's semantics restricted to the
+    request's queries (same assignment code, same arithmetic)."""
+    import os
+
+    from tailsql_spark.operators.similarity import (
+        N_CELLS,
+        N_QUERIES_IDX,
+        ivf_index_path,
+    )
+    from tailsql_spark.plans.registry import REGISTRY
+
+    root = ivf_index_path(spark, oracle_sf_dir)
+    on_disk = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(f"{root}/cells")
+        if d.startswith("cell=")
+    )
+    assert len(on_disk) >= N_CELLS - 1, on_disk
+    served = REGISTRY["ann_ivf_topk_indexed"].build(spark, oracle_sf_dir)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:300], plan
+    got = sorted(served.collect())
+    # strict subset: the full 10-query batch needs all 8 cells at this
+    # sf, the 3-query request provably does not
+    probed = {
+        int(r.cell)
+        for r in REGISTRY["ann_ivf_assign"].build(spark, oracle_sf_dir)
+        .filter(F.col("vec_id") < N_QUERIES_IDX)
+        .collect()
+    }
+    assert 0 < len(probed) < len(on_disk), (probed, on_disk)
+    # equals the per-run IVF search restricted to the request's queries
+    want = sorted(
+        REGISTRY["ann_ivf_topk"].build(spark, oracle_sf_dir)
+        .filter(F.col("query_id") < N_QUERIES_IDX)
+        .collect()
+    )
+    assert got == want
+
+
 def test_bm25_index_build_is_idempotent(spark, oracle_sf_dir):
     """A same-corpus rebuild must REUSE the staged index (fingerprint
     guard), not rewrite it — the stale-pointer discipline every staged
