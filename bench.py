@@ -61,6 +61,12 @@ HEADLINE = [
     # round 9: BM25 retrieval — the broadcast-probe inverted-index
     # shape (decontamination / eval-leakage standing probe).
     "text_bm25_topk",
+    # round 10: the two new serving/multimodal flagships. Full-suite
+    # totals grow by these rows; cross-round comparison reads the
+    # frozen shared_core_sec (suite composition no longer confounds
+    # the gate — the r10 drift isolation in BASELINE.md).
+    "text_bm25_topk_indexed",
+    "multimodal_video_dedup",
 ]
 
 #: FROZEN shared-core suite (r10): the 16 queries the headline set held
