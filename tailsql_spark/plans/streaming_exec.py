@@ -2170,7 +2170,12 @@ def _bucket_manifest_paths(
     )
     if exclude_bid is not None:
         man = man.filter(F.col("bid") != int(exclude_bid))
-    nbs = [int(r.nb) for r in man.select("nb").distinct().collect() if r.nb]
+    # planning-metadata: distinct live bucket-count tiers (≤ 2-3 rows)
+    nbs = [
+        int(r.nb)
+        for r in man.select("nb").distinct().collect()  # planning-metadata
+        if r.nb
+    ]
     touched = None
     for nb in sorted(nbs):
         t = (
@@ -2213,7 +2218,8 @@ def _rebucket_family(sess, root: str, col: str, key, exclude_bid: int, meta: dic
     man = sess.read.option("recursiveFileLookup", "true").parquet(
         _manifest_dir(root, int(meta["version"]))
     ).filter(F.col("bid") != int(exclude_bid))
-    paths = [r.path for r in man.select("path").distinct().collect()]  # planning metadata
+    # planning-metadata: every state leaf dir of the family (dir-counted)
+    paths = [r.path for r in man.select("path").distinct().collect()]  # planning-metadata
     base_dir = f"{root}/base_v{ver}"
     src = sess.read.parquet(f"{root}/seed", *paths)
     rebucketed = src.withColumn(col, F.pmod(key, F.lit(new_nb)))
