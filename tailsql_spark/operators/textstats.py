@@ -1905,6 +1905,9 @@ def _unigram_oracle() -> str:
     "broadcast. A property test replays arbitrary word sets one round "
     "PAST the certified depth against a pure-Python replica, and a "
     "cap-bite test pins the prune rule at a forced-small cap.",
+    # the certified build materializes (its returned frame is a scan):
+    # hand plan-shape tooling the live computation instead
+    plan=lambda s, d: unigram_lm_train(unigram_words(s, d)),
 )
 def text_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tailsql_spark.plans.catalog import materialize_result, sf_key
@@ -1964,11 +1967,26 @@ def _unigram_tokenize_oracle() -> str:
     f"training length cap fall back to one piece per char. Certified "
     "against the oracle's additional unrolled DP pass over the same "
     "trained counts.",
+    # materializing build → audit the live computation (see lm_train)
+    plan=lambda s, d: _unigram_tokenize_out(s, d, []),
 )
 def text_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tailsql_spark.plans.catalog import materialize_result, sf_key
 
     bcs: list = []
+    out = _unigram_tokenize_out(spark, sf_dir, bcs)
+    res = materialize_result(out, "text_unigram_tokenize", key=sf_key(sf_dir))
+    for b in bcs:  # all stages executed by the materialized write (r9 ADVICE)
+        b.destroy()
+    return res
+
+
+def _unigram_tokenize_out(spark: SparkSession, sf_dir: str, bcs: list) -> DataFrame:
+    """The LAZY tokenize computation (train + segment + per-doc agg),
+    shared by the certified materializing build and the plan-shape
+    audit (QuerySpec.plan) so materialization never blinds the
+    de-optimization gate.  Created broadcasts append to ``bcs``; the
+    caller that executes the frame owns their destruction."""
     words = unigram_words(spark, sf_dir)
     cur = unigram_seed_pieces(words)
     for _ in range(UNI_ROUNDS):
@@ -2002,7 +2020,7 @@ def text_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.length("w") >= 1)
     )
-    out = (
+    return (
         dwords.join(wordp, "w", "left")
         .groupBy("doc_id")
         .agg(
@@ -2012,10 +2030,6 @@ def text_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    res = materialize_result(out, "text_unigram_tokenize", key=sf_key(sf_dir))
-    for b in bcs:  # all stages executed by the materialized write (r9 ADVICE)
-        b.destroy()
-    return res
 
 
 # ---------------------------------------------------------------------------

@@ -42,6 +42,10 @@ _ALLOWED_BNLJ: dict[str, str] = {
     "dedup_semantic": "centroid broadcasts (SemDeDup cells)",
     "join_theta_range": "genuine theta join — the certified range-join row",
     "graph_triangle_counts": "16-row hyperplane-seed broadcast (candidate graph)",
+    # the serving probe reads the PERSISTED 1-row (n_docs, sum_dl)
+    # stats table from parquet, so the scalar-aggregate heuristic that
+    # clears the per-run query's identical cross join cannot see it
+    "text_bm25_topk_indexed": "1-row persisted corpus-stats broadcast",
 }
 
 
