@@ -2238,6 +2238,44 @@ def _rebucket_family(sess, root: str, col: str, key, exclude_bid: int, meta: dic
     return meta
 
 
+def expire_state_versions(sess, root: str) -> list[str]:
+    """VACUUM for a family's superseded state (the expire_snapshots
+    discipline applied to the incremental index): delete every data dir
+    and manifest directory the CURRENT manifest version no longer
+    references.  Run OFFLINE (between batches) — a fold deliberately
+    leaves the old version intact because the in-flight batch's
+    re-append lands only after the fold commits, so eager deletion
+    inside the fold could drop a dir the new version is about to
+    reference.  Keeps: the schema seed, the meta pointer, the current
+    manifest dir, and every data dir holding a currently-referenced
+    leaf.  Returns the deleted paths (sorted) for audit."""
+    import os
+    import shutil
+
+    meta = _state_meta_read(root)
+    ver = int(meta["version"])
+    man = sess.read.option("recursiveFileLookup", "true").parquet(
+        _manifest_dir(root, ver)
+    )
+    # planning-metadata: referenced leaf dirs, dir-counted
+    referenced = {r.path for r in man.select("path").distinct().collect()}  # planning-metadata
+    keep_data = {os.path.dirname(p.rstrip("/")) for p in referenced}
+    keep = keep_data | {
+        f"{root}/seed",
+        _manifest_dir(root, ver),
+    }
+    deleted: list[str] = []
+    for entry in sorted(os.listdir(root)):
+        full = f"{root}/{entry}"
+        if not os.path.isdir(full):
+            continue  # _meta.json and friends
+        if full in keep:
+            continue
+        deleted.append(full)
+        shutil.rmtree(full, ignore_errors=True)
+    return deleted
+
+
 def _mh_bucketed_seed(docs, state_root: str) -> tuple:
     """Create bands/ex/pairs roots with empty schema seeds.  No
     separate per-doc size family: a doc's shingle count is recomputed

@@ -738,6 +738,73 @@ def test_bucketed_rebucket_dial_mid_stream(spark, oracle_sf_dir, monkeypatch):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def test_rebucket_crash_before_commit_invisible_then_vacuum(
+    spark, oracle_sf_dir, monkeypatch
+):
+    """The fold's two crash/GC properties: (1) a re-bucket that wrote
+    its base + versioned manifest but CRASHED before the atomic meta
+    rename is invisible — the next batch's trigger refolds over the
+    same paths idempotently and the final pair set still equals the
+    batch operator; (2) expire_state_versions (offline VACUUM) deletes
+    exactly the dirs the current manifest no longer references, and the
+    surviving state reads back unchanged."""
+    import os
+
+    import tailsql_spark.plans.streaming_exec as SE
+    from pyspark.sql import functions as SF
+    from tailsql_spark.operators.dedup import REGISTRY as _DEDUP
+    from tailsql_spark.plans.catalog import load_tables
+
+    monkeypatch.setattr(SE, "STATE_ROWS_PER_BUCKET", 8)
+    docs = load_tables(spark, oracle_sf_dir)["documents"].select("doc_id", "text")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    rest = docs.filter(F.col("doc_id") % 2 == 1)
+
+    root = tempfile.mkdtemp(prefix="tailsql_bcrash_")
+    try:
+        bands_root, ex_root, out_root = SE._mh_bucketed_seed(docs, root)
+        process = SE._minhash_bucketed_processor(bands_root, ex_root, out_root)
+        process(half, 0)
+        # simulate the crash: run the fold for batch 1 but suppress the
+        # meta rename (the commit) — base_v1 + _manifest_v1 exist, the
+        # pointer still says version 0
+        real_write = SE._state_meta_write
+        monkeypatch.setattr(SE, "_state_meta_write", lambda r, m: None)
+        SE._rebucket_family(
+            spark, bands_root, "bb", SF.xxhash64("band_hash"), 1,
+            SE._state_meta_read(bands_root),
+        )
+        monkeypatch.setattr(SE, "_state_meta_write", real_write)
+        assert os.path.isdir(f"{bands_root}/base_v1")
+        assert SE._state_meta_read(bands_root)["version"] == 0  # uncommitted
+        # the next batch refolds idempotently over the same version
+        process(rest, 1)
+        assert SE._state_meta_read(bands_root)["version"] >= 1
+        got = _pairs(spark.read.parquet(*SE._mh_state_paths(out_root)))
+        want = _pairs(_DEDUP["dedup_minhash_lsh"].build(spark, oracle_sf_dir))
+        assert got == want, f"extra={got - want}, missing={want - got}"
+
+        # offline VACUUM: superseded versions go, referenced state stays
+        def family_rows(family_root):
+            meta = SE._state_meta_read(family_root)
+            man = spark.read.option("recursiveFileLookup", "true").parquet(
+                SE._manifest_dir(family_root, int(meta["version"]))
+            )
+            paths = [r.path for r in man.select("path").distinct().collect()]
+            return spark.read.parquet(f"{family_root}/seed", *paths).count()
+
+        before_b, before_x = family_rows(bands_root), family_rows(ex_root)
+        del_b = SE.expire_state_versions(spark, bands_root)
+        del_x = SE.expire_state_versions(spark, ex_root)
+        assert any("_manifest" in d for d in del_b), del_b  # old v0 manifest gone
+        assert f"{bands_root}/_manifest" in del_b
+        assert family_rows(bands_root) == before_b
+        assert family_rows(ex_root) == before_x
+        assert del_x is not None
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_heavy_hitters_reinvocation_against_used_root_is_idempotent(
     spark, oracle_sf_dir, tmp_path
 ):
