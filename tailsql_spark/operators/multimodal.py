@@ -462,10 +462,17 @@ _PHASH_ORACLE = f"""
 )
 def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synth_media(spark, sf_dir).filter(F.col("media_type") == "image")
+    return phash_near_groups(phash_hash_groups(media))
+
+
+def phash_rows(images: DataFrame) -> DataFrame:
+    """(doc_id, b0..b3) dHash rows for an (doc_id, payload) image frame
+    — the Arrow-batched decode+hash stage, factored for reuse by the
+    dedup query and the curation composition."""
 
     def hash_batches(batches):
         for pdf in batches:
-            bands = pdf["payload"].map(phash_bands)
+            bands = pdf["payload"].map(lambda b: phash_bands(bytes(b)))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -476,20 +483,27 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    ph = media.mapInPandas(
+    return images.mapInPandas(
         hash_batches, schema="doc_id long, b0 long, b1 long, b2 long, b3 long"
     )
+
+
+def phash_hash_groups(images: DataFrame) -> DataFrame:
+    """Exact-duplicate collapse: one row per DISTINCT dHash with its
+    canonical (min) doc and member count."""
     bcols = [f"b{k}" for k in range(PHASH_BANDS)]
-    grp = ph.groupBy(*bcols).agg(
+    return phash_rows(images).groupBy(*bcols).agg(
         F.min("doc_id").alias("canonical_doc"), F.count("*").alias("n_docs")
     )
-    return phash_near_groups(grp)
 
 
-def phash_near_groups(grp: DataFrame) -> DataFrame:
-    """Banded Hamming-ball neighbor stats over a (b0..b3,
-    canonical_doc, n_docs) group frame — factored so the losslessness
-    property test can drive it with synthetic band vectors."""
+def phash_group_pairs(grp: DataFrame) -> DataFrame:
+    """Banded Hamming-ball CANDIDATE→VERIFIED pairs between distinct-
+    hash group canonicals: (id_a, id_b, hamming) with id_a < id_b and
+    hamming <= PHASH_HAMMING_MAX.  Factored from phash_near_groups so
+    the multimodal curation composition consumes the identical pair
+    semantics (no drift between the per-modality report and the
+    composed one)."""
     bcols = [f"b{k}" for k in range(PHASH_BANDS)]
     bands = grp.select(
         "canonical_doc",
@@ -523,13 +537,20 @@ def phash_near_groups(grp: DataFrame) -> DataFrame:
     hamming = sum(
         F.expr(f"bit_count(a_b{k} ^ b_b{k})") for k in range(PHASH_BANDS)
     )
-    pairs = (
+    return (
         cand.join(ga, "id_a")
         .join(gb, "id_b")
         .withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def phash_near_groups(grp: DataFrame) -> DataFrame:
+    """Banded Hamming-ball neighbor stats over a (b0..b3,
+    canonical_doc, n_docs) group frame — factored so the losslessness
+    property test can drive it with synthetic band vectors."""
+    pairs = phash_group_pairs(grp)
     near = (
         pairs.select(F.col("id_a").alias("id"), "hamming")
         .unionByName(pairs.select(F.col("id_b").alias("id"), "hamming"))
@@ -638,8 +659,11 @@ def audio_fingerprint_frames(tokens: list) -> list:
     return frames
 
 
-_AUDIO_FP_ORACLE = f"""
-    WITH audio AS (
+def _audio_post_sql() -> str:
+    """The audio CDC posting CTE chain ending in ``ff`` (DISTINCT
+    doc_id, fh) — factored so the per-modality oracle and the composed
+    curation oracle replay the IDENTICAL chunking arithmetic."""
+    return """audio AS (
         SELECT doc_id,
                list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
         FROM documents WHERE CAST(doc_id % 3 AS INT) = 1
@@ -665,7 +689,11 @@ _AUDIO_FP_ORACLE = f"""
                substr(md5(string_agg(word, ' ' ORDER BY pos)), 1, 15) AS fh
         FROM chunks GROUP BY doc_id, cid
     ),
-    ff AS (SELECT DISTINCT doc_id, fh FROM frames),
+    ff AS (SELECT DISTINCT doc_id, fh FROM frames)"""
+
+
+_AUDIO_FP_ORACLE = f"""
+    WITH {_audio_post_sql()},
     hot AS (SELECT fh FROM ff GROUP BY fh HAVING COUNT(*) > {AUDIO_DF_CAP}),
     kept AS (SELECT f.doc_id, f.fh FROM ff f
              WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.fh = f.fh)),
@@ -727,6 +755,14 @@ _AUDIO_FP_ORACLE = f"""
 )
 def multimodal_audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synth_media(spark, sf_dir).filter(F.col("media_type") == "audio")
+    return audio_near_groups(media.select("doc_id"), audio_posting_rows(media))
+
+
+def audio_posting_rows(audio: DataFrame) -> DataFrame:
+    """DISTINCT (doc_id, fh) CDC frame postings for an (doc_id,
+    payload) audio frame — the Arrow-batched decode+chunk stage,
+    factored for reuse by the dedup query and the curation
+    composition."""
 
     def fingerprint(batches):
         for pdf in batches:
@@ -746,12 +782,10 @@ def multimodal_audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    fp = media.mapInPandas(
+    fp = audio.mapInPandas(
         fingerprint, schema="doc_id long, frame_idx long, fh string"
     )
-    return audio_near_groups(
-        media.select("doc_id"), fp.select("doc_id", "fh").distinct()
-    )
+    return fp.select("doc_id", "fh").distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -968,6 +1002,37 @@ def multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("n_frames", "n_sig_bands")
 
 
+def posting_kept(ff: DataFrame, df_cap: int) -> DataFrame:
+    """df-capped postings: frames/bands seen in more than ``df_cap``
+    docs are corpus-wide boilerplate, pruned by broadcast anti-join
+    BEFORE any pairing."""
+    hot = (
+        ff.groupBy("fh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("fh")
+    )
+    return ff.join(F.broadcast(hot), "fh", "left_anti")
+
+
+def posting_match_pairs(kept: DataFrame, min_shared: int) -> DataFrame:
+    """(id_a, id_b, n_common) matches over df-capped postings: pairs
+    sharing >= ``min_shared`` distinct posting keys, id_a < id_b.
+    Factored so audio, video, and the composed curation report all run
+    the identical matching rule."""
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fh") == F.col("b.fh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_shared)
+    )
+
+
 def audio_near_groups(
     audio_ids: DataFrame,
     ff: DataFrame,
@@ -978,25 +1043,9 @@ def audio_near_groups(
     factored so the realignment property test can drive it with
     synthetic frame sets, and so the video dedup can reuse the engine
     with its own cap/threshold."""
-    hot = (
-        ff.groupBy("fh")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > df_cap)
-        .select("fh")
-    )
-    kept = ff.join(F.broadcast(hot), "fh", "left_anti")
+    kept = posting_kept(ff, df_cap)
     sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = kept.alias("a"), kept.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.fh") == F.col("b.fh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count("*").alias("n_common"))
-        .filter(F.col("n_common") >= min_shared)
-    )
+    pairs = posting_match_pairs(kept, min_shared)
     sym = pairs.select(
         F.col("id_a").alias("id"), F.col("id_b").alias("partner"), "n_common"
     ).unionByName(
@@ -1032,3 +1081,185 @@ def audio_near_groups(
             "best_common",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# composed multimodal curation report (r10)
+# ---------------------------------------------------------------------------
+
+def _mm_curation_oracle() -> str:
+    """One corpus-level report from all three modality dedups, every
+    fragment SHARED with its per-modality oracle (the band arithmetic,
+    the CDC chunking chain, the frame-segment chain), so the composed
+    row and the per-modality rows cannot drift.  Survivor rule is
+    greedy KEEP-FIRST by doc id (a doc is dropped iff it has a match
+    partner with a smaller id) — the one-pass curation rule; the
+    transitive-closure variant stays certified separately on the text
+    family (dedup_clusters)."""
+    img_pairs = _phash_hamming_sql("a", "b")
+    return f"""
+    WITH cimg AS (
+        SELECT doc_id, md5(text) || md5(text || 'a') || md5(text || 'b') AS hx
+        FROM documents WHERE CAST(doc_id % 3 AS INT) = 0
+    ),
+    cph AS (SELECT doc_id, {", ".join(_phash_band_sql_exprs())} FROM cimg),
+    cgrp AS (
+        SELECT b0, b1, b2, b3, MIN(doc_id) AS canonical_doc, COUNT(*) AS n_docs
+        FROM cph GROUP BY 1, 2, 3, 4
+    ),
+    cgp AS (
+        SELECT a.canonical_doc AS id_a, b.canonical_doc AS id_b
+        FROM cgrp a JOIN cgrp b ON a.canonical_doc < b.canonical_doc
+        WHERE {img_pairs} <= {PHASH_HAMMING_MAX}
+    ),
+    cgsym AS (SELECT id_a AS id, id_b AS p FROM cgp
+              UNION ALL SELECT id_b, id_a FROM cgp),
+    cgmin AS (SELECT id, MIN(p) AS minp FROM cgsym GROUP BY id),
+    img_row AS (
+        SELECT 'image' AS media_type,
+               CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN n_docs >= 2 OR minp IS NOT NULL
+                             THEN n_docs ELSE 0 END) AS BIGINT) AS n_matched,
+               CAST(SUM(CASE WHEN minp IS NULL OR minp > canonical_doc
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+        FROM cgrp LEFT JOIN cgmin ON cgrp.canonical_doc = cgmin.id
+    ),
+    {_audio_post_sql()},
+    a_hot AS (SELECT fh FROM ff GROUP BY fh HAVING COUNT(*) > {AUDIO_DF_CAP}),
+    a_kept AS (SELECT f.doc_id, f.fh FROM ff f
+               WHERE NOT EXISTS (SELECT 1 FROM a_hot h WHERE h.fh = f.fh)),
+    a_pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM a_kept a JOIN a_kept b ON a.fh = b.fh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= {AUDIO_MIN_SHARED}
+    ),
+    a_sym AS (SELECT id_a AS id, id_b AS p FROM a_pairs
+              UNION ALL SELECT id_b, id_a FROM a_pairs),
+    a_min AS (SELECT id, MIN(p) AS minp FROM a_sym GROUP BY id),
+    audio_row AS (
+        SELECT 'audio' AS media_type,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN minp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_matched,
+               CAST(SUM(CASE WHEN minp IS NULL OR minp > au.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+        FROM audio au LEFT JOIN a_min ON au.doc_id = a_min.id
+    ),
+    {_video_fh_sql()},
+    v_hot AS (SELECT fh FROM post GROUP BY fh HAVING COUNT(*) > {VIDEO_DF_CAP}),
+    v_kept AS (SELECT p.doc_id, p.fh FROM post p
+               WHERE NOT EXISTS (SELECT 1 FROM v_hot h WHERE h.fh = p.fh)),
+    v_pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM v_kept a JOIN v_kept b ON a.fh = b.fh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= {VIDEO_MIN_SHARED}
+    ),
+    v_sym AS (SELECT id_a AS id, id_b AS p FROM v_pairs
+              UNION ALL SELECT id_b, id_a FROM v_pairs),
+    v_min AS (SELECT id, MIN(p) AS minp FROM v_sym GROUP BY id),
+    video_row AS (
+        SELECT 'video' AS media_type,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN minp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_matched,
+               CAST(SUM(CASE WHEN minp IS NULL OR minp > v.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+        FROM vids v LEFT JOIN v_min ON v.doc_id = v_min.id
+    )
+    SELECT * FROM img_row
+    UNION ALL SELECT * FROM audio_row
+    UNION ALL SELECT * FROM video_row
+    """
+
+
+def _posting_minp(ids: DataFrame, ff: DataFrame, df_cap: int, min_shared: int) -> DataFrame:
+    """(doc_id, minp) over a posting modality: each doc's smallest
+    match partner (NULL = unmatched), via the shared pairing engine."""
+    pairs = posting_match_pairs(posting_kept(ff, df_cap), min_shared)
+    sym = pairs.select(F.col("id_a").alias("id"), F.col("id_b").alias("p")).unionByName(
+        pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("p"))
+    )
+    mn = sym.groupBy("id").agg(F.min("p").alias("minp"))
+    return ids.join(mn, ids["doc_id"] == mn["id"], "left").select("doc_id", "minp")
+
+
+def _keepfirst_row(tag: str, flags: DataFrame) -> DataFrame:
+    """(media_type, n_docs, n_matched, n_survivors) from per-doc
+    (doc_id, minp) flags under the keep-first rule."""
+    return flags.agg(
+        F.lit(tag).alias("media_type"),
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("minp").isNotNull().cast("long")).alias("n_matched"),
+        F.sum(
+            (F.col("minp").isNull() | (F.col("minp") > F.col("doc_id"))).cast("long")
+        ).alias("n_survivors"),
+    )
+
+
+@query(
+    "multimodal_curation_survivors",
+    "multimodal",
+    _mm_curation_oracle(),
+    doc="The corpus-level MULTIMODAL curation report — the composed row "
+    "the text family already has (corpus_curation_survivors), extended "
+    "across modalities: every payload runs its modality's near-dup "
+    "detector (image dHash groups + banded Hamming pairs, audio CDC "
+    "frame postings, video frame-segment band postings — each via the "
+    "SAME factored engines as its certified per-modality query), and "
+    "the report counts, per modality, the docs, the matched docs, and "
+    "the survivors under the greedy KEEP-FIRST rule (a doc is dropped "
+    "iff some match partner has a smaller id; exact-duplicate members "
+    "count as matched with only the canonical surviving). The oracle "
+    "composes the identical per-modality CTE fragments, so the "
+    "composition cannot drift from the parts. Transitive-closure "
+    "survivorship stays certified on the text family "
+    "(dedup_clusters/dedup_survivor_stats); keep-first is the one-pass "
+    "rule a streaming curation front-end applies. Scale: the three "
+    "detectors share nothing but the payload scan — one decode pass "
+    "per modality, df-capped pairings, never all-pairs, and the final "
+    "report is three 1-row aggregates.",
+)
+def multimodal_curation_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synth_media(spark, sf_dir)
+    # image: exact-group collapse + banded near pairs between canonicals
+    grp = phash_hash_groups(
+        media.filter(F.col("media_type") == "image").select("doc_id", "payload")
+    )
+    gp = phash_group_pairs(grp).select("id_a", "id_b")
+    gsym = gp.select(F.col("id_a").alias("id"), F.col("id_b").alias("p")).unionByName(
+        gp.select(F.col("id_b").alias("id"), F.col("id_a").alias("p"))
+    )
+    gmin = gsym.groupBy("id").agg(F.min("p").alias("minp"))
+    img = grp.join(gmin, grp["canonical_doc"] == gmin["id"], "left")
+    img_row = img.agg(
+        F.lit("image").alias("media_type"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum(
+            F.when(
+                (F.col("n_docs") >= 2) | F.col("minp").isNotNull(), F.col("n_docs")
+            ).otherwise(F.lit(0))
+        ).alias("n_matched"),
+        F.sum(
+            (F.col("minp").isNull() | (F.col("minp") > F.col("canonical_doc"))).cast(
+                "long"
+            )
+        ).alias("n_survivors"),
+    )
+    # audio + video: the shared posting engine under each modality's dials
+    audio = media.filter(F.col("media_type") == "audio").select("doc_id", "payload")
+    audio_row = _keepfirst_row(
+        "audio",
+        _posting_minp(
+            audio.select("doc_id"), audio_posting_rows(audio),
+            AUDIO_DF_CAP, AUDIO_MIN_SHARED,
+        ),
+    )
+    video = media.filter(F.col("media_type") == "video").select("doc_id", "payload")
+    video_row = _keepfirst_row(
+        "video",
+        _posting_minp(
+            video.select("doc_id"), video_band_postings(video),
+            VIDEO_DF_CAP, VIDEO_MIN_SHARED,
+        ),
+    )
+    return img_row.unionByName(audio_row).unionByName(video_row)
