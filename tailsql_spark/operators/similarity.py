@@ -1728,16 +1728,15 @@ def ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
     assignment pass (broadcast seeds), one shuffle by cell, and the
     probe cost becomes nprobe cell-directory reads per query — the
     FAISS IVF serving shape expressed as parquet partitioning."""
-    import os
-
     from tailsql_spark.plans.connectors import _stage_dir
+    from tailsql_spark.plans.streaming_exec import _fs_exists
 
     root = _stage_dir(sf_dir, "ivf_index", src_tables=("embeddings",))
     cell_dir = f"{root}/cells"
     seed_dir = f"{root}/seeds"
-    if os.path.exists(f"{cell_dir}/_SUCCESS") and os.path.exists(
-        f"{seed_dir}/_SUCCESS"
-    ):
+    # staged-index check through the Hadoop-FS dispatcher (object-store
+    # index roots reuse correctly, the bm25_index_path discipline)
+    if _fs_exists(f"{cell_dir}/_SUCCESS") and _fs_exists(f"{seed_dir}/_SUCCESS"):
         return root
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"].select(

@@ -2275,16 +2275,15 @@ def bm25_index_path(spark: SparkSession, sf_dir: str) -> str:
     build: one tokenize pass + one shuffle on (doc, term), then one
     shuffle by bucket so each bucket dir is a few large files, not
     tasks × buckets fragments."""
-    import os
-
     from tailsql_spark.plans.connectors import _stage_dir
+    from tailsql_spark.plans.streaming_exec import _fs_exists
 
     root = _stage_dir(sf_dir, "bm25_index", src_tables=("documents",))
     post_dir = f"{root}/postings"
     stat_dir = f"{root}/stats"
-    if os.path.exists(f"{post_dir}/_SUCCESS") and os.path.exists(
-        f"{stat_dir}/_SUCCESS"
-    ):
+    # staged-index check through the Hadoop-FS dispatcher, so an index
+    # root on hdfs://// object storage reuses correctly too
+    if _fs_exists(f"{post_dir}/_SUCCESS") and _fs_exists(f"{stat_dir}/_SUCCESS"):
         return root
     t = load_tables(spark, sf_dir)
     docs = t["documents"].select("doc_id", F.split(F.lower("text"), " ").alias("ws"))

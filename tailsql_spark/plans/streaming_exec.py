@@ -131,6 +131,72 @@ def _fs_exists(path: str) -> bool:
     return fs.exists(jpath)
 
 
+def _fs_list_dirs(root: str) -> list[str]:
+    """Child DIRECTORY names under ``root`` — the state-root walk the
+    VACUUM needs.  POSIX scandir for plain paths; one Hadoop
+    ``listStatus`` for URI roots (directory-ness comes from the same
+    statuses, no per-child existence probes against an object store)."""
+    if "://" not in root:
+        import os
+
+        return [e.name for e in os.scandir(root) if e.is_dir()]
+    spark = SparkSession.getActiveSession()
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(root)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return [
+        st.getPath().getName() for st in fs.listStatus(jpath) if st.isDirectory()
+    ]
+
+
+def _fs_read_text(path: str) -> str:
+    """Small-file text read (the meta pointer) — builtin open for plain
+    paths, Hadoop FS ``open`` for URIs."""
+    if "://" not in path:
+        with open(path) as fh:
+            return fh.read()
+    spark = SparkSession.getActiveSession()
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(jpath)
+    try:
+        reader = spark._jvm.java.io.BufferedReader(
+            spark._jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        chunks = []
+        line = reader.readLine()
+        while line is not None:
+            chunks.append(line)
+            line = reader.readLine()
+        return "\n".join(chunks)
+    finally:
+        stream.close()
+
+
+def _fs_write_text_atomic(path: str, text: str) -> None:
+    """Atomic small-file text write (the meta pointer's commit).  Plain
+    paths: write-tmp + ``os.replace`` (POSIX rename atomicity).  URI
+    paths: Hadoop ``create(overwrite=True)`` directly — HDFS rename
+    refuses an existing destination, while object stores make the
+    single PUT itself atomic (readers see old or new bytes, never a
+    torn write), which is the semantics this pointer needs."""
+    if "://" not in path:
+        import os
+
+        tmp = f"{path}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(text)
+        os.replace(tmp, path)
+        return
+    spark = SparkSession.getActiveSession()
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.create(jpath, True)
+    try:
+        stream.write(bytearray(text.encode("utf-8")))
+    finally:
+        stream.close()
+
+
 def _stage_stream_source(
     df: DataFrame,
     tag: str,
@@ -2070,29 +2136,25 @@ def _state_meta_read(root: str) -> dict:
     """The family's version pointer: {version, nb, rows}.  version
     selects the manifest directory (the lakehouse table-version
     pointer), nb is the BASE tier's bucket count, rows the cumulative
-    row estimate driving the dial.  Absent file = the v0 defaults."""
+    row estimate driving the dial.  Absent file = the v0 defaults.
+    Goes through the ``_fs_*`` dispatchers so the same pointer works on
+    local disk and ``hdfs://``/``s3a://`` state roots."""
     import json
-    import os
 
     p = f"{root}/_meta.json"
-    if not os.path.exists(p):
+    if not _fs_exists(p):
         return {"version": 0, "nb": N_STATE_BUCKETS, "rows": 0}
-    with open(p) as fh:
-        return json.load(fh)
+    return json.loads(_fs_read_text(p))
 
 
 def _state_meta_write(root: str, meta: dict) -> None:
     """Atomic pointer swap (write-new + rename): the COMMIT point of a
-    re-bucket.  A local-fs stand-in for the transactional version
-    pointer every lakehouse format provides; on an object store this
-    is the metadata-service CAS."""
+    re-bucket.  Local fs: write-tmp + rename; object store: one atomic
+    PUT (see ``_fs_write_text_atomic``) — both stand in for the
+    transactional version pointer every lakehouse format provides."""
     import json
-    import os
 
-    tmp = f"{root}/_meta.json.tmp"
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh)
-    os.replace(tmp, f"{root}/_meta.json")
+    _fs_write_text_atomic(f"{root}/_meta.json", json.dumps(meta))
 
 
 def _manifest_dir(root: str, version: int) -> str:
@@ -2248,9 +2310,12 @@ def expire_state_versions(sess, root: str) -> list[str]:
     inside the fold could drop a dir the new version is about to
     reference.  Keeps: the schema seed, the meta pointer, the current
     manifest dir, and every data dir holding a currently-referenced
-    leaf.  Returns the deleted paths (sorted) for audit."""
-    import os
-    import shutil
+    leaf.  Returns the deleted paths (sorted) for audit.  All walking
+    and deletion go through the ``_fs_*`` dispatchers (one listStatus,
+    recursive FS deletes), so the VACUUM works unchanged against an
+    ``hdfs://``/``s3a://`` state root — the whole point of retiring
+    superseded versions is reclaiming object-store bytes."""
+    import posixpath
 
     meta = _state_meta_read(root)
     ver = int(meta["version"])
@@ -2259,20 +2324,18 @@ def expire_state_versions(sess, root: str) -> list[str]:
     )
     # planning-metadata: referenced leaf dirs, dir-counted
     referenced = {r.path for r in man.select("path").distinct().collect()}  # planning-metadata
-    keep_data = {os.path.dirname(p.rstrip("/")) for p in referenced}
+    keep_data = {posixpath.dirname(p.rstrip("/")) for p in referenced}
     keep = keep_data | {
         f"{root}/seed",
         _manifest_dir(root, ver),
     }
     deleted: list[str] = []
-    for entry in sorted(os.listdir(root)):
+    for entry in sorted(_fs_list_dirs(root)):
         full = f"{root}/{entry}"
-        if not os.path.isdir(full):
-            continue  # _meta.json and friends
         if full in keep:
             continue
         deleted.append(full)
-        shutil.rmtree(full, ignore_errors=True)
+        _fs_rmtree(full)
     return deleted
 
 
