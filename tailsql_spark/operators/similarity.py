@@ -227,21 +227,30 @@ REGISTRY["ann_cosine_topk_arrow"] = QuerySpec(
 # IVF
 # ---------------------------------------------------------------------------
 
-_DUCK_CELLS = f"""
+def _duck_cells_sql(nc_sql: str) -> str:
+    """The cells CTE (max-cosine assignment to the first-``nc`` seed
+    vectors, ties → lowest seed id), parameterized on the seed-count
+    SQL expression: the per-run family bakes the fixed ``N_CELLS``, the
+    persisted index bakes the DIALED count's CASE ladder — one
+    definition of the assignment rule for both."""
+    return f"""
     cells AS (
         SELECT e.vec_id,
                (SELECT min(s.vec_id)
                 FROM embeddings s
-                WHERE s.vec_id < {N_CELLS}
+                WHERE s.vec_id < {nc_sql}
                   AND {_DUCK_DOT.format(a='e.embedding', b='s.embedding')}
                       / ({_DUCK_NORM.format(a='e.embedding')} * {_DUCK_NORM.format(a='s.embedding')})
                       = (SELECT max({_DUCK_DOT.format(a='e.embedding', b='s2.embedding')}
                                     / ({_DUCK_NORM.format(a='e.embedding')} * {_DUCK_NORM.format(a='s2.embedding')}))
-                         FROM embeddings s2 WHERE s2.vec_id < {N_CELLS})
+                         FROM embeddings s2 WHERE s2.vec_id < {nc_sql})
                ) AS cell
         FROM embeddings e
     )
 """
+
+
+_DUCK_CELLS = _duck_cells_sql(str(N_CELLS))
 
 
 def assign_cells(vec: DataFrame, seeds: DataFrame) -> DataFrame:
@@ -1288,13 +1297,17 @@ if RECALL_K > 3:
     raise ValueError("raise the ranked builders' top-k before RECALL_K")
 
 
-def _brute_recall_tail(approx_cte: str, src: str = "embeddings") -> str:
+def _brute_recall_tail(
+    approx_cte: str, src: str = "embeddings", n_queries: int = N_QUERIES
+) -> str:
     """qb/brute_scored/brute3 CTEs + the final recall SELECT, joined
     against ``approx_cte`` (a CTE yielding (query_id, neighbor_id)
     top-RECALL_K rows).  THE single definition of the ground-truth
-    side and the recall arithmetic, shared by every recall oracle."""
+    side and the recall arithmetic, shared by every recall oracle.
+    ``n_queries`` narrows the query block (the persisted-index probes
+    serve a request-sized N_QUERIES_IDX batch, not the full 10)."""
     return f"""
-    qb AS (SELECT vec_id, embedding FROM {src} WHERE vec_id < {N_QUERIES}),
+    qb AS (SELECT vec_id, embedding FROM {src} WHERE vec_id < {n_queries}),
     brute_scored AS (
         SELECT qb.vec_id AS query_id, cc.vec_id AS neighbor_id,
                ROUND({_DUCK_DOT.format(a='qb.embedding', b='cc.embedding')}
@@ -1318,15 +1331,21 @@ def _brute_recall_tail(approx_cte: str, src: str = "embeddings") -> str:
 
 
 def _recall_vs_brute(
-    spark: SparkSession, sf_dir: str, approx3: DataFrame, raw: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    approx3: DataFrame,
+    raw: DataFrame | None = None,
+    n_queries: int = N_QUERIES,
 ) -> DataFrame:
     """Spark twin of :func:`_brute_recall_tail`: join an approximate
     top-RECALL_K frame (query_id, neighbor_id) against brute-force
     cosine ground truth and aggregate per-query recall.  Shared by
-    every recall metric so rounding/tie rules cannot drift."""
+    every recall metric so rounding/tie rules cannot drift.
+    ``n_queries`` narrows the query block like the oracle tail's."""
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     brute3 = (
         _scored(spark, sf_dir, raw)
+        .filter(F.col("query_id") < n_queries)
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= RECALL_K)
         .select("query_id", "neighbor_id")
@@ -1716,6 +1735,42 @@ def ann_ivfpq_recall_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: cell, and 3 queries demonstrably touch a strict subset).
 N_QUERIES_IDX = 3
 
+#: r11 dial for the PERSISTED index's cell count (the per-run family
+#: keeps the fixed N_CELLS): target vectors per cell.  The builder
+#: counts the corpus once and doubles the cell count from N_CELLS until
+#: vectors/cell fits the target — the state_bucket_count discipline
+#: applied to the serving layout, so a probe's nprobe-cells read stays
+#: request-sized through corpus decades instead of degenerating toward
+#: a full scan at a fixed 8.  At 100 TB the target would be a task's
+#: worth of vectors (~1e6); the test-scale constant keeps the dial
+#: OBSERVABLE at certification scale (sf0.01's 500 vectors dial to 16
+#: cells — the content-certification rows are green at a NON-default
+#: count, which is what certifies the dial itself).
+IVF_VECS_PER_CELL = 32
+IVF_CELL_MAX = 65536
+
+
+def ivf_cell_count(n_vecs: int) -> int:
+    """The dialed cell count for an ``n_vecs``-vector corpus."""
+    from tailsql_spark.operators.dial import doubling_dial
+
+    return doubling_dial(n_vecs, N_CELLS, IVF_VECS_PER_CELL, IVF_CELL_MAX)
+
+
+def _duck_nc_dialed() -> str:
+    """SQL expression for the dialed cell count — the CASE-ladder twin
+    of :func:`ivf_cell_count`, generated from the same constants."""
+    from tailsql_spark.operators.dial import dial_case_sql
+
+    return dial_case_sql(
+        "SELECT COUNT(*) FROM embeddings", N_CELLS, IVF_VECS_PER_CELL, IVF_CELL_MAX
+    )
+
+
+#: cells CTE for the persisted index's oracles: the identical
+#: assignment rule as _DUCK_CELLS, seeded by the DIALED count.
+_DUCK_CELLS_DIALED = _duck_cells_sql(f"({_duck_nc_dialed()})")
+
 
 def ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the IVF index once per corpus: every vector's
@@ -1731,36 +1786,69 @@ def ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
     from tailsql_spark.plans.connectors import _stage_dir
     from tailsql_spark.plans.streaming_exec import _fs_exists
 
-    root = _stage_dir(sf_dir, "ivf_index", src_tables=("embeddings",))
+    import json
+
+    from tailsql_spark.plans.streaming_exec import _fs_write_text_atomic
+
+    # the tag carries a LAYOUT VERSION: staging is fingerprint-keyed on
+    # the corpus, so without it a pre-dial index (fixed 8 cells, no
+    # meta) from an older build would be silently reused by the dialed
+    # probes and diverge from the oracle's dialed recomputation
+    root = _stage_dir(sf_dir, "ivf_index_v2", src_tables=("embeddings",))
     cell_dir = f"{root}/cells"
     seed_dir = f"{root}/seeds"
     # staged-index check through the Hadoop-FS dispatcher (object-store
     # index roots reuse correctly, the bm25_index_path discipline)
-    if _fs_exists(f"{cell_dir}/_SUCCESS") and _fs_exists(f"{seed_dir}/_SUCCESS"):
+    if (
+        _fs_exists(f"{cell_dir}/_SUCCESS")
+        and _fs_exists(f"{seed_dir}/_SUCCESS")
+        and _fs_exists(f"{root}/_index_meta.json")
+    ):
         return root
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"].select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     ).withColumn("nrm", norm(F.col("v")))
-    assigned = assign_cells(emb, seed_table(emb))
+    # the dial: one corpus count picks the cell count (r11); the oracle
+    # recomputes the same count via the shared CASE ladder
+    n_vecs = emb.count()
+    nc = ivf_cell_count(n_vecs)
+    seeds = emb.filter(F.col("vec_id") < nc).select(
+        F.col("vec_id").alias("seed_id"), F.col("v").alias("sv"), F.col("nrm").alias("sn")
+    )
+    assigned = assign_cells(emb, seeds)
     (
         assigned.select("vec_id", "v", "nrm", "cell")
-        .repartition(N_CELLS, "cell")
+        .repartition(min(nc, 1024), "cell")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(cell_dir)
     )
-    emb.filter(F.col("vec_id") < N_CELLS).select("vec_id", "v", "nrm").write.mode(
+    emb.filter(F.col("vec_id") < nc).select("vec_id", "v", "nrm").write.mode(
         "overwrite"
     ).parquet(seed_dir)
+    # self-describing index: probes and tests read the dialed geometry
+    # from the meta instead of recounting the corpus
+    _fs_write_text_atomic(
+        f"{root}/_index_meta.json", json.dumps({"n_cells": nc, "n_vecs": n_vecs})
+    )
     return root
+
+
+def ivf_index_meta(root: str) -> dict:
+    """The index's recorded geometry ({n_cells, n_vecs})."""
+    import json
+
+    from tailsql_spark.plans.streaming_exec import _fs_read_text
+
+    return json.loads(_fs_read_text(f"{root}/_index_meta.json"))
 
 
 @query(
     "sink_ivf_index",
     "sinks",
     f"""
-    WITH {_DUCK_CELLS}
+    WITH {_DUCK_CELLS_DIALED}
     SELECT cell,
            CAST(COUNT(*) AS BIGINT) AS n_vecs,
            CAST(MIN(vec_id) AS BIGINT) AS min_vec,
@@ -1774,7 +1862,11 @@ def ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
     "oracle's recomputation of the max-cosine assignment — a writer "
     "bug (dropped vectors, wrong cell routing, stale reuse) surfaces "
     "as a hash mismatch before any search probes the index. The "
-    "sink_bm25_index discipline applied to the ANN family.",
+    "sink_bm25_index discipline applied to the ANN family. r11: the "
+    "cell count is DIALED (ivf_cell_count doubles from N_CELLS to keep "
+    "vectors/cell at the target) and the oracle recomputes the same "
+    "count through the shared CASE ladder — this row being green at a "
+    "non-default count is the dial's own certification.",
 )
 def sink_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = ivf_index_path(spark, sf_dir)
@@ -1787,11 +1879,107 @@ def sink_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: salt fan-out for the indexed probes' two-level top-k (the bm25_rank
+#: discipline): the per-(query, salt) partial pass bounds what any one
+#: task sorts to candidates/ANN_IDX_SALTS, and the final per-query
+#: window sees <= k×salts rows — at 100 TB a hot cell no longer pulls a
+#: whole cell's candidates through ONE task.
+ANN_IDX_SALTS = 16
+
+
+def _ann_salted_topk(scored: DataFrame, k: int = 3) -> DataFrame:
+    """Exact two-level top-k over (query_id, neighbor_id, cosine):
+    hash(neighbor_id) salting spreads one query's candidates over
+    ANN_IDX_SALTS tasks for a partial top-k; only the <= k×salts
+    partial winners reach the final per-query window.  Exact — every
+    global top-k row is, a fortiori, in its own salt stratum's top-k."""
+    order = (F.col("cosine").desc(), F.col("neighbor_id").asc())
+    partial = (
+        scored.withColumn(
+            "salt", F.pmod(F.xxhash64("neighbor_id"), F.lit(ANN_IDX_SALTS))
+        )
+        .withColumn(
+            "prnk",
+            F.row_number().over(W.partitionBy("query_id", "salt").orderBy(*order)),
+        )
+        .filter(F.col("prnk") <= k)
+    )
+    win = W.partitionBy("query_id").orderBy(*order)
+    return (
+        partial.withColumn("rnk", F.row_number().over(win).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def _ivf_indexed_scored(
+    spark: SparkSession, sf_dir: str, n_probes: int = 1
+) -> DataFrame:
+    """The persisted-index probe's candidate scoring, shared by the
+    single-probe / multiprobe / recall rows: coarse-quantize the
+    request's query vectors against the broadcast seed table through
+    the SAME assign-by-max-cosine rule as the writer (rn <= n_probes
+    generalizes assign_cells' rn == 1), collect the request-sized
+    (query, probed cell) plan — never corpus data — and scan ONLY the
+    probed cells' directories with a static partition IN-filter."""
+    root = ivf_index_path(spark, sf_dir)
+    seeds = spark.read.parquet(f"{root}/seeds").select(
+        F.col("vec_id").alias("seed_id"), F.col("v").alias("sv"), F.col("nrm").alias("sn")
+    )
+    t = load_tables(spark, sf_dir)
+    qvec = (
+        t["embeddings"]
+        .filter(F.col("vec_id") < N_QUERIES_IDX)
+        .select("vec_id", as_double(F.col("embedding")).alias("v"))
+        .withColumn("nrm", norm(F.col("v")))
+    )
+    scos = dot(F.col("v"), F.col("sv")) / (F.col("nrm") * F.col("sn"))
+    wq = W.partitionBy("vec_id").orderBy(F.col("scos").desc(), F.col("seed_id").asc())
+    probes = (
+        qvec.join(F.broadcast(seeds))
+        .withColumn("scos", scos)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probes)
+    )
+    # request-sized planning metadata: |Q| × n_probes rows via the
+    # writer's own assignment rule — the probed-cell list is what an
+    # IVF serving planner hands the scan
+    qrows = probes.collect()
+    qcells = sorted({int(r.seed_id) for r in qrows})
+    q = spark.createDataFrame(
+        [
+            (int(r.vec_id), int(r.seed_id), list(r.v), float(r.nrm))
+            for r in qrows
+        ],
+        "query_id long, cell long, qv array<double>, qn double",
+    )
+    cand = (
+        spark.read.parquet(f"{root}/cells")
+        .filter(F.col("cell").isin(qcells))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("cell").cast("long").alias("ccell"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
+    )
+    cos = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    return (
+        F.broadcast(q)
+        .join(
+            cand,
+            (F.col("cell") == F.col("ccell"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select("query_id", "neighbor_id", F.round(cos, 4).alias("cosine"))
+    )
+
+
 @query(
     "ann_ivf_topk_indexed",
     "similarity",
     f"""
-    WITH {_DUCK_CELLS},
+    WITH {_DUCK_CELLS_DIALED},
     q AS (SELECT c.vec_id, c.cell, e.embedding
           FROM cells c JOIN embeddings e USING (vec_id)
           WHERE c.vec_id < {N_QUERIES_IDX}),
@@ -1813,55 +2001,114 @@ def sink_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="IVF search served from the PERSISTED cell-partitioned index "
     "(the ANN twin of text_bm25_topk_indexed): the request's query "
     "vectors coarse-quantize against the broadcast seed table through "
-    "the SAME assign_cells code as the writer (one tiny Spark job; its "
+    "the SAME assignment rule as the writer (one tiny Spark job; its "
     "q-row collect is request-sized planning metadata, never corpus "
     "data), and the candidate scan reads ONLY the probed cells' "
     "directories — a static partition IN-filter, plan-asserted as a "
-    "strict subset of the on-disk cells — then scores and ranks with "
-    "the identical cell-equi-join arithmetic as ann_ivf_topk, "
-    "certified against the same oracle shape. At 100 TB: per-request "
+    "strict subset of the on-disk cells. r11: ranking is the TWO-LEVEL "
+    "salted top-k (the bm25_rank discipline — a hot cell's candidates "
+    "no longer funnel through one task) and the index geometry is "
+    "DIALED (ivf_cell_count), with the oracle recomputing the same "
+    "cell count via the shared CASE ladder. At 100 TB: per-request "
     "cost is nprobe cell reads out of thousands, the FAISS serving "
     "economics on plain parquet.",
 )
 def ann_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    root = ivf_index_path(spark, sf_dir)
-    seeds = spark.read.parquet(f"{root}/seeds").select(
-        F.col("vec_id").alias("seed_id"), F.col("v").alias("sv"), F.col("nrm").alias("sn")
+    return _ann_salted_topk(_ivf_indexed_scored(spark, sf_dir, n_probes=1))
+
+
+def _duck_probes_dialed(n_probes: int) -> str:
+    """probes CTE against the DIALED seed set (the oracle twin of
+    _ivf_indexed_scored's rn <= n_probes coarse quantization)."""
+    nc = _duck_nc_dialed()
+    return f"""
+    seeds AS (SELECT vec_id AS seed_id, embedding FROM embeddings
+              WHERE vec_id < ({nc})),
+    probes AS (
+        SELECT query_id, seed_id AS cell FROM (
+            SELECT e.vec_id AS query_id, s.seed_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_DUCK_DOT.format(a='e.embedding', b='s.embedding')}
+                                / ({_DUCK_NORM.format(a='e.embedding')}
+                                   * {_DUCK_NORM.format(a='s.embedding')}) DESC,
+                                s.seed_id ASC) AS rn
+            FROM embeddings e CROSS JOIN seeds s
+            WHERE e.vec_id < {N_QUERIES_IDX})
+        WHERE rn <= {n_probes}
+    )"""
+
+
+_DUCK_IDX_MULTIPROBE_SCORED = f"""
+    corp AS (SELECT c.vec_id, c.cell, e.embedding
+             FROM cells c JOIN embeddings e USING (vec_id)),
+    q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES_IDX}),
+    scored AS (
+        SELECT p.query_id, corp.vec_id AS neighbor_id,
+               ROUND({_DUCK_DOT.format(a='q.embedding', b='corp.embedding')}
+                     / ({_DUCK_NORM.format(a='q.embedding')}
+                        * {_DUCK_NORM.format(a='corp.embedding')}), 4) AS cosine
+        FROM probes p
+        JOIN corp ON corp.cell = p.cell AND corp.vec_id <> p.query_id
+        JOIN q ON q.vec_id = p.query_id
+    )"""
+
+
+@query(
+    "ann_ivf_multiprobe_topk_indexed",
+    "similarity",
+    f"""
+    WITH {_DUCK_CELLS_DIALED},
+    {_duck_probes_dialed(N_PROBES)},
+    {_DUCK_IDX_MULTIPROBE_SCORED}
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+    """,
+    doc=f"Multiprobe over the PERSISTED IVF index (r11): each request "
+    f"query probes its {N_PROBES} nearest cells' directories instead "
+    "of one — the first knob a production ANN deployment turns when a "
+    "true neighbor straddles a cell boundary, now available on the "
+    "serving index, not just the per-run family. Probe-cell planning, "
+    "partition-pruned scan, scoring, and the salted two-level top-k "
+    "are the SAME code as ann_ivf_topk_indexed (n_probes is the only "
+    "difference), and the oracle generalizes the writer's assignment "
+    "CTE to rn <= n_probes. Cost grows by the probe factor, never by "
+    "corpus size.",
+)
+def ann_ivf_multiprobe_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_salted_topk(_ivf_indexed_scored(spark, sf_dir, n_probes=N_PROBES))
+
+
+@query(
+    "ann_ivf_indexed_recall_at_k",
+    "similarity",
+    f"""
+    WITH {_DUCK_CELLS_DIALED},
+    {_duck_probes_dialed(N_PROBES)},
+    {_DUCK_IDX_MULTIPROBE_SCORED},
+    idx3 AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+            FROM scored) WHERE rnk <= {RECALL_K}
+    ),{_brute_recall_tail('idx3', n_queries=N_QUERIES_IDX)}
+    """,
+    doc=f"recall@{RECALL_K} of the PERSISTED-index multiprobe search "
+    "against brute-force ground truth — the quality gate a production "
+    "deployment tunes nprobe with, certified like ann_ivf_recall_at_k "
+    "but measuring the index actually served from disk (so a stale or "
+    "mis-routed index surfaces as a recall regression in the same "
+    "differential gate as correctness bugs). The brute side is the "
+    "one-off offline ground-truth pass; the comparison join is |Q|×k "
+    "rows.",
+)
+def ann_ivf_indexed_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx3 = (
+        ann_ivf_multiprobe_topk_indexed(spark, sf_dir)
+        .filter(F.col("rnk") <= RECALL_K)
+        .select("query_id", "neighbor_id")
     )
-    t = load_tables(spark, sf_dir)
-    qvec = (
-        t["embeddings"]
-        .filter(F.col("vec_id") < N_QUERIES_IDX)
-        .select("vec_id", as_double(F.col("embedding")).alias("v"))
-        .withColumn("nrm", norm(F.col("v")))
-    )
-    # request-sized planning metadata: (query, cell, vector) rows via the
-    # writer's own assignment rule — the probed-cell list is what an IVF
-    # serving planner hands the scan
-    qrows = assign_cells(qvec, seeds).collect()
-    qcells = sorted({int(r.cell) for r in qrows})
-    q = spark.createDataFrame(
-        [(int(r.vec_id), int(r.cell), list(r.v), float(r.nrm)) for r in qrows],
-        "query_id long, cell long, qv array<double>, qn double",
-    )
-    cand = (
-        spark.read.parquet(f"{root}/cells")
-        .filter(F.col("cell").isin(qcells))
-        .select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("cell").cast("long").alias("ccell"),
-            F.col("v").alias("cv"),
-            F.col("nrm").alias("cn"),
-        )
-    )
-    cos = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
-    scored = (
-        F.broadcast(q)
-        .join(cand, (F.col("cell") == F.col("ccell")) & (F.col("neighbor_id") != F.col("query_id")))
-        .select("query_id", "neighbor_id", F.round(cos, 4).alias("cosine"))
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 3)
-    )
+    return _recall_vs_brute(spark, sf_dir, idx3, n_queries=N_QUERIES_IDX)

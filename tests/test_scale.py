@@ -1248,45 +1248,163 @@ def test_bm25_indexed_probe_prunes_bucket_dirs(spark, oracle_sf_dir):
 def test_ivf_indexed_probe_prunes_cell_dirs(spark, oracle_sf_dir):
     """ann_ivf_topk_indexed's contract: the candidate scan carries a
     static partition IN-filter on the cell column, the request's
-    probed cells are a STRICT subset of the on-disk cells, and the
-    served ranking equals ann_ivf_topk's semantics restricted to the
-    request's queries (same assignment code, same arithmetic)."""
+    probed cells are a STRICT subset of the on-disk cells, the index
+    geometry is the DIALED count (non-default at this sf — the dial
+    provably bit), and the served ranking equals an independent
+    recomputation against freshly-assigned dialed cells (guards stale
+    or mis-routed index reuse without relying on the index files)."""
     import os
 
     from tailsql_spark.operators.similarity import (
         N_CELLS,
         N_QUERIES_IDX,
+        as_double,
+        assign_cells,
+        dot,
+        ivf_cell_count,
+        ivf_index_meta,
         ivf_index_path,
+        load_tables,
+        norm,
     )
+    from pyspark.sql import Window as W
     from tailsql_spark.plans.registry import REGISTRY
 
     root = ivf_index_path(spark, oracle_sf_dir)
+    meta = ivf_index_meta(root)
+    nc = int(meta["n_cells"])
+    # the dial bit: sf0.01's 500 vectors demand more than the base count
+    assert nc == ivf_cell_count(int(meta["n_vecs"])) and nc > N_CELLS, meta
     on_disk = sorted(
         int(d.split("=", 1)[1])
         for d in os.listdir(f"{root}/cells")
         if d.startswith("cell=")
     )
-    assert len(on_disk) >= N_CELLS - 1, on_disk
+    assert len(on_disk) >= nc // 2, (nc, on_disk)
     served = REGISTRY["ann_ivf_topk_indexed"].build(spark, oracle_sf_dir)
     plan = served._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:300], plan
     got = sorted(served.collect())
-    # strict subset: the full 10-query batch needs all 8 cells at this
-    # sf, the 3-query request provably does not
+    # strict subset: a 3-query request provably skips populated dirs
+    emb = (
+        load_tables(spark, oracle_sf_dir)["embeddings"]
+        .select("vec_id", as_double(F.col("embedding")).alias("v"))
+        .withColumn("nrm", norm(F.col("v")))
+    )
+    seeds = emb.filter(F.col("vec_id") < nc).select(
+        F.col("vec_id").alias("seed_id"), F.col("v").alias("sv"), F.col("nrm").alias("sn")
+    )
+    fresh = assign_cells(emb, seeds)
     probed = {
         int(r.cell)
-        for r in REGISTRY["ann_ivf_assign"].build(spark, oracle_sf_dir)
-        .filter(F.col("vec_id") < N_QUERIES_IDX)
-        .collect()
+        for r in fresh.filter(F.col("vec_id") < N_QUERIES_IDX).collect()
     }
     assert 0 < len(probed) < len(on_disk), (probed, on_disk)
-    # equals the per-run IVF search restricted to the request's queries
+    # equals an independent in-memory recomputation over dialed cells
+    q = fresh.filter(F.col("vec_id") < N_QUERIES_IDX).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cell").alias("qcell"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    c = fresh.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cell").alias("ccell"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     want = sorted(
-        REGISTRY["ann_ivf_topk"].build(spark, oracle_sf_dir)
-        .filter(F.col("query_id") < N_QUERIES_IDX)
+        F.broadcast(q)
+        .join(c, (F.col("qcell") == F.col("ccell")) & (F.col("neighbor_id") != F.col("query_id")))
+        .select("query_id", "neighbor_id", F.round(cos, 4).alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
         .collect()
     )
     assert got == want
+
+
+def test_ivf_indexed_topk_is_two_level_salted(spark, oracle_sf_dir):
+    """The indexed probes' final ranking must be the salted two-level
+    top-k (the bm25_rank discipline): two window stages — a partial
+    per-(query, salt) pass before the per-query final — so a hot cell
+    never funnels its whole candidate set through ONE task."""
+    from tailsql_spark.plans.registry import REGISTRY
+
+    for name in ("ann_ivf_topk_indexed", "ann_ivf_multiprobe_topk_indexed"):
+        p = _plan(REGISTRY[name].build(spark, oracle_sf_dir))
+        assert p.count("windowspecdefinition(query_id") >= 2, (name, p)
+        assert "salt" in p, (name, p)
+        assert "CartesianProduct" not in p, (name, p)
+
+
+def test_ivf_indexed_multiprobe_recall_floor(spark, oracle_sf_dir):
+    """Index-quality gate for the PERSISTED index: multiprobe recall@3
+    holds the floor, and per-query recall is monotone — probing more
+    cells can only add candidates, so multiprobe recall >= single-probe
+    recall for every query."""
+    from tailsql_spark.operators.similarity import (
+        N_QUERIES_IDX,
+        RECALL_K,
+        _ann_salted_topk,
+        _ivf_indexed_scored,
+        _recall_vs_brute,
+    )
+    from tailsql_spark.plans.registry import REGISTRY
+
+    multi = {
+        int(r.query_id): float(r.recall)
+        for r in REGISTRY["ann_ivf_indexed_recall_at_k"].build(spark, oracle_sf_dir).collect()
+    }
+    assert len(multi) == N_QUERIES_IDX
+    assert sum(multi.values()) / len(multi) >= 0.85, multi
+    one3 = (
+        _ann_salted_topk(_ivf_indexed_scored(spark, oracle_sf_dir, n_probes=1))
+        .filter(F.col("rnk") <= RECALL_K)
+        .select("query_id", "neighbor_id")
+    )
+    single = {
+        int(r.query_id): float(r.recall)
+        for r in _recall_vs_brute(
+            spark, oracle_sf_dir, one3, n_queries=N_QUERIES_IDX
+        ).collect()
+    }
+    assert all(multi[qid] >= single[qid] for qid in multi), (multi, single)
+
+
+def test_doubling_dial_properties():
+    """The shared dial: base below target, doubling at decade
+    boundaries, cap respected, and the SQL CASE ladder enumerates the
+    identical mapping (DuckDB-evaluated at the exact boundaries, where
+    a float log2 would wobble)."""
+    import duckdb
+
+    from tailsql_spark.operators.dial import dial_case_sql, doubling_dial
+
+    base, target, cap = 8, 32, 1024
+    assert doubling_dial(0, base, target, cap) == base
+    assert doubling_dial(base * target, base, target, cap) == base  # exact fit stays
+    assert doubling_dial(base * target + 1, base, target, cap) == 2 * base
+    assert doubling_dial(10**12, base, target, cap) == cap
+    con = duckdb.connect()
+    for n in [0, 1, base * target - 1, base * target, base * target + 1,
+              4 * base * target, 4 * base * target + 1, cap * target, cap * target + 7]:
+        sql = dial_case_sql(str(n), base, target, cap)
+        got = con.execute(f"SELECT {sql}").fetchone()[0]
+        assert got == doubling_dial(n, base, target, cap), (n, got)
+
+
+def test_ivf_dial_shrinks_probed_fraction():
+    """The dial's point, as a property: at a fixed request size, the
+    probed fraction (nprobe / cell count) SHRINKS as the corpus grows a
+    decade — per-request cost tracks the request, not the corpus."""
+    from tailsql_spark.operators.similarity import N_PROBES, ivf_cell_count
+
+    small, big = ivf_cell_count(500), ivf_cell_count(500 * 100)
+    assert big > small
+    assert N_PROBES / big < N_PROBES / small
 
 
 def test_bm25_index_build_is_idempotent(spark, oracle_sf_dir):

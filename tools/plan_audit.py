@@ -30,6 +30,7 @@ _ALLOWED_BNLJ: dict[str, str] = {
     "ann_ivf_kmeans_multiprobe_topk": "Lloyd centroid broadcasts per iteration",
     "ann_ivf_kmeans_topk": "Lloyd centroid broadcasts per iteration",
     "ann_ivf_multiprobe_topk": "constant seed-centroid broadcast",
+    "ann_ivf_indexed_recall_at_k": "query-block ground-truth broadcast (brute side)",
     "ann_ivf_recall_at_k": "centroid broadcasts + query-block ground truth",
     "ann_ivf_topk": "constant seed-centroid broadcast",
     "ann_ivfpq_recall_at_k": "query-block ground-truth broadcast",
