@@ -2235,32 +2235,61 @@ def bm25_rank(matched: DataFrame, dfreq: DataFrame, stats: DataFrame) -> DataFra
 # persisted term-bucketed BM25 posting index — the serving shape
 # ---------------------------------------------------------------------------
 
-#: term-bucket count for the persisted posting index.  The bucket
+#: BASE term-bucket count for the persisted posting index.  The bucket
 #: function is md5-derived (first 4 hex nibbles mod buckets) so all
 #: three parties agree on it EXACTLY: the Spark writer (F.conv on
 #: F.md5), the DuckDB content oracle (CAST(concat('0x', substr(md5..)
 #: idiom), and the Python planner that turns a query's tokens into the
-#: bucket list the probe scans.  At 100 TB the dial scales with index
-#: bytes (target = one bucket ~ a task's worth of postings); 16 keeps
-#: the sf0.01 certification meaningfully pruned (13 query terms touch
-#: a strict subset of buckets).
+#: bucket list the probe scans.
 BM25_INDEX_BUCKETS = 16
+#: r11 dial: target postings per bucket.  The builder counts the
+#: posting set once and doubles the bucket count from the base until
+#: postings/bucket fits the target (the state_bucket_count /
+#: ivf_cell_count discipline applied to the serving layout); the
+#: content oracle recomputes the identical count via the shared
+#: integer-exact CASE ladder.  At 100 TB the target would be a task's
+#: worth of postings (~1e7); the test-scale constant keeps the dial
+#: OBSERVABLE at certification scale (sf0.01's ~11.7k postings dial to
+#: 32 buckets — the certification row is green at a NON-default count).
+BM25_POSTINGS_PER_BUCKET = 512
+BM25_BUCKET_MAX = 65536
 
 
-def bm25_term_bucket_col(tok) -> Column:
-    """Spark-side term bucket: first 4 md5 nibbles of the utf-8 token
-    mod :data:`BM25_INDEX_BUCKETS`."""
-    h = F.conv(F.substring(F.md5(F.col(tok).cast("binary")), 1, 4), 16, 10)
-    return F.pmod(h.cast("long"), F.lit(BM25_INDEX_BUCKETS))
+def bm25_bucket_count(n_postings: int) -> int:
+    """The dialed term-bucket count for ``n_postings`` index rows."""
+    from tailsql_spark.operators.dial import doubling_dial
+
+    return doubling_dial(
+        n_postings, BM25_INDEX_BUCKETS, BM25_POSTINGS_PER_BUCKET, BM25_BUCKET_MAX
+    )
 
 
-def bm25_term_bucket_py(tok: str) -> int:
+def bm25_term_hash_col(tok) -> Column:
+    """Spark-side raw term hash: first 4 md5 nibbles of the utf-8 token
+    as a long (0..65535) — the pre-mod key the bucket functions and the
+    manifest pruner share."""
+    return F.conv(F.substring(F.md5(F.col(tok).cast("binary")), 1, 4), 16, 10).cast(
+        "long"
+    )
+
+
+def bm25_term_bucket_col(tok, nb: int = BM25_INDEX_BUCKETS) -> Column:
+    """Spark-side term bucket: raw md5 term hash mod ``nb``."""
+    return F.pmod(bm25_term_hash_col(tok), F.lit(nb))
+
+
+def bm25_term_hash_py(tok: str) -> int:
+    """Driver-side twin of :func:`bm25_term_hash_col`."""
+    import hashlib
+
+    return int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:4], 16)
+
+
+def bm25_term_bucket_py(tok: str, nb: int = BM25_INDEX_BUCKETS) -> int:
     """Driver-side twin of :func:`bm25_term_bucket_col` (pinned equal
     by a pytest property): lets query planning compute the bucket list
     without a Spark job."""
-    import hashlib
-
-    return int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:4], 16) % BM25_INDEX_BUCKETS
+    return bm25_term_hash_py(tok) % nb
 
 
 def bm25_index_path(spark: SparkSession, sf_dir: str) -> str:
@@ -2275,15 +2304,24 @@ def bm25_index_path(spark: SparkSession, sf_dir: str) -> str:
     build: one tokenize pass + one shuffle on (doc, term), then one
     shuffle by bucket so each bucket dir is a few large files, not
     tasks × buckets fragments."""
-    from tailsql_spark.plans.connectors import _stage_dir
-    from tailsql_spark.plans.streaming_exec import _fs_exists
+    import json
 
-    root = _stage_dir(sf_dir, "bm25_index", src_tables=("documents",))
+    from tailsql_spark.plans.connectors import _stage_dir
+    from tailsql_spark.plans.streaming_exec import _fs_exists, _fs_write_text_atomic
+
+    # the tag carries a LAYOUT VERSION (the ivf_index_path discipline):
+    # a pre-dial staged index (fixed 16 buckets, no meta) must never be
+    # silently reused by the dialed probes
+    root = _stage_dir(sf_dir, "bm25_index_v2", src_tables=("documents",))
     post_dir = f"{root}/postings"
     stat_dir = f"{root}/stats"
     # staged-index check through the Hadoop-FS dispatcher, so an index
     # root on hdfs://// object storage reuses correctly too
-    if _fs_exists(f"{post_dir}/_SUCCESS") and _fs_exists(f"{stat_dir}/_SUCCESS"):
+    if (
+        _fs_exists(f"{post_dir}/_SUCCESS")
+        and _fs_exists(f"{stat_dir}/_SUCCESS")
+        and _fs_exists(f"{root}/_index_meta.json")
+    ):
         return root
     t = load_tables(spark, sf_dir)
     docs = t["documents"].select("doc_id", F.split(F.lower("text"), " ").alias("ws"))
@@ -2292,24 +2330,48 @@ def bm25_index_path(spark: SparkSession, sf_dir: str) -> str:
         docs.select("doc_id", F.explode("ws").alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("tf"))
-    )
-    post = tf.join(dl, "doc_id").withColumn("tb", bm25_term_bucket_col("tok"))
+    ).persist()
+    # the dial: one posting count picks the bucket count (r11); the
+    # content oracle recomputes the same count via the shared ladder
+    n_post = tf.count()
+    nb = bm25_bucket_count(n_post)
+    post = tf.join(dl, "doc_id").withColumn("tb", bm25_term_bucket_col("tok", nb))
     (
-        post.repartition(BM25_INDEX_BUCKETS, "tb")
+        post.repartition(min(nb, 1024), "tb")
         .write.mode("overwrite")
         .partitionBy("tb")
         .parquet(post_dir)
     )
+    tf.unpersist()
     dl.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")).write.mode(
         "overwrite"
     ).parquet(stat_dir)
+    _fs_write_text_atomic(
+        f"{root}/_index_meta.json",
+        json.dumps({"n_buckets": nb, "n_postings": n_post}),
+    )
     return root
 
 
-@query(
-    "sink_bm25_index",
-    "sinks",
-    f"""
+def bm25_index_meta(root: str) -> dict:
+    """The index's recorded geometry ({n_buckets, n_postings})."""
+    import json
+
+    from tailsql_spark.plans.streaming_exec import _fs_read_text
+
+    return json.loads(_fs_read_text(f"{root}/_index_meta.json"))
+
+
+def _bm25_sink_oracle() -> str:
+    from tailsql_spark.operators.dial import dial_case_sql
+
+    nb_sql = dial_case_sql(
+        "SELECT COUNT(*) FROM tf",
+        BM25_INDEX_BUCKETS,
+        BM25_POSTINGS_PER_BUCKET,
+        BM25_BUCKET_MAX,
+    )
+    return f"""
     WITH docs AS (
         SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
     ),
@@ -2319,12 +2381,18 @@ def bm25_index_path(spark: SparkSession, sf_dir: str) -> str:
         GROUP BY doc_id, tok
     )
     SELECT CAST(concat('0x', substr(md5(tok), 1, 4)) AS BIGINT)
-               % {BM25_INDEX_BUCKETS} AS tb,
+               % ({nb_sql}) AS tb,
            CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_terms,
            CAST(COUNT(*) AS BIGINT) AS n_postings,
            CAST(SUM(tf) AS BIGINT) AS sum_tf
     FROM tf GROUP BY 1
-    """,
+    """
+
+
+@query(
+    "sink_bm25_index",
+    "sinks",
+    _bm25_sink_oracle(),
     doc="The persisted BM25 posting index, certified by CONTENT: the "
     "per-bucket (distinct terms, postings, total tf) profile is read "
     "back from the index files ON DISK and must match the oracle's "
@@ -2334,7 +2402,11 @@ def bm25_index_path(spark: SparkSession, sf_dir: str) -> str:
     "even before any query probes the index. The build is one "
     "tokenize pass + one (doc, term) groupBy + one bucket shuffle; "
     "the layout is partitionBy(term bucket), the inverted-index "
-    "serving shape text_bm25_topk_indexed prunes against.",
+    "serving shape text_bm25_topk_indexed prunes against. r11: the "
+    "bucket count is DIALED (bm25_bucket_count keeps postings/bucket "
+    "at the target) and the oracle recomputes the same count through "
+    "the shared CASE ladder — this row green at a non-default count "
+    "certifies the dial itself.",
 )
 def sink_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = bm25_index_path(spark, sf_dir)
@@ -2366,8 +2438,9 @@ def sink_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = bm25_index_path(spark, sf_dir)
+    nb = int(bm25_index_meta(root)["n_buckets"])
     toks = sorted({tok for _, q in BM25_QUERIES for tok in q.split(" ")})
-    buckets = sorted({bm25_term_bucket_py(tok) for tok in toks})
+    buckets = sorted({bm25_term_bucket_py(tok, nb) for tok in toks})
     post = (
         spark.read.parquet(f"{root}/postings")
         # partition prune first (directory-level), then the pushed-down

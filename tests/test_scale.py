@@ -1216,24 +1216,30 @@ def test_bm25_indexed_probe_prunes_bucket_dirs(spark, oracle_sf_dir):
     from tailsql_spark.operators.textstats import (
         BM25_INDEX_BUCKETS,
         BM25_QUERIES,
+        bm25_bucket_count,
+        bm25_index_meta,
         bm25_index_path,
         bm25_term_bucket_py,
     )
     from tailsql_spark.plans.registry import REGISTRY
 
     root = bm25_index_path(spark, oracle_sf_dir)
+    meta = bm25_index_meta(root)
+    nb = int(meta["n_buckets"])
+    # the dial bit: sf0.01's posting count demands more than the base
+    assert nb == bm25_bucket_count(int(meta["n_postings"])) and nb > BM25_INDEX_BUCKETS, meta
     on_disk = sorted(
         int(d.split("=", 1)[1])
         for d in os.listdir(f"{root}/postings")
         if d.startswith("tb=")
     )
-    # nearly every bucket is populated (a tiny-sf vocab may leave a
-    # bucket empty — an absent dir is pruned trivially); the query's
-    # buckets must be a STRICT subset of what's on disk, so the probe
-    # provably skips populated directories
-    assert len(on_disk) >= BM25_INDEX_BUCKETS - 2, on_disk
-    buckets = sorted({bm25_term_bucket_py(t) for _, q in BM25_QUERIES for t in q.split(" ")})
-    assert 0 < len(buckets) < BM25_INDEX_BUCKETS, buckets
+    # most buckets are populated (a tiny-sf vocab may leave some empty —
+    # an absent dir is pruned trivially); the query's buckets must be a
+    # STRICT subset of what's on disk, so the probe provably skips
+    # populated directories
+    assert len(on_disk) >= nb // 2, (nb, on_disk)
+    buckets = sorted({bm25_term_bucket_py(t, nb) for _, q in BM25_QUERIES for t in q.split(" ")})
+    assert 0 < len(buckets) < len(on_disk), (buckets, on_disk)
     assert set(on_disk) - set(buckets), (on_disk, buckets)  # dirs the probe never reads
     served = REGISTRY["text_bm25_topk_indexed"].build(spark, oracle_sf_dir)
     plan = served._jdf.queryExecution().executedPlan().toString()
@@ -1405,6 +1411,24 @@ def test_ivf_dial_shrinks_probed_fraction():
     small, big = ivf_cell_count(500), ivf_cell_count(500 * 100)
     assert big > small
     assert N_PROBES / big < N_PROBES / small
+
+
+def test_bm25_dial_shrinks_probed_fraction():
+    """Same property for the BM25 term buckets: a fixed query's probed
+    bucket set is bounded by its term count, so its probed FRACTION of
+    the index shrinks as the posting count dials the bucket count up."""
+    from tailsql_spark.operators.textstats import (
+        BM25_QUERIES,
+        bm25_bucket_count,
+        bm25_term_bucket_py,
+    )
+
+    toks = sorted({t for _, q in BM25_QUERIES for t in q.split(" ")})
+    small, big = bm25_bucket_count(11_695), bm25_bucket_count(11_695 * 100)
+    assert big > small
+    frac_small = len({bm25_term_bucket_py(t, small) for t in toks}) / small
+    frac_big = len({bm25_term_bucket_py(t, big) for t in toks}) / big
+    assert frac_big < frac_small, (frac_small, frac_big)
 
 
 def test_bm25_index_build_is_idempotent(spark, oracle_sf_dir):
