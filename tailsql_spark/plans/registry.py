@@ -138,7 +138,11 @@ GRADED_WINDOW: tuple[str, ...] = (
     #  graded INSIDE stream_dedup_clusters below and the curation DAG,
     #  and both bucketed/flat layouts stay certified locally; the slot
     #  goes to the incremental retrieval index)
-    "stream_bm25_topk",             # r10: standing BM25 probe, streaming ≡ batch
+    # (r11: stream_bm25_topk rotated to the local gate — its slot goes
+    #  to the strictly STRONGER certification: the full persisted
+    #  serving index maintained incrementally under the bucket-manifest
+    #  discipline, served bucket-pruned, same oracle)
+    "stream_bm25_index",            # r11: incremental serving-index maintenance
     "stream_dedup_clusters",        # r4: incremental connected components —
     #   warm-started label maintenance certified ≡ the batch closure
     #   (stream_session_30m moved to the local gate: the session family

@@ -3214,6 +3214,186 @@ REGISTRY["stream_bm25_topk"] = QuerySpec(
 )
 
 
+def _bm25_index_seed(spark: SparkSession, state_root: str) -> tuple[str, str]:
+    """post/stat family roots with empty schema seeds + the post
+    family's bucket-manifest seed."""
+    post_root = f"{state_root}/post"
+    stat_root = f"{state_root}/stat"
+    empty_post = spark.createDataFrame([], "tok string, doc_id long, tf long, dl long")
+    empty_post.write.mode("overwrite").parquet(f"{post_root}/seed")
+    spark.createDataFrame([], "n_docs long, sum_dl long").write.mode(
+        "overwrite"
+    ).parquet(f"{stat_root}/seed")
+    _bucket_manifest_seed(empty_post, post_root)
+    return post_root, stat_root
+
+
+def _bm25_index_processor(post_root: str, stat_root: str):
+    """foreachBatch processor for the INCREMENTALLY-MAINTAINED persisted
+    BM25 serving index (r11 — the sink_bm25_index layout kept fresh by
+    the stream instead of rebuilt from scratch per corpus):
+
+    * each micro-batch appends its FULL (tok, doc_id, tf, dl) posting
+      delta — every term, not just standing-query terms — bucketed by
+      the SAME md5-derived term hash as the batch index writer
+      (`bm25_term_hash_col`), so a term's postings always share a
+      bucket and df/top-k are computable from a pruned read;
+    * deltas land at N_STATE_BUCKETS (bounded write amplification) in
+      per-batch-id overwrite dirs with data-then-manifest commit order
+      — the `_minhash_bucketed_processor` exactly-once discipline;
+    * the bucket-count DIAL applies unchanged: when cumulative postings
+      cross the threshold, `_rebucket_family` folds committed history
+      into a base bucketed at state_bucket_count(rows) under a new
+      manifest version (atomic meta commit, in-flight bid excluded), so
+      a query's probed fraction keeps shrinking as the index grows;
+    * corpus stats are additive (n_docs, sum_dl) per-batch partials.
+
+    No history reads on the write path at all — replay idempotency is
+    by construction (a replayed batch rewrites byte-identical delta +
+    manifest + stats dirs).  At 100 TB: per-batch cost is the batch's
+    tokenize + one small bucket shuffle; the serving index never goes
+    stale between full rebuilds and never pays one."""
+    from tailsql_spark.operators.textstats import bm25_term_hash_col
+
+    def process(batch_df, batch_id):
+        sess = batch_df.sparkSession
+        bid = int(batch_id)
+        meta = _rebucket_family(
+            sess, post_root, "tb", bm25_term_hash_col("tok"), bid,
+            _state_meta_read(post_root),
+        )
+        docs = batch_df.select("doc_id", F.split(F.lower("text"), " ").alias("ws"))
+        dl = docs.select("doc_id", F.size("ws").cast("long").alias("dl"))
+        post = (
+            docs.select("doc_id", F.explode("ws").alias("tok"))
+            .groupBy("doc_id", "tok")
+            .agg(F.count("*").alias("tf"))
+            .join(dl, "doc_id")
+            .select("tok", "doc_id", "tf", "dl")
+            .persist()
+        )
+        sub = _bdir(bid)
+        post_tb = post.withColumn(
+            "tb", F.pmod(bm25_term_hash_col("tok"), F.lit(N_STATE_BUCKETS))
+        )
+        post_tb.repartition(N_STATE_BUCKETS, "tb").write.mode("overwrite").partitionBy(
+            "tb"
+        ).parquet(f"{post_root}/{sub}")
+        _bucket_manifest_write(
+            post_tb, post_root, "tb", bid, version=int(meta["version"])
+        )
+        dl.agg(
+            F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+        ).write.mode("overwrite").parquet(f"{stat_root}/{sub}")
+        meta["rows"] = int(meta["rows"]) + post.count()
+        _state_meta_write(post_root, meta)
+        post.unpersist()
+
+    return process
+
+
+def _bm25_index_serve(sess: SparkSession, post_root: str, stat_root: str) -> DataFrame:
+    """Score the standing BM25 queries from the incrementally-maintained
+    index: plan the query terms' touched buckets through the bucket
+    MANIFEST (per live nb tier — the same pruned read a batch probe
+    gets), read only those leaf dirs, and rank through the SAME
+    bm25_rank code as the batch query.  Term-bucketing makes the pruned
+    read COMPLETE per query term (a term's postings share its bucket),
+    so df and top-k computed from it equal the full-corpus values."""
+    from tailsql_spark.operators.textstats import (
+        BM25_QUERIES,
+        bm25_rank,
+        bm25_term_hash_py,
+    )
+
+    toks = sorted({tok for _, q in BM25_QUERIES for tok in q.split(" ")})
+    keys = sess.createDataFrame(
+        [(bm25_term_hash_py(tok),) for tok in toks], "k long"
+    )
+    meta = _state_meta_read(post_root)
+    paths = _bucket_manifest_paths(
+        sess, post_root, keys, exclude_bid=None, version=int(meta["version"])
+    )
+    postings = sess.read.parquet(*paths).filter(F.col("tok").isin(toks))
+    stats = sess.read.parquet(*_mh_state_paths(stat_root)).agg(
+        F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl")
+    )
+    dfreq = postings.groupBy("tok").agg(F.count("*").alias("df"))
+    qterms = sess.createDataFrame(
+        [(qid, q_, tok) for qid, q_ in BM25_QUERIES for tok in q_.split(" ")],
+        "qid string, query string, tok string",
+    )
+    matched = postings.join(F.broadcast(qterms), "tok").select(
+        "qid", "query", "doc_id", "tok", "tf", "dl"
+    )
+    return bm25_rank(matched, dfreq, stats)
+
+
+def stream_bm25_index(
+    spark: SparkSession, sf_dir: str, state_root: str | None = None
+) -> DataFrame:
+    """Incremental maintenance for the persisted BM25 SERVING index:
+    the corpus streams in, each micro-batch folds its full posting
+    delta into the term-bucketed on-disk index under the bucket-
+    manifest discipline (dial included), and serving reads a
+    bucket-pruned probe of that state — certified equal to the batch
+    BM25 oracle after replay, so the continuously-maintained index
+    provably never drifts from a from-scratch rebuild.  This closes the
+    gap between ``stream_bm25_topk`` (query-term-only probe state) and
+    ``sink_bm25_index`` (full index, rebuilt per corpus fingerprint):
+    one state layout that is both the serving index AND incrementally
+    fresh."""
+    import shutil
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+    state_root, _owned_state = _resolve_state_root("bm25idx", state_root)
+    post_root, stat_root = _bm25_index_seed(spark, state_root)
+    src_dir = _stage_stream_source(docs, "bm25idx", state_root, _owned_state, corpus_tag=sf_dir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_bm25_index_processor(post_root, stat_root))
+        .option("checkpointLocation", f"{state_root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _await_or_raise(q, "stream_bm25_index")
+    finally:
+        q.stop()
+    out = _persist_result(
+        _bm25_index_serve(spark, post_root, stat_root), "stream_bm25_index"
+    )
+    if _owned_state:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        _fs_rmtree(state_root)
+    return out
+
+
+REGISTRY["stream_bm25_index"] = QuerySpec(
+    name="stream_bm25_index",
+    category="streaming-executed",
+    build=stream_bm25_index,
+    oracle=_BM25_ORACLE_STREAM,
+    doc="The persisted BM25 serving index maintained INCREMENTALLY "
+    "(r11): per-batch FULL posting deltas (every term) fold into the "
+    "term-bucketed on-disk layout under the bucket-manifest discipline "
+    "— per-batch-id overwrite dirs, data-then-manifest commit, dial-"
+    "driven decade re-buckets with atomic meta commits — plus additive "
+    "(n_docs, sum_dl) stats partials. Serving plans the query terms' "
+    "buckets through the manifest and scores the pruned read via the "
+    "shared bm25_rank, certified against the SAME DuckDB oracle as the "
+    "batch query: the continuously-maintained index equals a "
+    "from-scratch rebuild. A production index stays fresh without "
+    "full-rebuild cycles; probe cost tracks query terms, not corpus "
+    "size.",
+)
+
+
 # ---------------------------------------------------------------------------
 # incremental perceptual-hash (image) dedup
 # ---------------------------------------------------------------------------

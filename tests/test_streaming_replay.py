@@ -971,6 +971,50 @@ def test_bm25_processor_replay_idempotent(spark, oracle_sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def test_bm25_index_processor_replay_and_dial(spark, oracle_sf_dir, monkeypatch):
+    """The r11 incrementally-maintained persisted BM25 index: every
+    batch replayed post-"crash" AND the bucket-count dial forced to
+    fire mid-stream (tiny rows/bucket target → batch 1 folds batch 0's
+    committed postings into a bigger-bucketed base under a new manifest
+    version).  The bucket-pruned serving probe over the folded +
+    delta-tier state must equal the batch text_bm25_topk result
+    exactly — a double-append would inflate every df and tf, a fold
+    that dropped or duplicated a bucket would shift scores."""
+    import tailsql_spark.plans.streaming_exec as SE
+    from tailsql_spark.operators.textstats import REGISTRY as _TEXT
+    from tailsql_spark.plans.catalog import load_tables
+    from tailsql_spark.plans.streaming_exec import (
+        N_STATE_BUCKETS,
+        _bm25_index_processor,
+        _bm25_index_seed,
+        _bm25_index_serve,
+        _state_meta_read,
+    )
+
+    monkeypatch.setattr(SE, "STATE_ROWS_PER_BUCKET", 64)
+    docs = load_tables(spark, oracle_sf_dir)["documents"].select("doc_id", "text")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    rest = docs.filter(F.col("doc_id") % 2 == 1)
+
+    root = tempfile.mkdtemp(prefix="tailsql_bm25idx_replay_")
+    try:
+        post_root, stat_root = _bm25_index_seed(spark, root)
+        process = _bm25_index_processor(post_root, stat_root)
+        process(half, 0)
+        process(half, 0)  # simulated post-crash replay
+        process(rest, 1)  # triggers the fold of batch 0's state first
+        meta = _state_meta_read(post_root)
+        assert meta["version"] >= 1 and meta["nb"] > N_STATE_BUCKETS, meta
+        process(rest, 1)  # replay AFTER the fold committed
+        got = {tuple(r) for r in _bm25_index_serve(spark, post_root, stat_root).collect()}
+        want = {
+            tuple(r) for r in _TEXT["text_bm25_topk"].build(spark, oracle_sf_dir).collect()
+        }
+        assert got == want, f"extra={got - want}, missing={want - got}"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_phash_processor_replay_idempotent(spark, oracle_sf_dir):
     """Incremental image dedup: every batch replayed — a double-append
     would double n_docs for every hash group. Merged state through
