@@ -1087,18 +1087,15 @@ def audio_near_groups(
 # composed multimodal curation report (r10)
 # ---------------------------------------------------------------------------
 
-def _mm_curation_oracle() -> str:
-    """One corpus-level report from all three modality dedups, every
-    fragment SHARED with its per-modality oracle (the band arithmetic,
-    the CDC chunking chain, the frame-segment chain), so the composed
-    row and the per-modality rows cannot drift.  Survivor rule is
-    greedy KEEP-FIRST by doc id (a doc is dropped iff it has a match
-    partner with a smaller id) — the one-pass curation rule; the
-    transitive-closure variant stays certified separately on the text
-    family (dedup_clusters)."""
+def _mm_curation_ctes() -> str:
+    """The three modality-dedup CTE chains (image exact-group collapse
+    + banded near pairs + per-canonical minp; audio CDC postings +
+    df-cap + minp; video frame-segment band postings + df-cap + minp),
+    every fragment SHARED with its per-modality oracle — factored so
+    the multimodal report AND the corpus-wide unified report compose
+    the identical definitions."""
     img_pairs = _phash_hamming_sql("a", "b")
-    return f"""
-    WITH cimg AS (
+    return f"""cimg AS (
         SELECT doc_id, md5(text) || md5(text || 'a') || md5(text || 'b') AS hx
         FROM documents WHERE CAST(doc_id % 3 AS INT) = 0
     ),
@@ -1115,15 +1112,6 @@ def _mm_curation_oracle() -> str:
     cgsym AS (SELECT id_a AS id, id_b AS p FROM cgp
               UNION ALL SELECT id_b, id_a FROM cgp),
     cgmin AS (SELECT id, MIN(p) AS minp FROM cgsym GROUP BY id),
-    img_row AS (
-        SELECT 'image' AS media_type,
-               CAST(SUM(n_docs) AS BIGINT) AS n_docs,
-               CAST(SUM(CASE WHEN n_docs >= 2 OR minp IS NOT NULL
-                             THEN n_docs ELSE 0 END) AS BIGINT) AS n_matched,
-               CAST(SUM(CASE WHEN minp IS NULL OR minp > canonical_doc
-                             THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
-        FROM cgrp LEFT JOIN cgmin ON cgrp.canonical_doc = cgmin.id
-    ),
     {_audio_post_sql()},
     a_hot AS (SELECT fh FROM ff GROUP BY fh HAVING COUNT(*) > {AUDIO_DF_CAP}),
     a_kept AS (SELECT f.doc_id, f.fh FROM ff f
@@ -1136,15 +1124,6 @@ def _mm_curation_oracle() -> str:
     a_sym AS (SELECT id_a AS id, id_b AS p FROM a_pairs
               UNION ALL SELECT id_b, id_a FROM a_pairs),
     a_min AS (SELECT id, MIN(p) AS minp FROM a_sym GROUP BY id),
-    audio_row AS (
-        SELECT 'audio' AS media_type,
-               CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(SUM(CASE WHEN minp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_matched,
-               CAST(SUM(CASE WHEN minp IS NULL OR minp > au.doc_id
-                             THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
-        FROM audio au LEFT JOIN a_min ON au.doc_id = a_min.id
-    ),
     {_video_fh_sql()},
     v_hot AS (SELECT fh FROM post GROUP BY fh HAVING COUNT(*) > {VIDEO_DF_CAP}),
     v_kept AS (SELECT p.doc_id, p.fh FROM post p
@@ -1156,7 +1135,38 @@ def _mm_curation_oracle() -> str:
     ),
     v_sym AS (SELECT id_a AS id, id_b AS p FROM v_pairs
               UNION ALL SELECT id_b, id_a FROM v_pairs),
-    v_min AS (SELECT id, MIN(p) AS minp FROM v_sym GROUP BY id),
+    v_min AS (SELECT id, MIN(p) AS minp FROM v_sym GROUP BY id)"""
+
+
+def _mm_curation_oracle() -> str:
+    """One corpus-level report from all three modality dedups, every
+    fragment SHARED with its per-modality oracle (the band arithmetic,
+    the CDC chunking chain, the frame-segment chain), so the composed
+    row and the per-modality rows cannot drift.  Survivor rule is
+    greedy KEEP-FIRST by doc id (a doc is dropped iff it has a match
+    partner with a smaller id) — the one-pass curation rule; the
+    transitive-closure variant stays certified separately on the text
+    family (dedup_clusters)."""
+    return f"""
+    WITH {_mm_curation_ctes()},
+    img_row AS (
+        SELECT 'image' AS media_type,
+               CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN n_docs >= 2 OR minp IS NOT NULL
+                             THEN n_docs ELSE 0 END) AS BIGINT) AS n_matched,
+               CAST(SUM(CASE WHEN minp IS NULL OR minp > canonical_doc
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+        FROM cgrp LEFT JOIN cgmin ON cgrp.canonical_doc = cgmin.id
+    ),
+    audio_row AS (
+        SELECT 'audio' AS media_type,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN minp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_matched,
+               CAST(SUM(CASE WHEN minp IS NULL OR minp > au.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+        FROM audio au LEFT JOIN a_min ON au.doc_id = a_min.id
+    ),
     video_row AS (
         SELECT 'video' AS media_type,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -1263,3 +1273,162 @@ def multimodal_curation_survivors(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
     )
     return img_row.unionByName(audio_row).unionByName(video_row)
+
+
+# ---------------------------------------------------------------------------
+# the corpus-wide UNIFIED curation report: text DAG + all three modalities
+# ---------------------------------------------------------------------------
+
+def _unified_curation_oracle() -> str:
+    """Text curation DAG (quality gate → exact dedup → near-dup closure
+    survivors → token budget) UNIONed with the three modality keep-first
+    dedup rows, EVERY fragment the exact shared definition of its
+    standalone oracle (_CLEAN_CTES/_CLEAN_SELECT, _CC_ORACLE_CTES,
+    _mm_curation_ctes) — the composition cannot drift from any part."""
+    from tailsql_spark.operators.corpus import _CLEAN_CTES, _CLEAN_SELECT
+    from tailsql_spark.operators.graphs import _CC_ORACLE_CTES
+
+    return f"""
+    WITH RECURSIVE {_CLEAN_CTES},
+    cleaned AS ({_CLEAN_SELECT}),
+    {_CC_ORACLE_CTES},
+    {_mm_curation_ctes()},
+    text_row AS (
+        SELECT 'text' AS media_type,
+               CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_total,
+               CAST(COUNT(*) AS BIGINT) AS n_survivors,
+               CAST(SUM(c.n_tokens) AS BIGINT) AS n_tokens
+        FROM cleaned c LEFT JOIN labels l ON c.doc_id = l.doc_id
+        WHERE l.doc_id IS NULL OR l.doc_id = l.cluster_id
+    ),
+    img_row AS (
+        SELECT 'image' AS media_type,
+               CAST(SUM(n_docs) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN minp IS NULL OR minp > canonical_doc
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+               CAST(0 AS BIGINT) AS n_tokens
+        FROM cgrp LEFT JOIN cgmin ON cgrp.canonical_doc = cgmin.id
+    ),
+    audio_row AS (
+        SELECT 'audio' AS media_type,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN minp IS NULL OR minp > au.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+               CAST(0 AS BIGINT) AS n_tokens
+        FROM audio au LEFT JOIN a_min ON au.doc_id = a_min.id
+    ),
+    video_row AS (
+        SELECT 'video' AS media_type,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN minp IS NULL OR minp > v.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+               CAST(0 AS BIGINT) AS n_tokens
+        FROM vids v LEFT JOIN v_min ON v.doc_id = v_min.id
+    )
+    SELECT * FROM text_row
+    UNION ALL SELECT * FROM img_row
+    UNION ALL SELECT * FROM audio_row
+    UNION ALL SELECT * FROM video_row
+    """
+
+
+def _unified_media_row(tag: str, flags: DataFrame) -> DataFrame:
+    """(media_type, n_total, n_survivors, n_tokens=0) from per-doc
+    (doc_id, minp) keep-first flags."""
+    return flags.agg(
+        F.lit(tag).alias("media_type"),
+        F.count("*").alias("n_total"),
+        F.sum(
+            (F.col("minp").isNull() | (F.col("minp") > F.col("doc_id"))).cast("long")
+        ).alias("n_survivors"),
+        F.lit(0).cast("long").alias("n_tokens"),
+    )
+
+
+@query(
+    "corpus_unified_curation",
+    "corpus-pipeline",
+    _unified_curation_oracle(),
+    doc="THE corpus-wide curation report, one certified row per media "
+    "type: text runs the full DAG (quality gate → exact dedup → "
+    "MinHash-LSH near-dup transitive-closure survivors → surviving "
+    "token budget) and each binary modality runs its near-dup detector "
+    "under the greedy keep-first rule — the numbers a multimodal "
+    "training run is provisioned from, per modality, in one query. "
+    "Composes five certified operators through their OWN code paths "
+    "(corpus_clean_pipeline, dedup_minhash_lsh + connected_components, "
+    "the factored phash/audio/video posting engines); the oracle "
+    "composes the identical CTE fragments, so the composition cannot "
+    "drift from any part. Scale: the text label table broadcasts into "
+    "the survivor filter (cleaned corpus never reshuffled after its "
+    "dedup groupBy), each modality decodes once with df-capped "
+    "pairings and no all-pairs stage, and the report is four 1-row "
+    "aggregates unioned.",
+)
+def corpus_unified_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tailsql_spark.operators.corpus import corpus_clean_pipeline
+    from tailsql_spark.operators.dedup import dedup_minhash_lsh
+    from tailsql_spark.operators.graphs import connected_components
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    # text: the exact corpus_curation_survivors composition, totaled
+    cleaned = corpus_clean_pipeline(spark, sf_dir)
+    labels = connected_components(dedup_minhash_lsh(spark, sf_dir)).select(
+        F.col("doc_id").alias("l_doc"), "cluster_id"
+    )
+    j = cleaned.join(F.broadcast(labels), cleaned["doc_id"] == F.col("l_doc"), "left")
+    survivor = F.col("l_doc").isNull() | (F.col("l_doc") == F.col("cluster_id"))
+    tot = docs.agg(F.count("*").alias("n_total"))
+    text_row = (
+        j.filter(survivor)
+        .agg(
+            F.count("*").alias("n_survivors"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(F.lit("text").alias("media_type"), "n_total", "n_survivors", "n_tokens")
+    )
+    # modalities: the exact multimodal_curation_survivors engines
+    media = synth_media(spark, sf_dir)
+    grp = phash_hash_groups(
+        media.filter(F.col("media_type") == "image").select("doc_id", "payload")
+    )
+    gp = phash_group_pairs(grp).select("id_a", "id_b")
+    gsym = gp.select(F.col("id_a").alias("id"), F.col("id_b").alias("p")).unionByName(
+        gp.select(F.col("id_b").alias("id"), F.col("id_a").alias("p"))
+    )
+    gmin = gsym.groupBy("id").agg(F.min("p").alias("minp"))
+    img_row = (
+        grp.join(gmin, grp["canonical_doc"] == gmin["id"], "left")
+        .agg(
+            F.lit("image").alias("media_type"),
+            F.sum("n_docs").alias("n_total"),
+            F.sum(
+                (F.col("minp").isNull() | (F.col("minp") > F.col("canonical_doc"))).cast(
+                    "long"
+                )
+            ).alias("n_survivors"),
+            F.lit(0).cast("long").alias("n_tokens"),
+        )
+    )
+    audio = media.filter(F.col("media_type") == "audio").select("doc_id", "payload")
+    audio_row = _unified_media_row(
+        "audio",
+        _posting_minp(
+            audio.select("doc_id"), audio_posting_rows(audio),
+            AUDIO_DF_CAP, AUDIO_MIN_SHARED,
+        ),
+    )
+    video = media.filter(F.col("media_type") == "video").select("doc_id", "payload")
+    video_row = _unified_media_row(
+        "video",
+        _posting_minp(
+            video.select("doc_id"), video_band_postings(video),
+            VIDEO_DF_CAP, VIDEO_MIN_SHARED,
+        ),
+    )
+    return (
+        text_row.unionByName(img_row)
+        .unionByName(audio_row)
+        .unionByName(video_row)
+    )
