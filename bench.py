@@ -67,6 +67,14 @@ HEADLINE = [
     # the gate — the r10 drift isolation in BASELINE.md).
     "text_bm25_topk_indexed",
     "multimodal_video_dedup",
+    # round 11: the persisted-IVF serving probe (the ANN twin of the
+    # indexed BM25 row — dialed cell count, partition-pruned scan,
+    # salted two-level top-k) and the corpus-wide unified curation
+    # report (text DAG + three modality dedups composed — the
+    # heaviest certified composition in the registry, so its wall
+    # clock is worth a standing number).
+    "ann_ivf_topk_indexed",
+    "corpus_unified_curation",
 ]
 
 #: FROZEN shared-core suite (r10): the 16 queries the headline set held

@@ -278,9 +278,13 @@ GRADED_WINDOW: tuple[str, ...] = (
     # (sink_bm25_index above certifies the index content itself).
     "text_bm25_topk_indexed",
     # r6: the mixing row upgraded to the full curation-DAG composition
-    # (quality gate → exact dedup → near-dup survivors → budgets);
-    # corpus_mix_budget stays green on the local gate
-    "corpus_curation_survivors",
+    # (quality gate → exact dedup → near-dup survivors → budgets).
+    # (r11: corpus_curation_survivors rotated to the local gate — the
+    #  corpus-WIDE unified report CONTAINS the text DAG composition
+    #  (same components, same oracle CTE fragments) and adds the three
+    #  modality dedups; per-(lang, split) budgets stay certified
+    #  locally)
+    "corpus_unified_curation",
 )
 
 def _missing_spec(name: str) -> QuerySpec:
