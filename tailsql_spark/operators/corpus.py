@@ -89,6 +89,28 @@ def clean_keep_attrs(attrs: DataFrame) -> DataFrame:
     )
 
 
+def unified_text_row(cleaned: DataFrame, labels: DataFrame, docs: DataFrame) -> DataFrame:
+    """The text row of the corpus-wide unified curation report:
+    (media_type='text', n_total, n_survivors, n_tokens) — near-dup
+    survivor filter over the cleaned corpus (the survivor_budgets rule)
+    totaled against the raw document count.  Factored so the batch
+    report (corpus_unified_curation) and its streaming twin share one
+    definition."""
+    lab = labels.select(F.col("doc_id").alias("l_doc"), "cluster_id")
+    j = cleaned.join(F.broadcast(lab), cleaned["doc_id"] == F.col("l_doc"), "left")
+    survivor = F.col("l_doc").isNull() | (F.col("l_doc") == F.col("cluster_id"))
+    tot = docs.agg(F.count("*").alias("n_total"))
+    return (
+        j.filter(survivor)
+        .agg(
+            F.count("*").alias("n_survivors"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(F.lit("text").alias("media_type"), "n_total", "n_survivors", "n_tokens")
+    )
+
+
 def survivor_budgets(cleaned: DataFrame, labels: DataFrame) -> DataFrame:
     """Near-dup survivor drop + per-(lang, split) budgets: keep docs
     absent from the cluster label table or equal to their cluster's

@@ -104,12 +104,12 @@ def decode_image(payload: bytes) -> dict:
     return {"width": 16 + n % 64, "height": 16 + (n // 7) % 64}
 
 
-def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic binary corpus: documents' utf-8 bytes as payloads,
-    media type round-robined by doc_id. Stands in for real blobs with
-    identical plumbing."""
-    t = load_tables(spark, sf_dir)
-    return t["documents"].select(
+def synth_media_rows(docs: DataFrame) -> DataFrame:
+    """The per-row media projection (documents' utf-8 bytes as
+    payloads, media type round-robined by doc_id) — pure, so the
+    streaming twins can derive each BATCH's media rows from the batch's
+    documents through the identical rule as the batch operators."""
+    return docs.select(
         "doc_id",
         F.encode(F.col("text"), "utf-8").alias("payload"),
         F.element_at(
@@ -117,6 +117,13 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") % len(MEDIA_TYPES) + 1).cast("int"),
         ).alias("media_type"),
     )
+
+
+def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic binary corpus: documents' utf-8 bytes as payloads,
+    media type round-robined by doc_id. Stands in for real blobs with
+    identical plumbing."""
+    return synth_media_rows(load_tables(spark, sf_dir)["documents"])
 
 
 @query(
@@ -1345,6 +1352,32 @@ def _unified_media_row(tag: str, flags: DataFrame) -> DataFrame:
     )
 
 
+def unified_image_row(grp: DataFrame) -> DataFrame:
+    """The image row of the unified report from dHash exact groups
+    (b0..b3, canonical_doc, n_docs): banded near pairs between
+    canonicals → per-canonical minp → keep-first survivors over group
+    members.  Factored so the batch report and the streaming twin (grp
+    aggregated from the hash-row state log) share one definition."""
+    gp = phash_group_pairs(grp).select("id_a", "id_b")
+    gsym = gp.select(F.col("id_a").alias("id"), F.col("id_b").alias("p")).unionByName(
+        gp.select(F.col("id_b").alias("id"), F.col("id_a").alias("p"))
+    )
+    gmin = gsym.groupBy("id").agg(F.min("p").alias("minp"))
+    return (
+        grp.join(gmin, grp["canonical_doc"] == gmin["id"], "left")
+        .agg(
+            F.lit("image").alias("media_type"),
+            F.sum("n_docs").alias("n_total"),
+            F.sum(
+                (F.col("minp").isNull() | (F.col("minp") > F.col("canonical_doc"))).cast(
+                    "long"
+                )
+            ).alias("n_survivors"),
+            F.lit(0).cast("long").alias("n_tokens"),
+        )
+    )
+
+
 @query(
     "corpus_unified_curation",
     "corpus-pipeline",
@@ -1366,49 +1399,20 @@ def _unified_media_row(tag: str, flags: DataFrame) -> DataFrame:
     "aggregates unioned.",
 )
 def corpus_unified_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tailsql_spark.operators.corpus import corpus_clean_pipeline
+    from tailsql_spark.operators.corpus import corpus_clean_pipeline, unified_text_row
     from tailsql_spark.operators.dedup import dedup_minhash_lsh
     from tailsql_spark.operators.graphs import connected_components
 
     docs = load_tables(spark, sf_dir)["documents"]
     # text: the exact corpus_curation_survivors composition, totaled
     cleaned = corpus_clean_pipeline(spark, sf_dir)
-    labels = connected_components(dedup_minhash_lsh(spark, sf_dir)).select(
-        F.col("doc_id").alias("l_doc"), "cluster_id"
-    )
-    j = cleaned.join(F.broadcast(labels), cleaned["doc_id"] == F.col("l_doc"), "left")
-    survivor = F.col("l_doc").isNull() | (F.col("l_doc") == F.col("cluster_id"))
-    tot = docs.agg(F.count("*").alias("n_total"))
-    text_row = (
-        j.filter(survivor)
-        .agg(
-            F.count("*").alias("n_survivors"),
-            F.sum("n_tokens").cast("long").alias("n_tokens"),
-        )
-        .crossJoin(F.broadcast(tot))
-        .select(F.lit("text").alias("media_type"), "n_total", "n_survivors", "n_tokens")
-    )
+    labels = connected_components(dedup_minhash_lsh(spark, sf_dir))
+    text_row = unified_text_row(cleaned, labels, docs)
     # modalities: the exact multimodal_curation_survivors engines
     media = synth_media(spark, sf_dir)
-    grp = phash_hash_groups(
-        media.filter(F.col("media_type") == "image").select("doc_id", "payload")
-    )
-    gp = phash_group_pairs(grp).select("id_a", "id_b")
-    gsym = gp.select(F.col("id_a").alias("id"), F.col("id_b").alias("p")).unionByName(
-        gp.select(F.col("id_b").alias("id"), F.col("id_a").alias("p"))
-    )
-    gmin = gsym.groupBy("id").agg(F.min("p").alias("minp"))
-    img_row = (
-        grp.join(gmin, grp["canonical_doc"] == gmin["id"], "left")
-        .agg(
-            F.lit("image").alias("media_type"),
-            F.sum("n_docs").alias("n_total"),
-            F.sum(
-                (F.col("minp").isNull() | (F.col("minp") > F.col("canonical_doc"))).cast(
-                    "long"
-                )
-            ).alias("n_survivors"),
-            F.lit(0).cast("long").alias("n_tokens"),
+    img_row = unified_image_row(
+        phash_hash_groups(
+            media.filter(F.col("media_type") == "image").select("doc_id", "payload")
         )
     )
     audio = media.filter(F.col("media_type") == "audio").select("doc_id", "payload")

@@ -159,9 +159,13 @@ GRADED_WINDOW: tuple[str, ...] = (
     "stream_scd2_history",          # r9: streaming SCD2 == batch SCD2, shared oracle
     # r7: stream_hourly_rollup_daily rotated to the local gate (the
     # cascaded-rollup shape is a cousin of stream_tumbling_counts) for
-    # the r6 streaming flagship — the FULL curation DAG incremental,
-    # certified ≡ the batch composition via one shared oracle
-    "stream_curation_survivors",
+    # the r6 streaming flagship — the FULL curation DAG incremental.
+    # (r11: stream_curation_survivors rotated to the local gate — its
+    #  slot goes to the strictly STRONGER composition: the corpus-wide
+    #  unified report's streaming twin, which drives the SAME text
+    #  curation sub-states through the SAME _curation_batch_processor
+    #  AND the three modality state logs under one batch id)
+    "stream_unified_curation",
     # (r8 late rotation: stream_interval_join to the local gate — the
     #  streaming family keeps six driver rows; its slot goes to the
     #  round's new join-pruning family below)

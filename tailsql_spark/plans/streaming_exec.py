@@ -3719,6 +3719,220 @@ REGISTRY["stream_video_dedup"] = QuerySpec(
 )
 
 
+def _unified_batch_processor(text_process, ph_process, a_process, v_process):
+    """foreachBatch processor composing the four certified curation
+    sub-processors under ONE batch id: the text DAG states over the
+    batch's documents, then each modality's state over the batch's
+    media rows — derived through the SAME per-row ``synth_media_rows``
+    projection as the batch operators, so the streamed modality inputs
+    cannot drift from the batch query's.  Exactly-once is inherited:
+    every sub-processor follows the per-batch-id overwrite discipline
+    with the SAME bid, so a replayed trigger rewrites byte-identical
+    state in all four families."""
+    from tailsql_spark.operators.multimodal import synth_media_rows
+
+    def process(batch_df, batch_id):
+        text_process(batch_df, batch_id)
+        media = synth_media_rows(batch_df)
+        ph_process(
+            media.filter(F.col("media_type") == "image").select("doc_id", "payload"),
+            batch_id,
+        )
+        a_process(
+            media.filter(F.col("media_type") == "audio").select("doc_id", "payload"),
+            batch_id,
+        )
+        v_process(
+            media.filter(F.col("media_type") == "video").select("doc_id", "payload"),
+            batch_id,
+        )
+
+    return process
+
+
+def stream_unified_curation(
+    spark: SparkSession, sf_dir: str, state_root: str | None = None
+) -> DataFrame:
+    """The corpus-wide UNIFIED curation report maintained INCREMENTALLY
+    — the streaming twin of ``corpus_unified_curation``, composing the
+    four certified incremental state families under ONE stream and ONE
+    batch id per trigger:
+
+    * text: the full curation sub-states (MinHash pair discovery,
+      warm-started connected-component labels, the append-only
+      quality-attribute log) via the SAME ``_curation_batch_processor``
+      as ``stream_curation_survivors``;
+    * image / audio / video: each batch's media rows derived from the
+      batch's documents through the SAME per-row projection as the
+      batch operators (``synth_media_rows``), then the modality's
+      certified processor (dHash rows, CDC postings, frame-band
+      postings) appends its per-batch-id state.
+
+    Read time builds the identical four report rows as the batch query
+    through the SAME factored builders (``unified_text_row``,
+    ``unified_image_row``, ``_posting_minp``/``_unified_media_row``)
+    over the merged state, certified against the SAME composed oracle:
+    streaming ≡ batch for the corpus-wide report, not just its parts.
+    Per-batch cost tracks the batch (gate + probe + seeded propagation
+    + one decode pass per modality over NEW payloads only); no state
+    kind is new — this op only composes the certified ones."""
+    import shutil
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "lang", "text", "n_chars")
+    state_root, _owned_state = _resolve_state_root("unicur", state_root)
+    src_dir = _stage_stream_source(docs, "unicur", state_root, _owned_state, corpus_tag=sf_dir)
+    # text sub-states (the stream_curation_survivors layout)
+    ex_root, sig_root, out_root = _mh_seed_state(docs.select("doc_id", "text"), state_root)
+    edges_root = f"{state_root}/edges"
+    labels_root = f"{state_root}/labels"
+    attrs_root = f"{state_root}/attrs"
+    spark.createDataFrame([], "id_a long, id_b long").write.mode("overwrite").parquet(
+        f"{edges_root}/seed"
+    )
+    spark.createDataFrame([], "doc_id long, cluster_id long").write.mode(
+        "overwrite"
+    ).parquet(f"{labels_root}/seed")
+    spark.createDataFrame(
+        [], "doc_id long, lang string, fingerprint string, n_tokens long"
+    ).write.mode("overwrite").parquet(f"{attrs_root}/seed")
+    # modality sub-states (the stream_{phash,audio_fp,video}_dedup layouts)
+    ph_root = f"{state_root}/ph"
+    fpa_root = f"{state_root}/fpa"
+    fpv_root = f"{state_root}/fpv"
+    spark.createDataFrame(
+        [], "doc_id long, b0 long, b1 long, b2 long, b3 long"
+    ).write.mode("overwrite").parquet(f"{ph_root}/seed")
+    for r in (fpa_root, fpv_root):
+        spark.createDataFrame([], "doc_id long, fh string").write.mode(
+            "overwrite"
+        ).parquet(f"{r}/seed")
+
+    process = _unified_batch_processor(
+        _curation_batch_processor(
+            _minhash_batch_processor(ex_root, sig_root, out_root),
+            _cc_batch_processor(edges_root, labels_root),
+            attrs_root,
+            out_root,
+        ),
+        _phash_batch_processor(ph_root),
+        _audio_fp_batch_processor(fpa_root),
+        _video_fp_batch_processor(fpv_root),
+    )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{state_root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _await_or_raise(q, "stream_unified_curation")
+    finally:
+        q.stop()
+
+    result = _unified_curation_serve(
+        spark, spark.read.parquet(src_dir),
+        attrs_root, labels_root, ph_root, fpa_root, fpv_root,
+    )
+    out = _persist_result(result, "stream_unified_curation")
+    if _owned_state:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        _fs_rmtree(state_root)
+    return out
+
+
+def _unified_curation_serve(
+    spark: SparkSession,
+    src_docs: DataFrame,
+    attrs_root: str,
+    labels_root: str,
+    ph_root: str,
+    fpa_root: str,
+    fpv_root: str,
+) -> DataFrame:
+    """Read-time composition of the four report rows over the merged
+    incremental state — the SAME factored builders as the batch
+    ``corpus_unified_curation`` (``unified_text_row``,
+    ``unified_image_row``, ``_posting_minp``/``_unified_media_row``),
+    so serving cannot drift from the batch query."""
+    from tailsql_spark.operators.corpus import clean_keep_attrs, unified_text_row
+    from tailsql_spark.operators.multimodal import (
+        AUDIO_DF_CAP,
+        AUDIO_MIN_SHARED,
+        PHASH_BANDS,
+        VIDEO_DF_CAP,
+        VIDEO_MIN_SHARED,
+        _posting_minp,
+        _unified_media_row,
+        synth_media_rows,
+        unified_image_row,
+    )
+
+    cleaned = clean_keep_attrs(spark.read.parquet(*_mh_state_paths(attrs_root)))
+    labels = spark.read.parquet(_latest_snapshot_path(labels_root, None))
+    text_row = unified_text_row(cleaned, labels, src_docs)
+    media_all = synth_media_rows(src_docs)
+    bcols = [f"b{k}" for k in range(PHASH_BANDS)]
+    grp = (
+        spark.read.parquet(*_mh_state_paths(ph_root))
+        .groupBy(*bcols)
+        .agg(F.min("doc_id").alias("canonical_doc"), F.count("*").alias("n_docs"))
+    )
+    img_row = unified_image_row(grp)
+    audio_row = _unified_media_row(
+        "audio",
+        _posting_minp(
+            media_all.filter(F.col("media_type") == "audio").select("doc_id"),
+            spark.read.parquet(*_mh_state_paths(fpa_root)),
+            AUDIO_DF_CAP,
+            AUDIO_MIN_SHARED,
+        ),
+    )
+    video_row = _unified_media_row(
+        "video",
+        _posting_minp(
+            media_all.filter(F.col("media_type") == "video").select("doc_id"),
+            spark.read.parquet(*_mh_state_paths(fpv_root)),
+            VIDEO_DF_CAP,
+            VIDEO_MIN_SHARED,
+        ),
+    )
+    return (
+        text_row.unionByName(img_row)
+        .unionByName(audio_row)
+        .unionByName(video_row)
+    )
+
+
+from tailsql_spark.operators.multimodal import (  # noqa: E402
+    _unified_curation_oracle as _UNIFIED_ORACLE,
+)
+
+REGISTRY["stream_unified_curation"] = QuerySpec(
+    name="stream_unified_curation",
+    category="streaming-executed",
+    build=stream_unified_curation,
+    oracle=_UNIFIED_ORACLE(),
+    doc="The corpus-wide unified curation report maintained "
+    "INCREMENTALLY: one document stream drives the text curation "
+    "sub-states (MinHash pairs, warm-started cluster labels, the "
+    "quality-attribute log) AND each modality's certified incremental "
+    "state (batch media rows derived via the same synth_media_rows "
+    "projection as the batch operators; dHash rows / CDC postings / "
+    "frame-band postings appended per batch id). Read time builds the "
+    "four report rows through the SAME factored builders as the batch "
+    "corpus_unified_curation over the merged state, certified against "
+    "the SAME composed oracle — streaming ≡ batch for the corpus-wide "
+    "report, not just its parts.",
+)
+
+
 # ---------------------------------------------------------------------------
 # incremental binned percentile gate
 # ---------------------------------------------------------------------------

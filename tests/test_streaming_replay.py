@@ -593,6 +593,93 @@ def test_curation_processor_replay_idempotent(spark, oracle_sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def test_unified_curation_processor_replay_idempotent(spark, oracle_sf_dir):
+    """The r11 corpus-wide composition (text DAG states + all three
+    modality state logs under one batch id) must be replay-idempotent
+    as a WHOLE: every batch runs twice, and the served four-row report
+    must equal the batch corpus_unified_curation."""
+    from pyspark.sql import functions as F2
+
+    from tailsql_spark.plans.catalog import load_tables
+    from tailsql_spark.plans.registry import REGISTRY
+    from tailsql_spark.plans.streaming_exec import (
+        _audio_fp_batch_processor,
+        _cc_batch_processor,
+        _curation_batch_processor,
+        _mh_seed_state,
+        _minhash_batch_processor,
+        _phash_batch_processor,
+        _unified_batch_processor,
+        _unified_curation_serve,
+        _video_fp_batch_processor,
+    )
+
+    docs = load_tables(spark, oracle_sf_dir)["documents"].select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    root = tempfile.mkdtemp(prefix="tailsql_unicur_replay_")
+    try:
+        ex_root, sig_root, out_root = _mh_seed_state(
+            docs.select("doc_id", "text"), root
+        )
+        edges_root, labels_root, attrs_root = (
+            f"{root}/edges", f"{root}/labels", f"{root}/attrs",
+        )
+        ph_root, fpa_root, fpv_root = f"{root}/ph", f"{root}/fpa", f"{root}/fpv"
+        spark.createDataFrame([], "id_a long, id_b long").write.mode(
+            "overwrite"
+        ).parquet(f"{edges_root}/seed")
+        spark.createDataFrame([], "doc_id long, cluster_id long").write.mode(
+            "overwrite"
+        ).parquet(f"{labels_root}/seed")
+        spark.createDataFrame(
+            [], "doc_id long, lang string, fingerprint string, n_tokens long"
+        ).write.mode("overwrite").parquet(f"{attrs_root}/seed")
+        spark.createDataFrame(
+            [], "doc_id long, b0 long, b1 long, b2 long, b3 long"
+        ).write.mode("overwrite").parquet(f"{ph_root}/seed")
+        for r in (fpa_root, fpv_root):
+            spark.createDataFrame([], "doc_id long, fh string").write.mode(
+                "overwrite"
+            ).parquet(f"{r}/seed")
+        process = _unified_batch_processor(
+            _curation_batch_processor(
+                _minhash_batch_processor(ex_root, sig_root, out_root),
+                _cc_batch_processor(edges_root, labels_root),
+                attrs_root,
+                out_root,
+            ),
+            _phash_batch_processor(ph_root),
+            _audio_fp_batch_processor(fpa_root),
+            _video_fp_batch_processor(fpv_root),
+        )
+        b0 = docs.filter(F2.col("doc_id") % 2 == 0)
+        b1 = docs.filter(F2.col("doc_id") % 2 == 1)
+        process(b0, 0)
+        process(b0, 0)  # replay
+        process(b1, 1)
+        process(b1, 1)  # replay
+        got = sorted(
+            map(
+                tuple,
+                _unified_curation_serve(
+                    spark, docs, attrs_root, labels_root, ph_root, fpa_root, fpv_root
+                ).collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                REGISTRY["corpus_unified_curation"]
+                .build(spark, oracle_sf_dir)
+                .collect(),
+            )
+        )
+        assert got == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_minhash_shared_root_continues_across_runs(spark, oracle_sf_dir, tmp_path):
     """The production incremental mode the r7 state_root parameter
     exists for: run the stream over an initial corpus slice against a
