@@ -3214,6 +3214,217 @@ REGISTRY["stream_bm25_topk"] = QuerySpec(
 )
 
 
+def _ivf_index_processor(cells_root: str, seeds_path: str):
+    """foreachBatch processor for the INCREMENTALLY-MAINTAINED persisted
+    IVF serving index (r11 — the stream_bm25_index discipline applied
+    to the ANN family): each micro-batch assigns its NEW vectors to the
+    FROZEN coarse quantizer (the staged dialed seed table — in
+    production the offline-trained quantizer; cell membership is
+    LEARNED, so unlike the hash-bucketed BM25 index the cell count
+    cannot be re-dialed online: re-training the quantizer is a rebuild
+    by design) through the SAME ``assign_cells`` rule as the batch
+    writer, and appends the (vec_id, v, nrm, ccell) rows
+    partitionBy(cell) to a per-batch-id overwrite dir with a
+    data-then-manifest commit (``_bucket_manifest_write`` under the
+    frozen cell count).  No history reads — replay idempotent by
+    construction; per-batch cost is one broadcast-assign over NEW
+    vectors plus one small cell shuffle."""
+    from tailsql_spark.operators.similarity import as_double, assign_cells, norm
+
+    def process(batch_df, batch_id):
+        sess = batch_df.sparkSession
+        bid = int(batch_id)
+        seeds = sess.read.parquet(seeds_path).select(
+            F.col("vec_id").alias("seed_id"),
+            F.col("v").alias("sv"),
+            F.col("nrm").alias("sn"),
+        )
+        nc = seeds.count()  # frozen quantizer size (metadata-sized)
+        vec = batch_df.select(
+            "vec_id", as_double(F.col("embedding")).alias("v")
+        ).withColumn("nrm", norm(F.col("v")))
+        assigned = assign_cells(vec, seeds).withColumn(
+            "ccell", F.col("cell").cast("long")
+        )
+        sub = _bdir(bid)
+        (
+            assigned.select("vec_id", "v", "nrm", "ccell", "cell")
+            .repartition(min(int(nc), 64), "cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{cells_root}/{sub}")
+        )
+        _bucket_manifest_write(assigned, cells_root, "cell", bid, nb=int(nc))
+
+    return process
+
+
+def _ivf_manifest_paths(sess: SparkSession, cells_root: str, probed: list[int]) -> list[str]:
+    """Leaf dirs of the incremental IVF state holding the probed cells,
+    resolved through the bucket manifest (no filesystem listing): the
+    IVF sibling of ``_bucket_manifest_paths``, except touched buckets
+    are the request's probed CELLS directly (cell membership is the
+    writer's assignment, not a pmod of a key)."""
+    man = sess.read.option("recursiveFileLookup", "true").parquet(
+        f"{cells_root}/_manifest"
+    )
+    pruned = (
+        man.filter(F.col("bucket").isin([int(c) for c in probed]))
+        .select("path")
+        .distinct()
+    )
+    # planning-metadata: ≤ delta-dirs × probed-cells rows
+    return [f"{cells_root}/seed"] + sorted(r.path for r in pruned.collect())
+
+
+def stream_ivf_index(
+    spark: SparkSession, sf_dir: str, state_root: str | None = None
+) -> DataFrame:
+    """Incremental maintenance for the persisted IVF SERVING index:
+    vectors stream in, each micro-batch assigns its NEW vectors to the
+    frozen dialed quantizer and folds them into the cell-partitioned
+    on-disk state under the manifest discipline; serving coarse-
+    quantizes the request through the SAME seed table and reads ONLY
+    the probed cells' manifest-resolved leaf dirs, ranking with the
+    shared salted two-level top-k — certified against the SAME oracle
+    as ``ann_ivf_topk_indexed``, so the continuously-maintained index
+    provably equals the batch-built one.  Completes the serving-index
+    pair: BM25 (hash buckets, online re-dialable) and IVF (learned
+    cells, frozen quantizer + rebuild-to-retrain) both now have batch
+    builders AND incremental maintenance."""
+    import shutil
+
+    from tailsql_spark.operators.similarity import (
+        N_QUERIES_IDX,
+        as_double,
+        ivf_cell_count,
+        norm,
+    )
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].select("vec_id", "embedding")
+    state_root, _owned_state = _resolve_state_root("ivfidx", state_root)
+    cells_root = f"{state_root}/cells"
+    seeds_path = f"{state_root}/seeds"
+    embd = emb.select("vec_id", as_double(F.col("embedding")).alias("v")).withColumn(
+        "nrm", norm(F.col("v"))
+    )
+    if not _fs_exists(f"{seeds_path}/_SUCCESS"):
+        # the frozen quantizer, staged once per pipeline: the dialed
+        # seed set (in production, the offline-trained coarse
+        # quantizer shipped to the ingestion job)
+        nc = ivf_cell_count(embd.count())
+        embd.filter(F.col("vec_id") < nc).select("vec_id", "v", "nrm").write.mode(
+            "overwrite"
+        ).parquet(seeds_path)
+    spark.createDataFrame(
+        [], "vec_id long, v array<double>, nrm double, ccell long"
+    ).write.mode("overwrite").parquet(f"{cells_root}/seed")
+    _bucket_manifest_seed(spark.createDataFrame([], "x long"), cells_root)
+    src_dir = _stage_stream_source(emb, "ivfidx", state_root, _owned_state, corpus_tag=sf_dir)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_ivf_index_processor(cells_root, seeds_path))
+        .option("checkpointLocation", f"{state_root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _await_or_raise(q, "stream_ivf_index")
+    finally:
+        q.stop()
+    result = _ivf_index_serve(spark, sf_dir, cells_root, seeds_path, N_QUERIES_IDX)
+    out = _persist_result(result, "stream_ivf_index")
+    if _owned_state:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        _fs_rmtree(state_root)
+    return out
+
+
+def _ivf_index_serve(
+    spark: SparkSession,
+    sf_dir: str,
+    cells_root: str,
+    seeds_path: str,
+    n_queries: int,
+) -> DataFrame:
+    """Probe the incrementally-maintained IVF state: coarse-quantize
+    the request through the frozen seed table (the writer's own rule),
+    resolve the probed cells' leaf dirs through the manifest, score and
+    rank with the SAME salted two-level top-k as the batch probes."""
+    from tailsql_spark.operators.similarity import (
+        _ann_salted_topk,
+        as_double,
+        assign_cells,
+        dot,
+        norm,
+    )
+
+    seeds = spark.read.parquet(seeds_path).select(
+        F.col("vec_id").alias("seed_id"), F.col("v").alias("sv"), F.col("nrm").alias("sn")
+    )
+    t = load_tables(spark, sf_dir)
+    qvec = (
+        t["embeddings"]
+        .filter(F.col("vec_id") < n_queries)
+        .select("vec_id", as_double(F.col("embedding")).alias("v"))
+        .withColumn("nrm", norm(F.col("v")))
+    )
+    # request-sized planning metadata (the ann_ivf_topk_indexed shape)
+    qrows = assign_cells(qvec, seeds).collect()
+    qcells = sorted({int(r.cell) for r in qrows})
+    qdf = spark.createDataFrame(
+        [(int(r.vec_id), int(r.cell), list(r.v), float(r.nrm)) for r in qrows],
+        "query_id long, cell long, qv array<double>, qn double",
+    )
+    cand = spark.read.parquet(*_ivf_manifest_paths(spark, cells_root, qcells)).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("ccell"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    scored = (
+        F.broadcast(qdf)
+        .join(
+            cand,
+            (F.col("cell") == F.col("ccell"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select("query_id", "neighbor_id", F.round(cos, 4).alias("cosine"))
+    )
+    return _ann_salted_topk(scored)
+
+
+from tailsql_spark.operators.similarity import (  # noqa: E402
+    REGISTRY as _SIM_REGISTRY,
+)
+
+REGISTRY["stream_ivf_index"] = QuerySpec(
+    name="stream_ivf_index",
+    category="streaming-executed",
+    build=stream_ivf_index,
+    oracle=_SIM_REGISTRY["ann_ivf_topk_indexed"].oracle,
+    doc="The persisted IVF serving index maintained INCREMENTALLY "
+    "(r11): each micro-batch assigns its NEW vectors to the frozen "
+    "dialed quantizer (the staged seed table — cell membership is "
+    "learned, so re-dialing the cell count means re-training, an "
+    "offline rebuild by design) via the SAME assign_cells rule as the "
+    "batch writer, appending cell-partitioned rows under the manifest "
+    "discipline (per-batch-id overwrite dirs, data-then-manifest "
+    "commit, replay-idempotent with no history reads). Serving coarse-"
+    "quantizes the request through the same seeds, reads ONLY the "
+    "probed cells' manifest-resolved leaf dirs, and ranks with the "
+    "shared salted top-k — certified against the SAME oracle as "
+    "ann_ivf_topk_indexed: the continuously-maintained index equals "
+    "the batch-built one.",
+)
+
+
 def _bm25_index_seed(spark: SparkSession, state_root: str) -> tuple[str, str]:
     """post/stat family roots with empty schema seeds + the post
     family's bucket-manifest seed."""

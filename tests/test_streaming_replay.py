@@ -1102,6 +1102,68 @@ def test_bm25_index_processor_replay_and_dial(spark, oracle_sf_dir, monkeypatch)
         shutil.rmtree(root, ignore_errors=True)
 
 
+def test_ivf_index_processor_replay_idempotent(spark, oracle_sf_dir):
+    """The r11 incrementally-maintained persisted IVF index: every
+    batch replayed post-"crash"; the manifest-pruned serve over the
+    merged cell state must equal the batch ann_ivf_topk_indexed result
+    exactly (a double-append would duplicate candidates and shift
+    neighbor ranks on ties; a mis-routed cell would drop them)."""
+    from tailsql_spark.operators.similarity import (
+        N_QUERIES_IDX,
+        as_double,
+        ivf_cell_count,
+        norm,
+    )
+    from tailsql_spark.plans.catalog import load_tables
+    from tailsql_spark.plans.registry import REGISTRY
+    from tailsql_spark.plans.streaming_exec import (
+        _bucket_manifest_seed,
+        _ivf_index_processor,
+        _ivf_index_serve,
+    )
+
+    emb = load_tables(spark, oracle_sf_dir)["embeddings"].select("vec_id", "embedding")
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+
+    root = tempfile.mkdtemp(prefix="tailsql_ivfidx_replay_")
+    try:
+        cells_root, seeds_path = f"{root}/cells", f"{root}/seeds"
+        embd = emb.select(
+            "vec_id", as_double(F.col("embedding")).alias("v")
+        ).withColumn("nrm", norm(F.col("v")))
+        nc = ivf_cell_count(embd.count())
+        embd.filter(F.col("vec_id") < nc).select("vec_id", "v", "nrm").write.parquet(
+            seeds_path
+        )
+        spark.createDataFrame(
+            [], "vec_id long, v array<double>, nrm double, ccell long"
+        ).write.parquet(f"{cells_root}/seed")
+        _bucket_manifest_seed(spark.createDataFrame([], "x long"), cells_root)
+        process = _ivf_index_processor(cells_root, seeds_path)
+        process(half, 0)
+        process(half, 0)  # simulated post-crash replay
+        process(rest, 1)
+        process(rest, 1)
+        got = sorted(
+            map(
+                tuple,
+                _ivf_index_serve(
+                    spark, oracle_sf_dir, cells_root, seeds_path, N_QUERIES_IDX
+                ).collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                REGISTRY["ann_ivf_topk_indexed"].build(spark, oracle_sf_dir).collect(),
+            )
+        )
+        assert got == want, f"extra={set(got) - set(want)}, missing={set(want) - set(got)}"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_phash_processor_replay_idempotent(spark, oracle_sf_dir):
     """Incremental image dedup: every batch replayed — a double-append
     would double n_docs for every hash group. Merged state through
