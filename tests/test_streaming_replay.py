@@ -743,6 +743,68 @@ def test_minhash_shared_root_continues_across_runs(spark, oracle_sf_dir, tmp_pat
     assert first <= got
 
 
+def test_bm25_index_shared_root_continues_across_runs(spark, oracle_sf_dir, tmp_path):
+    """Production continuation for the incrementally-maintained BM25
+    serving index: run the stream over an initial corpus slice against
+    a SHARED state root, then — in a separate invocation reusing the
+    same root — land new files and run again.  The second run must
+    resume the checkpoint (only new files process, delta dirs append),
+    and the bucket-pruned serve over the continued index must equal the
+    batch text_bm25_topk over the full corpus — the 'index never goes
+    stale between rebuilds and never pays one' claim, exercised across
+    runs."""
+    import os
+
+    from tailsql_spark.operators.textstats import REGISTRY as _TEXT
+    from tailsql_spark.plans.catalog import load_tables
+    from tailsql_spark.plans.streaming_exec import (
+        _await_or_raise,
+        _bm25_index_processor,
+        _bm25_index_seed,
+        _bm25_index_serve,
+    )
+
+    docs = load_tables(spark, oracle_sf_dir)["documents"].select("doc_id", "text")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    rest = docs.filter(F.col("doc_id") % 2 == 1)
+
+    root = str(tmp_path / "shared_bm25idx")
+    src = f"{root}/src"
+    post_root, stat_root = _bm25_index_seed(spark, root)
+    process = _bm25_index_processor(post_root, stat_root)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            _await_or_raise(q, "shared-root bm25-index run")
+        finally:
+            q.stop()
+
+    half.repartition(2).write.mode("append").parquet(src)
+    run_once()
+    n_batches_first = sum(d.startswith("b") for d in os.listdir(post_root))
+    rest.repartition(2).write.mode("append").parquet(src)
+    run_once()
+    n_batches_second = sum(d.startswith("b") for d in os.listdir(post_root))
+    assert n_batches_second > n_batches_first > 0
+
+    got = {tuple(r) for r in _bm25_index_serve(spark, post_root, stat_root).collect()}
+    want = {
+        tuple(r) for r in _TEXT["text_bm25_topk"].build(spark, oracle_sf_dir).collect()
+    }
+    assert got == want, f"extra={got - want}, missing={want - got}"
+
+
 def test_bucketed_processor_replay_idempotent(spark, oracle_sf_dir):
     """The bucketed-state processor keeps the flat processor's
     exactly-once contract: every batch replayed post-"crash", final
@@ -1093,6 +1155,50 @@ def test_bm25_index_processor_replay_and_dial(spark, oracle_sf_dir, monkeypatch)
         meta = _state_meta_read(post_root)
         assert meta["version"] >= 1 and meta["nb"] > N_STATE_BUCKETS, meta
         process(rest, 1)  # replay AFTER the fold committed
+        got = {tuple(r) for r in _bm25_index_serve(spark, post_root, stat_root).collect()}
+        want = {
+            tuple(r) for r in _TEXT["text_bm25_topk"].build(spark, oracle_sf_dir).collect()
+        }
+        assert got == want, f"extra={got - want}, missing={want - got}"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_bm25_index_vacuum_after_fold(spark, oracle_sf_dir, monkeypatch):
+    """expire_state_versions applied to the BM25-index family: after a
+    forced fold, the VACUUM must delete the superseded pre-fold delta
+    dirs and old manifest version, and the bucket-pruned serve over the
+    surviving state must still equal the batch text_bm25_topk."""
+    import os
+
+    import tailsql_spark.plans.streaming_exec as SE
+    from tailsql_spark.operators.textstats import REGISTRY as _TEXT
+    from tailsql_spark.plans.catalog import load_tables
+    from tailsql_spark.plans.streaming_exec import (
+        _bm25_index_processor,
+        _bm25_index_seed,
+        _bm25_index_serve,
+        _state_meta_read,
+        expire_state_versions,
+    )
+
+    monkeypatch.setattr(SE, "STATE_ROWS_PER_BUCKET", 64)
+    docs = load_tables(spark, oracle_sf_dir)["documents"].select("doc_id", "text")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    rest = docs.filter(F.col("doc_id") % 2 == 1)
+
+    root = tempfile.mkdtemp(prefix="tailsql_bm25idx_vacuum_")
+    try:
+        post_root, stat_root = _bm25_index_seed(spark, root)
+        process = _bm25_index_processor(post_root, stat_root)
+        process(half, 0)
+        process(rest, 1)  # fold fires at the start of this batch
+        assert _state_meta_read(post_root)["version"] >= 1
+        deleted = expire_state_versions(spark, post_root)
+        # the pre-fold delta dir and the old manifest version are gone
+        assert any(d.endswith("/b00000") for d in deleted), deleted
+        assert any("_manifest" in d for d in deleted), deleted
+        assert not os.path.exists(f"{post_root}/b00000")
         got = {tuple(r) for r in _bm25_index_serve(spark, post_root, stat_root).collect()}
         want = {
             tuple(r) for r in _TEXT["text_bm25_topk"].build(spark, oracle_sf_dir).collect()
