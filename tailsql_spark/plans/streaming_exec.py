@@ -3993,8 +3993,15 @@ def stream_unified_curation(
     docs = t["documents"].select("doc_id", "lang", "text", "n_chars")
     state_root, _owned_state = _resolve_state_root("unicur", state_root)
     src_dir = _stage_stream_source(docs, "unicur", state_root, _owned_state, corpus_tag=sf_dir)
-    # text sub-states (the stream_curation_survivors layout)
-    ex_root, sig_root, out_root = _mh_seed_state(docs.select("doc_id", "text"), state_root)
+    # text sub-states — the BUCKETED minhash layout (dial-active
+    # two-tier state, manifest-pruned probes): the corpus-wide flagship
+    # composes the 100 TB path, not the flat history scan; the pair
+    # output contract ({out_root}/{bid} dirs) is identical, so the
+    # composition is unchanged (stream_curation_survivors keeps the
+    # flat processor certified separately)
+    bands_root, ex_root, out_root = _mh_bucketed_seed(
+        docs.select("doc_id", "text"), state_root
+    )
     edges_root = f"{state_root}/edges"
     labels_root = f"{state_root}/labels"
     attrs_root = f"{state_root}/attrs"
@@ -4021,7 +4028,7 @@ def stream_unified_curation(
 
     process = _unified_batch_processor(
         _curation_batch_processor(
-            _minhash_batch_processor(ex_root, sig_root, out_root),
+            _minhash_bucketed_processor(bands_root, ex_root, out_root),
             _cc_batch_processor(edges_root, labels_root),
             attrs_root,
             out_root,

@@ -606,8 +606,8 @@ def test_unified_curation_processor_replay_idempotent(spark, oracle_sf_dir):
         _audio_fp_batch_processor,
         _cc_batch_processor,
         _curation_batch_processor,
-        _mh_seed_state,
-        _minhash_batch_processor,
+        _mh_bucketed_seed,
+        _minhash_bucketed_processor,
         _phash_batch_processor,
         _unified_batch_processor,
         _unified_curation_serve,
@@ -619,7 +619,7 @@ def test_unified_curation_processor_replay_idempotent(spark, oracle_sf_dir):
     )
     root = tempfile.mkdtemp(prefix="tailsql_unicur_replay_")
     try:
-        ex_root, sig_root, out_root = _mh_seed_state(
+        bands_root, ex_root, out_root = _mh_bucketed_seed(
             docs.select("doc_id", "text"), root
         )
         edges_root, labels_root, attrs_root = (
@@ -644,7 +644,7 @@ def test_unified_curation_processor_replay_idempotent(spark, oracle_sf_dir):
             ).parquet(f"{r}/seed")
         process = _unified_batch_processor(
             _curation_batch_processor(
-                _minhash_batch_processor(ex_root, sig_root, out_root),
+                _minhash_bucketed_processor(bands_root, ex_root, out_root),
                 _cc_batch_processor(edges_root, labels_root),
                 attrs_root,
                 out_root,
