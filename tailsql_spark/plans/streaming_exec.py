@@ -3273,8 +3273,9 @@ def _ivf_manifest_paths(sess: SparkSession, cells_root: str, probed: list[int]) 
         .select("path")
         .distinct()
     )
-    # planning-metadata: ≤ delta-dirs × probed-cells rows
-    return [f"{cells_root}/seed"] + sorted(r.path for r in pruned.collect())
+    return [f"{cells_root}/seed"] + sorted(
+        r.path for r in pruned.collect()  # planning-metadata: ≤ dirs × probed cells
+    )
 
 
 def stream_ivf_index(
@@ -3374,8 +3375,7 @@ def _ivf_index_serve(
         .select("vec_id", as_double(F.col("embedding")).alias("v"))
         .withColumn("nrm", norm(F.col("v")))
     )
-    # request-sized planning metadata (the ann_ivf_topk_indexed shape)
-    qrows = assign_cells(qvec, seeds).collect()
+    qrows = assign_cells(qvec, seeds).collect()  # planning-metadata: request-sized (|Q| rows)
     qcells = sorted({int(r.cell) for r in qrows})
     qdf = spark.createDataFrame(
         [(int(r.vec_id), int(r.cell), list(r.v), float(r.nrm)) for r in qrows],
