@@ -1912,16 +1912,33 @@ def _ann_salted_topk(scored: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def ivf_probe_plan(qvec: DataFrame, seeds: DataFrame, n_probes: int) -> DataFrame:
+    """Coarse-quantize request vectors against the broadcast seed
+    table: each (vec_id, v, nrm) row keeps its ``n_probes``
+    max-cosine seeds (ties → lowest seed_id) — rn <= n_probes
+    generalizes assign_cells' rn == 1 under the IDENTICAL ordering
+    rule.  THE single probe-planning definition, shared by the batch
+    persisted-index probes and the incremental index's serve."""
+    scos = dot(F.col("v"), F.col("sv")) / (F.col("nrm") * F.col("sn"))
+    wq = W.partitionBy("vec_id").orderBy(F.col("scos").desc(), F.col("seed_id").asc())
+    return (
+        qvec.join(F.broadcast(seeds))
+        .withColumn("scos", scos)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probes)
+    )
+
+
 def _ivf_indexed_scored(
     spark: SparkSession, sf_dir: str, n_probes: int = 1
 ) -> DataFrame:
     """The persisted-index probe's candidate scoring, shared by the
     single-probe / multiprobe / recall rows: coarse-quantize the
     request's query vectors against the broadcast seed table through
-    the SAME assign-by-max-cosine rule as the writer (rn <= n_probes
-    generalizes assign_cells' rn == 1), collect the request-sized
-    (query, probed cell) plan — never corpus data — and scan ONLY the
-    probed cells' directories with a static partition IN-filter."""
+    the SAME assign-by-max-cosine rule as the writer (ivf_probe_plan),
+    collect the request-sized (query, probed cell) plan — never corpus
+    data — and scan ONLY the probed cells' directories with a static
+    partition IN-filter."""
     root = ivf_index_path(spark, sf_dir)
     seeds = spark.read.parquet(f"{root}/seeds").select(
         F.col("vec_id").alias("seed_id"), F.col("v").alias("sv"), F.col("nrm").alias("sn")
@@ -1933,14 +1950,7 @@ def _ivf_indexed_scored(
         .select("vec_id", as_double(F.col("embedding")).alias("v"))
         .withColumn("nrm", norm(F.col("v")))
     )
-    scos = dot(F.col("v"), F.col("sv")) / (F.col("nrm") * F.col("sn"))
-    wq = W.partitionBy("vec_id").orderBy(F.col("scos").desc(), F.col("seed_id").asc())
-    probes = (
-        qvec.join(F.broadcast(seeds))
-        .withColumn("scos", scos)
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= n_probes)
-    )
+    probes = ivf_probe_plan(qvec, seeds, n_probes)
     # request-sized planning metadata: |Q| × n_probes rows via the
     # writer's own assignment rule — the probed-cell list is what an
     # IVF serving planner hands the scan

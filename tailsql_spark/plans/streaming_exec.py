@@ -3352,16 +3352,19 @@ def _ivf_index_serve(
     cells_root: str,
     seeds_path: str,
     n_queries: int,
+    n_probes: int = 1,
 ) -> DataFrame:
     """Probe the incrementally-maintained IVF state: coarse-quantize
-    the request through the frozen seed table (the writer's own rule),
-    resolve the probed cells' leaf dirs through the manifest, score and
-    rank with the SAME salted two-level top-k as the batch probes."""
+    the request through the frozen seed table (``ivf_probe_plan`` —
+    the SAME planning rule as the batch persisted-index probes, so
+    single-probe AND multiprobe serving come for free), resolve the
+    probed cells' leaf dirs through the manifest, score and rank with
+    the SAME salted two-level top-k as the batch probes."""
     from tailsql_spark.operators.similarity import (
         _ann_salted_topk,
         as_double,
-        assign_cells,
         dot,
+        ivf_probe_plan,
         norm,
     )
 
@@ -3375,10 +3378,10 @@ def _ivf_index_serve(
         .select("vec_id", as_double(F.col("embedding")).alias("v"))
         .withColumn("nrm", norm(F.col("v")))
     )
-    qrows = assign_cells(qvec, seeds).collect()  # planning-metadata: request-sized (|Q| rows)
-    qcells = sorted({int(r.cell) for r in qrows})
+    qrows = ivf_probe_plan(qvec, seeds, n_probes).collect()  # planning-metadata: |Q| x n_probes rows
+    qcells = sorted({int(r.seed_id) for r in qrows})
     qdf = spark.createDataFrame(
-        [(int(r.vec_id), int(r.cell), list(r.v), float(r.nrm)) for r in qrows],
+        [(int(r.vec_id), int(r.seed_id), list(r.v), float(r.nrm)) for r in qrows],
         "query_id long, cell long, qv array<double>, qn double",
     )
     cand = spark.read.parquet(*_ivf_manifest_paths(spark, cells_root, qcells)).select(

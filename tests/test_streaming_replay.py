@@ -1266,6 +1266,28 @@ def test_ivf_index_processor_replay_idempotent(spark, oracle_sf_dir):
             )
         )
         assert got == want, f"extra={set(got) - set(want)}, missing={set(want) - set(got)}"
+        # multiprobe serving over the SAME streamed state (the shared
+        # ivf_probe_plan rule) must equal the batch multiprobe row
+        from tailsql_spark.operators.similarity import N_PROBES
+
+        got_mp = sorted(
+            map(
+                tuple,
+                _ivf_index_serve(
+                    spark, oracle_sf_dir, cells_root, seeds_path, N_QUERIES_IDX,
+                    n_probes=N_PROBES,
+                ).collect(),
+            )
+        )
+        want_mp = sorted(
+            map(
+                tuple,
+                REGISTRY["ann_ivf_multiprobe_topk_indexed"]
+                .build(spark, oracle_sf_dir)
+                .collect(),
+            )
+        )
+        assert got_mp == want_mp
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
