@@ -28,7 +28,11 @@ def doubling_dial(n_rows: int, base: int, target: int, cap: int) -> int:
     b = base
     while b < cap and n_rows > b * target:
         b *= 2
-    return b
+    # The loop can overshoot when cap is not base*2^k (base=16,
+    # cap=100 doubles to 128); dial_case_sql's ELSE branch returns cap
+    # exactly, so clamp here or the two "cannot drift" twins would
+    # disagree at the cap boundary.
+    return min(b, cap)
 
 
 def dial_case_sql(n_expr: str, base: int, target: int, cap: int) -> str:

@@ -172,13 +172,29 @@ def _fs_read_text(path: str) -> str:
         stream.close()
 
 
+#: URI schemes where close() on a create() IS the atomic commit (one
+#: object PUT: readers see old or new bytes, never a torn write), so
+#: the tmp+rename dance below would only add a copy.
+_OBJECT_STORE_SCHEMES = ("s3a", "s3", "s3n", "gs", "abfs", "abfss", "oss", "cos", "wasb", "wasbs")
+
+
 def _fs_write_text_atomic(path: str, text: str) -> None:
-    """Atomic small-file text write (the meta pointer's commit).  Plain
-    paths: write-tmp + ``os.replace`` (POSIX rename atomicity).  URI
-    paths: Hadoop ``create(overwrite=True)`` directly — HDFS rename
-    refuses an existing destination, while object stores make the
-    single PUT itself atomic (readers see old or new bytes, never a
-    torn write), which is the semantics this pointer needs."""
+    """Atomic small-file text write (the meta pointer's commit).
+
+    * Plain paths: write-tmp + ``os.replace`` (POSIX rename atomicity).
+    * Object-store URIs (s3a/gs/abfs/...): ``create(overwrite=True)``
+      directly — the single PUT committed at close() is itself atomic.
+    * Every other URI (hdfs://, file://, viewfs://...): write to a
+      unique tmp path and commit via ``FileSystem.rename``.  A direct
+      ``create(overwrite=True)`` on HDFS TRUNCATES the destination
+      immediately and streams bytes after, so a concurrent reader (a
+      serving probe's ``_state_meta_read``, the next trigger) could see
+      an empty/torn pointer — and this pointer is rewritten every
+      batch, so the window would recur forever.  HDFS ``rename``
+      refuses an existing destination, so delete-then-rename; the
+      non-atomic gap that leaves (pointer briefly absent) is closed on
+      the READ side by ``_state_meta_read``'s bounded retry.
+    """
     if "://" not in path:
         import os
 
@@ -190,11 +206,24 @@ def _fs_write_text_atomic(path: str, text: str) -> None:
     spark = SparkSession.getActiveSession()
     jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    stream = fs.create(jpath, True)
+    scheme = path.split("://", 1)[0].lower()
+    if scheme in _OBJECT_STORE_SCHEMES:
+        stream = fs.create(jpath, True)
+        try:
+            stream.write(bytearray(text.encode("utf-8")))
+        finally:
+            stream.close()
+        return
+    tmp_jpath = spark._jvm.org.apache.hadoop.fs.Path(f"{path}.tmp")
+    stream = fs.create(tmp_jpath, True)
     try:
         stream.write(bytearray(text.encode("utf-8")))
     finally:
         stream.close()
+    if fs.exists(jpath):
+        fs.delete(jpath, False)
+    if not fs.rename(tmp_jpath, jpath):
+        raise IOError(f"atomic pointer commit failed: rename {path}.tmp -> {path}")
 
 
 def _stage_stream_source(
@@ -2129,7 +2158,10 @@ def state_bucket_count(n_rows: int) -> int:
     b = N_STATE_BUCKETS
     while b < STATE_MAX_BUCKETS and n_rows > b * STATE_ROWS_PER_BUCKET:
         b *= 2
-    return b
+    # same clamp as operators.dial.doubling_dial: harmless while the
+    # cap is a power-of-two multiple of the base, load-bearing if the
+    # constants ever change
+    return min(b, STATE_MAX_BUCKETS)
 
 
 def _state_meta_read(root: str) -> dict:
@@ -2140,11 +2172,30 @@ def _state_meta_read(root: str) -> dict:
     Goes through the ``_fs_*`` dispatchers so the same pointer works on
     local disk and ``hdfs://``/``s3a://`` state roots."""
     import json
+    import time
 
     p = f"{root}/_meta.json"
-    if not _fs_exists(p):
-        return {"version": 0, "nb": N_STATE_BUCKETS, "rows": 0}
-    return json.loads(_fs_read_text(p))
+    if "://" not in root:
+        # local roots commit via os.replace (atomic): absent == v0
+        if not _fs_exists(p):
+            return {"version": 0, "nb": N_STATE_BUCKETS, "rows": 0}
+        return json.loads(_fs_read_text(p))
+    # URI roots commit via delete+rename (HDFS) or atomic PUT (object
+    # stores): a reader racing the HDFS commit can observe the pointer
+    # briefly ABSENT (between delete and rename) or unparsable, so
+    # retry a few times before trusting "absent means v0"
+    last_err: Exception | None = None
+    for attempt in range(4):
+        if _fs_exists(p):
+            try:
+                return json.loads(_fs_read_text(p))
+            except ValueError as exc:  # torn/partial read mid-commit
+                last_err = exc
+        if attempt < 3:
+            time.sleep(0.05 * (attempt + 1))
+    if last_err is not None:
+        raise last_err
+    return {"version": 0, "nb": N_STATE_BUCKETS, "rows": 0}
 
 
 def _state_meta_write(root: str, meta: dict) -> None:
@@ -3460,7 +3511,13 @@ def _bm25_index_processor(post_root: str, stat_root: str):
       into a base bucketed at state_bucket_count(rows) under a new
       manifest version (atomic meta commit, in-flight bid excluded), so
       a query's probed fraction keeps shrinking as the index grows;
-    * corpus stats are additive (n_docs, sum_dl) per-batch partials.
+    * corpus stats are additive (n_docs, sum_dl) per-batch partials,
+      written BEFORE the bucket-manifest commit so the manifest gates a
+      batch whose postings and stats are both on disk — a crash
+      mid-batch can leave a stats partial a listing-based reader sees
+      before the postings commit, but never the reverse (postings
+      served with missing idf/avgdl inputs), and the replay overwrites
+      both dirs byte-identically either way.
 
     No history reads on the write path at all — replay idempotency is
     by construction (a replayed batch rewrites byte-identical delta +
@@ -3493,12 +3550,18 @@ def _bm25_index_processor(post_root: str, stat_root: str):
         post_tb.repartition(N_STATE_BUCKETS, "tb").write.mode("overwrite").partitionBy(
             "tb"
         ).parquet(f"{post_root}/{sub}")
-        _bucket_manifest_write(
-            post_tb, post_root, "tb", bid, version=int(meta["version"])
-        )
+        # stats partial BEFORE the manifest commit: the manifest is the
+        # batch's visibility gate (readers trust only committed bids),
+        # so every piece of the batch's state — postings AND the
+        # (n_docs, sum_dl) partial the idf/avgdl terms need — must be
+        # on disk before the commit.  Writing stats after would leave a
+        # crash window where postings serve with missing corpus stats.
         dl.agg(
             F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
         ).write.mode("overwrite").parquet(f"{stat_root}/{sub}")
+        _bucket_manifest_write(
+            post_tb, post_root, "tb", bid, version=int(meta["version"])
+        )
         meta["rows"] = int(meta["rows"]) + post.count()
         _state_meta_write(post_root, meta)
         post.unpersist()

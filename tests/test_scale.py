@@ -1402,6 +1402,24 @@ def test_doubling_dial_properties():
         assert got == doubling_dial(n, base, target, cap), (n, got)
 
 
+def test_doubling_dial_cap_not_power_of_two_multiple():
+    """When cap is NOT base*2^k the doubling loop overshoots past cap;
+    the builder must clamp to cap exactly as the CASE ladder's ELSE
+    branch does, or the two 'cannot drift' twins disagree at the cap
+    boundary (latent while all call sites use power-of-two caps)."""
+    import duckdb
+
+    from tailsql_spark.operators.dial import dial_case_sql, doubling_dial
+
+    base, target, cap = 16, 10, 100
+    assert doubling_dial(10**9, base, target, cap) == cap  # not 128
+    con = duckdb.connect()
+    for n in [0, 159, 160, 161, 639, 640, 641, 999, 1000, 1001, 10**9]:
+        sql = dial_case_sql(str(n), base, target, cap)
+        got = con.execute(f"SELECT {sql}").fetchone()[0]
+        assert got == doubling_dial(n, base, target, cap), (n, got)
+
+
 def test_ivf_dial_shrinks_probed_fraction():
     """The dial's point, as a property: at a fixed request size, the
     probed fraction (nprobe / cell count) SHRINKS as the corpus grows a
