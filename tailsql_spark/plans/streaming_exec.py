@@ -3265,7 +3265,7 @@ REGISTRY["stream_bm25_topk"] = QuerySpec(
 )
 
 
-def _ivf_index_processor(cells_root: str, seeds_path: str):
+def _ivf_index_processor(cells_root: str, seeds_path: str, del_root: str | None = None):
     """foreachBatch processor for the INCREMENTALLY-MAINTAINED persisted
     IVF serving index (r11 — the stream_bm25_index discipline applied
     to the ANN family): each micro-batch assigns its NEW vectors to the
@@ -3279,7 +3279,16 @@ def _ivf_index_processor(cells_root: str, seeds_path: str):
     data-then-manifest commit (``_bucket_manifest_write`` under the
     frozen cell count).  No history reads — replay idempotent by
     construction; per-batch cost is one broadcast-assign over NEW
-    vectors plus one small cell shuffle."""
+    vectors plus one small cell shuffle.
+
+    TAKEDOWNS (r12): an ``op`` column marks 'D' rows as per-vector
+    tombstones — the vec_id lands in the ``del`` family's per-batch
+    dir (written BEFORE the manifest commit, same all-state-on-disk
+    invariant as the BM25 stats partial), and the serving probe
+    anti-joins candidates against the accumulated set, so a deleted
+    vector stops being served the moment its batch commits.  Arrival
+    order commutes (anti-join application); physical removal from the
+    cell dirs rides the next fold."""
     from tailsql_spark.operators.similarity import as_double, assign_cells, norm
 
     def process(batch_df, batch_id):
@@ -3291,7 +3300,9 @@ def _ivf_index_processor(cells_root: str, seeds_path: str):
             F.col("nrm").alias("sn"),
         )
         nc = seeds.count()  # frozen quantizer size (metadata-sized)
-        vec = batch_df.select(
+        has_op = "op" in batch_df.columns
+        ins = batch_df.filter(F.col("op") != "D") if has_op else batch_df
+        vec = ins.select(
             "vec_id", as_double(F.col("embedding")).alias("v")
         ).withColumn("nrm", norm(F.col("v")))
         assigned = assign_cells(vec, seeds).withColumn(
@@ -3305,6 +3316,10 @@ def _ivf_index_processor(cells_root: str, seeds_path: str):
             .partitionBy("cell")
             .parquet(f"{cells_root}/{sub}")
         )
+        if has_op and del_root is not None:
+            batch_df.filter(F.col("op") == "D").select("vec_id").write.mode(
+                "overwrite"
+            ).parquet(f"{del_root}/{sub}")
         _bucket_manifest_write(assigned, cells_root, "cell", bid, nb=int(nc))
 
     return process
@@ -3404,13 +3419,17 @@ def _ivf_index_serve(
     seeds_path: str,
     n_queries: int,
     n_probes: int = 1,
+    del_root: str | None = None,
 ) -> DataFrame:
     """Probe the incrementally-maintained IVF state: coarse-quantize
     the request through the frozen seed table (``ivf_probe_plan`` —
     the SAME planning rule as the batch persisted-index probes, so
     single-probe AND multiprobe serving come for free), resolve the
     probed cells' leaf dirs through the manifest, score and rank with
-    the SAME salted two-level top-k as the batch probes."""
+    the SAME salted two-level top-k as the batch probes.  Takedowns:
+    candidates broadcast-anti-join the accumulated tombstone set
+    (metadata-sized — one vec_id per deletion) before scoring, so a
+    deleted vector is provably absent from every served top-k."""
     from tailsql_spark.operators.similarity import (
         _ann_salted_topk,
         as_double,
@@ -3441,6 +3460,11 @@ def _ivf_index_serve(
         F.col("v").alias("cv"),
         F.col("nrm").alias("cn"),
     )
+    if del_root is not None:
+        dels = spark.read.parquet(*_mh_state_paths(del_root)).select(
+            F.col("vec_id").alias("neighbor_id")
+        )
+        cand = cand.join(F.broadcast(dels), "neighbor_id", "left_anti")
     cos = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     scored = (
         F.broadcast(qdf)
@@ -3479,21 +3503,146 @@ REGISTRY["stream_ivf_index"] = QuerySpec(
 )
 
 
-def _bm25_index_seed(spark: SparkSession, state_root: str) -> tuple[str, str]:
-    """post/stat family roots with empty schema seeds + the post
-    family's bucket-manifest seed."""
+#: Deterministic takedown workload for the IVF takedown row: residue
+#: chosen so deleted vectors DEMONSTRABLY occupied the pre-takedown
+#: top-k (4 of the 9 served rows at sf0.01 — ids 117/387/27/407) and
+#: never collide with the request ids (< N_QUERIES_IDX).
+IVF_TAKEDOWN_MOD, IVF_TAKEDOWN_RESIDUE = 10, 7
+
+_IVF_TAKEDOWN_ORACLE = _SIM_REGISTRY["ann_ivf_topk_indexed"].oracle.replace(
+    "JOIN corp ON q.cell = corp.cell",
+    "JOIN corp ON q.cell = corp.cell AND NOT "
+    f"(corp.vec_id % {IVF_TAKEDOWN_MOD} = {IVF_TAKEDOWN_RESIDUE})",
+)
+assert _IVF_TAKEDOWN_ORACLE != _SIM_REGISTRY["ann_ivf_topk_indexed"].oracle, (
+    "IVF takedown oracle: corp-join anchor not found — the base oracle "
+    "changed shape; update the rewrite"
+)
+
+
+def stream_ivf_takedown(
+    spark: SparkSession, sf_dir: str, state_root: str | None = None
+) -> DataFrame:
+    """TAKEDOWN PROPAGATION into the persisted IVF serving index: the
+    vector corpus streams in as an insert/tombstone delta, 'D' rows
+    land in the tombstone log under the same data-then-manifest batch
+    commit, and serving anti-joins the probed cells' candidates
+    against the accumulated set — a deleted vector is provably absent
+    from every served top-k the moment its batch commits, with no
+    index rebuild and no history rewrite.  The frozen coarse quantizer
+    is untouched by deletions (a centroid is geometry, not a served
+    vector).  Certified against the SAME persisted-IVF oracle
+    recomputed on the corpus MINUS the deleted set."""
+    import shutil
+
+    from tailsql_spark.operators.similarity import (
+        N_QUERIES_IDX,
+        as_double,
+        ivf_cell_count,
+        norm,
+    )
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].select("vec_id", "embedding")
+    ins = emb.withColumn("op", F.lit("I"))
+    dels = emb.filter(
+        F.col("vec_id") % IVF_TAKEDOWN_MOD == IVF_TAKEDOWN_RESIDUE
+    ).withColumn("op", F.lit("D"))
+    delta = ins.unionByName(dels)
+    state_root, _owned_state = _resolve_state_root("ivftake", state_root)
+    cells_root = f"{state_root}/cells"
+    seeds_path = f"{state_root}/seeds"
+    del_root = f"{state_root}/del"
+    embd = emb.select("vec_id", as_double(F.col("embedding")).alias("v")).withColumn(
+        "nrm", norm(F.col("v"))
+    )
+    if not _fs_exists(f"{seeds_path}/_SUCCESS"):
+        # frozen quantizer staged from the INSERT corpus (deletions
+        # arrive later and never retrain it — same dial as the batch
+        # index, so the oracle's shared CASE ladder reproduces nc)
+        nc = ivf_cell_count(embd.count())
+        embd.filter(F.col("vec_id") < nc).select("vec_id", "v", "nrm").write.mode(
+            "overwrite"
+        ).parquet(seeds_path)
+    spark.createDataFrame(
+        [], "vec_id long, v array<double>, nrm double, ccell long"
+    ).write.mode("overwrite").parquet(f"{cells_root}/seed")
+    spark.createDataFrame([], "vec_id long").write.mode("overwrite").parquet(
+        f"{del_root}/seed"
+    )
+    _bucket_manifest_seed(spark.createDataFrame([], "x long"), cells_root)
+    src_dir = _stage_stream_source(
+        delta, "ivftake", state_root, _owned_state, corpus_tag=sf_dir
+    )
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            _ivf_index_processor(cells_root, seeds_path, del_root)
+        )
+        .option("checkpointLocation", f"{state_root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _await_or_raise(q, "stream_ivf_takedown")
+    finally:
+        q.stop()
+    result = _ivf_index_serve(
+        spark, sf_dir, cells_root, seeds_path, N_QUERIES_IDX, del_root=del_root
+    )
+    out = _persist_result(result, "stream_ivf_takedown")
+    if _owned_state:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        _fs_rmtree(state_root)
+    return out
+
+
+REGISTRY["stream_ivf_takedown"] = QuerySpec(
+    name="stream_ivf_takedown",
+    category="streaming-executed",
+    build=stream_ivf_takedown,
+    oracle=_IVF_TAKEDOWN_ORACLE,
+    doc="Per-vector TAKEDOWNS propagated into the persisted IVF "
+    "serving index (r12): 'D' tombstones land in a per-batch delete "
+    "log committed with the batch; serving anti-joins the probed "
+    "cells' candidates against the accumulated tombstone set before "
+    "scoring, so a deleted vector is provably absent from every "
+    "served top-k without an index rebuild — certified against the "
+    "SAME persisted-IVF oracle recomputed with the deleted vectors "
+    "excluded (deterministic vec_id % 10 = 7 rule; 4 of 9 "
+    "pre-takedown served rows were deleted vectors). The frozen "
+    "quantizer is untouched (a centroid is geometry, not a served "
+    "vector); physical cell-dir removal rides the next fold.",
+)
+
+
+def _bm25_index_seed(
+    spark: SparkSession, state_root: str
+) -> tuple[str, str, str]:
+    """post/stat/del family roots with empty schema seeds + the post
+    family's bucket-manifest seed.  The del family is the index's
+    TOMBSTONE log (takedown propagation, r12): per-batch dirs of
+    deleted doc_ids the serving probe anti-joins away."""
     post_root = f"{state_root}/post"
     stat_root = f"{state_root}/stat"
+    del_root = f"{state_root}/del"
     empty_post = spark.createDataFrame([], "tok string, doc_id long, tf long, dl long")
     empty_post.write.mode("overwrite").parquet(f"{post_root}/seed")
     spark.createDataFrame([], "n_docs long, sum_dl long").write.mode(
         "overwrite"
     ).parquet(f"{stat_root}/seed")
+    spark.createDataFrame([], "doc_id long").write.mode("overwrite").parquet(
+        f"{del_root}/seed"
+    )
     _bucket_manifest_seed(empty_post, post_root)
-    return post_root, stat_root
+    return post_root, stat_root, del_root
 
 
-def _bm25_index_processor(post_root: str, stat_root: str):
+def _bm25_index_processor(post_root: str, stat_root: str, del_root: str | None = None):
     """foreachBatch processor for the INCREMENTALLY-MAINTAINED persisted
     BM25 serving index (r11 — the sink_bm25_index layout kept fresh by
     the stream instead of rebuilt from scratch per corpus):
@@ -3519,11 +3668,30 @@ def _bm25_index_processor(post_root: str, stat_root: str):
       served with missing idf/avgdl inputs), and the replay overwrites
       both dirs byte-identically either way.
 
+    TAKEDOWNS (r12): when the source carries an ``op`` column, 'D'
+    rows are takedown tombstones — the doc_id lands in the ``del``
+    family's per-batch dir (the serving probe anti-joins postings
+    against the accumulated tombstone set, so a deleted doc stops
+    being served the moment its batch commits, with NO history read
+    or rewrite on the write path), and the batch's additive stats
+    partial is SIGNED (+1 per insert, -1 per delete, dl recomputed
+    from the tombstone row's text by the same tokenize), so idf/avgdl
+    track the post-takedown corpus exactly.  Physical posting removal
+    happens at the next fold (``_rebucket_family``'s purge), the
+    Lucene/lakehouse delete-vector-then-compact discipline; the
+    tombstone rows themselves are never dropped, so a 'D' that lands
+    BEFORE its doc's 'I' (batch order is not guaranteed) still wins —
+    insert/delete application commutes.  The 'D' rows carry the doc
+    text (in production the takedown feed joins the doc store before
+    hitting the indexer, exactly as the lakehouse MERGE delta does);
+    cf. reference sql/engine.go:121-133 (Clean), which only ever
+    drops whole windows — per-document takedown is an extension.
+
     No history reads on the write path at all — replay idempotency is
     by construction (a replayed batch rewrites byte-identical delta +
-    manifest + stats dirs).  At 100 TB: per-batch cost is the batch's
-    tokenize + one small bucket shuffle; the serving index never goes
-    stale between full rebuilds and never pays one."""
+    manifest + stats + tombstone dirs).  At 100 TB: per-batch cost is
+    the batch's tokenize + one small bucket shuffle; the serving index
+    never goes stale between full rebuilds and never pays one."""
     from tailsql_spark.operators.textstats import bm25_term_hash_col
 
     def process(batch_df, batch_id):
@@ -3533,7 +3701,9 @@ def _bm25_index_processor(post_root: str, stat_root: str):
             sess, post_root, "tb", bm25_term_hash_col("tok"), bid,
             _state_meta_read(post_root),
         )
-        docs = batch_df.select("doc_id", F.split(F.lower("text"), " ").alias("ws"))
+        has_op = "op" in batch_df.columns
+        ins = batch_df.filter(F.col("op") != "D") if has_op else batch_df
+        docs = ins.select("doc_id", F.split(F.lower("text"), " ").alias("ws"))
         dl = docs.select("doc_id", F.size("ws").cast("long").alias("dl"))
         post = (
             docs.select("doc_id", F.explode("ws").alias("tok"))
@@ -3556,9 +3726,33 @@ def _bm25_index_processor(post_root: str, stat_root: str):
         # (n_docs, sum_dl) partial the idf/avgdl terms need — must be
         # on disk before the commit.  Writing stats after would leave a
         # crash window where postings serve with missing corpus stats.
-        dl.agg(
-            F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
-        ).write.mode("overwrite").parquet(f"{stat_root}/{sub}")
+        # The partial is SIGNED over the whole batch (+1/-1 per
+        # insert/tombstone; identical to the plain count/sum when no op
+        # column), so takedowns decrement n_docs/sum_dl additively.
+        if has_op:
+            signed = batch_df.select(
+                F.when(F.col("op") == "D", F.lit(-1))
+                .otherwise(F.lit(1))
+                .cast("long")
+                .alias("sign"),
+                F.size(F.split(F.lower("text"), " ")).cast("long").alias("dl"),
+            )
+            stats_partial = signed.agg(
+                F.coalesce(F.sum("sign"), F.lit(0)).cast("long").alias("n_docs"),
+                F.coalesce(F.sum(F.col("sign") * F.col("dl")), F.lit(0))
+                .cast("long")
+                .alias("sum_dl"),
+            )
+        else:
+            stats_partial = dl.agg(
+                F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+            )
+        stats_partial.write.mode("overwrite").parquet(f"{stat_root}/{sub}")
+        if has_op and del_root is not None:
+            # tombstone rows before the manifest commit, same invariant
+            batch_df.filter(F.col("op") == "D").select("doc_id").write.mode(
+                "overwrite"
+            ).parquet(f"{del_root}/{sub}")
         _bucket_manifest_write(
             post_tb, post_root, "tb", bid, version=int(meta["version"])
         )
@@ -3569,14 +3763,27 @@ def _bm25_index_processor(post_root: str, stat_root: str):
     return process
 
 
-def _bm25_index_serve(sess: SparkSession, post_root: str, stat_root: str) -> DataFrame:
+def _bm25_index_serve(
+    sess: SparkSession,
+    post_root: str,
+    stat_root: str,
+    del_root: str | None = None,
+) -> DataFrame:
     """Score the standing BM25 queries from the incrementally-maintained
     index: plan the query terms' touched buckets through the bucket
     MANIFEST (per live nb tier — the same pruned read a batch probe
     gets), read only those leaf dirs, and rank through the SAME
     bm25_rank code as the batch query.  Term-bucketing makes the pruned
     read COMPLETE per query term (a term's postings share its bucket),
-    so df and top-k computed from it equal the full-corpus values."""
+    so df and top-k computed from it equal the full-corpus values.
+
+    Takedowns: the accumulated tombstone set (metadata-sized — one
+    doc_id per deleted document, the same cardinality class as the
+    broadcast-Bloom decontamination set) BROADCAST-anti-joins the
+    pruned postings BEFORE df/top-k, so document frequencies, idf, and
+    ranking are all computed over the post-takedown corpus; combined
+    with the signed stats partials, the served scores equal a
+    from-scratch rebuild on the corpus minus its deletions."""
     from tailsql_spark.operators.textstats import (
         BM25_QUERIES,
         bm25_rank,
@@ -3592,6 +3799,9 @@ def _bm25_index_serve(sess: SparkSession, post_root: str, stat_root: str) -> Dat
         sess, post_root, keys, exclude_bid=None, version=int(meta["version"])
     )
     postings = sess.read.parquet(*paths).filter(F.col("tok").isin(toks))
+    if del_root is not None:
+        dels = sess.read.parquet(*_mh_state_paths(del_root)).select("doc_id")
+        postings = postings.join(F.broadcast(dels), "doc_id", "left_anti")
     stats = sess.read.parquet(*_mh_state_paths(stat_root)).agg(
         F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl")
     )
@@ -3625,7 +3835,7 @@ def stream_bm25_index(
     t = load_tables(spark, sf_dir)
     docs = t["documents"].select("doc_id", "text")
     state_root, _owned_state = _resolve_state_root("bm25idx", state_root)
-    post_root, stat_root = _bm25_index_seed(spark, state_root)
+    post_root, stat_root, del_root = _bm25_index_seed(spark, state_root)
     src_dir = _stage_stream_source(docs, "bm25idx", state_root, _owned_state, corpus_tag=sf_dir)
     stream = (
         spark.readStream.schema(docs.schema)
@@ -3633,7 +3843,9 @@ def stream_bm25_index(
         .parquet(src_dir)
     )
     q = (
-        stream.writeStream.foreachBatch(_bm25_index_processor(post_root, stat_root))
+        stream.writeStream.foreachBatch(
+            _bm25_index_processor(post_root, stat_root, del_root)
+        )
         .option("checkpointLocation", f"{state_root}/ckpt")
         .trigger(availableNow=True)
         .start()
@@ -3643,7 +3855,8 @@ def stream_bm25_index(
     finally:
         q.stop()
     out = _persist_result(
-        _bm25_index_serve(spark, post_root, stat_root), "stream_bm25_index"
+        _bm25_index_serve(spark, post_root, stat_root, del_root),
+        "stream_bm25_index",
     )
     if _owned_state:
         shutil.rmtree(src_dir, ignore_errors=True)
@@ -3668,6 +3881,103 @@ REGISTRY["stream_bm25_index"] = QuerySpec(
     "from-scratch rebuild. A production index stays fresh without "
     "full-rebuild cycles; probe cost tracks query terms, not corpus "
     "size.",
+)
+
+
+#: Deterministic takedown workload for the certified takedown rows:
+#: every document whose id has this residue is deleted after ingestion
+#: — expressible identically in Spark and in the DuckDB oracle, and
+#: chosen so deleted docs DEMONSTRABLY occupied the pre-takedown top-k
+#: (4 of the 30 served rows at sf0.01), keeping the certification
+#: non-vacuous.
+BM25_TAKEDOWN_MOD, BM25_TAKEDOWN_RESIDUE = 17, 3
+
+_BM25_TAKEDOWN_ORACLE = _BM25_ORACLE_STREAM.replace(
+    "FROM documents",
+    f"FROM documents WHERE NOT (doc_id % {BM25_TAKEDOWN_MOD} = {BM25_TAKEDOWN_RESIDUE})",
+)
+assert _BM25_TAKEDOWN_ORACLE != _BM25_ORACLE_STREAM, (
+    "BM25 takedown oracle: 'FROM documents' anchor not found — the "
+    "base oracle changed shape; update the rewrite"
+)
+
+
+def stream_bm25_takedown(
+    spark: SparkSession, sf_dir: str, state_root: str | None = None
+) -> DataFrame:
+    """TAKEDOWN PROPAGATION into the persisted BM25 serving index: the
+    corpus streams in as an upsert/tombstone delta ('I' rows insert,
+    'D' rows are per-document takedowns — compliance removals, robots
+    retroactivity, DMCA), and the index is served mid-stream state
+    included: deleted docs' postings are anti-joined away through the
+    tombstone log, df/idf/avgdl all track the post-takedown corpus via
+    the signed stats partials.  Certified against the SAME BM25 oracle
+    recomputed on the corpus MINUS the deleted set, so the served
+    ranking provably equals a from-scratch rebuild after the takedowns
+    — the gap VERDICT r11 named first (the lakehouse honored
+    tombstones, the serving artifacts kept serving deleted docs until
+    a rebuild).  Batch order does not matter: tombstone application is
+    an anti-join and the stats are additive, so I/D arrival order
+    commutes — staging may scatter a doc's 'D' before its 'I'."""
+    import shutil
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+    ins = docs.withColumn("op", F.lit("I"))
+    dels = docs.filter(
+        F.col("doc_id") % BM25_TAKEDOWN_MOD == BM25_TAKEDOWN_RESIDUE
+    ).withColumn("op", F.lit("D"))
+    delta = ins.unionByName(dels)
+    state_root, _owned_state = _resolve_state_root("bm25take", state_root)
+    post_root, stat_root, del_root = _bm25_index_seed(spark, state_root)
+    src_dir = _stage_stream_source(
+        delta, "bm25take", state_root, _owned_state, corpus_tag=sf_dir
+    )
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            _bm25_index_processor(post_root, stat_root, del_root)
+        )
+        .option("checkpointLocation", f"{state_root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _await_or_raise(q, "stream_bm25_takedown")
+    finally:
+        q.stop()
+    out = _persist_result(
+        _bm25_index_serve(spark, post_root, stat_root, del_root),
+        "stream_bm25_takedown",
+    )
+    if _owned_state:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        _fs_rmtree(state_root)
+    return out
+
+
+REGISTRY["stream_bm25_takedown"] = QuerySpec(
+    name="stream_bm25_takedown",
+    category="streaming-executed",
+    build=stream_bm25_takedown,
+    oracle=_BM25_TAKEDOWN_ORACLE,
+    doc="Per-document TAKEDOWNS propagated into the persisted BM25 "
+    "serving index (r12): 'D' tombstones land in a per-batch delete "
+    "log under the same data-then-manifest commit; serving "
+    "broadcast-anti-joins the pruned postings against the accumulated "
+    "tombstone set BEFORE df/top-k, and the signed (±1) stats "
+    "partials decrement n_docs/sum_dl, so idf/avgdl/ranking equal a "
+    "from-scratch rebuild on the post-takedown corpus — certified "
+    "against the SAME BM25 oracle recomputed with the deleted docs "
+    "excluded (deterministic doc_id % 17 = 3 rule; 4 of 30 "
+    "pre-takedown served rows were deleted docs, so the row is "
+    "non-vacuous). Physical posting removal rides the next fold "
+    "(tombstone-then-compact, the Lucene/lakehouse discipline); "
+    "serving correctness never waits for it.",
 )
 
 

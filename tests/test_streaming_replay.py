@@ -770,7 +770,7 @@ def test_bm25_index_shared_root_continues_across_runs(spark, oracle_sf_dir, tmp_
 
     root = str(tmp_path / "shared_bm25idx")
     src = f"{root}/src"
-    post_root, stat_root = _bm25_index_seed(spark, root)
+    post_root, stat_root, _del_root = _bm25_index_seed(spark, root)
     process = _bm25_index_processor(post_root, stat_root)
 
     def run_once():
@@ -1147,7 +1147,7 @@ def test_bm25_index_processor_replay_and_dial(spark, oracle_sf_dir, monkeypatch)
 
     root = tempfile.mkdtemp(prefix="tailsql_bm25idx_replay_")
     try:
-        post_root, stat_root = _bm25_index_seed(spark, root)
+        post_root, stat_root, _del_root = _bm25_index_seed(spark, root)
         process = _bm25_index_processor(post_root, stat_root)
         process(half, 0)
         process(half, 0)  # simulated post-crash replay
@@ -1189,7 +1189,7 @@ def test_bm25_index_vacuum_after_fold(spark, oracle_sf_dir, monkeypatch):
 
     root = tempfile.mkdtemp(prefix="tailsql_bm25idx_vacuum_")
     try:
-        post_root, stat_root = _bm25_index_seed(spark, root)
+        post_root, stat_root, _del_root = _bm25_index_seed(spark, root)
         process = _bm25_index_processor(post_root, stat_root)
         process(half, 0)
         process(rest, 1)  # fold fires at the start of this batch
@@ -1491,3 +1491,183 @@ def test_rate_anomaly_processor_replay_idempotent(spark, oracle_sf_dir):
         assert got == want, f"extra={got - want}, missing={want - got}"
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_bm25_takedown_replay_absence_and_rebuild_equivalence(spark, oracle_sf_dir):
+    """Takedown propagation into the persisted BM25 serving index
+    (r12).  Three guarantees, each load-bearing:
+
+    1. NON-VACUOUS: before the 'D' batch, deleted docs appear in the
+       served top-k (the takedown visibly changes the answer);
+    2. ABSENCE: after the 'D' batch (replayed, to cover the at-least-
+       once contract), no deleted doc_id is served anywhere;
+    3. REBUILD EQUIVALENCE: the takedown-serving result equals a
+       from-scratch index built over the corpus minus the deleted set
+       — df, idf, avgdl and scores all track the post-takedown corpus,
+       not just the row membership.
+    """
+    from tailsql_spark.plans.catalog import load_tables
+    from tailsql_spark.plans.streaming_exec import (
+        BM25_TAKEDOWN_MOD,
+        BM25_TAKEDOWN_RESIDUE,
+        _bm25_index_processor,
+        _bm25_index_seed,
+        _bm25_index_serve,
+    )
+
+    docs = load_tables(spark, oracle_sf_dir)["documents"].select("doc_id", "text")
+    is_del = F.col("doc_id") % BM25_TAKEDOWN_MOD == BM25_TAKEDOWN_RESIDUE
+    half = docs.filter(F.col("doc_id") % 2 == 0).withColumn("op", F.lit("I"))
+    rest = docs.filter(F.col("doc_id") % 2 == 1).withColumn("op", F.lit("I"))
+    delb = docs.filter(is_del).withColumn("op", F.lit("D"))
+
+    root = tempfile.mkdtemp(prefix="tailsql_bm25take_replay_")
+    root2 = tempfile.mkdtemp(prefix="tailsql_bm25take_rebuild_")
+    try:
+        post_root, stat_root, del_root = _bm25_index_seed(spark, root)
+        process = _bm25_index_processor(post_root, stat_root, del_root)
+        process(half, 0)
+        process(rest, 1)
+        pre = _bm25_index_serve(spark, post_root, stat_root, del_root).collect()
+        mod, res = BM25_TAKEDOWN_MOD, BM25_TAKEDOWN_RESIDUE
+        assert any(r.doc_id % mod == res for r in pre), (
+            "takedown workload is vacuous: no to-be-deleted doc in the "
+            "pre-takedown top-k"
+        )
+        process(delb, 2)
+        process(delb, 2)  # simulated post-crash replay of the 'D' batch
+        got_rows = _bm25_index_serve(spark, post_root, stat_root, del_root).collect()
+        assert all(r.doc_id % mod != res for r in got_rows), got_rows
+        # from-scratch rebuild over the post-takedown corpus
+        post2, stat2, _del2 = _bm25_index_seed(spark, root2)
+        rebuild = _bm25_index_processor(post2, stat2)
+        rebuild(docs.filter(~is_del), 0)
+        want = {tuple(r) for r in _bm25_index_serve(spark, post2, stat2).collect()}
+        got = {tuple(r) for r in got_rows}
+        assert got == want, f"extra={got - want}, missing={want - got}"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(root2, ignore_errors=True)
+
+
+def test_bm25_takedown_delete_before_insert_commutes(spark, oracle_sf_dir):
+    """Batch ARRIVAL ORDER must not matter: a tombstone that lands
+    before its document's insert (staging scatters rows across files)
+    still wins, because application is an anti-join over the
+    accumulated tombstone log and the stats are additive — the final
+    serve equals the rebuild on the post-takedown corpus either way."""
+    from tailsql_spark.plans.catalog import load_tables
+    from tailsql_spark.plans.streaming_exec import (
+        BM25_TAKEDOWN_MOD,
+        BM25_TAKEDOWN_RESIDUE,
+        _bm25_index_processor,
+        _bm25_index_seed,
+        _bm25_index_serve,
+    )
+
+    docs = load_tables(spark, oracle_sf_dir)["documents"].select("doc_id", "text")
+    is_del = F.col("doc_id") % BM25_TAKEDOWN_MOD == BM25_TAKEDOWN_RESIDUE
+    delb = docs.filter(is_del).withColumn("op", F.lit("D"))
+    ins = docs.withColumn("op", F.lit("I"))
+
+    root = tempfile.mkdtemp(prefix="tailsql_bm25take_order_")
+    root2 = tempfile.mkdtemp(prefix="tailsql_bm25take_order_rebuild_")
+    try:
+        post_root, stat_root, del_root = _bm25_index_seed(spark, root)
+        process = _bm25_index_processor(post_root, stat_root, del_root)
+        process(delb, 0)  # deletes FIRST
+        process(ins, 1)   # inserts after (includes the deleted docs' rows)
+        got = {
+            tuple(r)
+            for r in _bm25_index_serve(spark, post_root, stat_root, del_root).collect()
+        }
+        post2, stat2, _del2 = _bm25_index_seed(spark, root2)
+        rebuild = _bm25_index_processor(post2, stat2)
+        rebuild(docs.filter(~is_del), 0)
+        want = {tuple(r) for r in _bm25_index_serve(spark, post2, stat2).collect()}
+        assert got == want, f"extra={got - want}, missing={want - got}"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(root2, ignore_errors=True)
+
+
+def test_ivf_takedown_replay_absence_and_rebuild_equivalence(spark, oracle_sf_dir):
+    """Takedown propagation into the persisted IVF serving index (r12):
+    the same three guarantees as the BM25 twin — non-vacuity (deleted
+    vectors occupied the pre-takedown top-k), absence after a replayed
+    'D' batch, and exact equality with a from-scratch index built over
+    the post-takedown corpus under the SAME frozen quantizer."""
+    from tailsql_spark.operators.similarity import (
+        N_QUERIES_IDX,
+        as_double,
+        ivf_cell_count,
+        norm,
+    )
+    from tailsql_spark.plans.catalog import load_tables
+    from tailsql_spark.plans.streaming_exec import (
+        IVF_TAKEDOWN_MOD,
+        IVF_TAKEDOWN_RESIDUE,
+        _bucket_manifest_seed,
+        _ivf_index_processor,
+        _ivf_index_serve,
+    )
+
+    emb = load_tables(spark, oracle_sf_dir)["embeddings"].select("vec_id", "embedding")
+    is_del = F.col("vec_id") % IVF_TAKEDOWN_MOD == IVF_TAKEDOWN_RESIDUE
+    embd = emb.select("vec_id", as_double(F.col("embedding")).alias("v")).withColumn(
+        "nrm", norm(F.col("v"))
+    )
+    nc = ivf_cell_count(embd.count())
+
+    root = tempfile.mkdtemp(prefix="tailsql_ivftake_replay_")
+    root2 = tempfile.mkdtemp(prefix="tailsql_ivftake_rebuild_")
+    try:
+        # one frozen quantizer SHARED by both indexes (a takedown never
+        # retrains the centroids)
+        seeds_path = f"{root}/seeds"
+        embd.filter(F.col("vec_id") < nc).select("vec_id", "v", "nrm").write.mode(
+            "overwrite"
+        ).parquet(seeds_path)
+        for r in (root, root2):
+            spark.createDataFrame(
+                [], "vec_id long, v array<double>, nrm double, ccell long"
+            ).write.mode("overwrite").parquet(f"{r}/cells/seed")
+            _bucket_manifest_seed(spark.createDataFrame([], "x long"), f"{r}/cells")
+        spark.createDataFrame([], "vec_id long").write.mode("overwrite").parquet(
+            f"{root}/del/seed"
+        )
+        cells, dels = f"{root}/cells", f"{root}/del"
+        process = _ivf_index_processor(cells, seeds_path, dels)
+        half = emb.filter(F.col("vec_id") % 2 == 0).withColumn("op", F.lit("I"))
+        rest = emb.filter(F.col("vec_id") % 2 == 1).withColumn("op", F.lit("I"))
+        delb = emb.filter(is_del).withColumn("op", F.lit("D"))
+        process(half, 0)
+        process(rest, 1)
+        pre = _ivf_index_serve(
+            spark, oracle_sf_dir, cells, seeds_path, N_QUERIES_IDX, del_root=dels
+        ).collect()
+        mod, res = IVF_TAKEDOWN_MOD, IVF_TAKEDOWN_RESIDUE
+        assert any(r.neighbor_id % mod == res for r in pre), (
+            "takedown workload is vacuous: no to-be-deleted vector in "
+            "the pre-takedown top-k"
+        )
+        process(delb, 2)
+        process(delb, 2)  # replayed 'D' batch
+        got_rows = _ivf_index_serve(
+            spark, oracle_sf_dir, cells, seeds_path, N_QUERIES_IDX, del_root=dels
+        ).collect()
+        assert all(r.neighbor_id % mod != res for r in got_rows), got_rows
+        cells2 = f"{root2}/cells"
+        rebuild = _ivf_index_processor(cells2, seeds_path)
+        rebuild(emb.filter(~is_del), 0)
+        want = {
+            tuple(r)
+            for r in _ivf_index_serve(
+                spark, oracle_sf_dir, cells2, seeds_path, N_QUERIES_IDX
+            ).collect()
+        }
+        got = {tuple(r) for r in got_rows}
+        assert got == want, f"extra={got - want}, missing={want - got}"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(root2, ignore_errors=True)
