@@ -142,7 +142,12 @@ GRADED_WINDOW: tuple[str, ...] = (
     #  to the strictly STRONGER certification: the full persisted
     #  serving index maintained incrementally under the bucket-manifest
     #  discipline, served bucket-pruned, same oracle)
-    "stream_bm25_index",            # r11: incremental serving-index maintenance
+    # (r13: stream_bm25_index rotated to the local gate after two green
+    #  rounds — its slot goes to the strictly STRONGER certification:
+    #  the same incremental serving-index maintenance PLUS the 'D'
+    #  tombstone path, physical fold-time purge, and anti-joined
+    #  serving, against the oracle recomputed minus the deleted set)
+    "stream_bm25_takedown",         # r12: takedown-aware incremental BM25 index
     "stream_dedup_clusters",        # r4: incremental connected components —
     #   warm-started label maintenance certified ≡ the batch closure
     #   (stream_session_30m moved to the local gate: the session family
@@ -185,7 +190,12 @@ GRADED_WINDOW: tuple[str, ...] = (
     # (r9: dedup_exact rotated to the local gate — the hash-groupBy
     #  shape is graded by the strictly richer URL-canonicalization
     #  dedup, and exact dedup stays certified inside the curation DAG)
-    "dedup_url_canonical",
+    # (r13: dedup_url_canonical rotated to the local gate after four
+    #  green rounds — dedup stays repped by dedup_minhash_lsh,
+    #  stream_dedup_clusters and the curation rows; the slot goes to
+    #  the r11 incremental IVF serving index, previously full-oracle
+    #  only)
+    "stream_ivf_index",             # r11: incremental cell-partitioned ANN index
     "dedup_minhash_lsh",
     # (r8 late rotation: dedup_minhash_recall to the local gate — the
     #  recall floor is hard-gated in pytest and the row stays certified
@@ -225,7 +235,17 @@ GRADED_WINDOW: tuple[str, ...] = (
     #  production deployment actually runs: coarse-quantize the request
     #  through the writer's own assign_cells, scan only probed cells'
     #  directories)
-    "ann_ivf_topk_indexed",         # r10: pruned probe over the persisted index
+    # (r13: ann_ivf_topk_indexed rotated to the local gate — the slot
+    #  goes to the strictly STRONGER probe over the SAME persisted
+    #  index: multiprobe cell expansion, still plan-asserted to read a
+    #  strict file subset)
+    "ann_ivf_multiprobe_topk_indexed",  # r11: multiprobe pruned persisted probe
+    # (r13: text_zipf_slope rotated to the local gate after four green
+    #  rounds — the corpus-health dial stays certified locally and the
+    #  bucketed-rank machinery is shared with text_unigram_lm_train
+    #  above; the slot goes to the certified recall floor of the
+    #  persisted-index serving path)
+    "ann_ivf_indexed_recall_at_k",  # r11: recall@k of the indexed probe vs brute
     # (r8 late rotation: text_langid to the local gate after seven
     #  green rounds; its slot goes to the sketch family's new exact-
     #  certified row)
@@ -244,7 +264,9 @@ GRADED_WINDOW: tuple[str, ...] = (
     #  apply is graded via text_unigram_tokenize's local row and the
     #  train rows; the slot goes to the corpus-health dial, now with
     #  the distributed bucketed rank)
-    "text_zipf_slope",
+    # (text_zipf_slope slot moved above to ann_ivf_indexed_recall_at_k
+    #  in r13; zipf stays green on the local gate)
+    "stream_ivf_takedown",          # r12: takedown-aware incremental IVF index
     # r8: bigram-LM surprisal (Stupid Backoff) — the CCNet-style
     # perplexity quality filter, now driver-graded
     # (r9: text_bigram_surprisal rotated to the local gate; the slot
@@ -259,7 +281,10 @@ GRADED_WINDOW: tuple[str, ...] = (
     #  CDC dedup and the r10 video frame-signature dedup, which
     #  together exercise the banded-matching engine, the df-cap prune,
     #  AND the frame-sampling composition)
-    "multimodal_audio_fp_dedup",    # r9: CDC fingerprint near-dup
+    # (r13: multimodal_audio_fp_dedup rotated to the local gate after
+    #  four green rounds — the CDC fingerprint engine stays graded
+    #  INSIDE multimodal_curation_survivors above, which composes all
+    #  three modality dedups)
     "multimodal_video_dedup",       # r10: frame-sampled dHash signatures
     # skew handling
     "agg_salted_skew",
