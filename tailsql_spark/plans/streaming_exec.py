@@ -193,7 +193,11 @@ def _fs_write_text_atomic(path: str, text: str) -> None:
       batch, so the window would recur forever.  HDFS ``rename``
       refuses an existing destination, so delete-then-rename; the
       non-atomic gap that leaves (pointer briefly absent) is closed on
-      the READ side by ``_state_meta_read``'s bounded retry.
+      the READ side by ``_state_meta_read``: bounded retry for the
+      transient concurrent-commit window, then RECOVERY from the
+      surviving ``{path}.tmp`` for the crash-between-delete-and-rename
+      window (the tmp bytes are the complete new pointer — the write
+      finished before the delete began).
     """
     if "://" not in path:
         import os
@@ -2181,9 +2185,23 @@ def _state_meta_read(root: str) -> dict:
             return {"version": 0, "nb": N_STATE_BUCKETS, "rows": 0}
         return json.loads(_fs_read_text(p))
     # URI roots commit via delete+rename (HDFS) or atomic PUT (object
-    # stores): a reader racing the HDFS commit can observe the pointer
-    # briefly ABSENT (between delete and rename) or unparsable, so
-    # retry a few times before trusting "absent means v0"
+    # stores).  Two distinct absent-pointer cases:
+    #
+    # * destination AND tmp absent — no commit was ever started or one
+    #   fully finished long ago: genuinely v0.  Short-circuit with a
+    #   single probe pair (a fresh state root / first batch of a family
+    #   must not pay 4 probes + ~0.3 s of backoff per read).
+    # * destination absent but {p}.tmp PRESENT — either a concurrent
+    #   HDFS commit is mid delete→rename (transient) or a writer
+    #   CRASHED between the delete and the rename (permanent).  The
+    #   retry loop covers the transient case; if the destination never
+    #   appears, RECOVER the pointer from the tmp file — its bytes are
+    #   the complete new meta (the write finished before the delete
+    #   began), so trusting it can never serve a version the data dirs
+    #   don't have.  Defaulting to v0 here would silently point later
+    #   batches at a pre-fold manifest while the folded base lives
+    #   under version N (the r12 ADVICE crash window).
+    tmp = f"{p}.tmp"
     last_err: Exception | None = None
     for attempt in range(4):
         if _fs_exists(p):
@@ -2191,8 +2209,19 @@ def _state_meta_read(root: str) -> dict:
                 return json.loads(_fs_read_text(p))
             except ValueError as exc:  # torn/partial read mid-commit
                 last_err = exc
+        elif not _fs_exists(tmp):
+            # no commit in flight and none crashed mid-rename: v0 (or
+            # surface the torn read from a prior attempt)
+            if last_err is not None:
+                raise last_err
+            return {"version": 0, "nb": N_STATE_BUCKETS, "rows": 0}
         if attempt < 3:
             time.sleep(0.05 * (attempt + 1))
+    if _fs_exists(tmp):
+        try:
+            return json.loads(_fs_read_text(tmp))
+        except ValueError as exc:
+            last_err = exc
     if last_err is not None:
         raise last_err
     return {"version": 0, "nb": N_STATE_BUCKETS, "rows": 0}
@@ -2304,7 +2333,10 @@ def _bucket_manifest_paths(
     return [f"{root}/seed"] + sorted(r.path for r in paths)
 
 
-def _rebucket_family(sess, root: str, col: str, key, exclude_bid: int, meta: dict) -> dict:
+def _rebucket_family(
+    sess, root: str, col: str, key, exclude_bid: int, meta: dict,
+    del_root: str | None = None, del_col: str = "doc_id",
+) -> dict:
     """Decade re-bucket (the dial, applied): fold every COMMITTED state
     dir of the family into one consolidated base bucketed at
     state_bucket_count(rows), under a new manifest VERSION whose only
@@ -2318,6 +2350,21 @@ def _rebucket_family(sess, root: str, col: str, key, exclude_bid: int, meta: dic
     write but before the meta rename leaves the new version invisible;
     the next trigger rewrites it idempotently (mode overwrite, same
     inputs).  Old version dirs become garbage for snapshot expiry.
+
+    PHYSICAL TAKEDOWN PURGE (r13): when the family carries a tombstone
+    log (``del_root``), the fold's source read anti-joins the
+    accumulated delete set on ``del_col`` BEFORE rebucketing, so the
+    consolidated base contains zero tombstoned rows — the
+    Lucene/lakehouse delete-vector-then-compact discipline, and the
+    step that actually reclaims deleted-doc bytes (serve-time
+    anti-joins alone keep results correct but let dead postings grow
+    without bound).  The in-flight bid's delete dir is excluded exactly
+    like its data dir (a replayed batch re-applies both).  At fold
+    commit the tombstone log itself is compacted to one deduped base
+    (``_compact_del_log``) — the id SET is retained in full, never
+    truncated, because a 'D' must keep winning over a later-arriving
+    'I' for the same id, so serve-time anti-joins stay total while the
+    folded per-batch delete dirs become expirable garbage.
 
     Cost: one full-family read + one bucket shuffle + ≤ nb files — the
     classic LSM/lakehouse compaction, paid once per index DECADE, which
@@ -2335,6 +2382,14 @@ def _rebucket_family(sess, root: str, col: str, key, exclude_bid: int, meta: dic
     paths = [r.path for r in man.select("path").distinct().collect()]  # planning-metadata
     base_dir = f"{root}/base_v{ver}"
     src = sess.read.parquet(f"{root}/seed", *paths)
+    if del_root is not None:
+        dels = (
+            sess.read.parquet(*_del_state_paths(del_root, exclude_bid))
+            .select(del_col)
+            .distinct()
+        )
+        # metadata-sized set (one id per distinct deletion): broadcast
+        src = src.join(F.broadcast(dels), del_col, "left_anti")
     rebucketed = src.withColumn(col, F.pmod(key, F.lit(new_nb)))
     (
         rebucketed.repartition(min(new_nb, 1024), col)
@@ -2346,6 +2401,12 @@ def _rebucket_family(sess, root: str, col: str, key, exclude_bid: int, meta: dic
         rebucketed, root, col, bid=-ver, nb=new_nb, version=ver,
         data_dir=base_dir, sub="base",
     )
+    if del_root is not None:
+        # tombstone-log compaction BEFORE the family meta commit: a
+        # crash in between leaves base_v{ver} invisible (meta still
+        # points at the old version) and a duplicated-but-complete del
+        # read — both rewritten idempotently by the retried fold
+        _compact_del_log(sess, del_root, del_col, exclude_bid, ver)
     meta = {"version": ver, "nb": new_nb, "rows": int(meta["rows"])}
     _state_meta_write(root, meta)  # the commit point
     return meta
@@ -2387,6 +2448,106 @@ def expire_state_versions(sess, root: str) -> list[str]:
             continue
         deleted.append(full)
         _fs_rmtree(full)
+    return deleted
+
+
+def _del_state_paths(root: str, exclude_bid: int | None = None) -> list[str]:
+    """All dirs of a TOMBSTONE-LOG family: the schema seed, the
+    per-batch ``b#####`` delete dirs (same numeric-id parse and replay
+    exclusion as ``_mh_state_paths``), plus any ``base_v*`` compacted
+    dirs a fold has written.  Reading base + not-yet-expired per-batch
+    dirs together can only duplicate ids — harmless, the log is
+    consumed exclusively through anti-joins / distinct."""
+    paths = [f"{root}/seed"]
+    for d in sorted(_fs_list_dirs(root)):
+        if (
+            d.startswith("b")
+            and d[1:].isdigit()
+            and (exclude_bid is None or int(d[1:]) != exclude_bid)
+        ):
+            paths.append(f"{root}/{d}")
+        elif d.startswith("base_v") and d[6:].isdigit():
+            paths.append(f"{root}/{d}")
+    return paths
+
+
+def _del_meta_read(root: str) -> dict:
+    """The tombstone log's compaction pointer: {version,
+    folded_below_bid}.  version selects the live ``base_v{version}``
+    dir; folded_below_bid records that every per-batch delete dir with
+    a SMALLER bid is contained in that base (bids are monotone, so the
+    offline expiry can reclaim them without reading them)."""
+    import json
+
+    p = f"{root}/_meta.json"
+    if not _fs_exists(p):
+        return {"version": 0, "folded_below_bid": 0}
+    return json.loads(_fs_read_text(p))
+
+
+def _compact_del_log(sess, root: str, col: str, exclude_bid: int | None, ver: int) -> None:
+    """Fold the accumulated tombstone log into one consolidated,
+    DEDUPED ``base_v{ver}`` dir (distinct ids — a doc deleted in three
+    batches stores one row) and commit the del meta pointer.  The set
+    stays COMPLETE: ids are never dropped, because a 'D' must keep
+    out-ranking a later-arriving 'I' for the same id at serve time
+    (batch order is not guaranteed), so the serve-time anti-join stays
+    total while the log's footprint becomes O(distinct deletions) and
+    the folded per-batch dirs become reclaimable garbage for
+    ``expire_del_versions``.
+
+    Crash safety: base write (overwrite, idempotent) then meta commit;
+    a crash in between leaves base + unfolded dirs BOTH readable via
+    ``_del_state_paths`` — duplicate ids, which the anti-join/distinct
+    consumers ignore — and the next fold rewrites both."""
+    dels = (
+        sess.read.parquet(*_del_state_paths(root, exclude_bid))
+        .select(col)
+        .distinct()
+    )
+    # no coalesce(1): the distinct's own partitioning writes a handful
+    # of files at test scale and stays parallel when the deletion set
+    # is genuinely large
+    dels.write.mode("overwrite").parquet(f"{root}/base_v{ver}")
+    import json
+
+    folded_below = int(exclude_bid) if exclude_bid is not None else _max_bid(root) + 1
+    _fs_write_text_atomic(
+        f"{root}/_meta.json",
+        json.dumps({"version": int(ver), "folded_below_bid": folded_below}),
+    )
+
+
+def _max_bid(root: str) -> int:
+    """Largest per-batch bid present under a state family's root (−1
+    when none) — metadata-sized directory listing only."""
+    bids = [
+        int(d[1:])
+        for d in _fs_list_dirs(root)
+        if d.startswith("b") and d[1:].isdigit()
+    ]
+    return max(bids) if bids else -1
+
+
+def expire_del_versions(root: str) -> list[str]:
+    """Offline VACUUM for a compacted tombstone log: delete every
+    per-batch delete dir whose bid the meta pointer records as folded
+    (bid < folded_below_bid) and every superseded ``base_v{k<version}``
+    dir.  Run OFFLINE like ``expire_state_versions`` — never while the
+    stream that writes the family is live, so a replaying batch's own
+    delete dir (bid >= folded_below_bid by the fold's exclusion rule)
+    is never touched.  Returns the deleted paths for audit."""
+    meta = _del_meta_read(root)
+    ver, below = int(meta["version"]), int(meta["folded_below_bid"])
+    deleted: list[str] = []
+    for d in sorted(_fs_list_dirs(root)):
+        full = f"{root}/{d}"
+        if d.startswith("b") and d[1:].isdigit() and int(d[1:]) < below:
+            deleted.append(full)
+            _fs_rmtree(full)
+        elif d.startswith("base_v") and d[6:].isdigit() and int(d[6:]) < ver:
+            deleted.append(full)
+            _fs_rmtree(full)
     return deleted
 
 
@@ -3287,13 +3448,19 @@ def _ivf_index_processor(cells_root: str, seeds_path: str, del_root: str | None 
     invariant as the BM25 stats partial), and the serving probe
     anti-joins candidates against the accumulated set, so a deleted
     vector stops being served the moment its batch commits.  Arrival
-    order commutes (anti-join application); physical removal from the
-    cell dirs rides the next fold."""
+    order commutes (anti-join application).  Physical removal from the
+    cell dirs is an explicit OFFLINE compaction — the IVF family has
+    no dial-driven fold to ride (the quantizer is frozen), so
+    ``ivf_purge_takedowns`` rewrites the committed cell state minus
+    the delete set under a new manifest version; the processor is
+    version-aware (manifest rows land under the meta pointer's current
+    version) so ingestion continues seamlessly across purges."""
     from tailsql_spark.operators.similarity import as_double, assign_cells, norm
 
     def process(batch_df, batch_id):
         sess = batch_df.sparkSession
         bid = int(batch_id)
+        ver = int(_state_meta_read(cells_root)["version"])
         seeds = sess.read.parquet(seeds_path).select(
             F.col("vec_id").alias("seed_id"),
             F.col("v").alias("sv"),
@@ -3320,7 +3487,7 @@ def _ivf_index_processor(cells_root: str, seeds_path: str, del_root: str | None 
             batch_df.filter(F.col("op") == "D").select("vec_id").write.mode(
                 "overwrite"
             ).parquet(f"{del_root}/{sub}")
-        _bucket_manifest_write(assigned, cells_root, "cell", bid, nb=int(nc))
+        _bucket_manifest_write(assigned, cells_root, "cell", bid, nb=int(nc), version=ver)
 
     return process
 
@@ -3330,9 +3497,11 @@ def _ivf_manifest_paths(sess: SparkSession, cells_root: str, probed: list[int]) 
     resolved through the bucket manifest (no filesystem listing): the
     IVF sibling of ``_bucket_manifest_paths``, except touched buckets
     are the request's probed CELLS directly (cell membership is the
-    writer's assignment, not a pmod of a key)."""
+    writer's assignment, not a pmod of a key).  Version-aware: the
+    meta pointer selects the live manifest dir, so probes read the
+    purged base + post-purge deltas after ``ivf_purge_takedowns``."""
     man = sess.read.option("recursiveFileLookup", "true").parquet(
-        f"{cells_root}/_manifest"
+        _manifest_dir(cells_root, int(_state_meta_read(cells_root)["version"]))
     )
     pruned = (
         man.filter(F.col("bucket").isin([int(c) for c in probed]))
@@ -3342,6 +3511,61 @@ def _ivf_manifest_paths(sess: SparkSession, cells_root: str, probed: list[int]) 
     return [f"{cells_root}/seed"] + sorted(
         r.path for r in pruned.collect()  # planning-metadata: ≤ dirs × probed cells
     )
+
+
+def ivf_purge_takedowns(sess: SparkSession, cells_root: str, del_root: str) -> dict:
+    """OFFLINE physical purge of taken-down vectors from the
+    incremental IVF state — the compaction the IVF family cannot get
+    from a dial fold (the coarse quantizer is frozen, so there is no
+    re-bucket to ride; re-dialing cells means re-training, a rebuild by
+    design).  Rewrites the committed cell state MINUS the accumulated
+    delete set into one consolidated ``base_v{N}`` under a new manifest
+    version (atomic meta commit — the ``_rebucket_family`` discipline
+    with the purge as the point instead of the bucket count), compacts
+    the tombstone log to one deduped base (the id set is RETAINED in
+    full: a 'D' must keep winning over a later-arriving 'I'), and
+    leaves the superseded dirs as garbage for ``expire_state_versions``
+    / ``expire_del_versions``.
+
+    Run OFFLINE, never while the family's stream is live — unlike the
+    in-batch fold it cannot exclude an in-flight bid, so a concurrent
+    half-committed batch could be folded AND replayed (double rows).
+    Same operational window as expire_state_versions; at 100 TB this is
+    the scheduled compaction job, metadata-sized delete set broadcast
+    against a one-pass cell-partitioned rewrite."""
+    meta = _state_meta_read(cells_root)
+    ver = int(meta["version"])
+    man = sess.read.option("recursiveFileLookup", "true").parquet(
+        _manifest_dir(cells_root, ver)
+    )
+    # planning-metadata: live nb tiers (1 row: the frozen cell count)
+    nbs = [int(r.nb) for r in man.select("nb").distinct().collect() if r.nb]  # planning-metadata
+    nc = max(nbs) if nbs else N_STATE_BUCKETS
+    # planning-metadata: every committed leaf dir of the family
+    paths = [r.path for r in man.select("path").distinct().collect()]  # planning-metadata
+    src = sess.read.parquet(f"{cells_root}/seed", *paths)
+    dels = (
+        sess.read.parquet(*_del_state_paths(del_root)).select("vec_id").distinct()
+    )
+    purged = src.join(F.broadcast(dels), "vec_id", "left_anti").withColumn(
+        "cell", F.col("ccell")
+    )
+    newver = ver + 1
+    base_dir = f"{cells_root}/base_v{newver}"
+    (
+        purged.repartition(min(int(nc), 64), "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(base_dir)
+    )
+    _bucket_manifest_write(
+        purged, cells_root, "cell", bid=-newver, nb=int(nc), version=newver,
+        data_dir=base_dir, sub="base",
+    )
+    _compact_del_log(sess, del_root, "vec_id", None, newver)
+    new_meta = {"version": newver, "nb": int(nc), "rows": int(meta.get("rows", 0))}
+    _state_meta_write(cells_root, new_meta)  # the commit point
+    return new_meta
 
 
 def stream_ivf_index(
@@ -3461,7 +3685,7 @@ def _ivf_index_serve(
         F.col("nrm").alias("cn"),
     )
     if del_root is not None:
-        dels = spark.read.parquet(*_mh_state_paths(del_root)).select(
+        dels = spark.read.parquet(*_del_state_paths(del_root)).select(
             F.col("vec_id").alias("neighbor_id")
         )
         cand = cand.join(F.broadcast(dels), "neighbor_id", "left_anti")
@@ -3531,7 +3755,11 @@ def stream_ivf_takedown(
     from every served top-k the moment its batch commits, with no
     index rebuild and no history rewrite.  The frozen coarse quantizer
     is untouched by deletions (a centroid is geometry, not a served
-    vector).  Certified against the SAME persisted-IVF oracle
+    vector).  After the stream drains, the OFFLINE physical purge
+    (``ivf_purge_takedowns`` + vacuum) rewrites the cell state minus
+    the delete set and reclaims the superseded dirs, so the certified
+    serve below runs over the PURGED base — bytes gone, ranking
+    unchanged.  Certified against the SAME persisted-IVF oracle
     recomputed on the corpus MINUS the deleted set."""
     import shutil
 
@@ -3591,6 +3819,15 @@ def stream_ivf_takedown(
         _await_or_raise(q, "stream_ivf_takedown")
     finally:
         q.stop()
+    # OFFLINE physical purge (the stream has fully drained —
+    # availableNow completed — so no in-flight bid exists): rewrite the
+    # cell state minus the delete set under a new manifest version,
+    # vacuum the superseded dirs, and serve from the purged base.  The
+    # served result must be IDENTICAL to serving the unpurged state
+    # through the anti-join — the oracle certifies exactly that.
+    ivf_purge_takedowns(spark, cells_root, del_root)
+    expire_state_versions(spark, cells_root)
+    expire_del_versions(del_root)
     result = _ivf_index_serve(
         spark, sf_dir, cells_root, seeds_path, N_QUERIES_IDX, del_root=del_root
     )
@@ -3616,7 +3853,12 @@ REGISTRY["stream_ivf_takedown"] = QuerySpec(
     "excluded (deterministic vec_id % 10 = 7 rule; 4 of 9 "
     "pre-takedown served rows were deleted vectors). The frozen "
     "quantizer is untouched (a centroid is geometry, not a served "
-    "vector); physical cell-dir removal rides the next fold.",
+    "vector). Physical removal is the explicit OFFLINE "
+    "ivf_purge_takedowns compaction (run inside this query after the "
+    "stream drains): cell state rewritten minus the delete set under "
+    "a new manifest version, tombstone log compacted to one deduped "
+    "base, superseded dirs vacuumed — the served ranking is certified "
+    "over the PURGED state.",
 )
 
 
@@ -3675,11 +3917,15 @@ def _bm25_index_processor(post_root: str, stat_root: str, del_root: str | None =
     being served the moment its batch commits, with NO history read
     or rewrite on the write path), and the batch's additive stats
     partial is SIGNED (+1 per insert, -1 per delete, dl recomputed
-    from the tombstone row's text by the same tokenize), so idf/avgdl
-    track the post-takedown corpus exactly.  Physical posting removal
-    happens at the next fold (``_rebucket_family``'s purge), the
-    Lucene/lakehouse delete-vector-then-compact discipline; the
-    tombstone rows themselves are never dropped, so a 'D' that lands
+    from the tombstone row's text by the same tokenize; 'D' rows are
+    deduped per doc_id WITHIN the batch so a doubled tombstone row in
+    one delta cannot double-decrement), so idf/avgdl track the
+    post-takedown corpus exactly.  Physical posting removal happens at
+    the next fold: ``_rebucket_family`` anti-joins the accumulated
+    tombstone set before writing the consolidated base (r13 — the
+    Lucene/lakehouse delete-vector-then-compact discipline, actually
+    implemented) and compacts the tombstone log to one deduped base
+    dir.  The tombstone id SET is never truncated, so a 'D' that lands
     BEFORE its doc's 'I' (batch order is not guaranteed) still wins —
     insert/delete application commutes.  The 'D' rows carry the doc
     text (in production the takedown feed joins the doc store before
@@ -3700,6 +3946,7 @@ def _bm25_index_processor(post_root: str, stat_root: str, del_root: str | None =
         meta = _rebucket_family(
             sess, post_root, "tb", bm25_term_hash_col("tok"), bid,
             _state_meta_read(post_root),
+            del_root=del_root, del_col="doc_id",
         )
         has_op = "op" in batch_df.columns
         ins = batch_df.filter(F.col("op") != "D") if has_op else batch_df
@@ -3730,12 +3977,25 @@ def _bm25_index_processor(post_root: str, stat_root: str, del_root: str | None =
         # insert/tombstone; identical to the plain count/sum when no op
         # column), so takedowns decrement n_docs/sum_dl additively.
         if has_op:
-            signed = batch_df.select(
-                F.when(F.col("op") == "D", F.lit(-1))
-                .otherwise(F.lit(1))
-                .cast("long")
-                .alias("sign"),
-                F.size(F.split(F.lower("text"), " ")).cast("long").alias("dl"),
+            # 'D' rows dedupe per doc_id within the batch AND anti-join
+            # the ACCUMULATED tombstone log (metadata-sized, broadcast;
+            # own bid excluded so a replay sees the same pre-batch set
+            # and re-signs byte-identically): a doc deleted twice —
+            # doubled row in one delta or re-deleted in a later batch —
+            # decrements n_docs/sum_dl exactly once.  A spurious 'D'
+            # with no matching 'I' anywhere still under-counts by one;
+            # the serve-time n_docs >= 1 clamp bounds the blast radius.
+            dl_col = F.size(F.split(F.lower("text"), " ")).cast("long").alias("dl")
+            del_rows = batch_df.filter(F.col("op") == "D").dropDuplicates(["doc_id"])
+            if del_root is not None:
+                seen = sess.read.parquet(*_del_state_paths(del_root, bid)).select(
+                    "doc_id"
+                )
+                del_rows = del_rows.join(F.broadcast(seen), "doc_id", "left_anti")
+            signed = ins.select(
+                F.lit(1).cast("long").alias("sign"), dl_col
+            ).unionByName(
+                del_rows.select(F.lit(-1).cast("long").alias("sign"), dl_col)
             )
             stats_partial = signed.agg(
                 F.coalesce(F.sum("sign"), F.lit(0)).cast("long").alias("n_docs"),
@@ -3800,10 +4060,19 @@ def _bm25_index_serve(
     )
     postings = sess.read.parquet(*paths).filter(F.col("tok").isin(toks))
     if del_root is not None:
-        dels = sess.read.parquet(*_mh_state_paths(del_root)).select("doc_id")
+        dels = sess.read.parquet(*_del_state_paths(del_root)).select("doc_id")
         postings = postings.join(F.broadcast(dels), "doc_id", "left_anti")
+    # Stats clamp: a pathological tombstone feed (a spurious 'D' with
+    # no matching insert anywhere) can drive the signed partials' sums
+    # to 0 or negative, and avgdl = sum_dl / n_docs would then poison
+    # every served score (division by zero / negative idf inputs) with
+    # no error.  Clamp n_docs >= 1 and sum_dl >= n_docs (every real
+    # tokenized doc has dl >= 1, so well-formed feeds always satisfy
+    # both and the clamp is provably inert on certified workloads).
+    n_docs_c = F.greatest(F.lit(1).cast("long"), F.sum("n_docs"))
     stats = sess.read.parquet(*_mh_state_paths(stat_root)).agg(
-        F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl")
+        n_docs_c.alias("n_docs"),
+        F.greatest(n_docs_c, F.sum("sum_dl")).alias("sum_dl"),
     )
     dfreq = postings.groupBy("tok").agg(F.count("*").alias("df"))
     qterms = sess.createDataFrame(
@@ -3975,7 +4244,9 @@ REGISTRY["stream_bm25_takedown"] = QuerySpec(
     "against the SAME BM25 oracle recomputed with the deleted docs "
     "excluded (deterministic doc_id % 17 = 3 rule; 4 of 30 "
     "pre-takedown served rows were deleted docs, so the row is "
-    "non-vacuous). Physical posting removal rides the next fold "
+    "non-vacuous). Physical posting removal rides the next dial fold: "
+    "_rebucket_family anti-joins the accumulated tombstone set before "
+    "writing the consolidated base and compacts the tombstone log "
     "(tombstone-then-compact, the Lucene/lakehouse discipline); "
     "serving correctness never waits for it.",
 )

@@ -1671,3 +1671,316 @@ def test_ivf_takedown_replay_absence_and_rebuild_equivalence(spark, oracle_sf_di
     finally:
         shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(root2, ignore_errors=True)
+
+def test_bm25_fold_physically_purges_tombstoned_postings(spark, oracle_sf_dir):
+    """r13: the dial fold must actually RECLAIM taken-down postings —
+    the r12 serve-time anti-join kept results correct but let dead
+    postings and tombstone dirs grow without bound.  Asserts:
+
+    1. PURGE: the post-fold consolidated base contains ZERO tombstoned
+       doc_ids (bytes gone, not just hidden);
+    2. COMPACTION: the tombstone log is folded to one deduped base dir
+       and its meta pointer records the folded bid horizon;
+    3. SERVE UNCHANGED: the bucket-pruned serve over the folded state
+       equals the pre-fold serve exactly;
+    4. VACUUM SAFE: expiring superseded posting versions AND folded
+       per-batch delete dirs leaves the serve unchanged;
+    5. D-BEFORE-LATE-I STILL WINS: a post-fold re-insert of a deleted
+       doc stays suppressed (the compacted tombstone SET was retained,
+       never truncated).
+    """
+    import os
+
+    import tailsql_spark.plans.streaming_exec as SE
+    from tailsql_spark.operators.textstats import bm25_term_hash_col
+    from tailsql_spark.plans.catalog import load_tables
+    from tailsql_spark.plans.streaming_exec import (
+        BM25_TAKEDOWN_MOD,
+        BM25_TAKEDOWN_RESIDUE,
+        _bm25_index_processor,
+        _bm25_index_seed,
+        _bm25_index_serve,
+        _del_meta_read,
+        _state_meta_read,
+        expire_del_versions,
+        expire_state_versions,
+    )
+
+    docs = load_tables(spark, oracle_sf_dir)["documents"].select("doc_id", "text")
+    is_del = F.col("doc_id") % BM25_TAKEDOWN_MOD == BM25_TAKEDOWN_RESIDUE
+    half = docs.filter(F.col("doc_id") % 2 == 0).withColumn("op", F.lit("I"))
+    rest = docs.filter(F.col("doc_id") % 2 == 1).withColumn("op", F.lit("I"))
+    delb = docs.filter(is_del).withColumn("op", F.lit("D"))
+
+    root = tempfile.mkdtemp(prefix="tailsql_bm25_fold_purge_")
+    try:
+        post_root, stat_root, del_root = _bm25_index_seed(spark, root)
+        process = _bm25_index_processor(post_root, stat_root, del_root)
+        process(half, 0)
+        process(rest, 1)
+        process(delb, 2)
+        baseline = {
+            tuple(r)
+            for r in _bm25_index_serve(spark, post_root, stat_root, del_root).collect()
+        }
+        # force the dial across a doubling exactly as a batch-3-start
+        # fold would see it (rows inflated past the threshold)
+        meta = _state_meta_read(post_root)
+        forced = dict(meta, rows=int(meta["nb"]) * SE.STATE_ROWS_PER_BUCKET * 2 + 1)
+        newmeta = SE._rebucket_family(
+            spark, post_root, "tb", bm25_term_hash_col("tok"), exclude_bid=3,
+            meta=forced, del_root=del_root, del_col="doc_id",
+        )
+        ver = int(newmeta["version"])
+        assert ver == int(meta["version"]) + 1
+        # 1. physical purge: zero tombstoned postings in the base
+        base = spark.read.parquet(f"{post_root}/base_v{ver}")
+        mod, res = BM25_TAKEDOWN_MOD, BM25_TAKEDOWN_RESIDUE
+        assert base.filter(F.col("doc_id") % mod == res).count() == 0
+        assert base.count() > 0
+        # 2. tombstone-log compaction: deduped base + meta horizon
+        dmeta = _del_meta_read(del_root)
+        assert dmeta == {"version": ver, "folded_below_bid": 3}, dmeta
+        dbase = spark.read.parquet(f"{del_root}/base_v{ver}")
+        assert dbase.count() == dbase.select("doc_id").distinct().count()
+        assert dbase.count() == docs.filter(is_del).count()
+        # 3. serve unchanged over the folded state
+        got = {
+            tuple(r)
+            for r in _bm25_index_serve(spark, post_root, stat_root, del_root).collect()
+        }
+        assert got == baseline
+        # 4. vacuum: superseded posting versions + folded delete dirs
+        expire_state_versions(spark, post_root)
+        deleted = expire_del_versions(del_root)
+        assert any(d.endswith("/b00002") for d in deleted), deleted
+        assert not os.path.exists(f"{del_root}/b00002")
+        assert os.path.exists(f"{del_root}/base_v{ver}")
+        got = {
+            tuple(r)
+            for r in _bm25_index_serve(spark, post_root, stat_root, del_root).collect()
+        }
+        assert got == baseline
+        # 5. late 'I' for a purged doc: still suppressed via the
+        # compacted tombstone set (absence, not score equality — a
+        # re-insert legitimately shifts the signed corpus stats)
+        process(delb.withColumn("op", F.lit("I")), 3)
+        late = _bm25_index_serve(spark, post_root, stat_root, del_root).collect()
+        assert all(r.doc_id % mod != res for r in late), late
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_ivf_purge_takedowns_physical_removal(spark, oracle_sf_dir):
+    """r13: the OFFLINE IVF compaction (the purge the frozen-quantizer
+    family cannot get from a dial fold).  Asserts the purged base holds
+    zero tombstoned vectors, the vacuum reclaims every superseded
+    cell/delete dir, serving over the purged state equals the pre-purge
+    anti-joined serve exactly (with AND without the del log), and a
+    replayed post-purge batch writes under the new manifest version
+    without disturbing the result."""
+    import os
+
+    from tailsql_spark.operators.similarity import (
+        N_QUERIES_IDX,
+        as_double,
+        ivf_cell_count,
+        norm,
+    )
+    from tailsql_spark.plans.catalog import load_tables
+    from tailsql_spark.plans.streaming_exec import (
+        IVF_TAKEDOWN_MOD,
+        IVF_TAKEDOWN_RESIDUE,
+        _bucket_manifest_seed,
+        _ivf_index_processor,
+        _ivf_index_serve,
+        _state_meta_read,
+        expire_del_versions,
+        expire_state_versions,
+        ivf_purge_takedowns,
+    )
+
+    emb = load_tables(spark, oracle_sf_dir)["embeddings"].select("vec_id", "embedding")
+    is_del = F.col("vec_id") % IVF_TAKEDOWN_MOD == IVF_TAKEDOWN_RESIDUE
+    embd = emb.select("vec_id", as_double(F.col("embedding")).alias("v")).withColumn(
+        "nrm", norm(F.col("v"))
+    )
+    nc = ivf_cell_count(embd.count())
+
+    root = tempfile.mkdtemp(prefix="tailsql_ivf_purge_")
+    try:
+        seeds_path = f"{root}/seeds"
+        embd.filter(F.col("vec_id") < nc).select("vec_id", "v", "nrm").write.mode(
+            "overwrite"
+        ).parquet(seeds_path)
+        cells, dels = f"{root}/cells", f"{root}/del"
+        spark.createDataFrame(
+            [], "vec_id long, v array<double>, nrm double, ccell long"
+        ).write.mode("overwrite").parquet(f"{cells}/seed")
+        _bucket_manifest_seed(spark.createDataFrame([], "x long"), cells)
+        spark.createDataFrame([], "vec_id long").write.mode("overwrite").parquet(
+            f"{dels}/seed"
+        )
+        process = _ivf_index_processor(cells, seeds_path, dels)
+        half = emb.filter(F.col("vec_id") % 2 == 0).withColumn("op", F.lit("I"))
+        rest = emb.filter(F.col("vec_id") % 2 == 1).withColumn("op", F.lit("I"))
+        delb = emb.filter(is_del).withColumn("op", F.lit("D"))
+        process(half, 0)
+        process(rest, 1)
+        process(delb, 2)
+        baseline = {
+            tuple(r)
+            for r in _ivf_index_serve(
+                spark, oracle_sf_dir, cells, seeds_path, N_QUERIES_IDX, del_root=dels
+            ).collect()
+        }
+        newmeta = ivf_purge_takedowns(spark, cells, dels)
+        assert int(newmeta["version"]) == 1
+        assert int(_state_meta_read(cells)["version"]) == 1
+        mod, res = IVF_TAKEDOWN_MOD, IVF_TAKEDOWN_RESIDUE
+        base = spark.read.parquet(f"{cells}/base_v1")
+        assert base.filter(F.col("vec_id") % mod == res).count() == 0
+        assert base.count() == emb.filter(~is_del).count()
+        expire_state_versions(spark, cells)
+        expire_del_versions(dels)
+        assert not os.path.exists(f"{cells}/b00000")
+        assert not os.path.exists(f"{dels}/b00002")
+        assert os.path.exists(f"{dels}/base_v1")
+        got = {
+            tuple(r)
+            for r in _ivf_index_serve(
+                spark, oracle_sf_dir, cells, seeds_path, N_QUERIES_IDX, del_root=dels
+            ).collect()
+        }
+        assert got == baseline
+        # purged base needs no anti-join to be correct
+        got_plain = {
+            tuple(r)
+            for r in _ivf_index_serve(
+                spark, oracle_sf_dir, cells, seeds_path, N_QUERIES_IDX
+            ).collect()
+        }
+        assert got_plain == baseline
+        # replayed post-purge batch: manifest rows land under the new
+        # version (version-aware processor) and the serve is unmoved
+        process(delb, 2)
+        got = {
+            tuple(r)
+            for r in _ivf_index_serve(
+                spark, oracle_sf_dir, cells, seeds_path, N_QUERIES_IDX, del_root=dels
+            ).collect()
+        }
+        assert got == baseline
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_state_meta_read_recovers_from_crashed_rename(spark, tmp_path):
+    """r13 (ADVICE): the HDFS-style delete-then-rename commit has a
+    crash window where the destination pointer is gone but the complete
+    new pointer survives at {path}.tmp.  _state_meta_read must RECOVER
+    from the tmp file instead of silently defaulting to version 0 (which
+    would point later batches at a pre-fold manifest).  Also: a
+    genuinely-absent pointer (no tmp either) short-circuits to the v0
+    default without the retry backoff."""
+    import json
+    import os
+    import time
+
+    from tailsql_spark.plans.streaming_exec import (
+        _state_meta_read,
+        _state_meta_write,
+    )
+
+    root = f"file://{tmp_path}"  # URI scheme -> the Hadoop FS branch
+    local = str(tmp_path)
+    # fresh root: fast v0 default (no 4-probe backoff)
+    t0 = time.monotonic()
+    assert _state_meta_read(root)["version"] == 0
+    assert time.monotonic() - t0 < 0.2
+    # committed pointer reads back
+    _state_meta_write(root, {"version": 2, "nb": 64, "rows": 10})
+    assert _state_meta_read(root)["version"] == 2
+    # simulate a crash between delete(dest) and rename(tmp, dest)
+    with open(f"{local}/_meta.json.tmp", "w") as fh:
+        fh.write(json.dumps({"version": 3, "nb": 128, "rows": 20}))
+    os.remove(f"{local}/_meta.json")
+    got = _state_meta_read(root)
+    assert got == {"version": 3, "nb": 128, "rows": 20}, got
+
+
+def test_bm25_double_delete_signs_stats_once(spark, oracle_sf_dir):
+    """r13 (ADVICE): a doc deleted TWICE — duplicated 'D' rows inside
+    one delta AND a re-delete in a later batch — must decrement
+    n_docs/sum_dl exactly once, so the served scores still equal a
+    from-scratch rebuild on the corpus minus the deleted set."""
+    from tailsql_spark.plans.catalog import load_tables
+    from tailsql_spark.plans.streaming_exec import (
+        BM25_TAKEDOWN_MOD,
+        BM25_TAKEDOWN_RESIDUE,
+        _bm25_index_processor,
+        _bm25_index_seed,
+        _bm25_index_serve,
+    )
+
+    docs = load_tables(spark, oracle_sf_dir)["documents"].select("doc_id", "text")
+    is_del = F.col("doc_id") % BM25_TAKEDOWN_MOD == BM25_TAKEDOWN_RESIDUE
+    ins = docs.withColumn("op", F.lit("I"))
+    delb = docs.filter(is_del).withColumn("op", F.lit("D"))
+
+    root = tempfile.mkdtemp(prefix="tailsql_bm25_ddel_")
+    root2 = tempfile.mkdtemp(prefix="tailsql_bm25_ddel_rebuild_")
+    try:
+        post_root, stat_root, del_root = _bm25_index_seed(spark, root)
+        process = _bm25_index_processor(post_root, stat_root, del_root)
+        process(ins, 0)
+        process(delb.unionByName(delb), 1)  # doubled rows in one delta
+        process(delb, 2)                    # re-deleted in a later batch
+        got = {
+            tuple(r)
+            for r in _bm25_index_serve(spark, post_root, stat_root, del_root).collect()
+        }
+        post2, stat2, _d2 = _bm25_index_seed(spark, root2)
+        rebuild = _bm25_index_processor(post2, stat2)
+        rebuild(docs.filter(~is_del), 0)
+        want = {tuple(r) for r in _bm25_index_serve(spark, post2, stat2).collect()}
+        assert got == want, f"extra={got - want}, missing={want - got}"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(root2, ignore_errors=True)
+
+
+def test_bm25_spurious_delete_clamped_not_poisoned(spark, oracle_sf_dir):
+    """r13 (ADVICE): tombstones for docs that were NEVER inserted drive
+    the signed n_docs/sum_dl partials negative; the serve-time clamp
+    (n_docs >= 1, sum_dl >= n_docs) must keep scoring finite for the
+    docs that DO exist instead of dividing by zero/negative corpus
+    stats."""
+    import math
+
+    from tailsql_spark.plans.catalog import load_tables
+    from tailsql_spark.plans.streaming_exec import (
+        _bm25_index_processor,
+        _bm25_index_seed,
+        _bm25_index_serve,
+    )
+
+    docs = load_tables(spark, oracle_sf_dir)["documents"].select("doc_id", "text")
+    one = docs.limit(1).withColumn("op", F.lit("I"))
+    ghost = (
+        docs.limit(3)
+        .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+        .withColumn("op", F.lit("D"))
+    )
+
+    root = tempfile.mkdtemp(prefix="tailsql_bm25_ghost_")
+    try:
+        post_root, stat_root, del_root = _bm25_index_seed(spark, root)
+        process = _bm25_index_processor(post_root, stat_root, del_root)
+        process(one, 0)
+        process(ghost, 1)  # net n_docs = 1 - 3 without the clamp
+        rows = _bm25_index_serve(spark, post_root, stat_root, del_root).collect()
+        for r in rows:
+            assert r.score is not None and math.isfinite(r.score), r
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

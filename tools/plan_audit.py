@@ -50,6 +50,59 @@ _ALLOWED_BNLJ: dict[str, str] = {
 }
 
 
+#: Queries whose GLOBAL (no partition spec) Window nodes are AUDITED
+#: metadata/model-sized frames or surface-demanded semantics.  A
+#: single-partition WindowExec pulls its entire input through ONE task
+#: — at 100 TB that is THE scale killer — so it is only acceptable
+#: when (a) the frame is provably bounded (bucket-count / sketch-width
+#: / model-sized rows), or (b) the delegated SQL query ITSELF asks for
+#: a global rank (the engine must honor the user's semantics; the row
+#: count is the user's problem, and the surface demo tables are dims).
+#: A global window in any query NOT listed here is flagged.
+_ALLOWED_GLOBAL_WINDOW: dict[str, str] = {}
+
+
+def global_window_count(plan: str) -> int:
+    """Number of physical Window nodes with NO partition spec.
+
+    A partitioned Window prints THREE top-level bracket groups —
+    ``Window [exprs], [partitionSpec], [orderSpec]`` — a global one
+    only two (``Window [exprs], [orderSpec]``) or one (unordered
+    global frame).  Matches only the exact ``Window`` node, never
+    ``WindowGroupLimit``/``WindowsExec`` variants."""
+    import re
+
+    n = 0
+    for line in plan.splitlines():
+        m = re.search(r"(?:^|[\s\-+:*\)\(])Window (\[.*)$", line)
+        if m is None:
+            continue
+        if len(_top_level_groups(m.group(1))) < 3:
+            n += 1
+    return n
+
+
+def _top_level_groups(s: str) -> list[str]:
+    """Split ``[a], [b], [c]`` into top-level bracket groups."""
+    groups: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                continue
+        if depth >= 1:
+            cur.append(ch)
+    return groups
+
+
 def main() -> None:
     from tailsql_spark.plans.registry import REGISTRY
     from tailsql_spark.session import get_spark
@@ -91,13 +144,19 @@ def main() -> None:
         # of hiding among 19 known flags.
         scalar_bcast = "keys=[], functions=[" in plan
         allowed = _ALLOWED_BNLJ.get(name)
+        gwin = global_window_count(plan)
+        gwin_allowed = _ALLOWED_GLOBAL_WINDOW.get(name)
         warn = ""
         if marks["cart"]:
             warn = " <-- CARTESIAN"
         elif marks["bnlj"] and not scalar_bcast and allowed is None:
             warn = " <-- NON-EQUI JOIN (unexpected: not allowlisted)"
+        elif gwin and gwin_allowed is None:
+            warn = f" <-- GLOBAL WINDOW x{gwin} (single-partition WindowExec: not allowlisted)"
         elif marks["bnlj"] and allowed:
             warn = f" (bnlj allowlisted: {allowed})"
+        elif gwin and gwin_allowed:
+            warn = f" (global window allowlisted: {gwin_allowed})"
         if warn:
             flagged += 1
         print(
