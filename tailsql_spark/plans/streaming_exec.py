@@ -2406,7 +2406,7 @@ def _rebucket_family(
         # crash in between leaves base_v{ver} invisible (meta still
         # points at the old version) and a duplicated-but-complete del
         # read — both rewritten idempotently by the retried fold
-        _compact_del_log(sess, del_root, del_col, exclude_bid, ver)
+        _compact_del_log(sess, del_root, del_col, exclude_bid)
     meta = {"version": ver, "nb": new_nb, "rows": int(meta["rows"])}
     _state_meta_write(root, meta)  # the commit point
     return meta
@@ -2485,10 +2485,15 @@ def _del_meta_read(root: str) -> dict:
     return json.loads(_fs_read_text(p))
 
 
-def _compact_del_log(sess, root: str, col: str, exclude_bid: int | None, ver: int) -> None:
+def _compact_del_log(sess, root: str, col: str, exclude_bid: int | None) -> None:
     """Fold the accumulated tombstone log into one consolidated,
-    DEDUPED ``base_v{ver}`` dir (distinct ids — a doc deleted in three
-    batches stores one row) and commit the del meta pointer.  The set
+    DEDUPED ``base_v{N}`` dir (distinct ids — a doc deleted in three
+    batches stores one row) and commit the del meta pointer.  N is the
+    log's OWN monotone counter (del meta version + 1), independent of
+    any state family's fold version: one del log may serve several
+    families (the curation composition shares one across the band,
+    posting, and attribute states) whose folds fire at different
+    times.  The set
     stays COMPLETE: ids are never dropped, because a 'D' must keep
     out-ranking a later-arriving 'I' for the same id at serve time
     (batch order is not guaranteed), so the serve-time anti-join stays
@@ -2500,6 +2505,7 @@ def _compact_del_log(sess, root: str, col: str, exclude_bid: int | None, ver: in
     a crash in between leaves base + unfolded dirs BOTH readable via
     ``_del_state_paths`` — duplicate ids, which the anti-join/distinct
     consumers ignore — and the next fold rewrites both."""
+    ver = int(_del_meta_read(root)["version"]) + 1
     dels = (
         sess.read.parquet(*_del_state_paths(root, exclude_bid))
         .select(col)
@@ -2581,7 +2587,9 @@ def _mh_bucketed_seed(docs, state_root: str) -> tuple:
     return bands_root, ex_root, out_root
 
 
-def _minhash_bucketed_processor(bands_root: str, ex_root: str, out_root: str):
+def _minhash_bucketed_processor(
+    bands_root: str, ex_root: str, out_root: str, del_root: str | None = None
+):
     """foreachBatch processor for BUCKETED incremental MinHash dedup —
     the layout that makes per-batch cost genuinely flat in corpus size
     (the r8 `tools/incremental_cost.py` measurement named the
@@ -2619,7 +2627,17 @@ def _minhash_bucketed_processor(bands_root: str, ex_root: str, out_root: str):
     batch's own rows (by manifest bid; base versions carry negative
     bids), data committed before its manifest so readers never see a
     half-written batch; re-buckets exclude the in-flight bid and
-    commit via atomic meta rename."""
+    commit via atomic meta rename.
+
+    TAKEDOWNS (r13, ``del_root``): the history-band probe anti-joins
+    the accumulated tombstone set, so a taken-down document stops
+    GENERATING near-dup candidates the moment its 'D' batch commits —
+    not merely stops being served — and both state families' dial
+    folds physically purge its band rows and shingle postings
+    (``_rebucket_family``'s del-aware base write).  The del set
+    includes the current batch's own (idempotently rewritten) delete
+    dir, so an I and D for the same doc landing in one batch still
+    anti-join deterministically under replay."""
     from tailsql_spark.operators.dedup import (
         JACCARD_THRESHOLD,
         band_long,
@@ -2634,10 +2652,11 @@ def _minhash_bucketed_processor(bands_root: str, ex_root: str, out_root: str):
         # when the estimate crosses the threshold (no-op otherwise)
         meta_bands = _rebucket_family(
             sess, bands_root, "bb", F.xxhash64("band_hash"), bid,
-            _state_meta_read(bands_root),
+            _state_meta_read(bands_root), del_root=del_root, del_col="doc_id",
         )
         meta_ex = _rebucket_family(
-            sess, ex_root, "xb", F.col("doc_id"), bid, _state_meta_read(ex_root)
+            sess, ex_root, "xb", F.col("doc_id"), bid, _state_meta_read(ex_root),
+            del_root=del_root, del_col="doc_id",
         )
         ex_b = (
             batch_df.select(
@@ -2655,6 +2674,17 @@ def _minhash_bucketed_processor(bands_root: str, ex_root: str, out_root: str):
                 sess, bands_root, keys_bb, bid, version=int(meta_bands["version"])
             )
         )
+        if del_root is not None:
+            # taken-down docs stop generating candidates: the history
+            # side anti-joins the accumulated tombstone set (own bid
+            # INCLUDED — its delete dir is rewritten byte-identically
+            # on replay, so the probe stays deterministic)
+            dset = (
+                sess.read.parquet(*_del_state_paths(del_root))
+                .select("doc_id")
+                .distinct()
+            )
+            hist_bands = hist_bands.join(F.broadcast(dset), "doc_id", "left_anti")
         all_bands = hist_bands.unionByName(band_b)
         probe = band_b.select(
             F.col("doc_id").alias("p_id"),
@@ -3562,10 +3592,55 @@ def ivf_purge_takedowns(sess: SparkSession, cells_root: str, del_root: str) -> d
         purged, cells_root, "cell", bid=-newver, nb=int(nc), version=newver,
         data_dir=base_dir, sub="base",
     )
-    _compact_del_log(sess, del_root, "vec_id", None, newver)
+    _compact_del_log(sess, del_root, "vec_id", None)
     new_meta = {"version": newver, "nb": int(nc), "rows": int(meta.get("rows", 0))}
     _state_meta_write(cells_root, new_meta)  # the commit point
     return new_meta
+
+
+#: Cell-occupancy imbalance (max/mean) above which the FROZEN coarse
+#: quantizer is flagged for its documented offline re-train: the
+#: incremental writer can only assign new vectors to existing cells,
+#: so a drifting corpus concentrates mass in a few cells and probe
+#: cost degrades toward a scan of the hot cell.  4x mean is the
+#: classic IVF re-train trigger (well beyond healthy k-means spread,
+#: well before probe cost degenerates).
+IVF_IMBALANCE_MAX = 4.0
+
+
+def ivf_cell_imbalance(sess: SparkSession, cells_root: str) -> float:
+    """max/mean cell occupancy of the committed incremental IVF state,
+    resolved through the versioned manifest (no filesystem listing) and
+    a column-pruned read of the cell-assignment column only.  The
+    OFFLINE drift gate for the frozen quantizer: the recall floor
+    certifies today's index; this metric flags when tomorrow's corpus
+    has outgrown the cells — past ``IVF_IMBALANCE_MAX``, schedule the
+    offline re-train (quantizer re-dial = index rebuild by design).
+    The mean divides by the QUANTIZER's cell count (the manifest's nb),
+    not the occupied-cell count: max/mean over occupied cells is
+    bounded by how many are occupied, so a total collapse into one
+    cell would read as 'balanced' — emptied cells ARE the drift
+    signal.  Empty state returns 1.0 (perfectly balanced nothing)."""
+    meta = _state_meta_read(cells_root)
+    man = sess.read.option("recursiveFileLookup", "true").parquet(
+        _manifest_dir(cells_root, int(meta["version"]))
+    )
+    # planning-metadata: live nb tiers + every committed leaf dir
+    nbs = [int(r.nb) for r in man.select("nb").distinct().collect() if r.nb]  # planning-metadata
+    paths = [r.path for r in man.select("path").distinct().collect()]  # planning-metadata
+    if not paths or not nbs:
+        return 1.0
+    nc = max(nbs)
+    occ = (
+        sess.read.parquet(*paths)
+        .groupBy("ccell")
+        .agg(F.count("*").alias("n"))
+        .agg(F.max("n").alias("mx"), F.sum("n").alias("total"))
+        .collect()[0]  # planning-metadata: 1-row aggregate
+    )
+    if occ.total is None or occ.total == 0:
+        return 1.0
+    return float(occ.mx) * float(nc) / float(occ.total)
 
 
 def stream_ivf_index(
@@ -4720,13 +4795,30 @@ def _unified_curation_serve(
     ph_root: str,
     fpa_root: str,
     fpv_root: str,
+    edges_root: str | None = None,
+    del_root: str | None = None,
 ) -> DataFrame:
     """Read-time composition of the four report rows over the merged
     incremental state — the SAME factored builders as the batch
     ``corpus_unified_curation`` (``unified_text_row``,
     ``unified_image_row``, ``_posting_minp``/``_unified_media_row``),
-    so serving cannot drift from the batch query."""
+    so serving cannot drift from the batch query.
+
+    TAKEDOWNS (r13, ``del_root``): every sub-state read anti-joins the
+    accumulated tombstone set BEFORE its aggregation, so a deleted doc
+    contributes to no count, no canonical selection, and no df-cap
+    threshold — the report equals the batch query recomputed on the
+    corpus minus its deletions.  The near-dup CLUSTERS are recomputed
+    over the surviving edge log rather than read from the warm-started
+    label snapshots: deleting a doc can SPLIT a component (a bridge
+    node's edges vanish) and can change a cluster's canonical (min
+    member id), neither of which is recoverable from the label table —
+    decremental connectivity needs the edges.  The closure input is
+    the near-dup PAIR log (orders smaller than the corpus: only
+    verified duplicate pairs), so the recompute is the same cost class
+    as the per-batch seeded propagation, paid per compliance audit."""
     from tailsql_spark.operators.corpus import clean_keep_attrs, unified_text_row
+    from tailsql_spark.operators.graphs import connected_components
     from tailsql_spark.operators.multimodal import (
         AUDIO_DF_CAP,
         AUDIO_MIN_SHARED,
@@ -4739,13 +4831,34 @@ def _unified_curation_serve(
         unified_image_row,
     )
 
-    cleaned = clean_keep_attrs(spark.read.parquet(*_mh_state_paths(attrs_root)))
-    labels = spark.read.parquet(_latest_snapshot_path(labels_root, None))
+    dels = None
+    if del_root is not None:
+        dels = (
+            spark.read.parquet(*_del_state_paths(del_root))
+            .select("doc_id")
+            .distinct()
+        )
+        src_docs = src_docs.join(F.broadcast(dels), "doc_id", "left_anti")
+
+    def _live(df):
+        return df if dels is None else df.join(F.broadcast(dels), "doc_id", "left_anti")
+
+    cleaned = clean_keep_attrs(_live(spark.read.parquet(*_mh_state_paths(attrs_root))))
+    if del_root is not None and edges_root is not None:
+        edges = spark.read.parquet(*_mh_state_paths(edges_root))
+        edges = edges.join(
+            F.broadcast(dels.select(F.col("doc_id").alias("id_a"))), "id_a", "left_anti"
+        ).join(
+            F.broadcast(dels.select(F.col("doc_id").alias("id_b"))), "id_b", "left_anti"
+        )
+        labels = connected_components(edges)
+    else:
+        labels = spark.read.parquet(_latest_snapshot_path(labels_root, None))
     text_row = unified_text_row(cleaned, labels, src_docs)
     media_all = synth_media_rows(src_docs)
     bcols = [f"b{k}" for k in range(PHASH_BANDS)]
     grp = (
-        spark.read.parquet(*_mh_state_paths(ph_root))
+        _live(spark.read.parquet(*_mh_state_paths(ph_root)))
         .groupBy(*bcols)
         .agg(F.min("doc_id").alias("canonical_doc"), F.count("*").alias("n_docs"))
     )
@@ -4754,7 +4867,7 @@ def _unified_curation_serve(
         "audio",
         _posting_minp(
             media_all.filter(F.col("media_type") == "audio").select("doc_id"),
-            spark.read.parquet(*_mh_state_paths(fpa_root)),
+            _live(spark.read.parquet(*_mh_state_paths(fpa_root))),
             AUDIO_DF_CAP,
             AUDIO_MIN_SHARED,
         ),
@@ -4763,7 +4876,7 @@ def _unified_curation_serve(
         "video",
         _posting_minp(
             media_all.filter(F.col("media_type") == "video").select("doc_id"),
-            spark.read.parquet(*_mh_state_paths(fpv_root)),
+            _live(spark.read.parquet(*_mh_state_paths(fpv_root))),
             VIDEO_DF_CAP,
             VIDEO_MIN_SHARED,
         ),
@@ -4795,6 +4908,192 @@ REGISTRY["stream_unified_curation"] = QuerySpec(
     "corpus_unified_curation over the merged state, certified against "
     "the SAME composed oracle — streaming ≡ batch for the corpus-wide "
     "report, not just its parts.",
+)
+
+
+#: Deterministic takedown workload for the curation takedown row:
+#: residue chosen so the deleted set visibly shifts the DROP counts of
+#: the text, audio, and video rows (not just the proportional totals)
+#: at sf0.01 — deleted docs include near-dup cluster members and
+#: df-cap-relevant posting owners, so the certification exercises
+#: canonical re-selection, closure recompute, and cap recomputation.
+#: (The image row shifts proportionally only: sf0.01 has no image
+#: near-dups at all, a property of the data, not the operator.)
+CURATION_TAKEDOWN_MOD, CURATION_TAKEDOWN_RESIDUE = 13, 5
+
+
+def _curation_takedown_oracle() -> str:
+    """The composed unified-curation oracle recomputed on the corpus
+    MINUS the deleted set: every ``documents`` reference is redirected
+    through a ``docs_live`` CTE carrying the deterministic takedown
+    predicate, so all four report rows — the recursive near-dup
+    closure included — are derived from the post-takedown corpus."""
+    import re
+
+    base = _UNIFIED_ORACLE()
+    live = re.sub(r"\bdocuments\b", "docs_live", base)
+    assert live != base, (
+        "curation takedown oracle: no documents reference found — the "
+        "base oracle changed shape; update the rewrite"
+    )
+    anchor = "WITH RECURSIVE "
+    assert anchor in live
+    return live.replace(
+        anchor,
+        anchor
+        + "docs_live AS (SELECT * FROM documents WHERE NOT "
+        + f"(doc_id % {CURATION_TAKEDOWN_MOD} = {CURATION_TAKEDOWN_RESIDUE})), ",
+        1,
+    )
+
+
+def _unified_takedown_processor(inner_process, del_root: str):
+    """Wrap the unified curation processor with the tombstone-log
+    discipline: the batch's 'D' doc_ids land in the shared del family
+    FIRST (per-batch-id overwrite — the all-state-on-disk invariant:
+    no sub-state of the batch becomes readable before its deletions
+    are), then the certified inner processor runs on the insert rows
+    under the SAME batch id, so replay rewrites tombstones and state
+    byte-identically together."""
+
+    def process(batch_df, batch_id):
+        bid = int(batch_id)
+        batch_df.filter(F.col("op") == "D").select("doc_id").write.mode(
+            "overwrite"
+        ).parquet(f"{del_root}/{_bdir(bid)}")
+        inner_process(batch_df.filter(F.col("op") != "D").drop("op"), batch_id)
+
+    return process
+
+
+def stream_curation_takedown(
+    spark: SparkSession, sf_dir: str, state_root: str | None = None
+) -> DataFrame:
+    """TAKEDOWN PROPAGATION across the ENTIRE unified-curation state
+    composition (r13 — VERDICT r12's gap #3: BM25/IVF honored 'D'
+    rows, but a taken-down doc kept generating near-dup candidates and
+    curation counts in every other incremental family): the document
+    corpus streams in as an insert/tombstone delta, 'D' doc_ids land
+    in ONE shared tombstone log committed before any sub-state of the
+    batch, the MinHash probe anti-joins its history bands (deleted
+    docs stop generating candidates, and both dial folds physically
+    purge their band/posting rows), and serving recomputes all four
+    report rows over the tombstone-filtered state — including a fresh
+    connected-component closure over the surviving edge log, because
+    deleting a bridge doc can SPLIT a cluster and deleting a canonical
+    re-elects the min member, neither recoverable from warm labels.
+    Certified against the SAME composed unified oracle recomputed on
+    the corpus minus the deleted set (deterministic doc_id % 13 = 5
+    rule, chosen non-vacuous: drop counts shift in text, audio, and
+    video, so closure recompute, keep-first re-election, and df-cap
+    recomputation are all exercised)."""
+    import shutil
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "lang", "text", "n_chars")
+    is_del = (
+        F.col("doc_id") % CURATION_TAKEDOWN_MOD == CURATION_TAKEDOWN_RESIDUE
+    )
+    delta = docs.withColumn("op", F.lit("I")).unionByName(
+        docs.filter(is_del).withColumn("op", F.lit("D"))
+    )
+    state_root, _owned_state = _resolve_state_root("curtake", state_root)
+    src_dir = _stage_stream_source(
+        delta, "curtake", state_root, _owned_state, corpus_tag=sf_dir
+    )
+    bands_root, ex_root, out_root = _mh_bucketed_seed(
+        docs.select("doc_id", "text"), state_root
+    )
+    edges_root = f"{state_root}/edges"
+    labels_root = f"{state_root}/labels"
+    attrs_root = f"{state_root}/attrs"
+    del_root = f"{state_root}/del"
+    spark.createDataFrame([], "id_a long, id_b long").write.mode("overwrite").parquet(
+        f"{edges_root}/seed"
+    )
+    spark.createDataFrame([], "doc_id long, cluster_id long").write.mode(
+        "overwrite"
+    ).parquet(f"{labels_root}/seed")
+    spark.createDataFrame(
+        [], "doc_id long, lang string, fingerprint string, n_tokens long"
+    ).write.mode("overwrite").parquet(f"{attrs_root}/seed")
+    spark.createDataFrame([], "doc_id long").write.mode("overwrite").parquet(
+        f"{del_root}/seed"
+    )
+    ph_root = f"{state_root}/ph"
+    fpa_root = f"{state_root}/fpa"
+    fpv_root = f"{state_root}/fpv"
+    spark.createDataFrame(
+        [], "doc_id long, b0 long, b1 long, b2 long, b3 long"
+    ).write.mode("overwrite").parquet(f"{ph_root}/seed")
+    for r in (fpa_root, fpv_root):
+        spark.createDataFrame([], "doc_id long, fh string").write.mode(
+            "overwrite"
+        ).parquet(f"{r}/seed")
+
+    process = _unified_takedown_processor(
+        _unified_batch_processor(
+            _curation_batch_processor(
+                _minhash_bucketed_processor(
+                    bands_root, ex_root, out_root, del_root=del_root
+                ),
+                _cc_batch_processor(edges_root, labels_root),
+                attrs_root,
+                out_root,
+            ),
+            _phash_batch_processor(ph_root),
+            _audio_fp_batch_processor(fpa_root),
+            _video_fp_batch_processor(fpv_root),
+        ),
+        del_root,
+    )
+
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{state_root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _await_or_raise(q, "stream_curation_takedown")
+    finally:
+        q.stop()
+
+    src_live = spark.read.parquet(src_dir).filter(F.col("op") == "I").drop("op")
+    result = _unified_curation_serve(
+        spark, src_live,
+        attrs_root, labels_root, ph_root, fpa_root, fpv_root,
+        edges_root=edges_root, del_root=del_root,
+    )
+    out = _persist_result(result, "stream_curation_takedown")
+    if _owned_state:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        _fs_rmtree(state_root)
+    return out
+
+
+REGISTRY["stream_curation_takedown"] = QuerySpec(
+    name="stream_curation_takedown",
+    category="streaming-executed",
+    build=stream_curation_takedown,
+    oracle=_curation_takedown_oracle(),
+    doc="Per-document TAKEDOWNS propagated across the WHOLE unified "
+    "curation composition (r13): one shared tombstone log committed "
+    "before any sub-state per batch; the MinHash history probe "
+    "anti-joins it (deleted docs stop generating near-dup candidates) "
+    "and both band/posting dial folds physically purge their rows; "
+    "serving anti-joins every state family and recomputes the cluster "
+    "closure over the surviving edge log (a deleted bridge doc splits "
+    "its component; a deleted canonical re-elects the min member — "
+    "decremental connectivity needs the edges, not the warm labels). "
+    "Certified against the composed unified oracle recomputed on the "
+    "corpus minus the deleted set (doc_id % 13 = 5, non-vacuous: drop "
+    "counts shift in text, audio, and video rows).",
 )
 
 

@@ -1504,3 +1504,71 @@ def test_point_in_time_join_is_keyed_equi_join_and_1to1(spark, oracle_sf_dir):
     n_orders = spark.read.parquet(f"{oracle_sf_dir}/orders.parquet").count()
     assert df.count() == n_orders  # 1:1 — no order lost, none duplicated
     assert df.groupBy("o_orderkey").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_global_window_detector_and_allowlist(spark):
+    """r13: tools/plan_audit.py's single-partition-WindowExec rule.  A
+    deliberately GLOBAL window (ordered or unordered) is flagged; a
+    partitioned window — ordered or not (the unordered shape prints
+    the same two bracket groups on the node line, the false-positive
+    class the windowspecdefinition parse exists for) — is not.  And
+    every allowlist entry must still name a registered query."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from pyspark.sql import Window as W
+
+    from tools.plan_audit import _ALLOWED_GLOBAL_WINDOW, global_window_count
+
+    df = spark.range(10).withColumn("g", F.col("id") % 2)
+
+    def plan(d):
+        return d._jdf.queryExecution().executedPlan().toString()
+
+    assert (
+        global_window_count(
+            plan(df.withColumn("rn", F.row_number().over(W.partitionBy("g").orderBy("id"))))
+        )
+        == 0
+    )
+    assert (
+        global_window_count(plan(df.withColumn("n", F.count("*").over(W.partitionBy("g")))))
+        == 0
+    )
+    assert (
+        global_window_count(plan(df.withColumn("rn", F.row_number().over(W.orderBy("id")))))
+        == 1
+    )
+    assert (
+        global_window_count(plan(df.withColumn("s", F.sum("id").over(W.partitionBy()))))
+        == 1
+    )
+    from tailsql_spark.plans.registry import REGISTRY
+
+    stale = [n for n in _ALLOWED_GLOBAL_WINDOW if n not in REGISTRY]
+    assert stale == [], f"global-window allowlist names unknown queries: {stale}"
+
+
+def test_no_unallowlisted_global_windows_in_graded_window(spark, oracle_sf_dir):
+    """Every driver-graded BATCH query must be free of single-partition
+    WindowExec nodes unless explicitly allowlisted — the graded subset
+    of the full tools/plan_audit.py sweep, cheap enough for CI."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.plan_audit import _ALLOWED_GLOBAL_WINDOW, global_window_count
+
+    from tailsql_spark.plans.registry import GRADED_WINDOW, REGISTRY
+
+    bad: list[str] = []
+    for name in GRADED_WINDOW:
+        spec = REGISTRY[name]
+        if spec.category == "streaming-executed" or name in _ALLOWED_GLOBAL_WINDOW:
+            continue
+        df = (spec.plan or spec.build)(spark, oracle_sf_dir)
+        n = global_window_count(df._jdf.queryExecution().executedPlan().toString())
+        if n:
+            bad.append(f"{name} x{n}")
+    assert bad == [], f"unallowlisted global windows in graded queries: {bad}"

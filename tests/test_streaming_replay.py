@@ -1984,3 +1984,265 @@ def test_bm25_spurious_delete_clamped_not_poisoned(spark, oracle_sf_dir):
             assert r.score is not None and math.isfinite(r.score), r
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_curation_takedown_replay_absence_and_rebuild_equivalence(
+    spark, oracle_sf_dir
+):
+    """r13: takedown propagation across the WHOLE unified-curation
+    composition.  Drives the wrapped processor directly with a
+    replayed 'D' batch and asserts:
+
+    1. NON-VACUOUS: the deleted set changes the DROP counts (total −
+       survivors) of the text, audio, and video rows, not just the
+       proportional totals — closure recompute, keep-first
+       re-election, and df-cap recomputation are all exercised;
+    2. REBUILD EQUIVALENCE: the served four-row report equals the
+       from-scratch streamed report over the corpus minus the deleted
+       set (replayed 'D' batch included — at-least-once safe);
+    3. CANDIDATE SUPPRESSION: after the 'D' batch, a fresh batch of
+       near-duplicate copies of a DELETED doc's text discovers no pair
+       against the deleted original (the history-band anti-join), while
+       the same text against a LIVE original still matches."""
+    from tailsql_spark.plans.catalog import load_tables
+    from tailsql_spark.plans.streaming_exec import (
+        CURATION_TAKEDOWN_MOD,
+        CURATION_TAKEDOWN_RESIDUE,
+        _cc_batch_processor,
+        _curation_batch_processor,
+        _mh_bucketed_seed,
+        _minhash_bucketed_processor,
+        _unified_curation_serve,
+        _audio_fp_batch_processor,
+        _phash_batch_processor,
+        _unified_batch_processor,
+        _unified_takedown_processor,
+        _video_fp_batch_processor,
+    )
+
+    docs = load_tables(spark, oracle_sf_dir)["documents"].select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    is_del = (
+        F.col("doc_id") % CURATION_TAKEDOWN_MOD == CURATION_TAKEDOWN_RESIDUE
+    )
+
+    def build_state(root, delta_batches, with_del):
+        bands_root, ex_root, out_root = _mh_bucketed_seed(
+            docs.select("doc_id", "text"), root
+        )
+        for sub, schema in (
+            ("edges", "id_a long, id_b long"),
+            ("labels", "doc_id long, cluster_id long"),
+            ("attrs", "doc_id long, lang string, fingerprint string, n_tokens long"),
+            ("del", "doc_id long"),
+            ("ph", "doc_id long, b0 long, b1 long, b2 long, b3 long"),
+            ("fpa", "doc_id long, fh string"),
+            ("fpv", "doc_id long, fh string"),
+        ):
+            spark.createDataFrame([], schema).write.mode("overwrite").parquet(
+                f"{root}/{sub}/seed"
+            )
+        del_root = f"{root}/del"
+        inner = _unified_batch_processor(
+            _curation_batch_processor(
+                _minhash_bucketed_processor(
+                    bands_root, ex_root, out_root,
+                    del_root=del_root if with_del else None,
+                ),
+                _cc_batch_processor(f"{root}/edges", f"{root}/labels"),
+                f"{root}/attrs",
+                out_root,
+            ),
+            _phash_batch_processor(f"{root}/ph"),
+            _audio_fp_batch_processor(f"{root}/fpa"),
+            _video_fp_batch_processor(f"{root}/fpv"),
+        )
+        process = _unified_takedown_processor(inner, del_root)
+        for bid, b in delta_batches:
+            process(b, bid)
+        return del_root
+
+    def serve(root, src_live, del_root):
+        return {
+            tuple(r)
+            for r in _unified_curation_serve(
+                spark, src_live,
+                f"{root}/attrs", f"{root}/labels", f"{root}/ph",
+                f"{root}/fpa", f"{root}/fpv",
+                edges_root=f"{root}/edges", del_root=del_root,
+            ).collect()
+        }
+
+    half = docs.filter(F.col("doc_id") % 2 == 0).withColumn("op", F.lit("I"))
+    rest = docs.filter(F.col("doc_id") % 2 == 1).withColumn("op", F.lit("I"))
+    delb = docs.filter(is_del).withColumn("op", F.lit("D"))
+
+    root = tempfile.mkdtemp(prefix="tailsql_curtake_replay_")
+    root2 = tempfile.mkdtemp(prefix="tailsql_curtake_rebuild_")
+    try:
+        del_root = build_state(
+            root, [(0, half), (1, rest), (2, delb), (2, delb)], with_del=True
+        )
+        live = docs.filter(~is_del)
+        got = serve(root, live, del_root)
+        # rebuild: stream only the live corpus from scratch
+        del2 = build_state(
+            root2,
+            [
+                (0, live.filter(F.col("doc_id") % 2 == 0).withColumn("op", F.lit("I"))),
+                (1, live.filter(F.col("doc_id") % 2 == 1).withColumn("op", F.lit("I"))),
+            ],
+            with_del=True,
+        )
+        want = serve(root2, live, del2)
+        assert got == want, f"extra={got - want}, missing={want - got}"
+        # non-vacuity: drop counts shift for text/audio/video vs the
+        # no-takedown state (root2 serves as the live-only reference;
+        # compare against the FULL-corpus composition)
+        full = serve(root, docs, None)  # same state, tombstones ignored
+        drops_full = {r[0]: r[1] - r[2] for r in full}
+        drops_take = {r[0]: r[1] - r[2] for r in got}
+        for m in ("text", "audio", "video"):
+            assert drops_full[m] != drops_take[m], (m, drops_full, drops_take)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(root2, ignore_errors=True)
+
+
+def test_curation_takedown_suppresses_candidate_generation(spark, oracle_sf_dir):
+    """A taken-down doc must stop GENERATING near-dup candidates (not
+    merely stop being served): after its 'D' commits, a new batch
+    whose text duplicates the deleted doc discovers NO pair against
+    it, while the identical probe against a live doc still matches."""
+    from tailsql_spark.plans.catalog import load_tables
+    from tailsql_spark.plans.streaming_exec import (
+        _bdir,
+        _mh_bucketed_seed,
+        _minhash_bucketed_processor,
+    )
+
+    docs = load_tables(spark, oracle_sf_dir)["documents"].select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="tailsql_curtake_cand_")
+    try:
+        bands_root, ex_root, out_root = _mh_bucketed_seed(docs, root)
+        del_root = f"{root}/del"
+        spark.createDataFrame([], "doc_id long").write.mode("overwrite").parquet(
+            f"{del_root}/seed"
+        )
+        process = _minhash_bucketed_processor(
+            bands_root, ex_root, out_root, del_root=del_root
+        )
+        two = docs.orderBy("doc_id").limit(2).collect()
+        dead, live = two[0], two[1]
+        process(docs.filter(F.col("doc_id").isin(dead.doc_id, live.doc_id)), 0)
+        # tombstone the first doc (batch 1 carries only the 'D')
+        spark.createDataFrame([(dead.doc_id,)], "doc_id long").write.mode(
+            "overwrite"
+        ).parquet(f"{del_root}/{_bdir(1)}")
+        process(docs.limit(0), 1)
+        # batch 2: exact copies of both docs' texts under fresh ids
+        probe = spark.createDataFrame(
+            [(900001, dead.text), (900002, live.text)], "doc_id long, text string"
+        )
+        process(probe, 2)
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in spark.read.parquet(f"{out_root}/{_bdir(2)}").collect()
+        }
+        assert (live.doc_id, 900002) in pairs, pairs
+        assert all(dead.doc_id not in p for p in pairs), pairs
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_streamed_ivf_recall_floor_and_imbalance_gate(spark, oracle_sf_dir):
+    """r13 (VERDICT r11 #3): the recall floor certified the BATCH-built
+    persisted IVF index; the incrementally-grown state had no recall
+    row and no drift trigger.  Builds the streamed state through the
+    processor (multiple batches, one replayed), then:
+
+    1. RECALL FLOOR: multiprobe serving over the streamed state meets
+       the same 0.7 floor as the batch index (measured with the shared
+       _recall_vs_brute metric — same k, same tie rules);
+    2. IMBALANCE GATE: the manifest-derived cell-occupancy imbalance of
+       the healthy state sits below IVF_IMBALANCE_MAX, and a
+       deliberately collapsed state (every vector forced into one
+       cell — what corpus drift against a frozen quantizer produces)
+       trips the gate, proving it can fire."""
+    from tailsql_spark.operators.similarity import (
+        N_PROBES,
+        N_QUERIES_IDX,
+        RECALL_K,
+        _recall_vs_brute,
+        as_double,
+        ivf_cell_count,
+        norm,
+    )
+    from tailsql_spark.plans.catalog import load_tables
+    from tailsql_spark.plans.streaming_exec import (
+        IVF_IMBALANCE_MAX,
+        _bucket_manifest_seed,
+        _bucket_manifest_write,
+        _ivf_index_processor,
+        _ivf_index_serve,
+        ivf_cell_imbalance,
+    )
+
+    emb = load_tables(spark, oracle_sf_dir)["embeddings"].select("vec_id", "embedding")
+    embd = emb.select("vec_id", as_double(F.col("embedding")).alias("v")).withColumn(
+        "nrm", norm(F.col("v"))
+    )
+    nc = ivf_cell_count(embd.count())
+
+    root = tempfile.mkdtemp(prefix="tailsql_ivf_recall_stream_")
+    try:
+        seeds_path = f"{root}/seeds"
+        embd.filter(F.col("vec_id") < nc).select("vec_id", "v", "nrm").write.mode(
+            "overwrite"
+        ).parquet(seeds_path)
+        cells = f"{root}/cells"
+        spark.createDataFrame(
+            [], "vec_id long, v array<double>, nrm double, ccell long"
+        ).write.mode("overwrite").parquet(f"{cells}/seed")
+        _bucket_manifest_seed(spark.createDataFrame([], "x long"), cells)
+        process = _ivf_index_processor(cells, seeds_path)
+        process(emb.filter(F.col("vec_id") % 2 == 0), 0)
+        process(emb.filter(F.col("vec_id") % 2 == 1), 1)
+        process(emb.filter(F.col("vec_id") % 2 == 1), 1)  # replay
+        idx3 = (
+            _ivf_index_serve(
+                spark, oracle_sf_dir, cells, seeds_path, N_QUERIES_IDX,
+                n_probes=N_PROBES,
+            )
+            .filter(F.col("rnk") <= RECALL_K)
+            .select("query_id", "neighbor_id")
+        )
+        rows = _recall_vs_brute(
+            spark, oracle_sf_dir, idx3, n_queries=N_QUERIES_IDX
+        ).collect()
+        assert rows
+        mean = sum(r.recall for r in rows) / len(rows)
+        assert mean >= 0.7, f"streamed-IVF multiprobe recall@3 degraded: {mean:.3f}"
+        healthy = ivf_cell_imbalance(spark, cells)
+        assert healthy < IVF_IMBALANCE_MAX, healthy
+        # collapsed state: all vectors in cell 0 -> gate must fire
+        root2 = f"{root}/collapsed"
+        spark.createDataFrame(
+            [], "vec_id long, v array<double>, nrm double, ccell long"
+        ).write.mode("overwrite").parquet(f"{root2}/seed")
+        _bucket_manifest_seed(spark.createDataFrame([], "x long"), root2)
+        skew = embd.select(
+            "vec_id", "v", "nrm", F.lit(0).cast("long").alias("ccell")
+        ).withColumn("cell", F.least(F.col("vec_id"), F.lit(0)))
+        # a couple of singleton cells + one hot cell holding the rest
+        skew = skew.withColumn(
+            "cell",
+            F.when(F.col("vec_id") < 3, F.col("vec_id")).otherwise(F.lit(0)).cast("long"),
+        ).withColumn("ccell", F.col("cell"))
+        skew.write.mode("overwrite").partitionBy("cell").parquet(f"{root2}/b00000")
+        _bucket_manifest_write(skew, root2, "cell", 0, nb=int(nc))
+        tripped = ivf_cell_imbalance(spark, root2)
+        assert tripped > IVF_IMBALANCE_MAX, tripped
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

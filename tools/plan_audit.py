@@ -59,48 +59,80 @@ _ALLOWED_BNLJ: dict[str, str] = {
 #: a global rank (the engine must honor the user's semantics; the row
 #: count is the user's problem, and the surface demo tables are dims).
 #: A global window in any query NOT listed here is flagged.
-_ALLOWED_GLOBAL_WINDOW: dict[str, str] = {}
+_ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
+    # exclusive prefix max over PER-BUCKET maxima: corpus/4096 rows
+    # (streaming_sql.py 'per-bucket maxima' comment) — bounded
+    "events_watermark_lateness": "bucket-maxima table (corpus/4096 rows)",
+    # exclusive prefix sum over PER-BUCKET weight totals
+    # (corpus.py 'per-bucket totals' comment) — bounded
+    "sample_weighted_systematic": "bucket-totals table (corpus/PPS_BUCKET rows)",
+    # rank offsets over the (cnt, prefix) bucket table — metadata-sized
+    # (textstats.py 'distributed rank' comment); the type table itself
+    # ranks under a partitioned window
+    "text_zipf_slope": "rank-offset bucket table (distinct cnt x prefixes)",
+    # §2B window-function SURFACE queries: the user's SQL itself asks
+    # for a global ORDER BY rank — the engine must honor the
+    # semantics; both run over a dimension-sized table in the demo
+    "window_rank_dense_ntile": "SQL semantics: global RANK/NTILE (surface query)",
+    "window_rank_distribution": "SQL semantics: global PERCENT_RANK/CUME_DIST (surface query)",
+}
 
 
 def global_window_count(plan: str) -> int:
     """Number of physical Window nodes with NO partition spec.
 
-    A partitioned Window prints THREE top-level bracket groups —
-    ``Window [exprs], [partitionSpec], [orderSpec]`` — a global one
-    only two (``Window [exprs], [orderSpec]``) or one (unordered
-    global frame).  Matches only the exact ``Window`` node, never
-    ``WindowGroupLimit``/``WindowsExec`` variants."""
+    Counting bracket groups on the node line is ambiguous (a
+    partitioned-but-unordered window also prints two), so the rule
+    parses the node's ``windowspecdefinition(...)`` arguments instead:
+    partition columns are the leading top-level args that are neither
+    sort orders (`` ASC``/`` DESC`` suffix) nor the
+    ``specifiedwindowframe(...)`` terminator.  Zero partition columns
+    = a single-partition WindowExec.  Matches only the exact
+    ``Window`` node, never ``WindowGroupLimit`` variants."""
     import re
 
     n = 0
     for line in plan.splitlines():
-        m = re.search(r"(?:^|[\s\-+:*\)\(])Window (\[.*)$", line)
-        if m is None:
+        if re.search(r"(?:^|[\s\-+:*\)\(])Window \[", line) is None:
             continue
-        if len(_top_level_groups(m.group(1))) < 3:
+        i = line.find("windowspecdefinition(")
+        if i < 0:
+            continue
+        args = _top_level_args(line[i + len("windowspecdefinition(") :])
+        n_part = 0
+        for a in args:
+            a = a.strip()
+            if a.startswith("specifiedwindowframe(") or re.search(
+                r"\b(ASC|DESC)\b", a
+            ):
+                break
+            n_part += 1
+        if n_part == 0:
             n += 1
     return n
 
 
-def _top_level_groups(s: str) -> list[str]:
-    """Split ``[a], [b], [c]`` into top-level bracket groups."""
-    groups: list[str] = []
+def _top_level_args(s: str) -> list[str]:
+    """Args of an already-opened paren group: split on depth-0 commas,
+    stop at the group's closing paren."""
+    args: list[str] = []
     depth = 0
     cur: list[str] = []
     for ch in s:
-        if ch == "[":
+        if ch in "([":
             depth += 1
-            if depth == 1:
-                cur = []
-                continue
-        elif ch == "]":
-            depth -= 1
+        elif ch in ")]":
             if depth == 0:
-                groups.append("".join(cur))
-                continue
-        if depth >= 1:
-            cur.append(ch)
-    return groups
+                break
+            depth -= 1
+        elif ch == "," and depth == 0:
+            args.append("".join(cur))
+            cur = []
+            continue
+        cur.append(ch)
+    if cur:
+        args.append("".join(cur))
+    return args
 
 
 def main() -> None:
