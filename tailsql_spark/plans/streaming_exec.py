@@ -2154,6 +2154,20 @@ STATE_ROWS_PER_BUCKET = 4096
 #: bounds both the compaction task count and the file population.
 STATE_MAX_BUCKETS = 4096
 
+#: Intra-decade small-file bound (r13): between dial doublings, every
+#: batch adds one per-batch-id delta dir (≤ N_STATE_BUCKETS files plus
+#: a manifest subdir).  When the count of committed DELTA dirs crosses
+#: this, `_rebucket_family` runs a MINOR fold — same consolidation,
+#: same atomic versioned commit, bucket count unchanged — so a
+#: family's live file count is bounded by base files + this many
+#: delta tiers regardless of how many batches a decade spans.
+MINOR_FOLD_MAX_DELTAS = 64
+#: The minor-fold trigger reads the manifest (a metadata-sized but
+#: real read); check it only on every Nth batch so the common batch
+#: path stays read-free.  Deterministic in bid, so replay behavior is
+#: unchanged.
+MINOR_FOLD_CHECK_EVERY = 16
+
 
 def state_bucket_count(n_rows: int) -> int:
     """Bucket count the dial picks for ``n_rows`` of family state:
@@ -2337,11 +2351,14 @@ def _rebucket_family(
     sess, root: str, col: str, key, exclude_bid: int, meta: dict,
     del_root: str | None = None, del_col: str = "doc_id",
 ) -> dict:
-    """Decade re-bucket (the dial, applied): fold every COMMITTED state
-    dir of the family into one consolidated base bucketed at
-    state_bucket_count(rows), under a new manifest VERSION whose only
-    initial rows are the base's (bid = -version, so the replay
-    exclusion can never drop it); the atomic meta rename is the commit.
+    """Decade re-bucket (the dial, applied) AND intra-decade MINOR
+    fold: consolidate every COMMITTED state dir of the family into one
+    base — bucketed at state_bucket_count(rows) when the dial crossed
+    a doubling, at the unchanged bucket count when only the committed
+    delta-dir count crossed MINOR_FOLD_MAX_DELTAS — under a new
+    manifest VERSION whose only initial rows are the base's (bid =
+    -version, so the replay exclusion can never drop it); the atomic
+    meta rename is the commit.
 
     Replay safety: runs at the START of a batch and EXCLUDES that
     batch's bid, so a crashed-then-replayed batch's half-committed
@@ -2372,8 +2389,30 @@ def _rebucket_family(
     FRACTION that shrinks as the corpus grows instead of degenerating
     to a full scan at a fixed bucket count."""
     new_nb = state_bucket_count(int(meta["rows"]))
-    if new_nb <= int(meta["nb"]):
-        return meta
+    minor = new_nb <= int(meta["nb"])
+    if minor:
+        # MINOR fold (r13): no dial crossing, but delta dirs may have
+        # piled up since the last fold.  Probe the manifest for the
+        # committed delta-tier count only every Nth batch (bid-
+        # deterministic, so a replayed batch decides identically) and
+        # consolidate at the SAME bucket count when it crosses the
+        # bound — LSM minor compaction under the identical versioned-
+        # commit discipline, keeping live file count bounded however
+        # many batches a decade spans.
+        bid_i = int(exclude_bid)
+        if bid_i <= 0 or bid_i % MINOR_FOLD_CHECK_EVERY != 0:
+            return meta
+        ndeltas = (
+            sess.read.option("recursiveFileLookup", "true")
+            .parquet(_manifest_dir(root, int(meta["version"])))
+            .filter((F.col("bid") >= 0) & (F.col("bid") != bid_i))
+            .select("bid")
+            .distinct()
+            .count()  # planning-metadata: committed delta-tier count
+        )
+        if ndeltas < MINOR_FOLD_MAX_DELTAS:
+            return meta
+        new_nb = int(meta["nb"])
     ver = int(meta["version"]) + 1
     man = sess.read.option("recursiveFileLookup", "true").parquet(
         _manifest_dir(root, int(meta["version"]))

@@ -2246,3 +2246,58 @@ def test_streamed_ivf_recall_floor_and_imbalance_gate(spark, oracle_sf_dir):
         assert tripped > IVF_IMBALANCE_MAX, tripped
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_minor_fold_bounds_intra_decade_delta_dirs(spark, oracle_sf_dir, monkeypatch):
+    """r13 (VERDICT r11 #4): between dial doublings, per-batch delta
+    dirs accumulate without bound.  With the thresholds shrunk, many
+    small batches must trigger a MINOR fold (same bucket count, new
+    manifest version), after which the vacuum leaves a bounded dir
+    count — and the bucket-pruned serve still equals the batch BM25
+    result, including across a replayed batch AROUND the fold."""
+    import os
+
+    import tailsql_spark.plans.streaming_exec as SE
+    from tailsql_spark.operators.textstats import REGISTRY as _TEXT
+    from tailsql_spark.plans.catalog import load_tables
+    from tailsql_spark.plans.streaming_exec import (
+        _bm25_index_processor,
+        _bm25_index_seed,
+        _bm25_index_serve,
+        _state_meta_read,
+        expire_state_versions,
+    )
+
+    monkeypatch.setattr(SE, "MINOR_FOLD_MAX_DELTAS", 4)
+    monkeypatch.setattr(SE, "MINOR_FOLD_CHECK_EVERY", 2)
+    docs = load_tables(spark, oracle_sf_dir)["documents"].select("doc_id", "text")
+
+    root = tempfile.mkdtemp(prefix="tailsql_bm25_minorfold_")
+    try:
+        post_root, stat_root, _del = _bm25_index_seed(spark, root)
+        process = _bm25_index_processor(post_root, stat_root)
+        nb0 = _state_meta_read(post_root)["nb"]
+        for bid in range(8):
+            b = docs.filter(F.col("doc_id") % 8 == bid)
+            process(b, bid)
+            if bid == 6:
+                process(b, bid)  # replay straddling the bid-6 check
+        meta = _state_meta_read(post_root)
+        # a minor fold fired: version advanced, bucket count UNCHANGED
+        assert meta["version"] >= 1, meta
+        assert meta["nb"] == nb0, meta
+        deleted = expire_state_versions(spark, post_root)
+        assert deleted, "vacuum reclaimed nothing after the minor fold"
+        # bounded live state: base + post-fold deltas only
+        live_deltas = [
+            d for d in os.listdir(post_root)
+            if d.startswith("b") and d[1:].isdigit()
+        ]
+        assert len(live_deltas) <= SE.MINOR_FOLD_MAX_DELTAS + SE.MINOR_FOLD_CHECK_EVERY, live_deltas
+        got = {tuple(r) for r in _bm25_index_serve(spark, post_root, stat_root).collect()}
+        want = {
+            tuple(r) for r in _TEXT["text_bm25_topk"].build(spark, oracle_sf_dir).collect()
+        }
+        assert got == want, f"extra={got - want}, missing={want - got}"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
