@@ -20,17 +20,26 @@ semantics as a :class:`SimpleDataSourceStreamReader`:
   ``source/namedpipe.go``; a FIFO is just a blocking line stream,
   ``utils/utils.go:7-13``).
 
-Scale note: one tailed file is inherently a serial byte stream, so this
-reader is single-partition by design; horizontal scale comes from many
-files (use N ``tailf`` sources or the directory file-source). The
-simple-reader API executes on the driver and prefetches; per-batch data
-volume is a tail stream's line rate — small by construction.
+Scale note: one tailed file is inherently a serial byte stream, so the
+``tailf`` reader is single-partition by design and the simple-reader
+API executes on the driver (per-batch volume is a tail stream's line
+rate — small by construction).  Horizontal scale comes from many
+files: the ``tailn`` sibling (r13) is a PLANNER-PARTITIONED
+:class:`DataSourceStreamReader` over a file glob — the driver only
+stats sizes to plan offsets, and every file's byte range is read BY AN
+EXECUTOR, one input partition per grown file, so tailing a thousand
+service logs distributes instead of funneling through the driver.
 
 Usage::
 
     spark.dataSource.register(TailDataSource)
     df = (spark.readStream.format("tailf")
           .option("path", "/var/log/app.log")
+          .option("seek_to_end", "false").load())
+
+    spark.dataSource.register(TailNDataSource)
+    df = (spark.readStream.format("tailn")
+          .option("paths", "/var/log/pods/*.log")
           .option("seek_to_end", "false").load())
 """
 
@@ -39,10 +48,54 @@ from __future__ import annotations
 import os
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StringType, StructField, StructType
 
 LINE_SCHEMA = StructType([StructField("value", StringType(), True)])
+
+#: ``tailn`` rows carry provenance: which tailed file a line came from.
+MULTI_LINE_SCHEMA = StructType(
+    [
+        StructField("path", StringType(), True),
+        StructField("value", StringType(), True),
+    ]
+)
+
+
+def _complete_through(path: str, lo: int, size: int) -> int:
+    """Largest offset in (lo, size] that ends a COMPLETE line (the byte
+    before it is a newline), scanning backward from ``size`` in bounded
+    chunks.  Offsets only ever advance past complete lines, so an
+    executor reading [start, end) can never split a line with the next
+    batch.  Returns ``lo`` when no newline landed yet."""
+    if size <= lo:
+        return lo
+    with open(path, "rb") as f:
+        pos = size
+        while pos > lo:
+            step = min(65536, pos - lo)
+            f.seek(pos - step)
+            chunk = f.read(step)
+            nl = chunk.rfind(b"\n")
+            if nl >= 0:
+                return pos - step + nl + 1
+            pos -= step
+    return lo
+
+
+class TailFilePartition(InputPartition):
+    """One grown file's byte range for one micro-batch — the planner
+    unit the executors read."""
+
+    def __init__(self, path: str, start: int, end: int):
+        self.path = path
+        self.start = start
+        self.end = end
 
 
 class TailStreamReader(SimpleDataSourceStreamReader):
@@ -176,6 +229,109 @@ class PipeStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         return iter([])  # consumed pipe data is gone (documented divergence)
+
+
+class TailNStreamReader(DataSourceStreamReader):
+    """Planner-partitioned tail over a FILE GLOB (r13 — the 100 TB
+    shape of tail ingestion; cf. reference ``source/fs.go:14-71``,
+    which tails exactly one file on one machine).
+
+    Division of labor per micro-batch:
+
+    * the DRIVER only plans: re-expand the glob (new files join the
+      stream), ``stat`` each file, and back each size off to the last
+      complete line (``_complete_through``) — offsets are a
+      {path: byte_pos} dict, checkpointable and replayable;
+    * every grown file becomes one :class:`TailFilePartition`, and its
+      [start, end) byte range is read ON AN EXECUTOR — data bytes
+      never pass through the driver, and a thousand log files fan out
+      across the cluster;
+    * rotation per file: size below the recorded offset re-opens from
+      0, independently of every other file;
+    * ``readBetweenOffsets`` semantics come from ``partitions(start,
+      end)`` + deterministic range reads, so checkpointed restart
+      resumes exactly (the same strict upgrade over the reference as
+      the single-file reader).
+    """
+
+    def __init__(self, paths_glob: str, seek_to_end: bool):
+        self.paths_glob = paths_glob
+        self.seek_to_end = seek_to_end
+
+    def _files(self) -> list[str]:
+        import glob
+
+        return sorted(glob.glob(self.paths_glob))
+
+    def initialOffset(self) -> dict:
+        if not self.seek_to_end:
+            return {}
+        # tail semantics: the INITIAL file set starts at EOF (complete
+        # lines only); files appearing later start at 0 — they were
+        # born after the stream, so their whole content is "new"
+        return {
+            p: _complete_through(p, 0, os.path.getsize(p)) for p in self._files()
+        }
+
+    def latestOffset(self) -> dict:
+        out: dict[str, int] = {}
+        for p in self._files():
+            size = os.path.getsize(p)
+            out[p] = _complete_through(p, 0, size)
+        return out
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        parts: list[InputPartition] = []
+        for p, e in end.items():
+            s = int(start.get(p, 0))
+            if e < s:  # rotation/truncation → re-read from 0
+                s = 0
+            if e > s:
+                parts.append(TailFilePartition(p, s, int(e)))
+        if not parts:
+            # Spark requires >= 1 partition per batch; an empty range
+            # read yields no rows
+            parts.append(TailFilePartition("", 0, 0))
+        return parts
+
+    def read(self, partition: TailFilePartition) -> Iterator[tuple]:
+        # EXECUTOR-side: deterministic range read of one file
+        if not partition.path or not os.path.exists(partition.path):
+            return iter([])
+        with open(partition.path, "rb") as f:
+            f.seek(partition.start)
+            data = f.read(partition.end - partition.start)
+        return iter(
+            (partition.path, ln.decode("utf-8", errors="replace"))
+            for ln in data.split(b"\n")
+            if ln != b""
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # source files are not ours to clean
+
+
+class TailNDataSource(DataSource):
+    """``format("tailn")`` — planner-partitioned tail over a file glob.
+
+    Options: ``paths`` (glob, required), ``seek_to_end`` (default
+    true).  Rows are (path, value)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tailn"
+
+    def schema(self) -> StructType:
+        return MULTI_LINE_SCHEMA
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        paths = self.options.get("paths")
+        if not paths:
+            raise ValueError("tailn requires the 'paths' glob option")
+        return TailNStreamReader(
+            paths,
+            seek_to_end=str(self.options.get("seek_to_end", "true")).lower() == "true",
+        )
 
 
 class TailDataSource(DataSource):

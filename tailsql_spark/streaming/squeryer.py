@@ -153,6 +153,20 @@ class StreamQueryer:
         src = self.sources[idx]
         if src.kind == "dir":
             lines = self.spark.readStream.format("text").load(src.path)
+        elif src.kind == "tail" and any(ch in src.path for ch in "*?["):
+            # glob path → the planner-partitioned multi-file tail
+            # (r13): every grown file's byte range is read by an
+            # executor; the driver only stats sizes to plan offsets
+            from tailsql_spark.sources.tail import TailNDataSource
+
+            self.spark.dataSource.register(TailNDataSource)
+            lines = (
+                self.spark.readStream.format("tailn")
+                .option("paths", src.path)
+                .option("seek_to_end", str(src.seek_to_end).lower())
+                .load()
+                .select("value")
+            )
         else:
             from tailsql_spark.sources.tail import TailDataSource
 

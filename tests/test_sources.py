@@ -180,3 +180,79 @@ def test_tail_reader_pinned_start_offset(tmp_path):
     missing = TailStreamReader(str(tmp_path / "nope.log"), seek_to_end=True,
                                max_bytes_per_batch=1 << 20, start_offset=0)
     assert missing.initialOffset() == {"pos": 0}
+
+
+def test_tailn_partitioned_reads_and_checkpoint_resume(spark, tmp_path):
+    """r13: the planner-partitioned multi-file tail (format 'tailn').
+
+    1. PER-PARTITION READS: each grown file becomes its own input
+       partition (spark_partition_id distinct count == files with new
+       bytes), so the byte ranges are read executor-side, not funneled
+       through the driver;
+    2. PROVENANCE: rows carry the originating path;
+    3. LINE-BOUNDARY DISCIPLINE: a partial trailing line (no newline
+       yet) is not consumed until completed;
+    4. CHECKPOINT RESUME + DYNAMIC FILES: lines appended while the
+       stream is down arrive exactly once on restart, and a file BORN
+       between runs joins the stream from offset 0."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from tailsql_spark.sources.tail import TailNDataSource
+
+    spark.dataSource.register(TailNDataSource)
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "a.log").write_text("a1\na2\n")
+    (d / "b.log").write_text("b1\n")
+    (d / "c.log").write_text("c-partial")  # no newline: must NOT appear
+    ckpt = str(tmp_path / "ckpt")
+    got: list[tuple] = []
+    nparts: list[int] = []
+
+    def run_once():
+        df = (
+            spark.readStream.format("tailn")
+            .option("paths", str(d / "*.log"))
+            .option("seek_to_end", "false")
+            .load()
+        )
+
+        def sink(b, _e):
+            rows = b.withColumn("pid", F.spark_partition_id()).collect()
+            got.extend((r.path, r.value) for r in rows)
+            nparts.append(len({r.pid for r in rows}))
+
+        q = (
+            df.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run_once()
+    vals = sorted(v for _p, v in got)
+    assert vals == ["a1", "a2", "b1"], vals  # partial line unconsumed
+    assert {p.rsplit("/", 1)[-1] for p, _v in got} == {"a.log", "b.log"}
+    # one input partition per grown file, read executor-side
+    assert nparts and max(nparts) == 2, nparts
+
+    # stream DOWN: complete the partial line, append to a, add a NEW file
+    with open(d / "c.log", "a") as fh:
+        fh.write(" done\nc2\n")
+    with open(d / "a.log", "a") as fh:
+        fh.write("a3\n")
+    (d / "d.log").write_text("d1\n")
+
+    got.clear()
+    nparts.clear()
+    run_once()
+    vals = sorted(v for _p, v in got)
+    # exactly once: no a1/a2/b1 replays; the completed partial arrives whole
+    assert vals == ["a3", "c-partial done", "c2", "d1"], vals
+    assert {p.rsplit("/", 1)[-1] for p, _v in got} == {"a.log", "c.log", "d.log"}
+    assert nparts and max(nparts) == 3, nparts

@@ -617,3 +617,41 @@ def test_reused_root_with_different_corpus_raises(spark, sf_dir, tmp_path):
     stream_dedup_minhash(spark, sf_dir, state_root=root)
     with pytest.raises(ValueError, match="one root belongs to one pipeline"):
         stream_dedup_minhash(spark, other, state_root=root)
+
+
+def test_glob_tail_source_routes_to_partitioned_reader(spark, tmp_path):
+    """r13: a glob tail path routes through the planner-partitioned
+    'tailn' source — the ingest plan is a streaming scan whose rows
+    come from executor-side per-file range reads — and a LIVE
+    availableNow pump over two growing files parses both files' lines
+    through the same regex pipeline as the single-file tail."""
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "s1.log").write_text("2024-01-01 7\n")
+    (d / "s2.log").write_text("2024-01-01 8\nbad line\n")
+    sq = StreamQueryer(
+        spark,
+        [
+            SourceSpec(
+                path=str(d / "*.log"),
+                pattern=r"(?P<ts__date>\S+) (?P<v__int>\d+)",
+                seek_to_end=False,
+            )
+        ],
+        WindowSpec(size_sec=60, slide_sec=60),
+        "select count(1) as n from t0",
+        sink=lambda s: None,
+    )
+    lines = sq._parsed_stream(0)
+    assert lines.isStreaming
+    rows: list = []
+    q = (
+        lines.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(lambda b, _e: rows.extend(b.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    assert sorted(r.v for r in rows) == [7, 8], rows
