@@ -4047,11 +4047,16 @@ def _bm25_index_processor(post_root: str, stat_root: str, del_root: str | None =
     cf. reference sql/engine.go:121-133 (Clean), which only ever
     drops whole windows — per-document takedown is an extension.
 
-    No history reads on the write path at all — replay idempotency is
-    by construction (a replayed batch rewrites byte-identical delta +
-    manifest + stats + tombstone dirs).  At 100 TB: per-batch cost is
-    the batch's tokenize + one small bucket shuffle; the serving index
-    never goes stale between full rebuilds and never pays one."""
+    No DATA-SIZED history reads on the write path — the only history
+    the processor touches is metadata-class: the accumulated tombstone
+    log (one id per distinct deletion, broadcast, own bid excluded so
+    a replay sees the identical pre-batch set) for the 'D' dedupe, and
+    the manifest probe every MINOR_FOLD_CHECK_EVERY batches.  Replay
+    idempotency is by construction (a replayed batch rewrites
+    byte-identical delta + manifest + stats + tombstone dirs).  At
+    100 TB: per-batch cost is the batch's tokenize + one small bucket
+    shuffle; the serving index never goes stale between full rebuilds
+    and never pays one."""
     from tailsql_spark.operators.textstats import bm25_term_hash_col
 
     def process(batch_df, batch_id):
