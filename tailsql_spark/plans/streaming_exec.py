@@ -3601,7 +3601,14 @@ def ivf_purge_takedowns(sess: SparkSession, cells_root: str, del_root: str) -> d
     half-committed batch could be folded AND replayed (double rows).
     Same operational window as expire_state_versions; at 100 TB this is
     the scheduled compaction job, metadata-sized delete set broadcast
-    against a one-pass cell-partitioned rewrite."""
+    against a one-pass cell-partitioned rewrite.
+
+    With an EMPTY delete set this is the IVF family's MINOR FOLD:
+    per-batch cell dirs accumulate (≤ cells files per batch) and the
+    frozen-quantizer family has no dial fold to consolidate them, so
+    the scheduled purge doubles as its small-file compaction — live
+    files collapse to one base tier regardless of how many batches
+    have landed, serve unchanged."""
     meta = _state_meta_read(cells_root)
     ver = int(meta["version"])
     man = sess.read.option("recursiveFileLookup", "true").parquet(

@@ -2301,3 +2301,83 @@ def test_minor_fold_bounds_intra_decade_delta_dirs(spark, oracle_sf_dir, monkeyp
         assert got == want, f"extra={got - want}, missing={want - got}"
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_ivf_purge_doubles_as_minor_compaction(spark, oracle_sf_dir):
+    """r13: with an EMPTY delete set, ivf_purge_takedowns is the IVF
+    family's minor fold — the frozen-quantizer family has no dial fold,
+    so per-batch cell dirs would otherwise accumulate forever.  After
+    many small batches, purge + vacuum must collapse live state to one
+    base tier (strictly fewer files/dirs) with the served top-k
+    unchanged."""
+    import os
+
+    from tailsql_spark.operators.similarity import (
+        N_QUERIES_IDX,
+        as_double,
+        ivf_cell_count,
+        norm,
+    )
+    from tailsql_spark.plans.catalog import load_tables
+    from tailsql_spark.plans.streaming_exec import (
+        _bucket_manifest_seed,
+        _ivf_index_processor,
+        _ivf_index_serve,
+        expire_state_versions,
+        ivf_purge_takedowns,
+    )
+
+    emb = load_tables(spark, oracle_sf_dir)["embeddings"].select("vec_id", "embedding")
+    embd = emb.select("vec_id", as_double(F.col("embedding")).alias("v")).withColumn(
+        "nrm", norm(F.col("v"))
+    )
+    nc = ivf_cell_count(embd.count())
+
+    root = tempfile.mkdtemp(prefix="tailsql_ivf_compact_")
+    try:
+        seeds_path = f"{root}/seeds"
+        embd.filter(F.col("vec_id") < nc).select("vec_id", "v", "nrm").write.mode(
+            "overwrite"
+        ).parquet(seeds_path)
+        cells, dels = f"{root}/cells", f"{root}/del"
+        spark.createDataFrame(
+            [], "vec_id long, v array<double>, nrm double, ccell long"
+        ).write.mode("overwrite").parquet(f"{cells}/seed")
+        _bucket_manifest_seed(spark.createDataFrame([], "x long"), cells)
+        spark.createDataFrame([], "vec_id long").write.mode("overwrite").parquet(
+            f"{dels}/seed"
+        )
+        process = _ivf_index_processor(cells, seeds_path)
+        for bid in range(6):
+            process(emb.filter(F.col("vec_id") % 6 == bid), bid)
+        before = {
+            tuple(r)
+            for r in _ivf_index_serve(
+                spark, oracle_sf_dir, cells, seeds_path, N_QUERIES_IDX
+            ).collect()
+        }
+
+        def nfiles():
+            return sum(
+                1
+                for dp, _dn, names in os.walk(cells)
+                for n in names
+                if n.endswith(".parquet")
+            )
+
+        files_before = nfiles()
+        ivf_purge_takedowns(spark, cells, dels)
+        expire_state_versions(spark, cells)
+        assert nfiles() < files_before, (nfiles(), files_before)
+        assert not any(
+            d.startswith("b") and d[1:].isdigit() for d in os.listdir(cells)
+        )
+        after = {
+            tuple(r)
+            for r in _ivf_index_serve(
+                spark, oracle_sf_dir, cells, seeds_path, N_QUERIES_IDX
+            ).collect()
+        }
+        assert after == before
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -145,6 +145,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     flagged = 0
+    allowlisted = 0
     for name in names:
         spec = REGISTRY[name]
         if spec.category == "streaming-executed":
@@ -181,22 +182,28 @@ def main() -> None:
         warn = ""
         if marks["cart"]:
             warn = " <-- CARTESIAN"
+            flagged += 1
         elif marks["bnlj"] and not scalar_bcast and allowed is None:
             warn = " <-- NON-EQUI JOIN (unexpected: not allowlisted)"
+            flagged += 1
         elif gwin and gwin_allowed is None:
             warn = f" <-- GLOBAL WINDOW x{gwin} (single-partition WindowExec: not allowlisted)"
+            flagged += 1
         elif marks["bnlj"] and allowed:
             warn = f" (bnlj allowlisted: {allowed})"
+            allowlisted += 1
         elif gwin and gwin_allowed:
             warn = f" (global window allowlisted: {gwin_allowed})"
-        if warn:
-            flagged += 1
+            allowlisted += 1
         print(
             f"{name:40s} bhj={marks['bhj']} smj={marks['smj']} "
             f"shj={marks['shj']} bnlj={marks['bnlj']} "
             f"exchanges={marks['xchg']}{warn}"
         )
-    print(f"\n{len(names)} plans audited, {flagged} flagged")
+    print(
+        f"\n{len(names)} plans audited, {flagged} UNEXPECTED flags, "
+        f"{allowlisted} allowlisted (justification printed per row)"
+    )
 
 
 if __name__ == "__main__":
