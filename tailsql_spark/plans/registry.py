@@ -252,7 +252,14 @@ GRADED_WINDOW: tuple[str, ...] = (
     # (r10: text_heavy_hitters rotated to the local gate — the
     #  mergeable-sketch concern stays graded by agg_countmin_sketch;
     #  its slot goes to event-rate alerting, previously local-only)
-    "events_rate_anomaly",          # dense hour grid, integer-exact two-sigma
+    # (r13: events_rate_anomaly rotated to the local gate after three
+    #  green rounds — event analytics stays repped by events_tumbling_1h
+    #  and events_watermark_lateness; the slot goes to THIS round's
+    #  flagship so it sits in the driver's hard gate immediately:
+    #  takedown propagation across the whole unified-curation
+    #  composition, certified against the composed oracle recomputed
+    #  minus the deleted set)
+    "stream_curation_takedown",     # r13: curation-wide takedown propagation
     # r8: text_bpe_train rotated to the local gate for the round's
     # LLM-pipeline flagship — BATCHED BPE training (top-k
     # symbol-disjoint merges per round), certified against DuckDB's
