@@ -2350,6 +2350,7 @@ def _bucket_manifest_paths(
 def _rebucket_family(
     sess, root: str, col: str, key, exclude_bid: int, meta: dict,
     del_root: str | None = None, del_col: str = "doc_id",
+    force: bool = False,
 ) -> dict:
     """Decade re-bucket (the dial, applied) AND intra-decade MINOR
     fold: consolidate every COMMITTED state dir of the family into one
@@ -2390,7 +2391,13 @@ def _rebucket_family(
     to a full scan at a fixed bucket count."""
     new_nb = state_bucket_count(int(meta["rows"]))
     minor = new_nb <= int(meta["nb"])
-    if minor:
+    if minor and force:
+        # OFFLINE forced compaction (the takedown purge path): fold now
+        # at the unchanged bucket count regardless of the dial/delta
+        # thresholds.  Callers pass an exclude_bid above every
+        # committed bid (nothing excluded) and run between streams.
+        new_nb = int(meta["nb"])
+    elif minor:
         # MINOR fold (r13): no dial crossing, but delta dirs may have
         # piled up since the last fold.  Probe the manifest for the
         # committed delta-tier count only every Nth batch (bid-
@@ -2556,7 +2563,14 @@ def _compact_del_log(sess, root: str, col: str, exclude_bid: int | None) -> None
     dels.write.mode("overwrite").parquet(f"{root}/base_v{ver}")
     import json
 
-    folded_below = int(exclude_bid) if exclude_bid is not None else _max_bid(root) + 1
+    # the recorded horizon must never exceed the largest dir that
+    # actually existed at fold time: a forced offline fold passes a
+    # sentinel exclude_bid above every real bid, and recording THAT
+    # would let a later expire reclaim post-fold delete dirs that were
+    # never folded (silent tombstone loss)
+    folded_below = _max_bid(root) + 1
+    if exclude_bid is not None:
+        folded_below = min(folded_below, int(exclude_bid))
     _fs_write_text_atomic(
         f"{root}/_meta.json",
         json.dumps({"version": int(ver), "folded_below_bid": folded_below}),
@@ -2574,14 +2588,66 @@ def _max_bid(root: str) -> int:
     return max(bids) if bids else -1
 
 
+def _flat_state_paths(root: str) -> list[str]:
+    """Meta-aware read of a FLAT per-batch state family (attrs /
+    modality posting logs): without a compaction pointer this is
+    exactly the ``_mh_state_paths`` listing (seed + every ``b#####``
+    dir); after a ``purge_flat_family`` it reads the live
+    ``base_v{version}`` plus ONLY the post-fold delta dirs
+    (bid >= folded_below_bid) — never both copies of a folded row,
+    because these families' rows are COUNTED downstream (posting df,
+    group sizes), where the tombstone log's duplicate tolerance does
+    not apply.  Crash-safe: the base becomes visible only through the
+    atomically-committed meta pointer."""
+    meta = _del_meta_read(root)
+    ver, below = int(meta["version"]), int(meta["folded_below_bid"])
+    paths = [f"{root}/seed"]
+    if ver > 0:
+        paths.append(f"{root}/base_v{ver}")
+    for d in sorted(_fs_list_dirs(root)):
+        if d.startswith("b") and d[1:].isdigit() and int(d[1:]) >= below:
+            paths.append(f"{root}/{d}")
+    return paths
+
+
+def purge_flat_family(sess, root: str, dels, col: str = "doc_id") -> None:
+    """OFFLINE physical purge of tombstoned rows from a FLAT per-batch
+    state family — the compaction the attrs log and the modality
+    posting logs (ph / audio / video) cannot get from a dial fold
+    (they are unbucketed by design; their per-row state is a handful
+    of ints/hashes).  Folds every live dir MINUS the delete set into
+    one consolidated ``base_v{N}`` and commits the same
+    {version, folded_below_bid} pointer the tombstone log uses, so
+    ``_flat_state_paths`` serves the base + post-fold deltas and
+    ``expire_del_versions`` reclaims the folded dirs.  These families
+    hold CONTENT-DERIVED state (fingerprints, perceptual hashes, CDC
+    frames), which is what a compliance takedown must actually erase;
+    the id-only graph state (edges, label snapshots) is metadata and
+    is instead filtered/recomputed at serve.  Run OFFLINE, never while
+    the family's stream is live (same window as every other fold)."""
+    import json
+
+    ver = int(_del_meta_read(root)["version"]) + 1
+    live = sess.read.parquet(*_flat_state_paths(root))
+    purged = live.join(F.broadcast(dels.select(col)), col, "left_anti")
+    purged.write.mode("overwrite").parquet(f"{root}/base_v{ver}")
+    folded_below = _max_bid(root) + 1
+    _fs_write_text_atomic(
+        f"{root}/_meta.json",
+        json.dumps({"version": int(ver), "folded_below_bid": folded_below}),
+    )
+
+
 def expire_del_versions(root: str) -> list[str]:
-    """Offline VACUUM for a compacted tombstone log: delete every
-    per-batch delete dir whose bid the meta pointer records as folded
-    (bid < folded_below_bid) and every superseded ``base_v{k<version}``
-    dir.  Run OFFLINE like ``expire_state_versions`` — never while the
-    stream that writes the family is live, so a replaying batch's own
-    delete dir (bid >= folded_below_bid by the fold's exclusion rule)
-    is never touched.  Returns the deleted paths for audit."""
+    """Offline VACUUM for a compacted tombstone log OR a purged flat
+    state family (both commit the same {version, folded_below_bid}
+    pointer): delete every per-batch dir whose bid the pointer records
+    as folded (bid < folded_below_bid) and every superseded
+    ``base_v{k<version}`` dir.  Run OFFLINE like
+    ``expire_state_versions`` — never while the stream that writes the
+    family is live, so a replaying batch's own dir
+    (bid >= folded_below_bid by the fold's exclusion rule) is never
+    touched.  Returns the deleted paths for audit."""
     meta = _del_meta_read(root)
     ver, below = int(meta["version"]), int(meta["folded_below_bid"])
     deleted: list[str] = []
@@ -4894,7 +4960,7 @@ def _unified_curation_serve(
     def _live(df):
         return df if dels is None else df.join(F.broadcast(dels), "doc_id", "left_anti")
 
-    cleaned = clean_keep_attrs(_live(spark.read.parquet(*_mh_state_paths(attrs_root))))
+    cleaned = clean_keep_attrs(_live(spark.read.parquet(*_flat_state_paths(attrs_root))))
     if del_root is not None and edges_root is not None:
         edges = spark.read.parquet(*_mh_state_paths(edges_root))
         edges = edges.join(
@@ -4909,7 +4975,7 @@ def _unified_curation_serve(
     media_all = synth_media_rows(src_docs)
     bcols = [f"b{k}" for k in range(PHASH_BANDS)]
     grp = (
-        _live(spark.read.parquet(*_mh_state_paths(ph_root)))
+        _live(spark.read.parquet(*_flat_state_paths(ph_root)))
         .groupBy(*bcols)
         .agg(F.min("doc_id").alias("canonical_doc"), F.count("*").alias("n_docs"))
     )
@@ -4918,7 +4984,7 @@ def _unified_curation_serve(
         "audio",
         _posting_minp(
             media_all.filter(F.col("media_type") == "audio").select("doc_id"),
-            _live(spark.read.parquet(*_mh_state_paths(fpa_root))),
+            _live(spark.read.parquet(*_flat_state_paths(fpa_root))),
             AUDIO_DF_CAP,
             AUDIO_MIN_SHARED,
         ),
@@ -4927,7 +4993,7 @@ def _unified_curation_serve(
         "video",
         _posting_minp(
             media_all.filter(F.col("media_type") == "video").select("doc_id"),
-            _live(spark.read.parquet(*_mh_state_paths(fpv_root))),
+            _live(spark.read.parquet(*_flat_state_paths(fpv_root))),
             VIDEO_DF_CAP,
             VIDEO_MIN_SHARED,
         ),
@@ -5115,6 +5181,33 @@ def stream_curation_takedown(
     finally:
         q.stop()
 
+    # OFFLINE physical purge (stream fully drained): the CONTENT-
+    # DERIVED state families erase the deleted docs' bytes — the
+    # bucketed band/posting families via a forced del-aware fold
+    # (which also compacts the shared tombstone log), the flat
+    # attrs/modality logs via purge_flat_family — then the vacuums
+    # reclaim every superseded dir.  The id-only graph state (edge
+    # pairs, label snapshots) is metadata, filtered/recomputed at
+    # serve; a compliance takedown requires the content-derived rows
+    # gone, and after this block they are.  The certified serve below
+    # runs over the PURGED state — bytes gone, report unchanged.
+    dels_df = (
+        spark.read.parquet(*_del_state_paths(del_root)).select("doc_id").distinct()
+    )
+    for fam in (attrs_root, ph_root, fpa_root, fpv_root):
+        purge_flat_family(spark, fam, dels_df)
+        expire_del_versions(fam)
+    for fam, colname, key in (
+        (bands_root, "bb", F.xxhash64("band_hash")),
+        (ex_root, "xb", F.col("doc_id")),
+    ):
+        _rebucket_family(
+            spark, fam, colname, key, exclude_bid=10**9,
+            meta=_state_meta_read(fam), del_root=del_root, force=True,
+        )
+        expire_state_versions(spark, fam)
+    expire_del_versions(del_root)
+
     src_live = spark.read.parquet(src_dir).filter(F.col("op") == "I").drop("op")
     result = _unified_curation_serve(
         spark, src_live,
@@ -5136,15 +5229,20 @@ REGISTRY["stream_curation_takedown"] = QuerySpec(
     doc="Per-document TAKEDOWNS propagated across the WHOLE unified "
     "curation composition (r13): one shared tombstone log committed "
     "before any sub-state per batch; the MinHash history probe "
-    "anti-joins it (deleted docs stop generating near-dup candidates) "
-    "and both band/posting dial folds physically purge their rows; "
-    "serving anti-joins every state family and recomputes the cluster "
-    "closure over the surviving edge log (a deleted bridge doc splits "
-    "its component; a deleted canonical re-elects the min member — "
-    "decremental connectivity needs the edges, not the warm labels). "
-    "Certified against the composed unified oracle recomputed on the "
-    "corpus minus the deleted set (doc_id % 13 = 5, non-vacuous: drop "
-    "counts shift in text, audio, and video rows).",
+    "anti-joins it (deleted docs stop generating near-dup candidates). "
+    "After the stream drains, the OFFLINE physical purge erases every "
+    "CONTENT-DERIVED state row — forced del-aware folds for the "
+    "band/shingle families, purge_flat_family for the "
+    "attrs/image/audio/video logs — and the vacuums reclaim superseded "
+    "dirs (id-only edge/label metadata is filtered/recomputed at "
+    "serve). Serving anti-joins every family and recomputes the "
+    "cluster closure over the surviving edge log (a deleted bridge "
+    "doc splits its component; a deleted canonical re-elects the min "
+    "member — decremental connectivity needs the edges, not the warm "
+    "labels). Certified against the composed unified oracle recomputed "
+    "on the corpus minus the deleted set (doc_id % 13 = 5, "
+    "non-vacuous: drop counts shift in text, audio, and video rows), "
+    "served from the PURGED state.",
 )
 
 

@@ -2381,3 +2381,135 @@ def test_ivf_purge_doubles_as_minor_compaction(spark, oracle_sf_dir):
         assert after == before
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_curation_takedown_physically_purges_content_state(spark, oracle_sf_dir):
+    """r13: the curation takedown's OFFLINE purge must erase the
+    deleted docs' CONTENT-DERIVED rows from every state family — attrs
+    (fingerprints), the image/audio/video posting logs, and the
+    MinHash band/shingle families (forced del-aware fold) — with the
+    vacuums reclaiming the superseded dirs, while the meta-aware flat
+    read (`_flat_state_paths`) never double-reads a folded row.  Also:
+    a delete dir landing AFTER the purge must survive a later expire
+    (the folded_below clamp — losing it would resurrect the doc)."""
+    import os
+
+    from tailsql_spark.plans.catalog import load_tables
+    from tailsql_spark.plans.streaming_exec import (
+        CURATION_TAKEDOWN_MOD,
+        CURATION_TAKEDOWN_RESIDUE,
+        _bdir,
+        _cc_batch_processor,
+        _curation_batch_processor,
+        _del_state_paths,
+        _flat_state_paths,
+        _mh_bucketed_seed,
+        _minhash_bucketed_processor,
+        _rebucket_family,
+        _state_meta_read,
+        _audio_fp_batch_processor,
+        _phash_batch_processor,
+        _unified_batch_processor,
+        _unified_takedown_processor,
+        _video_fp_batch_processor,
+        expire_del_versions,
+        expire_state_versions,
+        purge_flat_family,
+    )
+
+    docs = load_tables(spark, oracle_sf_dir)["documents"].select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    is_del = (
+        F.col("doc_id") % CURATION_TAKEDOWN_MOD == CURATION_TAKEDOWN_RESIDUE
+    )
+    root = tempfile.mkdtemp(prefix="tailsql_curtake_purge_")
+    try:
+        bands_root, ex_root, out_root = _mh_bucketed_seed(
+            docs.select("doc_id", "text"), root
+        )
+        for sub, schema in (
+            ("edges", "id_a long, id_b long"),
+            ("labels", "doc_id long, cluster_id long"),
+            ("attrs", "doc_id long, lang string, fingerprint string, n_tokens long"),
+            ("del", "doc_id long"),
+            ("ph", "doc_id long, b0 long, b1 long, b2 long, b3 long"),
+            ("fpa", "doc_id long, fh string"),
+            ("fpv", "doc_id long, fh string"),
+        ):
+            spark.createDataFrame([], schema).write.mode("overwrite").parquet(
+                f"{root}/{sub}/seed"
+            )
+        del_root = f"{root}/del"
+        process = _unified_takedown_processor(
+            _unified_batch_processor(
+                _curation_batch_processor(
+                    _minhash_bucketed_processor(
+                        bands_root, ex_root, out_root, del_root=del_root
+                    ),
+                    _cc_batch_processor(f"{root}/edges", f"{root}/labels"),
+                    f"{root}/attrs",
+                    out_root,
+                ),
+                _phash_batch_processor(f"{root}/ph"),
+                _audio_fp_batch_processor(f"{root}/fpa"),
+                _video_fp_batch_processor(f"{root}/fpv"),
+            ),
+            del_root,
+        )
+        process(docs.withColumn("op", F.lit("I")), 0)
+        process(docs.filter(is_del).withColumn("op", F.lit("D")), 1)
+
+        dels_df = (
+            spark.read.parquet(*_del_state_paths(del_root))
+            .select("doc_id")
+            .distinct()
+        )
+        flats = [f"{root}/attrs", f"{root}/ph", f"{root}/fpa", f"{root}/fpv"]
+        for fam in flats:
+            purge_flat_family(spark, fam, dels_df)
+            expire_del_versions(fam)
+        for fam, colname, key in (
+            (bands_root, "bb", F.xxhash64("band_hash")),
+            (ex_root, "xb", F.col("doc_id")),
+        ):
+            _rebucket_family(
+                spark, fam, colname, key, exclude_bid=10**9,
+                meta=_state_meta_read(fam), del_root=del_root, force=True,
+            )
+            expire_state_versions(spark, fam)
+        expire_del_versions(del_root)
+
+        mod, res = CURATION_TAKEDOWN_MOD, CURATION_TAKEDOWN_RESIDUE
+        # flat families: zero tombstoned rows in LIVE state, folded
+        # per-batch dirs reclaimed
+        for fam in flats:
+            live = spark.read.parquet(*_flat_state_paths(fam))
+            assert live.filter(F.col("doc_id") % mod == res).count() == 0, fam
+            assert live.count() > 0, fam
+            assert not os.path.exists(f"{fam}/{_bdir(0)}"), fam
+        # bucketed families: the folded base holds zero tombstoned rows
+        for fam in (bands_root, ex_root):
+            ver = _state_meta_read(fam)["version"]
+            base = spark.read.parquet(f"{fam}/base_v{ver}")
+            assert base.filter(F.col("doc_id") % mod == res).count() == 0, fam
+            assert base.count() > 0, fam
+        # the tombstone SET survives compaction in full (D-before-late-I)
+        kept = spark.read.parquet(*_del_state_paths(del_root)).select("doc_id")
+        assert kept.distinct().count() == docs.filter(is_del).count()
+        # a post-purge delete dir must survive a later expire verbatim
+        spark.createDataFrame([(424242,)], "doc_id long").write.mode(
+            "overwrite"
+        ).parquet(f"{del_root}/{_bdir(7)}")
+        expire_del_versions(del_root)
+        assert os.path.exists(f"{del_root}/{_bdir(7)}")
+        ids = {
+            r.doc_id
+            for r in spark.read.parquet(*_del_state_paths(del_root))
+            .select("doc_id")
+            .distinct()
+            .collect()
+        }
+        assert 424242 in ids
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
