@@ -2513,3 +2513,34 @@ def test_curation_takedown_physically_purges_content_state(spark, oracle_sf_dir)
         assert 424242 in ids
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_flat_purge_crash_window_invisible(spark, tmp_path):
+    """A crash between purge_flat_family's base write and its meta
+    commit must leave the new base INVISIBLE: _flat_state_paths reads
+    only the pointer-committed base version plus per-batch dirs, so a
+    half-committed purge can neither double-count a folded row nor
+    hide an unfolded one."""
+    from tailsql_spark.plans.streaming_exec import (
+        _bdir,
+        _flat_state_paths,
+        purge_flat_family,
+    )
+
+    root = str(tmp_path / "fam")
+    spark.createDataFrame([], "doc_id long, fh string").write.parquet(f"{root}/seed")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, fh string"
+    ).write.parquet(f"{root}/{_bdir(0)}")
+    # simulate the crash: the would-be base exists, no meta pointer
+    spark.createDataFrame([(1, "a")], "doc_id long, fh string").write.parquet(
+        f"{root}/base_v1"
+    )
+    live = spark.read.parquet(*_flat_state_paths(root))
+    assert live.count() == 3  # uncommitted base ignored, no dups
+    # the retried purge commits atomically and supersedes the orphan
+    dels = spark.createDataFrame([(2,)], "doc_id long")
+    purge_flat_family(spark, root, dels)
+    live = spark.read.parquet(*_flat_state_paths(root))
+    assert {r.doc_id for r in live.collect()} == {1, 3}
+    assert live.count() == 2
