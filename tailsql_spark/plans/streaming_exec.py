@@ -2182,13 +2182,13 @@ def state_bucket_count(n_rows: int) -> int:
     return min(b, STATE_MAX_BUCKETS)
 
 
-def _state_meta_read(root: str) -> dict:
-    """The family's version pointer: {version, nb, rows}.  version
-    selects the manifest directory (the lakehouse table-version
-    pointer), nb is the BASE tier's bucket count, rows the cumulative
-    row estimate driving the dial.  Absent file = the v0 defaults.
-    Goes through the ``_fs_*`` dispatchers so the same pointer works on
-    local disk and ``hdfs://``/``s3a://`` state roots."""
+def _meta_pointer_read(root: str, default: dict) -> dict:
+    """Shared read path for every ``{root}/_meta.json`` version pointer
+    (the state families' {version, nb, rows} and the tombstone logs' /
+    flat purges' {version, folded_below_bid}).  Absent file = the
+    caller's v0 ``default``.  Goes through the ``_fs_*`` dispatchers so
+    the same pointer works on local disk and ``hdfs://``/``s3a://``
+    state roots."""
     import json
     import time
 
@@ -2196,15 +2196,22 @@ def _state_meta_read(root: str) -> dict:
     if "://" not in root:
         # local roots commit via os.replace (atomic): absent == v0
         if not _fs_exists(p):
-            return {"version": 0, "nb": N_STATE_BUCKETS, "rows": 0}
+            return dict(default)
         return json.loads(_fs_read_text(p))
     # URI roots commit via delete+rename (HDFS) or atomic PUT (object
     # stores).  Two distinct absent-pointer cases:
     #
     # * destination AND tmp absent — no commit was ever started or one
     #   fully finished long ago: genuinely v0.  Short-circuit with a
-    #   single probe pair (a fresh state root / first batch of a family
-    #   must not pay 4 probes + ~0.3 s of backoff per read).
+    #   bounded probe set (a fresh state root / first batch of a family
+    #   must not pay 4 probes + ~0.3 s of backoff per read).  The
+    #   both-absent observation is only trusted after RE-PROBING the
+    #   destination once: a concurrent delete→rename can complete
+    #   between the destination probe (absent: post-delete) and the tmp
+    #   probe (absent: post-rename), and returning v0 there would
+    #   silently serve the stale pre-fold manifest (the r13 ADVICE
+    #   TOCTOU) — if the rename landed in that gap, the re-probe sees
+    #   the committed pointer.
     # * destination absent but {p}.tmp PRESENT — either a concurrent
     #   HDFS commit is mid delete→rename (transient) or a writer
     #   CRASHED between the delete and the rename (permanent).  The
@@ -2224,11 +2231,20 @@ def _state_meta_read(root: str) -> dict:
             except ValueError as exc:  # torn/partial read mid-commit
                 last_err = exc
         elif not _fs_exists(tmp):
-            # no commit in flight and none crashed mid-rename: v0 (or
-            # surface the torn read from a prior attempt)
-            if last_err is not None:
-                raise last_err
-            return {"version": 0, "nb": N_STATE_BUCKETS, "rows": 0}
+            # p absent AND tmp absent — but a rename may have completed
+            # between the two probes, so confirm with one more p probe
+            # before trusting v0
+            if _fs_exists(p):
+                try:
+                    return json.loads(_fs_read_text(p))
+                except ValueError as exc:
+                    last_err = exc
+            else:
+                # no commit in flight and none crashed mid-rename: v0
+                # (or surface the torn read from a prior attempt)
+                if last_err is not None:
+                    raise last_err
+                return dict(default)
         if attempt < 3:
             time.sleep(0.05 * (attempt + 1))
     if _fs_exists(tmp):
@@ -2238,7 +2254,17 @@ def _state_meta_read(root: str) -> dict:
             last_err = exc
     if last_err is not None:
         raise last_err
-    return {"version": 0, "nb": N_STATE_BUCKETS, "rows": 0}
+    return dict(default)
+
+
+def _state_meta_read(root: str) -> dict:
+    """The family's version pointer: {version, nb, rows}.  version
+    selects the manifest directory (the lakehouse table-version
+    pointer), nb is the BASE tier's bucket count, rows the cumulative
+    row estimate driving the dial.  Absent file = the v0 defaults."""
+    return _meta_pointer_read(
+        root, {"version": 0, "nb": N_STATE_BUCKETS, "rows": 0}
+    )
 
 
 def _state_meta_write(root: str, meta: dict) -> None:
@@ -2522,13 +2548,17 @@ def _del_meta_read(root: str) -> dict:
     folded_below_bid}.  version selects the live ``base_v{version}``
     dir; folded_below_bid records that every per-batch delete dir with
     a SMALLER bid is contained in that base (bids are monotone, so the
-    offline expiry can reclaim them without reading them)."""
-    import json
+    offline expiry can reclaim them without reading them).
 
-    p = f"{root}/_meta.json"
-    if not _fs_exists(p):
-        return {"version": 0, "folded_below_bid": 0}
-    return json.loads(_fs_read_text(p))
+    Routes through ``_meta_pointer_read`` — the same bounded-retry +
+    ``{path}.tmp`` crash recovery as the state families' pointer: a
+    reader racing the HDFS delete→rename swap (or recovering after a
+    crash between the two) must never see the v0 default once a fold
+    committed, because ``_flat_state_paths`` would then serve no base
+    and — after ``expire_del_versions`` vacuumed the folded per-batch
+    dirs — silently drop compacted rows from counted downstream
+    aggregates (the r13 ADVICE gap)."""
+    return _meta_pointer_read(root, {"version": 0, "folded_below_bid": 0})
 
 
 def _compact_del_log(sess, root: str, col: str, exclude_bid: int | None) -> None:

@@ -254,9 +254,37 @@ class TailNStreamReader(DataSourceStreamReader):
       the single-file reader).
     """
 
-    def __init__(self, paths_glob: str, seek_to_end: bool):
+    #: executor-side read granularity: a partition's [start, end) range
+    #: is consumed in chunks of this many bytes (never one full-range
+    #: ``f.read``), so a large backfill range costs bounded memory
+    #: per-chunk plus the emitted rows.
+    READ_CHUNK = 4 << 20
+    #: planner-side split granularity: a file range larger than this
+    #: becomes several line-aligned partitions, so one huge backfill
+    #: file fans out across executors instead of pinning one task.
+    SPLIT_BYTES = 64 << 20
+
+    def __init__(
+        self, paths_glob: str, seek_to_end: bool, max_bytes_per_batch: int
+    ):
         self.paths_glob = paths_glob
         self.seek_to_end = seek_to_end
+        #: per-FILE per-batch advance cap (same dial as the single-file
+        #: ``tailf`` reader, which the r13 ``tailn`` silently dropped —
+        #: r13 ADVICE): without it, ``seek_to_end=false`` over large
+        #: pre-existing logs makes the first micro-batch swallow every
+        #: byte of every file at once.
+        self.max_bytes = max_bytes_per_batch
+        #: last offsets THIS planner returned — the cap is relative to
+        #: these.  The cap must be applied here in latestOffset (Spark
+        #: checkpoints whatever end we return; a partitions() that read
+        #: less than [start, end) would silently LOSE the tail of the
+        #: range).  None until the first planning call: after a
+        #: checkpoint restart the planner cannot see the checkpointed
+        #: start, so the first batch plans uncapped — a bounded-memory
+        #: catch-up (chunked reads + range splitting below), after
+        #: which the per-batch cap re-engages.
+        self._last_end: dict[str, int] | None = None
 
     def _files(self) -> list[str]:
         import glob
@@ -264,30 +292,85 @@ class TailNStreamReader(DataSourceStreamReader):
         return sorted(glob.glob(self.paths_glob))
 
     def initialOffset(self) -> dict:
-        if not self.seek_to_end:
-            return {}
-        # tail semantics: the INITIAL file set starts at EOF (complete
-        # lines only); files appearing later start at 0 — they were
-        # born after the stream, so their whole content is "new"
-        return {
-            p: _complete_through(p, 0, os.path.getsize(p)) for p in self._files()
-        }
+        out: dict[str, int] = {}
+        if self.seek_to_end:
+            # tail semantics: the INITIAL file set starts at EOF
+            # (complete lines only); files appearing later start at 0 —
+            # they were born after the stream, so their content is "new"
+            for p in self._files():
+                try:
+                    out[p] = _complete_through(p, 0, os.path.getsize(p))
+                except OSError:
+                    # deleted between glob and stat (delete-based
+                    # rotation is routine) — skip; if it reappears, a
+                    # later batch picks it up from 0
+                    continue
+        # seed the cap baseline: a fresh seek_to_end=false start then
+        # caps its very first backfill batch at max_bytes per file
+        self._last_end = dict(out)
+        return out
 
     def latestOffset(self) -> dict:
         out: dict[str, int] = {}
+        prev_map = self._last_end
         for p in self._files():
-            size = os.path.getsize(p)
-            out[p] = _complete_through(p, 0, size)
+            try:
+                size = os.path.getsize(p)
+                prev = None if prev_map is None else int(prev_map.get(p, 0))
+                if (
+                    prev is not None
+                    and size > prev  # not rotated/shrunk
+                    and size - prev > self.max_bytes
+                ):
+                    # planner-side backpressure: advance by at most
+                    # max_bytes past the previous plan, backed off to a
+                    # complete line; the remainder replans next batch
+                    aligned = _complete_through(p, prev, prev + self.max_bytes)
+                    if aligned <= prev:
+                        # one line longer than the cap: it must be
+                        # consumed whole — fall back to the full
+                        # alignment for this file this batch
+                        aligned = _complete_through(p, prev, size)
+                    out[p] = aligned
+                else:
+                    out[p] = _complete_through(p, 0, size)
+            except OSError:
+                continue  # vanished between glob and stat/backscan
+        self._last_end = dict(out)
         return out
+
+    def _split_points(self, path: str, s: int, e: int) -> list[int]:
+        """Line-aligned interior split points for a large [s, e) range
+        (ascending, exclusive of both ends).  Each candidate is backed
+        off to a complete-line boundary via ``_complete_through`` (a
+        ≤64 KiB backward probe per point — planner-side metadata
+        cost), so no partition ever splits a line."""
+        points: list[int] = []
+        cand = s + self.SPLIT_BYTES
+        while cand < e:
+            try:
+                aligned = _complete_through(path, points[-1] if points else s, cand)
+            except OSError:
+                break  # file vanished mid-planning; read() tolerates it
+            if aligned <= (points[-1] if points else s):
+                break  # one >SPLIT_BYTES line: give up splitting here
+            if aligned >= e:
+                break
+            points.append(aligned)
+            cand = aligned + self.SPLIT_BYTES
+        return points
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         parts: list[InputPartition] = []
         for p, e in end.items():
             s = int(start.get(p, 0))
+            e = int(e)
             if e < s:  # rotation/truncation → re-read from 0
                 s = 0
             if e > s:
-                parts.append(TailFilePartition(p, s, int(e)))
+                cuts = [s, *self._split_points(p, s, e), e]
+                for lo, hi in zip(cuts, cuts[1:]):
+                    parts.append(TailFilePartition(p, lo, hi))
         if not parts:
             # Spark requires >= 1 partition per batch; an empty range
             # read yields no rows
@@ -295,17 +378,42 @@ class TailNStreamReader(DataSourceStreamReader):
         return parts
 
     def read(self, partition: TailFilePartition) -> Iterator[tuple]:
-        # EXECUTOR-side: deterministic range read of one file
-        if not partition.path or not os.path.exists(partition.path):
+        # EXECUTOR-side: deterministic CHUNKED range read of one file —
+        # bounded memory even for a multi-GiB backfill partition (the
+        # r13 reader materialized the whole range in one f.read + a
+        # full split() copy).
+        if not partition.path:
             return iter([])
-        with open(partition.path, "rb") as f:
-            f.seek(partition.start)
-            data = f.read(partition.end - partition.start)
-        return iter(
-            (partition.path, ln.decode("utf-8", errors="replace"))
-            for ln in data.split(b"\n")
-            if ln != b""
-        )
+
+        def _rows() -> Iterator[tuple]:
+            try:
+                f = open(partition.path, "rb")
+            except OSError:
+                return  # vanished under delete-rotation: range is gone
+            with f:
+                f.seek(partition.start)
+                remaining = partition.end - partition.start
+                buf = b""
+                while remaining > 0:
+                    chunk = f.read(min(self.READ_CHUNK, remaining))
+                    if not chunk:
+                        break  # truncated under us: emit what we have
+                    remaining -= len(chunk)
+                    buf += chunk
+                    *lines, buf = buf.split(b"\n")
+                    for ln in lines:
+                        if ln != b"":
+                            yield (
+                                partition.path,
+                                ln.decode("utf-8", errors="replace"),
+                            )
+                # partition ends are line-aligned by construction, so a
+                # trailing remainder only appears if the file shrank
+                # mid-read — emit it rather than drop bytes
+                if buf != b"":
+                    yield (partition.path, buf.decode("utf-8", errors="replace"))
+
+        return _rows()
 
     def commit(self, end: dict) -> None:
         pass  # source files are not ours to clean
@@ -315,7 +423,9 @@ class TailNDataSource(DataSource):
     """``format("tailn")`` — planner-partitioned tail over a file glob.
 
     Options: ``paths`` (glob, required), ``seek_to_end`` (default
-    true).  Rows are (path, value)."""
+    true), ``max_bytes_per_batch`` (per-file per-batch advance cap,
+    default 16 MiB — same dial as ``tailf``).  Rows are (path, value).
+    """
 
     @classmethod
     def name(cls) -> str:
@@ -331,6 +441,9 @@ class TailNDataSource(DataSource):
         return TailNStreamReader(
             paths,
             seek_to_end=str(self.options.get("seek_to_end", "true")).lower() == "true",
+            max_bytes_per_batch=int(
+                self.options.get("max_bytes_per_batch", 1 << 24)
+            ),
         )
 
 

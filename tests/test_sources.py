@@ -256,3 +256,103 @@ def test_tailn_partitioned_reads_and_checkpoint_resume(spark, tmp_path):
     assert vals == ["a3", "c-partial done", "c2", "d1"], vals
     assert {p.rsplit("/", 1)[-1] for p, _v in got} == {"a.log", "c.log", "d.log"}
     assert nparts and max(nparts) == 3, nparts
+
+
+def test_tailn_per_batch_byte_cap_and_catchup(tmp_path):
+    """r14 (r13 ADVICE): the multi-file tail honors max_bytes_per_batch
+    — a large pre-existing backlog is planned in bounded per-batch
+    slices (line-aligned), and successive latestOffset calls catch up
+    without losing or duplicating a byte."""
+    from tailsql_spark.sources.tail import TailNStreamReader
+
+    log = tmp_path / "big.log"
+    lines = [f"line-{i:04d}" for i in range(200)]
+    log.write_text("".join(ln + "\n" for ln in lines))
+    total = log.stat().st_size
+
+    r = TailNStreamReader(str(log), seek_to_end=False, max_bytes_per_batch=256)
+    start = r.initialOffset()
+    assert start == {}  # backfill: read from 0
+
+    # drain the backlog through the capped planner
+    seen: list[str] = []
+    prev: dict = start
+    for _ in range(1000):
+        end = r.latestOffset()
+        if end == prev:
+            break
+        for part in r.partitions(prev, end):
+            seen.extend(v for _p, v in r.read(part))
+        prev = end
+    assert prev[str(log)] == total
+    assert seen == lines  # exactly once, in order
+    # the cap actually bit: the backlog needed > total/256 batches
+    n_batches = (total + 255) // 256
+    assert n_batches > 1
+
+
+def test_tailn_vanished_file_and_giant_line(tmp_path):
+    """r14 (r13 ADVICE): a file deleted between glob and stat is
+    skipped (delete-based rotation), and a single line longer than the
+    cap is still consumed whole."""
+    import os
+
+    from tailsql_spark.sources.tail import TailNStreamReader
+
+    a = tmp_path / "a.log"
+    a.write_text("a1\n")
+    giant = tmp_path / "g.log"
+    giant.write_text("x" * 5000 + "\n" + "tail\n")
+
+    r = TailNStreamReader(
+        str(tmp_path / "*.log"), seek_to_end=False, max_bytes_per_batch=64
+    )
+    r.initialOffset()
+    end = r.latestOffset()
+    # giant's first line exceeds the cap: the fallback advances past it
+    assert end[str(giant)] >= 5001
+    rows = []
+    for part in r.partitions({}, end):
+        rows.extend(v for _p, v in r.read(part))
+    assert "a1" in rows and "tail" in rows and ("x" * 5000) in rows
+
+    # vanish a file between planning rounds: latestOffset must not raise
+    os.unlink(str(a))
+    end2 = r.latestOffset()
+    assert str(a) not in end2
+
+    # vanish between planning and executor read: read() yields nothing
+    from tailsql_spark.sources.tail import TailFilePartition
+
+    ghost = TailFilePartition(str(tmp_path / "gone.log"), 0, 100)
+    assert list(r.read(ghost)) == []
+
+
+def test_tailn_range_split_and_chunked_read(tmp_path):
+    """r14: a backfill range larger than SPLIT_BYTES fans out into
+    several line-aligned partitions, and the executor read is chunked
+    (READ_CHUNK) — same rows as a whole-range read."""
+    from tailsql_spark.sources.tail import TailNStreamReader
+
+    log = tmp_path / "wide.log"
+    lines = [f"row-{i:05d}-" + "p" * 40 for i in range(4000)]
+    log.write_text("".join(ln + "\n" for ln in lines))
+    size = log.stat().st_size
+
+    r = TailNStreamReader(str(log), seek_to_end=False,
+                          max_bytes_per_batch=1 << 30)
+    r.SPLIT_BYTES = 8192   # force splitting at test scale
+    r.READ_CHUNK = 1024    # force chunked executor reads
+    r.initialOffset()
+    end = r.latestOffset()
+    assert end[str(log)] == size
+    parts = r.partitions({}, end)
+    assert len(parts) > 3  # the range actually split
+    # line-aligned split points: partitions tile [0, size) exactly
+    spans = sorted((p.start, p.end) for p in parts)
+    assert spans[0][0] == 0 and spans[-1][1] == size
+    assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+    got = []
+    for part in parts:
+        got.extend(v for _p, v in r.read(part))
+    assert got == lines

@@ -1909,6 +1909,62 @@ def test_state_meta_read_recovers_from_crashed_rename(spark, tmp_path):
     assert got == {"version": 3, "nb": 128, "rows": 20}, got
 
 
+def test_meta_pointer_read_reprobes_racing_rename(spark, tmp_path, monkeypatch):
+    """r14 (r13 ADVICE): a concurrent delete→rename commit can complete
+    BETWEEN the destination probe (absent: post-delete) and the tmp
+    probe (absent: post-rename).  The both-absent short-circuit must
+    re-probe the destination once before trusting the v0 default —
+    otherwise the reader silently serves the stale pre-fold pointer."""
+    import json
+
+    import tailsql_spark.plans.streaming_exec as SE
+
+    root = f"file://{tmp_path}"
+    p = f"{tmp_path}/_meta.json"
+    committed = {"version": 5, "nb": 256, "rows": 99}
+    with open(p, "w") as fh:
+        fh.write(json.dumps(committed))
+
+    real_exists = SE._fs_exists
+    calls = {"n": 0}
+
+    def racing_exists(path):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return False  # probe 1: dest absent (writer just deleted it)
+        if calls["n"] == 2:
+            return False  # probe 2: tmp absent (rename just landed)
+        return real_exists(path)  # re-probe: the committed dest is back
+
+    monkeypatch.setattr(SE, "_fs_exists", racing_exists)
+    got = SE._state_meta_read(root)
+    assert got == committed, got
+    assert calls["n"] == 3  # the single re-probe resolved it
+
+
+def test_del_meta_read_recovers_from_crashed_rename(spark, tmp_path):
+    """r14 (r13 ADVICE): the tombstone-log / flat-purge pointer routes
+    through the SAME bounded-retry + tmp-recovery as the state
+    families' pointer — a crash between delete and rename must never
+    default to {version: 0} once a fold committed (that would make
+    _flat_state_paths serve no base: silent loss of compacted rows)."""
+    import json
+    import os
+
+    from tailsql_spark.plans.streaming_exec import _del_meta_read
+
+    root = f"file://{tmp_path}"
+    local = str(tmp_path)
+    # fresh root: v0 default
+    assert _del_meta_read(root) == {"version": 0, "folded_below_bid": 0}
+    # crash window: tmp written, dest deleted, rename never ran
+    with open(f"{local}/_meta.json.tmp", "w") as fh:
+        fh.write(json.dumps({"version": 2, "folded_below_bid": 7}))
+    got = _del_meta_read(root)
+    assert got == {"version": 2, "folded_below_bid": 7}, got
+    os.remove(f"{local}/_meta.json.tmp")
+
+
 def test_bm25_double_delete_signs_stats_once(spark, oracle_sf_dir):
     """r13 (ADVICE): a doc deleted TWICE — duplicated 'D' rows inside
     one delta AND a re-delete in a later batch — must decrement
