@@ -61,6 +61,11 @@ GRADED_WINDOW: tuple[str, ...] = (
     # (r10: tailsql_parse_typed_rows rotated to the local gate after
     #  nine green rounds — the pipeline row CONTAINS the typed parse;
     #  its slot goes to the round's BM25 serving index)
+    # r14: the SAME pipeline ingested through the planner-partitioned
+    # multi-file tail source (format 'tailn') — N staged log files, a
+    # real availableNow micro-batch stream, identical oracle; puts the
+    # r13 source work in the driver's hard gate (VERDICT r13 ask #3)
+    "stream_tailn_pipeline",
     "tailsql_filter_expr",          # §2C filter-expression surface
     # r10: the persisted term-bucketed posting index, certified by
     # CONTENT (per-bucket profile vs the oracle's recomputation with
@@ -82,7 +87,11 @@ GRADED_WINDOW: tuple[str, ...] = (
     # (r9: q3_shipping_priority rotated to the local gate — all 22
     #  TPC-H shapes stay green there and q1 keeps the family repped;
     #  its slot goes to the event-analytics lateness audit below)
-    "events_watermark_lateness",    # out-of-orderness audit (bucketed prefix max)
+    # (r14: events_watermark_lateness rotated to the local gate after
+    #  six green rounds — event analytics stays repped by
+    #  events_tumbling_1h; the slot goes to the takedown-aware flat
+    #  MinHash row, closing VERDICT r13 gap #1 for that family)
+    "stream_minhash_takedown",      # r14: flat MinHash 'D' path + physical purge
     "window_topk_per_group",        # window functions
     "orderby_limit_topk",           # sorts / limits / top-k
     "setop_except_all",             # set operations
@@ -264,7 +273,12 @@ GRADED_WINDOW: tuple[str, ...] = (
     # LLM-pipeline flagship — BATCHED BPE training (top-k
     # symbol-disjoint merges per round), certified against DuckDB's
     # unrolled replay of the same ranked selection + batch merge
-    "text_bpe_train_batched",
+    # (r14: text_bpe_train_batched rotated to the local gate after six
+    #  green rounds — tokenizer training stays graded by
+    #  text_unigram_lm_train and the BPE train/tokenize family stays
+    #  certified locally; the slot goes to the takedown-aware
+    #  duplicated-substring row, VERDICT r13 gap #1)
+    "stream_substr_takedown",       # r14: substring-span takedowns + dup rebuild
     # r8: tokenizer INFERENCE under the trained vocabulary (train +
     # apply in one certified composition)
     # (r9: text_bpe_tokenize rotated to the local gate — tokenizer
@@ -278,7 +292,13 @@ GRADED_WINDOW: tuple[str, ...] = (
     # perplexity quality filter, now driver-graded
     # (r9: text_bigram_surprisal rotated to the local gate; the slot
     #  gives the sketch family an exact-certified driver row)
-    "agg_countmin_sketch",          # mergeable CMS, exact cross-engine
+    # (r14: agg_countmin_sketch rotated to the local gate after six
+    #  green rounds — the mergeable-sketch concern stays graded by
+    #  join_bloom_pruned and the CMS row stays exact-certified locally;
+    #  the slot goes to the takedown-aware SemDeDup row, VERDICT r13
+    #  gap #1's hardest case: min-fold state that must re-elect its
+    #  prune cause under deletion)
+    "stream_semdedup_takedown",     # r14: SemDeDup takedowns + pair-log re-election
     # multimodal (mapInPandas over binary payloads)
     # (r9: multimodal_feature_extract rotated to the local gate — the
     #  phash row below subsumes the mapInPandas plumbing certification
@@ -292,7 +312,11 @@ GRADED_WINDOW: tuple[str, ...] = (
     #  four green rounds — the CDC fingerprint engine stays graded
     #  INSIDE multimodal_curation_survivors above, which composes all
     #  three modality dedups)
-    "multimodal_video_dedup",       # r10: frame-sampled dHash signatures
+    # (r14: multimodal_video_dedup rotated to the local gate after four
+    #  green rounds — the frame-signature engine stays driver-graded
+    #  TWICE: incrementally via stream_video_dedup and composed inside
+    #  multimodal_curation_survivors; its slot keeps the window at 50
+    #  for the r14 takedown rows above)
     # skew handling
     "agg_salted_skew",
     # ML prep (r3: iterative k-means — the iterative-algorithm family's
@@ -312,7 +336,14 @@ GRADED_WINDOW: tuple[str, ...] = (
     # serving shape — bucket-pruned probe over the materialized index,
     # scored through the same bm25_rank code against the same oracle
     # (sink_bm25_index above certifies the index content itself).
-    "text_bm25_topk_indexed",
+    # (r14: text_bm25_topk_indexed rotated to the local gate after four
+    #  green rounds — the bucket-pruned indexed serving path stays
+    #  driver-graded INSIDE stream_bm25_takedown (same bm25_rank code
+    #  over the incrementally-maintained index) and sink_bm25_index
+    #  keeps certifying the index content; the slot goes to the
+    #  takedown-aware contamination audit, VERDICT r13 gap #1's
+    #  provenance case: train-gram state keyed per contributing doc)
+    "stream_contam_takedown",       # r14: decontamination takedowns + provenance
     # r6: the mixing row upgraded to the full curation-DAG composition
     # (quality gate → exact dedup → near-dup survivors → budgets).
     # (r11: corpus_curation_survivors rotated to the local gate — the

@@ -797,7 +797,9 @@ def _persist_result(df, name: str):
     return spark.read.parquet(dest)
 
 
-def _minhash_batch_processor(ex_root: str, sig_root: str, out_root: str):
+def _minhash_batch_processor(
+    ex_root: str, sig_root: str, out_root: str, del_root: str | None = None
+):
     """foreachBatch processor for incremental MinHash dedup, built for
     EXACTLY-ONCE under micro-batch replay: every write lands in a
     per-batch-id subdir with mode=overwrite, and history reads exclude
@@ -805,6 +807,17 @@ def _minhash_batch_processor(ex_root: str, sig_root: str, out_root: str):
     finished but whose checkpoint commit didn't simply overwrites the
     same state with the same rows instead of double-appending shingles
     (which would corrupt every later Jaccard count).
+
+    TAKEDOWNS (r14, ``del_root`` — closing VERDICT r13's gap for the
+    FLAT MinHash twin, mirroring the bucketed processor): both the
+    batch's own rows and the history signature index anti-join the
+    accumulated tombstone set (own bid included — its delete dir is
+    rewritten byte-identically on replay), so a taken-down document
+    stops GENERATING near-dup candidates the moment its 'D' batch
+    commits, and an I+D for the same doc in one batch never writes
+    shingle/signature content at all.  Physical erasure of earlier
+    batches' content rows is the offline ``purge_flat_family`` pass
+    (see ``stream_minhash_takedown``).
 
     Factored to module level so tests replay batches directly
     (tests/test_streaming_replay.py) without the streaming engine.
@@ -819,6 +832,13 @@ def _minhash_batch_processor(ex_root: str, sig_root: str, out_root: str):
     def process(batch_df, batch_id):
         sess = batch_df.sparkSession
         bid = int(batch_id)
+        if del_root is not None:
+            dset = (
+                sess.read.parquet(*_del_state_paths(del_root))
+                .select("doc_id")
+                .distinct()
+            )
+            batch_df = batch_df.join(F.broadcast(dset), "doc_id", "left_anti")
         ex_b = (
             batch_df.select(
                 "doc_id", F.explode_outer(shingles_col(F.col("text"))).alias("s")
@@ -828,6 +848,8 @@ def _minhash_batch_processor(ex_root: str, sig_root: str, out_root: str):
         )
         sig_b = minhash_signatures(ex_b).persist()
         sig_hist = sess.read.parquet(*_mh_state_paths(sig_root, bid))
+        if del_root is not None:
+            sig_hist = sig_hist.join(F.broadcast(dset), "doc_id", "left_anti")
         sig_all = sig_hist.unionByName(sig_b)
         # probe: bands of NEW docs vs bands of (history ∪ new) — every
         # pair with >=1 new member collides here; history×history pairs
@@ -1313,7 +1335,12 @@ REGISTRY["stream_ann_topk"] = QuerySpec(
 # data streams in
 # ---------------------------------------------------------------------------
 
-def _contam_batch_processor(train_root: str, hits_root: str, test_grams_path: str):
+def _contam_batch_processor(
+    train_root: str,
+    hits_root: str,
+    test_grams_path: str,
+    del_root: str | None = None,
+):
     """foreachBatch processor for the incremental contamination audit.
 
     Per batch: the batch's TRAIN docs are reduced to distinct 5-grams,
@@ -1324,20 +1351,61 @@ def _contam_batch_processor(train_root: str, hits_root: str, test_grams_path: st
     therefore emitted exactly once, in the batch its gram first enters
     the training corpus. Per-batch cost tracks NEW grams, never corpus
     size; state dirs follow the shared per-batch-id replay discipline.
+
+    TAKEDOWNS (r14, ``del_root`` — VERDICT r13 gap #1): the train-gram
+    state gains PROVENANCE — per-batch dirs store distinct (doc_id, g)
+    pairs instead of bare ``g`` — because deletion is undecidable
+    without it (a gram contributed by a deleted doc AND a live doc
+    must survive; one contributed only by deleted docs must not).  The
+    batch's own rows anti-join the accumulated tombstone set (deleted
+    docs stop contributing grams), and "first appearance" is evaluated
+    against the LIVE-seen gram set (history pairs minus deleted docs),
+    so a gram whose only earlier contributor was taken down correctly
+    re-fires its test probe when a live doc brings it back.  That
+    re-fire can duplicate a (test_doc, g) hit row — the serve counts
+    DISTINCT pairs, so duplicates are harmless (and the offline purge
+    folds them away).  History reads go through the meta-aware
+    ``_flat_state_paths`` so ingestion resumes correctly after an
+    offline physical purge committed a base pointer.
     """
 
     def process(batch_df, batch_id):
         sess = batch_df.sparkSession
         bid = int(batch_id)
         sub = _bdir(bid)
-        gb = _doc_5grams(batch_df).select("g").distinct()
-        hist = sess.read.parquet(*_mh_state_paths(train_root, bid)).select("g")
-        new_grams = gb.join(hist, "g", "left_anti").persist()
+        if del_root is None:
+            gb = _doc_5grams(batch_df).select("g").distinct()
+            hist = sess.read.parquet(*_mh_state_paths(train_root, bid)).select("g")
+            new_grams = gb.join(hist, "g", "left_anti").persist()
+            state_rows = new_grams.select("g")
+        else:
+            dset = (
+                sess.read.parquet(*_del_state_paths(del_root))
+                .select("doc_id")
+                .distinct()
+            )
+            gb_pairs = (
+                _doc_5grams(batch_df)
+                .join(F.broadcast(dset), "doc_id", "left_anti")
+                .persist()
+            )
+            live_seen = (
+                sess.read.parquet(*_flat_state_paths(train_root, bid))
+                .join(F.broadcast(dset), "doc_id", "left_anti")
+                .select("g")
+                .distinct()
+            )
+            new_grams = (
+                gb_pairs.select("g").distinct().join(live_seen, "g", "left_anti")
+            ).persist()
+            state_rows = gb_pairs
         test_grams = sess.read.parquet(test_grams_path)
         hits = new_grams.join(test_grams, "g").select("doc_id", "g")
         hits.write.mode("overwrite").parquet(f"{hits_root}/{sub}")
-        new_grams.select("g").write.mode("overwrite").parquet(f"{train_root}/{sub}")
+        state_rows.write.mode("overwrite").parquet(f"{train_root}/{sub}")
         new_grams.unpersist()
+        if del_root is not None:
+            state_rows.unpersist()
 
     return process
 
@@ -1463,7 +1531,13 @@ REGISTRY["stream_contamination"] = QuerySpec(
 # streamed embedding corpus
 # ---------------------------------------------------------------------------
 
-def _semdedup_batch_processor(members_root: str, snap_root: str, cent_path: str):
+def _semdedup_batch_processor(
+    members_root: str,
+    snap_root: str | None,
+    cent_path: str,
+    del_root: str | None = None,
+    pairs_root: str | None = None,
+):
     """foreachBatch processor maintaining SemDeDup keep/prune state.
 
     Per batch: new vectors assign to their FIXED k-means cell (the
@@ -1482,6 +1556,20 @@ def _semdedup_batch_processor(members_root: str, snap_root: str, cent_path: str)
     Scale: per batch the pair stage is |new| × |cell members|, bounded
     by cell size — never corpus-quadratic; members and snapshots are
     the usual columnar state dirs, partitionable by cell.
+
+    TAKEDOWNS (r14, ``del_root``/``pairs_root`` — VERDICT r13 gap #1):
+    a MIN-fold snapshot cannot survive deletion (removing the vec that
+    WAS the min prune-cause demands re-election among survivors), so
+    takedown mode additionally logs the raw ε-close (vec_id, p) PAIRS
+    per batch — the id-only analog of the curation edge log — and the
+    serve recomputes ``pruned_by = min`` over the pairs whose BOTH
+    members survive (``snap_root=None`` then skips the snapshot fold:
+    the pairs log is the serve source).  Batch rows and history members
+    anti-join the accumulated tombstone set, so a taken-down vector
+    stops generating candidates the moment its 'D' batch commits and an
+    I+D in one batch never writes its vector content at all; member
+    history reads are meta-aware (``_flat_state_paths``) so ingestion
+    resumes after the offline physical purge.
     """
     from tailsql_spark.operators.mlprep import assign_quantized, quantize_embedding
     from tailsql_spark.operators.similarity import (
@@ -1495,6 +1583,13 @@ def _semdedup_batch_processor(members_root: str, snap_root: str, cent_path: str)
         sess = batch_df.sparkSession
         bid = int(batch_id)
         sub = _bdir(bid)
+        if del_root is not None:
+            dset = (
+                sess.read.parquet(*_del_state_paths(del_root))
+                .select("vec_id")
+                .distinct()
+            )
+            batch_df = batch_df.join(F.broadcast(dset), "vec_id", "left_anti")
         cent = sess.read.parquet(cent_path)
         q = batch_df.select("vec_id", quantize_embedding("embedding").alias("e"))
         cells = assign_quantized(q, cent).select("vec_id", "cell")
@@ -1506,14 +1601,19 @@ def _semdedup_batch_processor(members_root: str, snap_root: str, cent_path: str)
             .join(cells, "vec_id")
             .persist()
         )
-        hist = sess.read.parquet(*_mh_state_paths(members_root, bid))
+        if del_root is None:
+            hist = sess.read.parquet(*_mh_state_paths(members_root, bid))
+        else:
+            hist = sess.read.parquet(
+                *_flat_state_paths(members_root, bid)
+            ).join(F.broadcast(dset), "vec_id", "left_anti")
         # candidate pairs: (history ∪ new) × new, same cell — every pair
         # with at least one new member, each contributing one
         # (larger_id, smaller_id) row; the min-fold absorbs the
         # double-sighting of new×new pairs
         allm = hist.unionByName(new)
         cos = dot(F.col("v"), F.col("yv")) / (F.col("nrm") * F.col("ynrm"))
-        cand = (
+        pairs = (
             allm.join(
                 new.select(
                     F.col("vec_id").alias("y_id"),
@@ -1529,29 +1629,36 @@ def _semdedup_batch_processor(members_root: str, snap_root: str, cent_path: str)
                 F.greatest("vec_id", "y_id").alias("vec_id"),
                 F.least("vec_id", "y_id").alias("p"),
             )
-            .groupBy("vec_id")
-            .agg(F.min("p").alias("p"))
+            .distinct()
         )
-        prev = sess.read.parquet(_latest_snapshot_path(snap_root, bid))
-        base = prev.unionByName(
-            new.select("vec_id", "cell", F.lit(None).cast("long").alias("pruned_by"))
-        )
-        snap = (
-            base.join(cand, "vec_id", "left")
-            .select(
-                "vec_id",
-                "cell",
-                # least() skips NULLs unless both are NULL — exactly the
-                # "min of any observed smaller ε-close id, else NULL" fold
-                F.least("pruned_by", "p").alias("pruned_by"),
+        if pairs_root is not None:
+            pairs.write.mode("overwrite").parquet(f"{pairs_root}/{sub}")
+        if snap_root is not None:
+            cand = pairs.groupBy("vec_id").agg(F.min("p").alias("p"))
+            prev = sess.read.parquet(_latest_snapshot_path(snap_root, bid))
+            base = prev.unionByName(
+                new.select(
+                    "vec_id", "cell", F.lit(None).cast("long").alias("pruned_by")
+                )
             )
-        )
-        snap.write.mode("overwrite").parquet(f"{snap_root}/{sub}")
+            snap = (
+                base.join(cand, "vec_id", "left")
+                .select(
+                    "vec_id",
+                    "cell",
+                    # least() skips NULLs unless both are NULL — exactly
+                    # the "min of any observed smaller ε-close id, else
+                    # NULL" fold
+                    F.least("pruned_by", "p").alias("pruned_by"),
+                )
+            )
+            snap.write.mode("overwrite").parquet(f"{snap_root}/{sub}")
         new.select("vec_id", "cell", "v", "nrm").write.mode("overwrite").parquet(
             f"{members_root}/{sub}"
         )
         new.unpersist()
-        _prune_snapshots(snap_root, bid - 1)
+        if snap_root is not None:
+            _prune_snapshots(snap_root, bid - 1)
 
     return process
 
@@ -1645,7 +1752,12 @@ REGISTRY["stream_dedup_semantic"] = QuerySpec(
 # as the corpus streams in
 # ---------------------------------------------------------------------------
 
-def _substr_batch_processor(pos_root: str, dup_root: str, pending_root: str):
+def _substr_batch_processor(
+    pos_root: str,
+    dup_root: str,
+    pending_root: str,
+    del_root: str | None = None,
+):
     """foreachBatch processor maintaining duplicated-gram detection.
 
     State split by monotonicity: a gram's dup status only ever turns ON
@@ -1675,6 +1787,20 @@ def _substr_batch_processor(pos_root: str, dup_root: str, pending_root: str):
     Replay-safe under the shared discipline: per-batch-id overwrite
     dirs, history reads exclude the replaying batch — identical to the
     dup/pos dirs.
+
+    TAKEDOWNS (r14, ``del_root`` — VERDICT r13 gap #1): the batch's own
+    docs anti-join the accumulated tombstone set, so a taken-down doc's
+    positional windows and gram sightings never enter the state (an I+D
+    in one batch writes NOTHING content-derived for that doc).  Gram
+    dup status is NOT monotone under deletion (removing one of a gram's
+    two occurrences demotes it), so the takedown serve recomputes the
+    dup set from the SURVIVING positional windows and the offline purge
+    REBUILDS dup/pending from the purged position log
+    (``_rewrite_flat_family``); the incrementally-maintained dup set
+    stays exact for the insert-only stream and is treated as
+    over-approximate between a takedown and its purge.  History reads
+    are meta-aware (``_flat_state_paths``) so ingestion resumes on the
+    rebuilt state.
     """
     from tailsql_spark.operators.dedup import doc_pos_grams
 
@@ -1682,11 +1808,18 @@ def _substr_batch_processor(pos_root: str, dup_root: str, pending_root: str):
         sess = batch_df.sparkSession
         bid = int(batch_id)
         sub = _bdir(bid)
+        if del_root is not None:
+            dset = (
+                sess.read.parquet(*_del_state_paths(del_root))
+                .select("doc_id")
+                .distinct()
+            )
+            batch_df = batch_df.join(F.broadcast(dset), "doc_id", "left_anti")
         pg = doc_pos_grams(batch_df).persist()
         cb = pg.groupBy("g").agg(F.count("*").alias("c"))
-        hist_dup = sess.read.parquet(*_mh_state_paths(dup_root, bid)).select("g")
+        hist_dup = sess.read.parquet(*_flat_state_paths(dup_root, bid)).select("g")
         pending_prev = sess.read.parquet(
-            *_mh_state_paths(pending_root, bid)
+            *_flat_state_paths(pending_root, bid)
         ).select("g")
         # grams whose dup status is still undecided before this batch
         fresh = cb.join(hist_dup, "g", "left_anti").persist()
@@ -2618,7 +2751,7 @@ def _max_bid(root: str) -> int:
     return max(bids) if bids else -1
 
 
-def _flat_state_paths(root: str) -> list[str]:
+def _flat_state_paths(root: str, exclude_bid: int | None = None) -> list[str]:
     """Meta-aware read of a FLAT per-batch state family (attrs /
     modality posting logs): without a compaction pointer this is
     exactly the ``_mh_state_paths`` listing (seed + every ``b#####``
@@ -2628,14 +2761,25 @@ def _flat_state_paths(root: str) -> list[str]:
     because these families' rows are COUNTED downstream (posting df,
     group sizes), where the tombstone log's duplicate tolerance does
     not apply.  Crash-safe: the base becomes visible only through the
-    atomically-committed meta pointer."""
+    atomically-committed meta pointer.
+
+    ``exclude_bid`` (r14) applies the same replay rule as
+    ``_mh_state_paths``: a processor's HISTORY read excludes the
+    replaying batch's own delta dir.  The base never needs excluding —
+    purges run offline with the stream drained, so every folded bid is
+    strictly below any bid that can still replay."""
     meta = _del_meta_read(root)
     ver, below = int(meta["version"]), int(meta["folded_below_bid"])
     paths = [f"{root}/seed"]
     if ver > 0:
         paths.append(f"{root}/base_v{ver}")
     for d in sorted(_fs_list_dirs(root)):
-        if d.startswith("b") and d[1:].isdigit() and int(d[1:]) >= below:
+        if (
+            d.startswith("b")
+            and d[1:].isdigit()
+            and int(d[1:]) >= below
+            and (exclude_bid is None or int(d[1:]) != int(exclude_bid))
+        ):
             paths.append(f"{root}/{d}")
     return paths
 
@@ -2655,12 +2799,25 @@ def purge_flat_family(sess, root: str, dels, col: str = "doc_id") -> None:
     the id-only graph state (edges, label snapshots) is metadata and
     is instead filtered/recomputed at serve.  Run OFFLINE, never while
     the family's stream is live (same window as every other fold)."""
+    live = sess.read.parquet(*_flat_state_paths(root))
+    purged = live.join(F.broadcast(dels.select(col)), col, "left_anti")
+    _rewrite_flat_family(sess, root, purged)
+
+
+def _rewrite_flat_family(sess, root: str, frame) -> None:
+    """Commit ``frame`` as the new consolidated ``base_v{N}`` of a FLAT
+    per-batch state family under the {version, folded_below_bid}
+    pointer discipline — the generic fold `purge_flat_family` is the
+    anti-join instance of.  Takedown purges that must REBUILD a
+    derived family (the substring dup/pending gram sets, whose
+    membership is not monotone under deletion) pass the recomputed
+    frame directly.  Same crash safety as every fold: base write
+    (overwrite, idempotent) then atomic meta commit; `_flat_state_paths`
+    serves the base + post-fold deltas only after the pointer lands."""
     import json
 
     ver = int(_del_meta_read(root)["version"]) + 1
-    live = sess.read.parquet(*_flat_state_paths(root))
-    purged = live.join(F.broadcast(dels.select(col)), col, "left_anti")
-    purged.write.mode("overwrite").parquet(f"{root}/base_v{ver}")
+    frame.write.mode("overwrite").parquet(f"{root}/base_v{ver}")
     folded_below = _max_bid(root) + 1
     _fs_write_text_atomic(
         f"{root}/_meta.json",
@@ -5110,23 +5267,30 @@ def _curation_takedown_oracle() -> str:
     )
 
 
-def _unified_takedown_processor(inner_process, del_root: str):
-    """Wrap the unified curation processor with the tombstone-log
-    discipline: the batch's 'D' doc_ids land in the shared del family
-    FIRST (per-batch-id overwrite — the all-state-on-disk invariant:
-    no sub-state of the batch becomes readable before its deletions
-    are), then the certified inner processor runs on the insert rows
-    under the SAME batch id, so replay rewrites tombstones and state
-    byte-identically together."""
+def _takedown_processor(inner_process, del_root: str, key: str = "doc_id"):
+    """Wrap an incremental processor with the tombstone-log discipline:
+    the batch's 'D' ``key`` ids land in the shared del family FIRST
+    (per-batch-id overwrite — the all-state-on-disk invariant: no
+    sub-state of the batch becomes readable before its deletions are),
+    then the certified inner processor runs on the insert rows under
+    the SAME batch id, so replay rewrites tombstones and state
+    byte-identically together.  ``key`` names the id column ('doc_id'
+    for document families, 'vec_id' for embedding families)."""
 
     def process(batch_df, batch_id):
         bid = int(batch_id)
-        batch_df.filter(F.col("op") == "D").select("doc_id").write.mode(
+        batch_df.filter(F.col("op") == "D").select(key).write.mode(
             "overwrite"
         ).parquet(f"{del_root}/{_bdir(bid)}")
         inner_process(batch_df.filter(F.col("op") != "D").drop("op"), batch_id)
 
     return process
+
+
+def _unified_takedown_processor(inner_process, del_root: str):
+    """The unified-curation takedown wrapper (r13) — now the doc_id
+    instance of the generic :func:`_takedown_processor`."""
+    return _takedown_processor(inner_process, del_root, key="doc_id")
 
 
 def stream_curation_takedown(
@@ -5289,6 +5453,527 @@ REGISTRY["stream_curation_takedown"] = QuerySpec(
     "on the corpus minus the deleted set (doc_id % 13 = 5, "
     "non-vacuous: drop counts shift in text, audio, and video rows), "
     "served from the PURGED state.",
+)
+
+
+# ---------------------------------------------------------------------------
+# r14: takedowns + physical purge for the REMAINING content-derived
+# incremental families (VERDICT r13 gap #1) — the flat MinHash twin,
+# duplicated-substring spans, SemDeDup, and the contamination audit.
+# Each row follows the curation-takedown contract: 'D' ids land in a
+# tombstone log committed before any sub-state of the batch, deleted
+# ids stop GENERATING candidates at probe time, the offline pass
+# physically erases their content-derived rows, and the serve (from
+# the purged state) certifies against the family's own oracle
+# recomputed on the corpus minus the deleted set.
+# ---------------------------------------------------------------------------
+
+MINHASH_TAKEDOWN_MOD, MINHASH_TAKEDOWN_RESIDUE = 7, 2
+SUBSTR_TAKEDOWN_MOD, SUBSTR_TAKEDOWN_RESIDUE = 7, 2
+CONTAM_TAKEDOWN_MOD, CONTAM_TAKEDOWN_RESIDUE = 7, 2
+SEMDEDUP_TAKEDOWN_MOD, SEMDEDUP_TAKEDOWN_RESIDUE = 9, 4
+
+
+def _docs_live_oracle(base: str, pred: str) -> str:
+    """Rewrite a documents-table oracle onto the post-takedown corpus:
+    every ``documents`` reference is redirected through a ``docs_live``
+    CTE carrying the deterministic takedown predicate — the same
+    transformation ``_curation_takedown_oracle`` applies to the
+    composed report."""
+    import re
+
+    live = re.sub(r"\bdocuments\b", "docs_live", base)
+    assert live != base, "takedown oracle rewrite: no documents reference found"
+    anchor = "WITH "
+    assert anchor in live, "takedown oracle rewrite: base oracle has no WITH"
+    return live.replace(
+        anchor,
+        anchor + f"docs_live AS (SELECT * FROM documents WHERE NOT ({pred})), ",
+        1,
+    )
+
+
+def _takedown_delta(docs: DataFrame, is_del, key: str = "doc_id") -> DataFrame:
+    """The insert/tombstone stream: every row as 'I' plus a 'D' row per
+    deleted id — the same delta shape the curation takedown feeds."""
+    return docs.withColumn("op", F.lit("I")).unionByName(
+        docs.filter(is_del).withColumn("op", F.lit("D"))
+    )
+
+
+def stream_minhash_takedown(
+    spark: SparkSession, sf_dir: str, state_root: str | None = None
+) -> DataFrame:
+    """Takedown-aware FLAT incremental MinHash dedup (r14): the flat
+    twin of the bucketed curation probe gains the same 'D' path — a
+    taken-down doc stops generating near-dup candidates the moment its
+    tombstone batch commits, and the offline pass physically purges its
+    shingles, signatures, AND emitted pairs (both endpoints), so the
+    served pair set equals batch ``dedup_minhash_lsh`` over the corpus
+    minus the deleted set."""
+    import shutil
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+    is_del = (
+        F.col("doc_id") % MINHASH_TAKEDOWN_MOD == MINHASH_TAKEDOWN_RESIDUE
+    )
+    delta = _takedown_delta(docs, is_del)
+    state_root, _owned_state = _resolve_state_root("mhtake", state_root)
+    src_dir = _stage_stream_source(
+        delta, "mhtake", state_root, _owned_state, corpus_tag=sf_dir
+    )
+    ex_root, sig_root, out_root = _mh_seed_state(docs, state_root)
+    del_root = f"{state_root}/del"
+    spark.createDataFrame([], "doc_id long").write.mode("overwrite").parquet(
+        f"{del_root}/seed"
+    )
+    process = _takedown_processor(
+        _minhash_batch_processor(ex_root, sig_root, out_root, del_root=del_root),
+        del_root,
+        key="doc_id",
+    )
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{state_root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _await_or_raise(q, "stream_minhash_takedown")
+    finally:
+        q.stop()
+
+    # OFFLINE physical purge: shingles + signatures are content (the
+    # doc's own n-grams / hashes) — anti-join fold by doc_id; the pair
+    # log references deleted endpoints with a content-derived jaccard,
+    # so it folds twice (one pass per endpoint column); the tombstone
+    # log compacts and every superseded dir is vacuumed.
+    dels_df = (
+        spark.read.parquet(*_del_state_paths(del_root)).select("doc_id").distinct()
+    )
+    for fam in (ex_root, sig_root):
+        purge_flat_family(spark, fam, dels_df, col="doc_id")
+        expire_del_versions(fam)
+    purge_flat_family(
+        spark, out_root, dels_df.withColumnRenamed("doc_id", "id_a"), col="id_a"
+    )
+    purge_flat_family(
+        spark, out_root, dels_df.withColumnRenamed("doc_id", "id_b"), col="id_b"
+    )
+    expire_del_versions(out_root)
+    _compact_del_log(spark, del_root, "doc_id", None)
+    expire_del_versions(del_root)
+
+    result = spark.read.parquet(*_flat_state_paths(out_root)).select(
+        "id_a", "id_b", "jaccard"
+    )
+    out = _persist_result(result, "stream_minhash_takedown")
+    if _owned_state:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        _fs_rmtree(state_root)
+    return out
+
+
+REGISTRY["stream_minhash_takedown"] = QuerySpec(
+    name="stream_minhash_takedown",
+    category="streaming-executed",
+    build=stream_minhash_takedown,
+    oracle=_docs_live_oracle(
+        _DEDUP_REGISTRY["dedup_minhash_lsh"].oracle,
+        f"doc_id % {MINHASH_TAKEDOWN_MOD} = {MINHASH_TAKEDOWN_RESIDUE}",
+    ),
+    doc="Takedown-aware flat incremental MinHash dedup: 'D' doc_ids "
+    "land in a tombstone log committed before the batch's state; the "
+    "signature probe anti-joins it (deleted docs stop generating "
+    "candidates); the offline purge erases their shingles, signatures "
+    "and pair rows (both endpoints) under the versioned fold pointer. "
+    "Served from the purged pair log; oracle = dedup_minhash_lsh "
+    f"recomputed minus doc_id % {MINHASH_TAKEDOWN_MOD} = "
+    f"{MINHASH_TAKEDOWN_RESIDUE} (non-vacuous: pairs drop).",
+)
+
+
+def stream_substr_takedown(
+    spark: SparkSession, sf_dir: str, state_root: str | None = None
+) -> DataFrame:
+    """Takedown-aware duplicated-substring spans (r14): gram dup status
+    is NOT monotone under deletion (removing one of two occurrences
+    demotes the gram), so the serve recomputes the dup set from the
+    SURVIVING positional windows — the decremental analog of the
+    curation row's closure recompute — and the offline purge rebuilds
+    the dup/pending gram families from the purged position log."""
+    import shutil
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+    from tailsql_spark.operators.dedup import doc_pos_grams, spans_from_flagged
+
+    is_del = F.col("doc_id") % SUBSTR_TAKEDOWN_MOD == SUBSTR_TAKEDOWN_RESIDUE
+    delta = _takedown_delta(docs, is_del)
+    state_root, _owned_state = _resolve_state_root("sstake", state_root)
+    src_dir = _stage_stream_source(
+        delta, "sstake", state_root, _owned_state, corpus_tag=sf_dir
+    )
+    pos_root = f"{state_root}/pos"
+    dup_root = f"{state_root}/dup"
+    pending_root = f"{state_root}/pending"
+    del_root = f"{state_root}/del"
+    empty_pg = doc_pos_grams(docs.limit(0))
+    empty_pg.write.mode("overwrite").parquet(f"{pos_root}/seed")
+    empty_pg.select("g").write.mode("overwrite").parquet(f"{dup_root}/seed")
+    empty_pg.select("g").write.mode("overwrite").parquet(f"{pending_root}/seed")
+    spark.createDataFrame([], "doc_id long").write.mode("overwrite").parquet(
+        f"{del_root}/seed"
+    )
+    process = _takedown_processor(
+        _substr_batch_processor(
+            pos_root, dup_root, pending_root, del_root=del_root
+        ),
+        del_root,
+        key="doc_id",
+    )
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{state_root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _await_or_raise(q, "stream_substr_takedown")
+    finally:
+        q.stop()
+
+    # OFFLINE physical purge: positions carry gram TEXT per doc —
+    # anti-join fold by doc_id; then dup/pending are REBUILT from the
+    # purged position log (membership is count-derived, so a deleted
+    # occurrence can demote a gram — an anti-join cannot express that).
+    dels_df = (
+        spark.read.parquet(*_del_state_paths(del_root)).select("doc_id").distinct()
+    )
+    purge_flat_family(spark, pos_root, dels_df, col="doc_id")
+    expire_del_versions(pos_root)
+    live_pos = spark.read.parquet(*_flat_state_paths(pos_root))
+    live_counts = live_pos.groupBy("g").agg(F.count("*").alias("c"))
+    _rewrite_flat_family(
+        spark, dup_root, live_counts.filter(F.col("c") >= 2).select("g")
+    )
+    expire_del_versions(dup_root)
+    _rewrite_flat_family(
+        spark, pending_root, live_counts.filter(F.col("c") == 1).select("g")
+    )
+    expire_del_versions(pending_root)
+    _compact_del_log(spark, del_root, "doc_id", None)
+    expire_del_versions(del_root)
+
+    dup = spark.read.parquet(*_flat_state_paths(dup_root)).select("g")
+    dpos = (
+        spark.read.parquet(*_flat_state_paths(pos_root))
+        .join(dup, "g")
+        .select("doc_id", "pos")
+    )
+    out = _persist_result(spans_from_flagged(dpos), "stream_substr_takedown")
+    if _owned_state:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        _fs_rmtree(state_root)
+    return out
+
+
+REGISTRY["stream_substr_takedown"] = QuerySpec(
+    name="stream_substr_takedown",
+    category="streaming-executed",
+    build=stream_substr_takedown,
+    oracle=_docs_live_oracle(
+        _DEDUP_REGISTRY["dedup_substring_spans"].oracle,
+        f"doc_id % {SUBSTR_TAKEDOWN_MOD} = {SUBSTR_TAKEDOWN_RESIDUE}",
+    ),
+    doc="Takedown-aware duplicated-substring spans: deleted docs stop "
+    "contributing positional windows at probe time; the offline purge "
+    "erases their position rows and REBUILDS the dup/pending gram "
+    "sets from the surviving positions (dup membership is count-"
+    "derived, not monotone under deletion). Served from the purged "
+    "state; oracle = dedup_substring_spans recomputed minus doc_id % "
+    f"{SUBSTR_TAKEDOWN_MOD} = {SUBSTR_TAKEDOWN_RESIDUE} (non-vacuous: "
+    "span rows drop and merge differently).",
+)
+
+
+def stream_contam_takedown(
+    spark: SparkSession, sf_dir: str, state_root: str | None = None
+) -> DataFrame:
+    """Takedown-aware incremental decontamination audit (r14): TRAIN
+    docs can be taken down, so the train-gram state carries (doc_id, g)
+    provenance, 'first appearance' is evaluated against the LIVE-seen
+    gram set, and the serve counts each test doc's distinct grams with
+    LIVE train support — certified against the contamination oracle
+    recomputed on the corpus minus the deleted train docs."""
+    import shutil
+
+    from tailsql_spark.operators.textstats import contam_is_test
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select(
+        "doc_id", "text", contam_is_test().alias("is_test")
+    )
+    test_docs = docs.filter(F.col("is_test")).select("doc_id", "text")
+    train_docs = docs.filter(~F.col("is_test")).select("doc_id", "text")
+    is_del = F.col("doc_id") % CONTAM_TAKEDOWN_MOD == CONTAM_TAKEDOWN_RESIDUE
+    delta = _takedown_delta(train_docs, is_del)
+
+    state_root, _owned_state = _resolve_state_root("cttake", state_root)
+    train_root = f"{state_root}/train_pairs"
+    hits_root = f"{state_root}/hits"
+    del_root = f"{state_root}/del"
+    test_grams = _doc_5grams(test_docs)
+    test_grams_path = f"{state_root}/test_grams"
+    test_grams.write.mode("overwrite").parquet(test_grams_path)
+    sizes = (
+        spark.read.parquet(test_grams_path)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"))
+    )
+    test_grams.limit(0).write.mode("overwrite").parquet(f"{train_root}/seed")
+    test_grams.limit(0).write.mode("overwrite").parquet(f"{hits_root}/seed")
+    spark.createDataFrame([], "doc_id long").write.mode("overwrite").parquet(
+        f"{del_root}/seed"
+    )
+    src_dir = _stage_stream_source(
+        delta, "cttake", state_root, _owned_state, corpus_tag=sf_dir
+    )
+    process = _takedown_processor(
+        _contam_batch_processor(
+            train_root, hits_root, test_grams_path, del_root=del_root
+        ),
+        del_root,
+        key="doc_id",
+    )
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{state_root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _await_or_raise(q, "stream_contam_takedown")
+    finally:
+        q.stop()
+
+    # OFFLINE physical purge: deleted docs' (doc_id, gram) rows are
+    # content — anti-join fold; hits reference gram TEXT, so hit rows
+    # whose gram lost ALL live train support fold away too (dead-gram
+    # anti-join), which also dedupes any live-reappearance re-fires.
+    dels_df = (
+        spark.read.parquet(*_del_state_paths(del_root)).select("doc_id").distinct()
+    )
+    purge_flat_family(spark, train_root, dels_df, col="doc_id")
+    expire_del_versions(train_root)
+    live_g = (
+        spark.read.parquet(*_flat_state_paths(train_root)).select("g").distinct()
+    )
+    hits_all = spark.read.parquet(*_flat_state_paths(hits_root))
+    _rewrite_flat_family(
+        spark, hits_root, hits_all.join(live_g, "g", "left_semi").distinct()
+    )
+    expire_del_versions(hits_root)
+    _compact_del_log(spark, del_root, "doc_id", None)
+    expire_del_versions(del_root)
+
+    hits = spark.read.parquet(*_flat_state_paths(hits_root)).distinct()
+    per_doc = hits.groupBy("doc_id").agg(F.count("*").alias("n_hit"))
+    result = (
+        sizes.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) * 1.0 / F.col("n_grams"), 6
+            ).alias("contamination_pct"),
+        )
+    )
+    out = _persist_result(result, "stream_contam_takedown")
+    if _owned_state:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        _fs_rmtree(state_root)
+    return out
+
+
+def _contam_takedown_oracle() -> str:
+    """Contamination oracle minus the deleted TRAIN docs: the takedown
+    predicate composes the train-split rule with the residue, so test
+    docs are untouched and the denominator (each test doc's gram count)
+    is provably unchanged — only n_hit moves."""
+    return _docs_live_oracle(
+        _TEXT_REGISTRY["text_contamination_overlap"].oracle,
+        "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '1a' "
+        f"AND doc_id % {CONTAM_TAKEDOWN_MOD} = {CONTAM_TAKEDOWN_RESIDUE}",
+    )
+
+
+REGISTRY["stream_contam_takedown"] = QuerySpec(
+    name="stream_contam_takedown",
+    category="streaming-executed",
+    build=stream_contam_takedown,
+    oracle=_contam_takedown_oracle(),
+    doc="Takedown-aware incremental decontamination: train-gram state "
+    "carries (doc_id, gram) provenance so deletion is decidable; "
+    "deleted train docs stop contributing grams at probe time, and a "
+    "gram whose only contributor was taken down re-fires its test "
+    "probe when a live doc brings it back. The offline purge erases "
+    "deleted docs' gram rows and folds away hits without live train "
+    "support. Oracle = text_contamination_overlap recomputed minus "
+    f"train docs with doc_id % {CONTAM_TAKEDOWN_MOD} = "
+    f"{CONTAM_TAKEDOWN_RESIDUE} (non-vacuous: n_hit drops).",
+)
+
+
+def stream_semdedup_takedown(
+    spark: SparkSession, sf_dir: str, state_root: str | None = None
+) -> DataFrame:
+    """Takedown-aware incremental SemDeDup (r14): the min-prune fold
+    cannot survive deletion (removing the vec that WAS the prune cause
+    demands re-election among survivors), so takedown mode logs the raw
+    ε-close pair set — the id-only analog of the curation edge log —
+    and the serve recomputes ``pruned_by = min`` over pairs whose both
+    members survive.  The frozen k-means quantizer is a model
+    parameter: it is NOT retrained on takedown (production shape), so
+    the oracle keeps the full-corpus Lloyd trajectory and restricts
+    only membership to the live vectors."""
+    import shutil
+
+    from tailsql_spark.operators.mlprep import lloyd_loop
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].select("vec_id", "embedding")
+    is_del = (
+        F.col("vec_id") % SEMDEDUP_TAKEDOWN_MOD == SEMDEDUP_TAKEDOWN_RESIDUE
+    )
+    delta = _takedown_delta(emb, is_del, key="vec_id")
+    state_root, _owned_state = _resolve_state_root("sdtake", state_root)
+    members_root = f"{state_root}/members"
+    pairs_root = f"{state_root}/pairs"
+    del_root = f"{state_root}/del"
+    cent_path = f"{state_root}/centroids"
+
+    _, cent = lloyd_loop(spark, sf_dir)
+    cent.write.mode("overwrite").parquet(cent_path)
+    spark.createDataFrame(
+        [], "vec_id long, cell long, v array<double>, nrm double"
+    ).write.mode("overwrite").parquet(f"{members_root}/seed")
+    spark.createDataFrame([], "vec_id long, p long").write.mode(
+        "overwrite"
+    ).parquet(f"{pairs_root}/seed")
+    spark.createDataFrame([], "vec_id long").write.mode("overwrite").parquet(
+        f"{del_root}/seed"
+    )
+    src_dir = _stage_stream_source(
+        delta, "sdtake", state_root, _owned_state, corpus_tag=sf_dir
+    )
+    process = _takedown_processor(
+        _semdedup_batch_processor(
+            members_root, None, cent_path, del_root=del_root, pairs_root=pairs_root
+        ),
+        del_root,
+        key="vec_id",
+    )
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{state_root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _await_or_raise(q, "stream_semdedup_takedown")
+    finally:
+        q.stop()
+
+    # OFFLINE physical purge: member rows carry the VECTORS — content;
+    # the pair log is id-only but references deleted endpoints, so it
+    # folds twice (vec_id, then the prune-cause column p).
+    dels_df = (
+        spark.read.parquet(*_del_state_paths(del_root)).select("vec_id").distinct()
+    )
+    purge_flat_family(spark, members_root, dels_df, col="vec_id")
+    expire_del_versions(members_root)
+    purge_flat_family(spark, pairs_root, dels_df, col="vec_id")
+    purge_flat_family(
+        spark, pairs_root, dels_df.withColumnRenamed("vec_id", "p"), col="p"
+    )
+    expire_del_versions(pairs_root)
+    _compact_del_log(spark, del_root, "vec_id", None)
+    expire_del_versions(del_root)
+
+    live = spark.read.parquet(*_flat_state_paths(members_root)).select(
+        "vec_id", "cell"
+    )
+    pruned = (
+        spark.read.parquet(*_flat_state_paths(pairs_root))
+        .groupBy("vec_id")
+        .agg(F.min("p").alias("pruned_by"))
+    )
+    result = live.join(pruned, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.col("pruned_by").isNull().alias("is_kept"),
+        "pruned_by",
+    )
+    out = _persist_result(result, "stream_semdedup_takedown")
+    if _owned_state:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        _fs_rmtree(state_root)
+    return out
+
+
+def _semdedup_takedown_oracle() -> str:
+    """SemDeDup oracle over the live vectors only, under the FROZEN
+    full-corpus quantizer: the membership CTE's embeddings join is
+    restricted; the Lloyd trajectory CTEs are untouched."""
+    base = _SEMDEDUP_ORACLE()
+    anchor = "JOIN embeddings e USING (vec_id)"
+    assert anchor in base, "semdedup oracle changed shape; update the rewrite"
+    return base.replace(
+        anchor,
+        "JOIN (SELECT * FROM embeddings WHERE NOT (vec_id % "
+        f"{SEMDEDUP_TAKEDOWN_MOD} = {SEMDEDUP_TAKEDOWN_RESIDUE})) e "
+        "USING (vec_id)",
+        1,
+    )
+
+
+REGISTRY["stream_semdedup_takedown"] = QuerySpec(
+    name="stream_semdedup_takedown",
+    category="streaming-executed",
+    build=stream_semdedup_takedown,
+    oracle=_semdedup_takedown_oracle(),
+    doc="Takedown-aware incremental SemDeDup: 'D' vec_ids land in a "
+    "tombstone log committed before the batch's state; probes anti-"
+    "join it (deleted vectors stop generating ε-pairs); the raw pair "
+    "log replaces the min-fold snapshot so deletion re-elects the "
+    "prune cause among survivors; the offline purge erases deleted "
+    "vectors' member rows and folds the pair log on both endpoints. "
+    "Quantizer frozen (model parameter). Oracle = dedup_semantic with "
+    f"membership minus vec_id % {SEMDEDUP_TAKEDOWN_MOD} = "
+    f"{SEMDEDUP_TAKEDOWN_RESIDUE} (non-vacuous: prune re-elections).",
 )
 
 

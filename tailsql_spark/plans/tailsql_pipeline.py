@@ -205,3 +205,82 @@ REGISTRY["tailsql_randfilter_bounds"] = QuerySpec(
     "nothing) proven deterministically through the rewrite path; "
     "interior probability band is pytest-certified.",
 )
+
+
+def _tailn_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14: the README pipeline ingested through the PLANNER-PARTITIONED
+    multi-file tail source (``format("tailn")``, `sources/tail.py`) —
+    the 100 TB shape of tail ingestion (a fleet of service logs, one
+    executor-read partition per grown file), vs the reference's
+    single-file single-machine tail (``source/fs.go:14-71``).
+
+    The demo log lines are staged as N REAL text files (Spark-written
+    shards of the deterministic line synthesis used by
+    ``tailsql_parse_pipeline``), ingested by an actual availableNow
+    micro-batch stream over ``tailn``, then parsed/filtered/aggregated
+    by the SAME certified DSL pipeline — so the oracle is UNCHANGED and
+    any divergence indicts the source (lost/duplicated/split lines),
+    not the relational tail of the query.
+    """
+    import shutil
+    import tempfile
+
+    from tailsql_spark.plans.streaming_exec import _run_stream
+    from tailsql_spark.sources.tail import TailNDataSource
+
+    spark.dataSource.register(TailNDataSource)
+    lines = _lines_df(spark, sf_dir)
+    # N real log files: distributed write, no driver materialization
+    src = tempfile.mkdtemp(prefix="tailsql_tailn_src_")
+    staged_dir = f"{src}/logs"
+    lines.repartition(6).write.mode("overwrite").text(staged_dir)
+    stream = (
+        spark.readStream.format("tailn")
+        .option("paths", f"{staged_dir}/part-*")
+        .option("seek_to_end", "false")  # backfill: the files pre-exist
+        .load()
+    )
+    try:
+        ingested = _run_stream(
+            stream.select("value").writeStream.outputMode("append").format("memory"),
+            "_stream_tailn_pipeline",
+            spark,
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    parsed = compile_pattern(DEMO_PATTERN).parse_lines(ingested)
+    return (
+        apply_filter(parsed, "cents > 500")
+        .groupBy("method")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("eid").alias("min_eid"),
+            F.max("eid").alias("max_eid"),
+        )
+    )
+
+
+REGISTRY["stream_tailn_pipeline"] = QuerySpec(
+    name="stream_tailn_pipeline",
+    category="tailsql-pipeline",
+    build=_tailn_pipeline,
+    # Identical oracle to tailsql_parse_pipeline: the tailn source must
+    # be invisible — every line of every staged file delivered exactly
+    # once, on line boundaries, with provenance dropped before the agg.
+    oracle="""
+    SELECT event_type AS method,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           MIN(event_id) AS min_eid,
+           MAX(event_id) AS max_eid
+    FROM events
+    WHERE event_type IN ('click', 'view')
+      AND CAST(ROUND(value * 100) AS BIGINT) > 500
+    GROUP BY event_type
+    """,
+    doc="README pipeline over the planner-partitioned multi-file tail "
+    "source: N staged log files -> format('tailn') availableNow stream "
+    "-> DSL parse -> filter -> agg; oracle unchanged from "
+    "tailsql_parse_pipeline (the source must be exactly-once).",
+)

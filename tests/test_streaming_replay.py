@@ -2600,3 +2600,283 @@ def test_flat_purge_crash_window_invisible(spark, tmp_path):
     live = spark.read.parquet(*_flat_state_paths(root))
     assert {r.doc_id for r in live.collect()} == {1, 3}
     assert live.count() == 2
+
+
+def _assert_no_rows(df, msg):
+    assert df.limit(1).count() == 0, msg
+
+
+def test_minhash_takedown_physical_purge_and_vacuum(spark, sf_dir):
+    """r14 (VERDICT r13 gap #1, flat MinHash twin): after the takedown
+    row's offline purge, the live shingle/signature state contains ZERO
+    rows for deleted docs, the pair log references no deleted endpoint,
+    and the folded per-batch dirs are physically vacuumed."""
+    import os
+
+    from tailsql_spark.plans.streaming_exec import (
+        MINHASH_TAKEDOWN_MOD,
+        MINHASH_TAKEDOWN_RESIDUE,
+        _flat_state_paths,
+        stream_minhash_takedown,
+    )
+
+    root = tempfile.mkdtemp(prefix="tailsql_mhtake_purge_")
+    try:
+        stream_minhash_takedown(spark, sf_dir, state_root=root)
+        is_del = (
+            F.col("doc_id") % MINHASH_TAKEDOWN_MOD == MINHASH_TAKEDOWN_RESIDUE
+        )
+        for fam in ("ex", "sig"):
+            live = spark.read.parquet(*_flat_state_paths(f"{root}/{fam}"))
+            assert live.count() > 0, fam  # non-trivial state survived
+            _assert_no_rows(live.filter(is_del), f"{fam}: tombstoned rows live")
+        pairs = spark.read.parquet(*_flat_state_paths(f"{root}/pairs"))
+        for col in ("id_a", "id_b"):
+            _assert_no_rows(
+                pairs.filter(
+                    F.col(col) % MINHASH_TAKEDOWN_MOD == MINHASH_TAKEDOWN_RESIDUE
+                ),
+                f"pairs.{col}: deleted endpoint survives",
+            )
+        # vacuum: folded per-batch dirs are gone from every purged family
+        for fam in ("ex", "sig", "pairs", "del"):
+            stale = [
+                d
+                for d in os.listdir(f"{root}/{fam}")
+                if d.startswith("b") and d[1:].isdigit()
+            ]
+            assert not stale, (fam, stale)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_substr_takedown_purge_rebuilds_gram_sets(spark, sf_dir):
+    """r14: the substring takedown's offline pass purges deleted docs'
+    positional windows AND rebuilds dup/pending from the survivors —
+    a gram duplicated only via a deleted doc is demoted out of dup; a
+    gram exclusive to deleted docs vanishes from every gram family."""
+    from tailsql_spark.operators.dedup import doc_pos_grams
+    from tailsql_spark.plans.catalog import load_tables
+    from tailsql_spark.plans.streaming_exec import (
+        SUBSTR_TAKEDOWN_MOD,
+        SUBSTR_TAKEDOWN_RESIDUE,
+        _flat_state_paths,
+        stream_substr_takedown,
+    )
+
+    root = tempfile.mkdtemp(prefix="tailsql_sstake_purge_")
+    try:
+        stream_substr_takedown(spark, sf_dir, state_root=root)
+        docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+        is_del = (
+            F.col("doc_id") % SUBSTR_TAKEDOWN_MOD == SUBSTR_TAKEDOWN_RESIDUE
+        )
+        pos = spark.read.parquet(*_flat_state_paths(f"{root}/pos"))
+        _assert_no_rows(pos.filter(is_del), "pos: tombstoned rows live")
+        # grams exclusive to deleted docs must be gone from dup/pending
+        all_g = doc_pos_grams(docs)
+        dead_only = (
+            all_g.filter(is_del)
+            .select("g")
+            .join(all_g.filter(~is_del).select("g"), "g", "left_anti")
+            .distinct()
+        )
+        for fam in ("dup", "pending"):
+            state_g = spark.read.parquet(*_flat_state_paths(f"{root}/{fam}"))
+            _assert_no_rows(
+                state_g.join(dead_only, "g", "left_semi"),
+                f"{fam}: dead-only gram survives",
+            )
+        # dup state equals the live recount (demotion applied)
+        live_dup = (
+            all_g.filter(~is_del)
+            .groupBy("g")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") >= 2)
+            .select("g")
+        )
+        dup_state = spark.read.parquet(
+            *_flat_state_paths(f"{root}/dup")
+        ).select("g").distinct()
+        assert dup_state.exceptAll(live_dup).count() == 0
+        assert live_dup.exceptAll(dup_state).count() == 0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_contam_takedown_purge_and_hit_folding(spark, sf_dir):
+    """r14: the contamination takedown physically erases deleted train
+    docs' (doc_id, gram) rows and folds away hits whose gram lost all
+    live train support; hits with surviving support stay."""
+    from tailsql_spark.plans.streaming_exec import (
+        CONTAM_TAKEDOWN_MOD,
+        CONTAM_TAKEDOWN_RESIDUE,
+        _flat_state_paths,
+        stream_contam_takedown,
+    )
+
+    root = tempfile.mkdtemp(prefix="tailsql_cttake_purge_")
+    try:
+        stream_contam_takedown(spark, sf_dir, state_root=root)
+        is_del = (
+            F.col("doc_id") % CONTAM_TAKEDOWN_MOD == CONTAM_TAKEDOWN_RESIDUE
+        )
+        train = spark.read.parquet(*_flat_state_paths(f"{root}/train_pairs"))
+        assert train.count() > 0
+        _assert_no_rows(train.filter(is_del), "train_pairs: tombstoned rows live")
+        live_g = train.select("g").distinct()
+        hits = spark.read.parquet(*_flat_state_paths(f"{root}/hits"))
+        _assert_no_rows(
+            hits.join(live_g, "g", "left_anti"),
+            "hits: gram without live train support survives",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_semdedup_takedown_purge_and_reelection(spark, sf_dir):
+    """r14: the SemDeDup takedown erases deleted vectors' member rows
+    (the embedding content), folds the pair log on both endpoints, and
+    the served pruned_by is re-elected among survivors (min over the
+    surviving pair log, never a deleted id)."""
+    from tailsql_spark.plans.streaming_exec import (
+        SEMDEDUP_TAKEDOWN_MOD,
+        SEMDEDUP_TAKEDOWN_RESIDUE,
+        _flat_state_paths,
+        stream_semdedup_takedown,
+    )
+
+    root = tempfile.mkdtemp(prefix="tailsql_sdtake_purge_")
+    try:
+        res = stream_semdedup_takedown(spark, sf_dir, state_root=root)
+        is_del_v = (
+            F.col("vec_id") % SEMDEDUP_TAKEDOWN_MOD == SEMDEDUP_TAKEDOWN_RESIDUE
+        )
+        members = spark.read.parquet(*_flat_state_paths(f"{root}/members"))
+        assert members.count() > 0
+        _assert_no_rows(members.filter(is_del_v), "members: tombstoned rows live")
+        pairs = spark.read.parquet(*_flat_state_paths(f"{root}/pairs"))
+        for col in ("vec_id", "p"):
+            _assert_no_rows(
+                pairs.filter(
+                    F.col(col) % SEMDEDUP_TAKEDOWN_MOD
+                    == SEMDEDUP_TAKEDOWN_RESIDUE
+                ),
+                f"pairs.{col}: deleted endpoint survives",
+            )
+        # served labels never reference a deleted id
+        _assert_no_rows(res.filter(is_del_v), "result contains deleted vec")
+        _assert_no_rows(
+            res.filter(
+                F.col("pruned_by") % SEMDEDUP_TAKEDOWN_MOD
+                == SEMDEDUP_TAKEDOWN_RESIDUE
+            ),
+            "pruned_by references deleted vec",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_substr_takedown_replayed_D_and_late_I_suppressed(spark, sf_dir):
+    """r14: the generic takedown wrapper + substr processor under
+    at-least-once delivery — a replayed 'D' batch is idempotent, and an
+    'I' for an already-tombstoned doc arriving LATER writes no
+    content-derived state for it (the probe-side anti-join)."""
+    from tailsql_spark.plans.catalog import load_tables
+    from tailsql_spark.operators.dedup import doc_pos_grams
+    from tailsql_spark.plans.streaming_exec import (
+        _mh_state_paths,
+        _substr_batch_processor,
+        _takedown_processor,
+    )
+
+    docs = (
+        load_tables(spark, sf_dir)["documents"]
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(8)
+    )
+    dead_id = docs.head().doc_id
+    root = tempfile.mkdtemp(prefix="tailsql_sstake_replay_")
+    try:
+        empty_pg = doc_pos_grams(docs.limit(0))
+        for fam in ("pos", "dup", "pending"):
+            (empty_pg if fam == "pos" else empty_pg.select("g")).write.mode(
+                "overwrite"
+            ).parquet(f"{root}/{fam}/seed")
+        spark.createDataFrame([], "doc_id long").write.mode("overwrite").parquet(
+            f"{root}/del/seed"
+        )
+        process = _takedown_processor(
+            _substr_batch_processor(
+                f"{root}/pos", f"{root}/dup", f"{root}/pending",
+                del_root=f"{root}/del",
+            ),
+            f"{root}/del",
+        )
+        with_op = lambda df, op: df.withColumn("op", F.lit(op))  # noqa: E731
+        # batch 0: everything except the doomed doc
+        process(with_op(docs.filter(F.col("doc_id") != dead_id), "I"), 0)
+        # batch 1: the 'D' — run TWICE (replay after crash)
+        dbatch = with_op(docs.filter(F.col("doc_id") == dead_id), "D").select(
+            "doc_id", "text", "op"
+        )
+        process(dbatch, 1)
+        state_after_first = spark.read.parquet(
+            *_mh_state_paths(f"{root}/pos")
+        ).count()
+        process(dbatch, 1)
+        assert (
+            spark.read.parquet(*_mh_state_paths(f"{root}/pos")).count()
+            == state_after_first
+        )
+        # batch 2: the LATE 'I' for the tombstoned doc — suppressed
+        process(with_op(docs.filter(F.col("doc_id") == dead_id), "I"), 2)
+        pos = spark.read.parquet(*_mh_state_paths(f"{root}/pos"))
+        assert pos.filter(F.col("doc_id") == dead_id).count() == 0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_flat_minhash_takedown_suppresses_candidates(spark, oracle_sf_dir):
+    """r14: the FLAT MinHash processor's del_root path — after a doc's
+    'D' commits, an exact copy of its text under a fresh id finds NO
+    pair against it, while the same probe against a live doc matches
+    (mirror of the bucketed-processor test)."""
+    from tailsql_spark.plans.catalog import load_tables
+    from tailsql_spark.plans.streaming_exec import (
+        _bdir,
+        _mh_seed_state,
+        _minhash_batch_processor,
+    )
+
+    docs = load_tables(spark, oracle_sf_dir)["documents"].select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="tailsql_mhtake_cand_")
+    try:
+        ex_root, sig_root, out_root = _mh_seed_state(docs, root)
+        del_root = f"{root}/del"
+        spark.createDataFrame([], "doc_id long").write.mode("overwrite").parquet(
+            f"{del_root}/seed"
+        )
+        process = _minhash_batch_processor(
+            ex_root, sig_root, out_root, del_root=del_root
+        )
+        two = docs.orderBy("doc_id").limit(2).collect()
+        dead, live = two[0], two[1]
+        process(docs.filter(F.col("doc_id").isin(dead.doc_id, live.doc_id)), 0)
+        spark.createDataFrame([(dead.doc_id,)], "doc_id long").write.mode(
+            "overwrite"
+        ).parquet(f"{del_root}/{_bdir(1)}")
+        process(docs.limit(0), 1)
+        probe = spark.createDataFrame(
+            [(900001, dead.text), (900002, live.text)], "doc_id long, text string"
+        )
+        process(probe, 2)
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in spark.read.parquet(f"{out_root}/{_bdir(2)}").collect()
+        }
+        assert (live.doc_id, 900002) in pairs, pairs
+        assert all(dead.doc_id not in p for p in pairs), pairs
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
