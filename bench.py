@@ -106,6 +106,35 @@ SHARED_CORE = [
 ]
 
 
+#: r14 CPU-calibration row (VERDICT r13 ask #7): a DATA-INDEPENDENT
+#: constant-work query — 400M generated rows through a 5-deep xxhash64
+#: chain into one sum, 32 partitions, no I/O, no shuffle beyond the
+#: final 32-row reduce — sampled once per interleaved round alongside
+#: the suite.  Box-speed drift (the documented ±15-20% wander) moves
+#: this number and the query times TOGETHER, so verdicts read the
+#: drift-normalized ratio ``shared_core_sec / calibration_sec``
+#: instead of re-litigating raw cross-round digits (normalization
+#: rule: BASELINE.md "round-14 calibration row").
+CALIBRATION_ROWS = 400_000_000
+
+
+def _calibration_sample(spark) -> float:
+    import time
+
+    from pyspark.sql import functions as F
+
+    h = F.xxhash64("id")
+    for _ in range(4):
+        h = F.xxhash64(h, F.lit(11))
+    t0 = time.perf_counter()
+    # shiftright keeps the 400M-term sum inside a long (raw xxhash64
+    # sums overflow ANSI arithmetic)
+    spark.range(0, CALIBRATION_ROWS, 1, 32).select(
+        F.sum(F.shiftright(h, 20)).alias("s")
+    ).collect()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -148,6 +177,7 @@ def main() -> None:
     for name in suite:
         REGISTRY[name].build(spark, sf_dir).toPandas()
         spark.catalog.clearCache()
+    _calibration_sample(spark)  # codegen warmup for the calibration row
 
     # Five timed runs per query, report the min: local-mode scheduling
     # of many small stages is noisy (observed 2× outliers, and
@@ -162,6 +192,7 @@ def main() -> None:
     # the real pipeline, only codegen stays warm.
     samples: dict[str, list[float]] = {name: [] for name in suite}
     rows: dict[str, int] = {}
+    cal_samples: list[float] = []
     for _ in range(5):
         for name in suite:
             spec = REGISTRY[name]
@@ -170,6 +201,11 @@ def main() -> None:
             df = spec.build(spark, sf_dir)
             rows[name] = len(df.toPandas())
             samples[name].append(time.perf_counter() - t0)
+        # one calibration sample per interleaved round: it rides the
+        # same box conditions (stalls, thermal/noisy-neighbor drift)
+        # as that round's query samples
+        cal_samples.append(_calibration_sample(spark))
+    calibration_sec = round(min(cal_samples), 3)
     per_query = {name: round(min(samples[name]), 3) for name in suite}
     for name in suite:
         print(f"# {name}: {per_query[name]:.3f}s ({rows[name]} rows)", file=sys.stderr)
@@ -195,6 +231,8 @@ def main() -> None:
         "timing": "min_of_5_interleaved_rounds",
         "sf": sf,
         "shared_core_queries": SHARED_CORE,
+        "calibration_rows": CALIBRATION_ROWS,
+        "calibration_samples": [round(s, 3) for s in cal_samples],
         "samples": {name: [round(s, 3) for s in samples[name]] for name in suite},
     }
     sidecar_path = os.path.join(
@@ -222,6 +260,16 @@ def main() -> None:
                 # r10: frozen 16-query shared-core subtotal — the
                 # regression gate; `value` tracks the growing full suite
                 "shared_core_sec": shared_core_sec,
+                # r14: data-independent constant-work sample (min of 5,
+                # one per interleaved round) — divide shared_core_sec
+                # by this to read drift-normalized round-over-round
+                # deltas (BASELINE.md "round-14 calibration row")
+                "calibration_sec": calibration_sec,
+                "shared_core_per_cal": (
+                    round(shared_core_sec / calibration_sec, 3)
+                    if shared_core_sec is not None and calibration_sec > 0
+                    else None
+                ),
                 "timing": "min_of_5_interleaved_rounds",
             }
         )

@@ -2506,6 +2506,113 @@ def _bucket_manifest_paths(
     return [f"{root}/seed"] + sorted(r.path for r in paths)
 
 
+#: Stale-lease horizon: a fold/purge that has not refreshed its lease
+#: within this window is presumed crashed and its lease reclaimable.
+#: Generous relative to any observed fold (seconds at test scale,
+#: minutes at cluster scale) — a false reclaim re-opens the very race
+#: the lease exists to close, a slow reclaim only delays a compaction.
+LEASE_TTL_SEC = 3600
+
+
+class FamilyLeaseHeld(RuntimeError):
+    """A fold/purge was attempted against a state family whose
+    compaction lease another process currently holds (VERDICT r13 gap
+    #6: the offline purges were guarded by convention only — a
+    concurrent run could double-fold a half-committed batch)."""
+
+
+def acquire_family_lease(
+    root: str, holder: str, ttl_sec: float = LEASE_TTL_SEC
+) -> None:
+    """Take the family's compaction lease via ATOMIC CREATE of
+    ``{root}/_lease.json`` (O_CREAT|O_EXCL locally; Hadoop
+    ``create(overwrite=false)`` on URI roots — both primitives fail,
+    not truncate, when the file exists).  A fresh existing lease
+    raises :class:`FamilyLeaseHeld`; a STALE one (older than
+    ``ttl_sec`` — the holder crashed without releasing) is reclaimed
+    with one delete-and-recreate attempt, and losing THAT race raises
+    too (someone else reclaimed first).  Every fold/purge entry point
+    takes this before mutating versioned state, so "never while the
+    stream is live" is enforced, not documented."""
+    import json
+    import os
+    import time
+
+    path = f"{root}/_lease.json"
+    payload = json.dumps({"holder": holder, "ts": time.time()})
+
+    def _try_create() -> bool:
+        if "://" not in root:
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                return False
+            with os.fdopen(fd, "w") as fh:
+                fh.write(payload)
+            return True
+        spark = SparkSession.getActiveSession()
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        try:
+            stream = fs.create(jpath, False)  # refuses an existing file
+        except Exception:
+            return False
+        try:
+            stream.write(bytearray(payload.encode("utf-8")))
+        finally:
+            stream.close()
+        return True
+
+    if _try_create():
+        return
+    try:
+        held = json.loads(_fs_read_text(path))
+    except Exception:  # torn/vanished lease file: treat as stale
+        held = {}
+    age = time.time() - float(held.get("ts", 0))
+    if held.get("holder") == holder:
+        # the SAME logical owner re-entering (a fold crashed without
+        # release and its replayed batch retries): reclaim immediately —
+        # waiting out the TTL would stall the retry the replay exists
+        # for.  Two live processes sharing a holder id is operator
+        # error; holder ids carry the batch id to keep them distinct.
+        pass
+    elif age <= ttl_sec:
+        raise FamilyLeaseHeld(
+            f"family {root!r}: lease held by {held.get('holder', '?')!r} "
+            f"({age:.0f}s old, ttl {ttl_sec:.0f}s) — refusing to fold/purge "
+            "while another process owns the family"
+        )
+    _fs_rmfile(path)  # stale: reclaim
+    if not _try_create():
+        raise FamilyLeaseHeld(
+            f"family {root!r}: lost the stale-lease reclaim race — another "
+            "process re-acquired first"
+        )
+
+
+def _fs_rmfile(path: str) -> None:
+    """Single-FILE delete (``_fs_rmtree`` is directory-shaped: its
+    local branch is shutil.rmtree, which silently no-ops on a plain
+    file under ignore_errors)."""
+    if "://" not in path:
+        import contextlib
+        import os
+
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(path)
+        return
+    spark = SparkSession.getActiveSession()
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(jpath, False)
+
+
+def release_family_lease(root: str) -> None:
+    """Drop the family's compaction lease (idempotent)."""
+    _fs_rmfile(f"{root}/_lease.json")
+
+
 def _rebucket_family(
     sess, root: str, col: str, key, exclude_bid: int, meta: dict,
     del_root: str | None = None, del_col: str = "doc_id",
@@ -2579,41 +2686,47 @@ def _rebucket_family(
         if ndeltas < MINOR_FOLD_MAX_DELTAS:
             return meta
         new_nb = int(meta["nb"])
-    ver = int(meta["version"]) + 1
-    man = sess.read.option("recursiveFileLookup", "true").parquet(
-        _manifest_dir(root, int(meta["version"]))
-    ).filter(F.col("bid") != int(exclude_bid))
-    # planning-metadata: every state leaf dir of the family (dir-counted)
-    paths = [r.path for r in man.select("path").distinct().collect()]  # planning-metadata
-    base_dir = f"{root}/base_v{ver}"
-    src = sess.read.parquet(f"{root}/seed", *paths)
-    if del_root is not None:
-        dels = (
-            sess.read.parquet(*_del_state_paths(del_root, exclude_bid))
-            .select(del_col)
-            .distinct()
+    # the fold MUTATES versioned state: take the family lease for its
+    # duration so a concurrent offline purge cannot interleave (r14)
+    acquire_family_lease(root, holder=f"fold:b{int(exclude_bid)}")
+    try:
+        ver = int(meta["version"]) + 1
+        man = sess.read.option("recursiveFileLookup", "true").parquet(
+            _manifest_dir(root, int(meta["version"]))
+        ).filter(F.col("bid") != int(exclude_bid))
+        # planning-metadata: every state leaf dir of the family (dir-counted)
+        paths = [r.path for r in man.select("path").distinct().collect()]  # planning-metadata
+        base_dir = f"{root}/base_v{ver}"
+        src = sess.read.parquet(f"{root}/seed", *paths)
+        if del_root is not None:
+            dels = (
+                sess.read.parquet(*_del_state_paths(del_root, exclude_bid))
+                .select(del_col)
+                .distinct()
+            )
+            # metadata-sized set (one id per distinct deletion): broadcast
+            src = src.join(F.broadcast(dels), del_col, "left_anti")
+        rebucketed = src.withColumn(col, F.pmod(key, F.lit(new_nb)))
+        (
+            rebucketed.repartition(min(new_nb, 1024), col)
+            .write.mode("overwrite")
+            .partitionBy(col)
+            .parquet(base_dir)
         )
-        # metadata-sized set (one id per distinct deletion): broadcast
-        src = src.join(F.broadcast(dels), del_col, "left_anti")
-    rebucketed = src.withColumn(col, F.pmod(key, F.lit(new_nb)))
-    (
-        rebucketed.repartition(min(new_nb, 1024), col)
-        .write.mode("overwrite")
-        .partitionBy(col)
-        .parquet(base_dir)
-    )
-    _bucket_manifest_write(
-        rebucketed, root, col, bid=-ver, nb=new_nb, version=ver,
-        data_dir=base_dir, sub="base",
-    )
-    if del_root is not None:
-        # tombstone-log compaction BEFORE the family meta commit: a
-        # crash in between leaves base_v{ver} invisible (meta still
-        # points at the old version) and a duplicated-but-complete del
-        # read — both rewritten idempotently by the retried fold
-        _compact_del_log(sess, del_root, del_col, exclude_bid)
-    meta = {"version": ver, "nb": new_nb, "rows": int(meta["rows"])}
-    _state_meta_write(root, meta)  # the commit point
+        _bucket_manifest_write(
+            rebucketed, root, col, bid=-ver, nb=new_nb, version=ver,
+            data_dir=base_dir, sub="base",
+        )
+        if del_root is not None:
+            # tombstone-log compaction BEFORE the family meta commit: a
+            # crash in between leaves base_v{ver} invisible (meta still
+            # points at the old version) and a duplicated-but-complete del
+            # read — both rewritten idempotently by the retried fold
+            _compact_del_log(sess, del_root, del_col, exclude_bid)
+        meta = {"version": ver, "nb": new_nb, "rows": int(meta["rows"])}
+        _state_meta_write(root, meta)  # the commit point
+    finally:
+        release_family_lease(root)
     return meta
 
 
@@ -2713,31 +2826,48 @@ def _compact_del_log(sess, root: str, col: str, exclude_bid: int | None) -> None
     Crash safety: base write (overwrite, idempotent) then meta commit;
     a crash in between leaves base + unfolded dirs BOTH readable via
     ``_del_state_paths`` — duplicate ids, which the anti-join/distinct
-    consumers ignore — and the next fold rewrites both."""
-    ver = int(_del_meta_read(root)["version"]) + 1
-    dels = (
-        sess.read.parquet(*_del_state_paths(root, exclude_bid))
-        .select(col)
-        .distinct()
+    consumers ignore — and the next fold rewrites both.  Lease-guarded
+    (r14): one del log can serve several families whose folds fire
+    independently, so concurrent compactions of the LOG itself must
+    serialize."""
+    acquire_family_lease(
+        root,
+        # bid-keyed when called from a fold so a crashed fold's REPLAY
+        # re-enters its own lease; pid-keyed for offline (bid-less)
+        # compactions so concurrent offline runs conflict loudly
+        holder=(
+            f"del-compact:b{int(exclude_bid)}"
+            if exclude_bid is not None
+            else f"del-compact:{__import__('os').getpid()}"
+        ),
     )
-    # no coalesce(1): the distinct's own partitioning writes a handful
-    # of files at test scale and stays parallel when the deletion set
-    # is genuinely large
-    dels.write.mode("overwrite").parquet(f"{root}/base_v{ver}")
-    import json
+    try:
+        ver = int(_del_meta_read(root)["version"]) + 1
+        dels = (
+            sess.read.parquet(*_del_state_paths(root, exclude_bid))
+            .select(col)
+            .distinct()
+        )
+        # no coalesce(1): the distinct's own partitioning writes a handful
+        # of files at test scale and stays parallel when the deletion set
+        # is genuinely large
+        dels.write.mode("overwrite").parquet(f"{root}/base_v{ver}")
+        import json
 
-    # the recorded horizon must never exceed the largest dir that
-    # actually existed at fold time: a forced offline fold passes a
-    # sentinel exclude_bid above every real bid, and recording THAT
-    # would let a later expire reclaim post-fold delete dirs that were
-    # never folded (silent tombstone loss)
-    folded_below = _max_bid(root) + 1
-    if exclude_bid is not None:
-        folded_below = min(folded_below, int(exclude_bid))
-    _fs_write_text_atomic(
-        f"{root}/_meta.json",
-        json.dumps({"version": int(ver), "folded_below_bid": folded_below}),
-    )
+        # the recorded horizon must never exceed the largest dir that
+        # actually existed at fold time: a forced offline fold passes a
+        # sentinel exclude_bid above every real bid, and recording THAT
+        # would let a later expire reclaim post-fold delete dirs that were
+        # never folded (silent tombstone loss)
+        folded_below = _max_bid(root) + 1
+        if exclude_bid is not None:
+            folded_below = min(folded_below, int(exclude_bid))
+        _fs_write_text_atomic(
+            f"{root}/_meta.json",
+            json.dumps({"version": int(ver), "folded_below_bid": folded_below}),
+        )
+    finally:
+        release_family_lease(root)
 
 
 def _max_bid(root: str) -> int:
@@ -2813,16 +2943,23 @@ def _rewrite_flat_family(sess, root: str, frame) -> None:
     membership is not monotone under deletion) pass the recomputed
     frame directly.  Same crash safety as every fold: base write
     (overwrite, idempotent) then atomic meta commit; `_flat_state_paths`
-    serves the base + post-fold deltas only after the pointer lands."""
+    serves the base + post-fold deltas only after the pointer lands.
+    Takes the family lease for the write+commit (r14): a concurrent
+    purge or live fold against the same family raises instead of
+    interleaving half-committed versions."""
     import json
 
-    ver = int(_del_meta_read(root)["version"]) + 1
-    frame.write.mode("overwrite").parquet(f"{root}/base_v{ver}")
-    folded_below = _max_bid(root) + 1
-    _fs_write_text_atomic(
-        f"{root}/_meta.json",
-        json.dumps({"version": int(ver), "folded_below_bid": folded_below}),
-    )
+    acquire_family_lease(root, holder=f"flat-rewrite:{__import__('os').getpid()}")
+    try:
+        ver = int(_del_meta_read(root)["version"]) + 1
+        frame.write.mode("overwrite").parquet(f"{root}/base_v{ver}")
+        folded_below = _max_bid(root) + 1
+        _fs_write_text_atomic(
+            f"{root}/_meta.json",
+            json.dumps({"version": int(ver), "folded_below_bid": folded_below}),
+        )
+    finally:
+        release_family_lease(root)
 
 
 def expire_del_versions(root: str) -> list[str]:
@@ -3864,6 +4001,16 @@ def ivf_purge_takedowns(sess: SparkSession, cells_root: str, del_root: str) -> d
     the scheduled purge doubles as its small-file compaction — live
     files collapse to one base tier regardless of how many batches
     have landed, serve unchanged."""
+    acquire_family_lease(cells_root, holder=f"ivf-purge:{__import__('os').getpid()}")
+    try:
+        return _ivf_purge_takedowns_locked(sess, cells_root, del_root)
+    finally:
+        release_family_lease(cells_root)
+
+
+def _ivf_purge_takedowns_locked(
+    sess: SparkSession, cells_root: str, del_root: str
+) -> dict:
     meta = _state_meta_read(cells_root)
     ver = int(meta["version"])
     man = sess.read.option("recursiveFileLookup", "true").parquet(
@@ -3989,11 +4136,29 @@ def ivf_retrain_quantizer(
        new cells) pair in the same read, and a crash before the commit
        leaves the old pair fully live.
 
-    Run OFFLINE like every fold (no in-flight bid can be excluded).
+    Run OFFLINE like every fold (no in-flight bid can be excluded) —
+    lease-enforced (r14): acquisition of the family lease fails loudly
+    against a concurrent fold/purge instead of double-folding.
     Returns the committed meta.  Post-re-train recall re-certification
     is the caller's gate (pytest drives ``_recall_vs_brute`` over the
     re-trained serve; the drift test asserts imbalance back under the
     threshold)."""
+    acquire_family_lease(cells_root, holder=f"ivf-retrain:{__import__('os').getpid()}")
+    try:
+        return _ivf_retrain_quantizer_locked(
+            sess, cells_root, seeds_path, del_root, n_iters
+        )
+    finally:
+        release_family_lease(cells_root)
+
+
+def _ivf_retrain_quantizer_locked(
+    sess: SparkSession,
+    cells_root: str,
+    seeds_path: str,
+    del_root: str | None,
+    n_iters: int,
+) -> dict:
     from tailsql_spark.operators.similarity import assign_cells, norm
     from tailsql_spark.operators.similarity import ivf_cell_count
 

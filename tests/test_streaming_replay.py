@@ -2993,3 +2993,77 @@ def test_ivf_retrain_quantizer_recovers_drifted_state(spark, oracle_sf_dir):
         assert top.neighbor_id == fresh_id, top
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_family_lease_guards_folds_and_purges(spark, tmp_path):
+    """r14 (VERDICT r13 gap #6): the offline purges were guarded by
+    convention only.  Now every fold/purge entry point takes a lease
+    file (atomic create, stale-TTL):
+
+    1. a purge attempted while a FRESH lease is held raises
+       FamilyLeaseHeld (both local and file:// URI roots);
+    2. a STALE lease (holder crashed without release) is reclaimed;
+    3. the SAME holder re-entering (a replayed fold after a crash)
+       reclaims immediately instead of stalling out the TTL;
+    4. purge_flat_family and _compact_del_log actually refuse under a
+       held lease and succeed after release."""
+    import json
+    import time
+
+    import pytest
+
+    from tailsql_spark.plans.streaming_exec import (
+        FamilyLeaseHeld,
+        _compact_del_log,
+        acquire_family_lease,
+        purge_flat_family,
+        release_family_lease,
+    )
+
+    root = str(tmp_path / "fam")
+    (tmp_path / "fam").mkdir()
+    # 1. fresh lease blocks a second acquirer
+    acquire_family_lease(root, holder="stream:run1")
+    with pytest.raises(FamilyLeaseHeld):
+        acquire_family_lease(root, holder="purge:123")
+    # 3. the same holder re-enters (crash + replay)
+    acquire_family_lease(root, holder="stream:run1")
+    release_family_lease(root)
+    # 2. stale lease is reclaimed
+    with open(f"{root}/_lease.json", "w") as fh:
+        fh.write(json.dumps({"holder": "dead", "ts": time.time() - 7200}))
+    acquire_family_lease(root, holder="purge:456", ttl_sec=3600)
+    release_family_lease(root)
+
+    # URI (Hadoop FS) branch
+    uroot = f"file://{tmp_path}/ufam"
+    acquire_family_lease(uroot, holder="a")
+    with pytest.raises(FamilyLeaseHeld):
+        acquire_family_lease(uroot, holder="b")
+    release_family_lease(uroot)
+    acquire_family_lease(uroot, holder="b")
+    release_family_lease(uroot)
+
+    # 4. real entry points refuse under a held lease
+    fam = str(tmp_path / "flat")
+    spark.createDataFrame([(1,), (2,)], "doc_id long").write.parquet(f"{fam}/seed")
+    spark.createDataFrame([(3,)], "doc_id long").write.parquet(f"{fam}/b00000")
+    dels = spark.createDataFrame([(3,)], "doc_id long")
+    acquire_family_lease(fam, holder="stream:live")
+    with pytest.raises(FamilyLeaseHeld):
+        purge_flat_family(spark, fam, dels)
+    release_family_lease(fam)
+    purge_flat_family(spark, fam, dels)  # now succeeds
+    from tailsql_spark.plans.streaming_exec import _flat_state_paths
+
+    live = spark.read.parquet(*_flat_state_paths(fam))
+    assert {r.doc_id for r in live.collect()} == {1, 2}
+
+    dlog = str(tmp_path / "dlog")
+    spark.createDataFrame([], "doc_id long").write.parquet(f"{dlog}/seed")
+    spark.createDataFrame([(9,)], "doc_id long").write.parquet(f"{dlog}/b00000")
+    acquire_family_lease(dlog, holder="stream:live")
+    with pytest.raises(FamilyLeaseHeld):
+        _compact_del_log(spark, dlog, "doc_id", None)
+    release_family_lease(dlog)
+    _compact_del_log(spark, dlog, "doc_id", None)
