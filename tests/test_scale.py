@@ -1206,11 +1206,14 @@ def test_bm25_index_bucket_fn_parity(spark):
 
 
 def test_bm25_indexed_probe_prunes_bucket_dirs(spark, oracle_sf_dir):
-    """text_bm25_topk_indexed's contract: the probe scan carries a
-    STATIC partition IN-filter on the term-bucket column and the
-    query's buckets are a strict subset of the on-disk buckets (the
-    sink_manifest_file_pruning discipline, directory-level); the
-    served result equals the per-run query row-for-row."""
+    """text_bm25_topk_indexed's contract (r14 — STRONGER than the old
+    partition-IN-filter assertion): the probe scan's input files are
+    EXACTLY the probed bucket directories, constructed from the shared
+    md5 arithmetic without ever listing the partitioned root (at the
+    100x corpus, root discovery stats every dialed bucket dir per
+    query — the cost that turned the 10x-flat probe into a 4.4x one);
+    the query's buckets are a strict subset of the on-disk buckets and
+    the served result equals the per-run query row-for-row."""
     import os
 
     from tailsql_spark.operators.textstats import (
@@ -1242,8 +1245,15 @@ def test_bm25_indexed_probe_prunes_bucket_dirs(spark, oracle_sf_dir):
     assert 0 < len(buckets) < len(on_disk), (buckets, on_disk)
     assert set(on_disk) - set(buckets), (on_disk, buckets)  # dirs the probe never reads
     served = REGISTRY["text_bm25_topk_indexed"].build(spark, oracle_sf_dir)
-    plan = served._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and "tb" in plan.split("PartitionFilters", 1)[1][:300], plan
+    # the scan plans ONLY the probed bucket dirs: every input file of
+    # the postings read lives under a probed tb= dir, and no unprobed
+    # bucket dir contributes a file (stats/doc tables excluded by path)
+    post_files = [f for f in served.inputFiles() if "/postings/tb=" in f]
+    assert post_files, served.inputFiles()
+    scanned = {
+        int(f.split("/postings/tb=", 1)[1].split("/", 1)[0]) for f in post_files
+    }
+    assert scanned <= set(buckets), (sorted(scanned), buckets)
     # serving equals the per-run query exactly
     key = lambda r: (r.qid, r.rnk)  # noqa: E731
     got = sorted(served.collect(), key=key)
