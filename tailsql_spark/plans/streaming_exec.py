@@ -4295,7 +4295,7 @@ def ivf_recertify_recall(
             .filter(F.col("rnk") <= RECALL_K)
             .select("query_id", "neighbor_id")
         )
-        rows = _recall_vs_brute(sess, sf_dir, idx, n_queries=n_queries).collect()
+        rows = _recall_vs_brute(sess, sf_dir, idx, n_queries=n_queries).collect()  # planning-metadata: |Q| per-query recall rows
         recall = sum(r.recall for r in rows) / len(rows) if rows else 0.0
         if recall >= IVF_RECALL_FLOOR:
             return {"n_probes": int(n_probes), "recall": float(recall)}
