@@ -1937,8 +1937,14 @@ def _ivf_indexed_scored(
     request's query vectors against the broadcast seed table through
     the SAME assign-by-max-cosine rule as the writer (ivf_probe_plan),
     collect the request-sized (query, probed cell) plan — never corpus
-    data — and scan ONLY the probed cells' directories with a static
-    partition IN-filter."""
+    data — and scan ONLY the probed cells' directories, constructed by
+    PATH from the probe plan (r14: an IN-filter over the partitioned
+    root pays partition DISCOVERY across every dialed cell dir per
+    query — the cost the 100× curve caught on the BM25 twin; the probe
+    now plans exactly |probed cells| directory stats, like the
+    streaming index's manifest-resolved read)."""
+    import os
+
     root = ivf_index_path(spark, sf_dir)
     seeds = spark.read.parquet(f"{root}/seeds").select(
         F.col("vec_id").alias("seed_id"), F.col("v").alias("sv"), F.col("nrm").alias("sn")
@@ -1963,15 +1969,23 @@ def _ivf_indexed_scored(
         ],
         "query_id long, cell long, qv array<double>, qn double",
     )
-    cand = (
-        spark.read.parquet(f"{root}/cells")
-        .filter(F.col("cell").isin(qcells))
-        .select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("cell").cast("long").alias("ccell"),
-            F.col("v").alias("cv"),
-            F.col("nrm").alias("cn"),
+    probe_dirs = [
+        d
+        for d in (f"{root}/cells/cell={c}" for c in qcells)
+        if os.path.exists(d)
+    ]
+    if probe_dirs:
+        # basePath keeps the cell partition column on the pruned read
+        src = spark.read.option("basePath", f"{root}/cells").parquet(*probe_dirs)
+    else:  # degenerate: every probed cell empty at a tiny corpus
+        src = spark.read.parquet(f"{root}/cells").filter(
+            F.col("cell").isin(qcells)
         )
+    cand = src.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cell").cast("long").alias("ccell"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
     )
     cos = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     return (

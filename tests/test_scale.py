@@ -1298,8 +1298,14 @@ def test_ivf_indexed_probe_prunes_cell_dirs(spark, oracle_sf_dir):
     )
     assert len(on_disk) >= nc // 2, (nc, on_disk)
     served = REGISTRY["ann_ivf_topk_indexed"].build(spark, oracle_sf_dir)
-    plan = served._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:300], plan
+    # r14 (stronger than the old PartitionFilters assertion): the
+    # candidate scan's input files are EXACTLY the probed cell dirs,
+    # constructed by path without listing the partitioned root
+    cell_files = [f for f in served.inputFiles() if "/cells/cell=" in f]
+    assert cell_files, served.inputFiles()
+    scanned = {
+        int(f.split("/cells/cell=", 1)[1].split("/", 1)[0]) for f in cell_files
+    }
     got = sorted(served.collect())
     # strict subset: a 3-query request provably skips populated dirs
     emb = (
@@ -1316,6 +1322,7 @@ def test_ivf_indexed_probe_prunes_cell_dirs(spark, oracle_sf_dir):
         for r in fresh.filter(F.col("vec_id") < N_QUERIES_IDX).collect()
     }
     assert 0 < len(probed) < len(on_disk), (probed, on_disk)
+    assert scanned <= probed, (sorted(scanned), sorted(probed))
     # equals an independent in-memory recomputation over dialed cells
     q = fresh.filter(F.col("vec_id") < N_QUERIES_IDX).select(
         F.col("vec_id").alias("query_id"),
