@@ -847,7 +847,12 @@ def _minhash_batch_processor(
             .persist()
         )
         sig_b = minhash_signatures(ex_b).persist()
-        sig_hist = sess.read.parquet(*_mh_state_paths(sig_root, bid))
+        # meta-aware history read (r14 review): identical to the plain
+        # listing until an offline purge commits a base pointer —
+        # without it, ingestion resumed after stream_minhash_takedown's
+        # purge+vacuum would see no pre-purge history and silently stop
+        # pairing new docs against it
+        sig_hist = sess.read.parquet(*_flat_state_paths(sig_root, bid))
         if del_root is not None:
             sig_hist = sig_hist.join(F.broadcast(dset), "doc_id", "left_anti")
         sig_all = sig_hist.unionByName(sig_b)
@@ -873,7 +878,7 @@ def _minhash_batch_processor(
             )
             .distinct()
         )
-        ex_all = sess.read.parquet(*_mh_state_paths(ex_root, bid)).unionByName(ex_b)
+        ex_all = sess.read.parquet(*_flat_state_paths(ex_root, bid)).unionByName(ex_b)
         sizes = sig_all.select("doc_id", F.col("n_sh").alias("n"))
         exa = ex_all.select(F.col("doc_id").alias("id_a"), "s")
         exb = ex_all.select(F.col("doc_id").alias("idb2"), F.col("s").alias("sb"))
@@ -2529,27 +2534,40 @@ def acquire_family_lease(
     ``create(overwrite=false)`` on URI roots — both primitives fail,
     not truncate, when the file exists).  A fresh existing lease
     raises :class:`FamilyLeaseHeld`; a STALE one (older than
-    ``ttl_sec`` — the holder crashed without releasing) is reclaimed
-    with one delete-and-recreate attempt, and losing THAT race raises
-    too (someone else reclaimed first).  Every fold/purge entry point
+    ``ttl_sec`` — the holder crashed without releasing) is reclaimed by
+    ATOMIC RENAME to a unique name (exactly one reclaimer wins; losing
+    the race raises).  Local creation hard-links a fully-written tmp
+    into place so no acquirer can ever observe an empty lease; a
+    torn/unreadable lease (URI create+write is two ops) is judged by
+    file mtime, never assumed stale.  Every fold/purge entry point
     takes this before mutating versioned state, so "never while the
     stream is live" is enforced, not documented."""
     import json
     import os
     import time
+    import uuid
 
     path = f"{root}/_lease.json"
     payload = json.dumps({"holder": holder, "ts": time.time()})
+    nonce = uuid.uuid4().hex
 
     def _try_create() -> bool:
         if "://" not in root:
+            # create-with-content ATOMICALLY: write a unique tmp then
+            # hard-link it into place (link fails on an existing path).
+            # A bare O_CREAT|O_EXCL + write leaves a window where a
+            # second acquirer reads an EMPTY lease and would misjudge
+            # it (the r14 review's race b).
+            tmp = f"{path}.acq-{nonce}"
+            with open(tmp, "w") as fh:
+                fh.write(payload)
             try:
-                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.link(tmp, path)
+                return True
             except FileExistsError:
                 return False
-            with os.fdopen(fd, "w") as fh:
-                fh.write(payload)
-            return True
+            finally:
+                os.remove(tmp)
         spark = SparkSession.getActiveSession()
         jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -2565,17 +2583,35 @@ def acquire_family_lease(
 
     if _try_create():
         return
+    held: dict = {}
     try:
         held = json.loads(_fs_read_text(path))
-    except Exception:  # torn/vanished lease file: treat as stale
-        held = {}
-    age = time.time() - float(held.get("ts", 0))
+        age = time.time() - float(held.get("ts", 0))
+    except Exception:
+        # torn/mid-write lease (possible on the URI branch, whose
+        # create+write is not one atomic op): judge staleness by the
+        # file's mtime instead of treating unreadable as stale — a
+        # FRESH half-written lease is a live acquirer, not a corpse
+        try:
+            if "://" not in root:
+                age = time.time() - os.stat(path).st_mtime
+            else:
+                spark = SparkSession.getActiveSession()
+                jp = spark._jvm.org.apache.hadoop.fs.Path(path)
+                fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+                age = time.time() - fs.getFileStatus(jp).getModificationTime() / 1000.0
+        except Exception:  # vanished between probes: retry the create
+            if _try_create():
+                return
+            raise FamilyLeaseHeld(
+                f"family {root!r}: lease contended during acquisition"
+            ) from None
     if held.get("holder") == holder:
         # the SAME logical owner re-entering (a fold crashed without
         # release and its replayed batch retries): reclaim immediately —
         # waiting out the TTL would stall the retry the replay exists
         # for.  Two live processes sharing a holder id is operator
-        # error; holder ids carry the batch id to keep them distinct.
+        # error; holder ids carry the batch id / pid to stay distinct.
         pass
     elif age <= ttl_sec:
         raise FamilyLeaseHeld(
@@ -2583,7 +2619,28 @@ def acquire_family_lease(
             f"({age:.0f}s old, ttl {ttl_sec:.0f}s) — refusing to fold/purge "
             "while another process owns the family"
         )
-    _fs_rmfile(path)  # stale: reclaim
+    # stale: reclaim by ATOMIC RENAME to a unique name — exactly one
+    # reclaimer wins; the loser's rename fails and must re-contend
+    # (the delete-then-create reclaim could delete the WINNER's fresh
+    # lease — the r14 review's race a)
+    claimed = f"{path}.stale-{nonce}"
+    if "://" not in root:
+        try:
+            os.rename(path, claimed)
+        except FileNotFoundError:
+            claimed = None  # someone else reclaimed first
+    else:
+        spark = SparkSession.getActiveSession()
+        jp = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.rename(jp, spark._jvm.org.apache.hadoop.fs.Path(claimed)):
+            claimed = None
+    if claimed is None:
+        raise FamilyLeaseHeld(
+            f"family {root!r}: lost the stale-lease reclaim race — another "
+            "process re-acquired first"
+        )
+    _fs_rmfile(claimed)
     if not _try_create():
         raise FamilyLeaseHeld(
             f"family {root!r}: lost the stale-lease reclaim race — another "
@@ -2928,10 +2985,20 @@ def purge_flat_family(sess, root: str, dels, col: str = "doc_id") -> None:
     frames), which is what a compliance takedown must actually erase;
     the id-only graph state (edges, label snapshots) is metadata and
     is instead filtered/recomputed at serve.  Run OFFLINE, never while
-    the family's stream is live (same window as every other fold)."""
-    live = sess.read.parquet(*_flat_state_paths(root))
-    purged = live.join(F.broadcast(dels.select(col)), col, "left_anti")
-    _rewrite_flat_family(sess, root, purged)
+    the family's stream is live (same window as every other fold) —
+    and lease-enforced: the family's path SNAPSHOT is resolved INSIDE
+    the lease (r14 review: a snapshot taken outside it could fold a
+    stale pre-concurrent-purge path list, resurrecting rows another
+    purge just erased)."""
+    import os
+
+    acquire_family_lease(root, holder=f"flat-purge:{os.getpid()}")
+    try:
+        live = sess.read.parquet(*_flat_state_paths(root))
+        purged = live.join(F.broadcast(dels.select(col)), col, "left_anti")
+        _rewrite_flat_family_locked(sess, root, purged)
+    finally:
+        release_family_lease(root)
 
 
 def _rewrite_flat_family(sess, root: str, frame) -> None:
@@ -2946,20 +3013,29 @@ def _rewrite_flat_family(sess, root: str, frame) -> None:
     serves the base + post-fold deltas only after the pointer lands.
     Takes the family lease for the write+commit (r14): a concurrent
     purge or live fold against the same family raises instead of
-    interleaving half-committed versions."""
-    import json
+    interleaving half-committed versions.  When ``frame`` reads the
+    SAME family being rewritten, resolve its paths under the lease —
+    ``purge_flat_family`` does; rebuild-style callers whose frame reads
+    a DIFFERENT (already-purged) family are unaffected."""
+    import os
 
-    acquire_family_lease(root, holder=f"flat-rewrite:{__import__('os').getpid()}")
+    acquire_family_lease(root, holder=f"flat-rewrite:{os.getpid()}")
     try:
-        ver = int(_del_meta_read(root)["version"]) + 1
-        frame.write.mode("overwrite").parquet(f"{root}/base_v{ver}")
-        folded_below = _max_bid(root) + 1
-        _fs_write_text_atomic(
-            f"{root}/_meta.json",
-            json.dumps({"version": int(ver), "folded_below_bid": folded_below}),
-        )
+        _rewrite_flat_family_locked(sess, root, frame)
     finally:
         release_family_lease(root)
+
+
+def _rewrite_flat_family_locked(sess, root: str, frame) -> None:
+    import json
+
+    ver = int(_del_meta_read(root)["version"]) + 1
+    frame.write.mode("overwrite").parquet(f"{root}/base_v{ver}")
+    folded_below = _max_bid(root) + 1
+    _fs_write_text_atomic(
+        f"{root}/_meta.json",
+        json.dumps({"version": int(ver), "folded_below_bid": folded_below}),
+    )
 
 
 def expire_del_versions(root: str) -> list[str]:
@@ -4041,7 +4117,17 @@ def _ivf_purge_takedowns_locked(
         data_dir=base_dir, sub="base",
     )
     _compact_del_log(sess, del_root, "vec_id", None)
-    new_meta = {"version": newver, "nb": int(nc), "rows": int(meta.get("rows", 0))}
+    # carry the quantizer pointer through the purge (r14 review): a
+    # routine compaction after a re-train must NOT revert seeds_version
+    # to the staged quantizer — the purge rewrites cells laid out by
+    # the CURRENT seeds, and serving them under the old ones is exactly
+    # the new-cells-under-old-seeds mismatch the atomic cutover forbids
+    new_meta = {
+        "version": newver,
+        "nb": int(nc),
+        "rows": int(meta.get("rows", 0)),
+        "seeds_version": int(meta.get("seeds_version", 0)),
+    }
     _state_meta_write(cells_root, new_meta)  # the commit point
     return new_meta
 

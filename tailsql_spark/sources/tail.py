@@ -279,12 +279,37 @@ class TailNStreamReader(DataSourceStreamReader):
         #: these.  The cap must be applied here in latestOffset (Spark
         #: checkpoints whatever end we return; a partitions() that read
         #: less than [start, end) would silently LOSE the tail of the
-        #: range).  None until the first planning call: after a
-        #: checkpoint restart the planner cannot see the checkpointed
-        #: start, so the first batch plans uncapped — a bounded-memory
-        #: catch-up (chunked reads + range splitting below), after
-        #: which the per-batch cap re-engages.
+        #: range), and offsets must never REGRESS relative to a
+        #: committed plan (an end behind the committed start reads as
+        #: rotation and re-delivers from 0 — duplicate rows).  None
+        #: until the first planning call; Spark 4.x calls
+        #: latestOffset() BEFORE initialOffset() on a fresh query, so
+        #: the FIRST batch (fresh start or checkpoint restart alike)
+        #: plans uncapped — a bounded-memory catch-up (chunked reads +
+        #: range splitting below) — and the cap engages from the
+        #: second plan on.  initialOffset therefore only SEEDS this
+        #: when no plan exists yet; it never clobbers a more-advanced
+        #: one (the clobber would put the next capped end behind the
+        #: committed start — the duplicate-delivery bug the r14 review
+        #: caught empirically).
         self._last_end: dict[str, int] | None = None
+        #: in-memory rotation identity per path: a delete-rotated file
+        #: whose REPLACEMENT is larger than the original is
+        #: indistinguishable from growth by size alone (the
+        #: [0, old_size) prefix of the new file would be silently
+        #: skipped and the suffix delivered as a continuation).  Two
+        #: signals unmask it for the LIVE planner — the inode (tail
+        #: -F's rule; defeated when the filesystem immediately REUSES
+        #: the freed inode, routine on tmpfs/ext4) and the file's
+        #: first bytes (the fluentd rule: appends never change the
+        #: prefix; a same-prefix replacement escapes — documented
+        #: heuristic).  Deliberately NOT part of the checkpointed
+        #: offset (byte positions stay the replayable contract);
+        #: across a restart the bigger-replacement case remains
+        #: undetectable, the same documented limit as the single-file
+        #: reader.
+        self._inode: dict[str, int] = {}
+        self._sig: dict[str, bytes] = {}
 
     def _files(self) -> list[str]:
         import glob
@@ -305,9 +330,13 @@ class TailNStreamReader(DataSourceStreamReader):
                     # rotation is routine) — skip; if it reappears, a
                     # later batch picks it up from 0
                     continue
-        # seed the cap baseline: a fresh seek_to_end=false start then
-        # caps its very first backfill batch at max_bytes per file
-        self._last_end = dict(out)
+        # seed the cap baseline ONLY when no plan exists yet: the
+        # engine may call latestOffset() first (observed on Spark 4.x),
+        # and overwriting its plan here would put the next capped end
+        # BEHIND the committed start — misread as rotation, every
+        # backfill byte delivered twice
+        if self._last_end is None:
+            self._last_end = dict(out)
         return out
 
     def latestOffset(self) -> dict:
@@ -315,8 +344,32 @@ class TailNStreamReader(DataSourceStreamReader):
         prev_map = self._last_end
         for p in self._files():
             try:
-                size = os.path.getsize(p)
+                st = os.stat(p)
+                size = st.st_size
                 prev = None if prev_map is None else int(prev_map.get(p, 0))
+                # inode change = delete-rotation even when the
+                # replacement is BIGGER than the original (size alone
+                # would masquerade as growth and skip the replacement's
+                # [0, prev) prefix).  Plan end=0 for one batch: any
+                # end >= the committed start would read as continuation
+                # INTO the replacement, so the only robust signal is an
+                # end below every possible start — partitions() then
+                # plans nothing, the checkpoint commits 0, and the next
+                # plan delivers the replacement from 0 under the normal
+                # cap.
+                with open(p, "rb") as fh:
+                    prefix = fh.read(64)
+                old_sig = self._sig.get(p, b"")
+                rotated = (
+                    p in self._inode and self._inode[p] != st.st_ino
+                ) or (
+                    old_sig != b"" and prefix[: len(old_sig)] != old_sig
+                )
+                self._inode[p] = st.st_ino
+                self._sig[p] = prefix
+                if rotated and prev is not None and prev > 0:
+                    out[p] = 0
+                    continue
                 if (
                     prev is not None
                     and size > prev  # not rotated/shrunk
@@ -332,6 +385,21 @@ class TailNStreamReader(DataSourceStreamReader):
                         # alignment for this file this batch
                         aligned = _complete_through(p, prev, size)
                     out[p] = aligned
+                elif (
+                    prev is not None
+                    and size < prev  # delete-rotation replaced the file
+                    and size > self.max_bytes
+                ):
+                    # the replacement content is itself over the cap:
+                    # re-read from 0 (the smaller end signals rotation
+                    # to partitions()) but still in capped slices —
+                    # rotation is when a log dumps the MOST data, so
+                    # exempting it would void the backpressure contract
+                    # exactly when it matters
+                    aligned = _complete_through(p, 0, self.max_bytes)
+                    out[p] = (
+                        aligned if aligned > 0 else _complete_through(p, 0, size)
+                    )
                 else:
                     out[p] = _complete_through(p, 0, size)
             except OSError:

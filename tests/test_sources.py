@@ -356,3 +356,98 @@ def test_tailn_range_split_and_chunked_read(tmp_path):
     for part in parts:
         got.extend(v for _p, v in r.read(part))
     assert got == lines
+
+
+def test_tailn_engine_call_order_never_duplicates(tmp_path):
+    """r14 review finding (empirically confirmed on Spark 4.x): the
+    engine calls latestOffset() BEFORE initialOffset() on a fresh
+    query.  The first plan is therefore uncapped, and initialOffset
+    must NOT clobber it — the clobber put the next capped end behind
+    the committed start, which partitions() misread as rotation and
+    re-delivered the whole backfill.  Emulates the engine's exact call
+    order and asserts exactly-once delivery."""
+    from tailsql_spark.sources.tail import TailNStreamReader
+
+    log = tmp_path / "big.log"
+    lines = [f"line-{i:04d}" for i in range(200)]
+    log.write_text("".join(ln + "\n" for ln in lines))
+    total = log.stat().st_size
+
+    r = TailNStreamReader(str(log), seek_to_end=False, max_bytes_per_batch=256)
+    # ENGINE ORDER: latestOffset first, then initialOffset
+    first_end = r.latestOffset()
+    start = r.initialOffset()
+    assert start == {}
+    seen: list[str] = []
+    prev = start
+    end = first_end
+    for _ in range(1000):
+        for part in r.partitions(prev, end):
+            seen.extend(v for _p, v in r.read(part))
+        prev = end
+        end = r.latestOffset()
+        if end == prev:
+            break
+    # first batch was uncapped (no baseline yet) — the whole backlog,
+    # delivered exactly once, never re-read
+    assert prev[str(log)] == total
+    assert seen == lines, (len(seen), len(lines))
+
+    # append more than the cap: subsequent plans are now capped
+    extra = [f"extra-{i:04d}" for i in range(100)]
+    with open(log, "a") as fh:
+        fh.write("".join(ln + "\n" for ln in extra))
+    end2 = r.latestOffset()
+    assert 0 < end2[str(log)] - prev[str(log)] <= 256
+    # drain and confirm exactly-once end-to-end
+    got: list[str] = []
+    prev2, e2 = prev, end2
+    for _ in range(1000):
+        for part in r.partitions(prev2, e2):
+            got.extend(v for _p, v in r.read(part))
+        prev2 = e2
+        e2 = r.latestOffset()
+        if e2 == prev2:
+            break
+    assert got == extra
+
+
+def test_tailn_rotation_replacement_is_capped(tmp_path):
+    """r14 review finding: the rotation branch planned one uncapped
+    batch over the entire replacement file — the backpressure contract
+    voided exactly when rotation dumps the most data.  A delete-rotated
+    file larger than the cap must re-deliver from 0 in capped,
+    line-aligned slices."""
+    import os
+
+    from tailsql_spark.sources.tail import TailNStreamReader
+
+    log = tmp_path / "rot.log"
+    log.write_text("".join(f"old-{i}\n" for i in range(50)))
+
+    r = TailNStreamReader(str(log), seek_to_end=False, max_bytes_per_batch=256)
+    end = r.latestOffset()
+    r.initialOffset()
+    seen = []
+    for part in r.partitions({}, end):
+        seen.extend(v for _p, v in r.read(part))
+    prev = end
+
+    # delete-rotate: replacement much larger than the cap
+    os.unlink(log)
+    repl = [f"new-{i:05d}" for i in range(300)]
+    log.write_text("".join(ln + "\n" for ln in repl))
+    total = log.stat().st_size
+
+    end = r.latestOffset()
+    assert end[str(log)] <= 256  # capped re-read from 0, not one big gulp
+    got: list[str] = []
+    for _ in range(1000):
+        for part in r.partitions(prev, end):
+            got.extend(v for _p, v in r.read(part))
+        prev = end
+        end = r.latestOffset()
+        if end == prev:
+            break
+    assert prev[str(log)] == total
+    assert got == repl  # exactly once, in order, across many capped slices

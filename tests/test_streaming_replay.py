@@ -3067,3 +3067,113 @@ def test_family_lease_guards_folds_and_purges(spark, tmp_path):
         _compact_del_log(spark, dlog, "doc_id", None)
     release_family_lease(dlog)
     _compact_del_log(spark, dlog, "doc_id", None)
+
+
+def test_ivf_purge_preserves_retrained_quantizer(spark, oracle_sf_dir):
+    """r14 review: a routine ivf_purge_takedowns after a re-train must
+    carry seeds_version through its meta commit — dropping it reverts
+    probes and ingestion to the STAGED quantizer against cells laid
+    out by the re-trained one (the new-cells-under-old-seeds mismatch
+    the atomic cutover forbids)."""
+    from tailsql_spark.operators.similarity import (
+        as_double,
+        ivf_cell_count,
+        norm,
+    )
+    from tailsql_spark.plans.catalog import load_tables
+    from tailsql_spark.plans.streaming_exec import (
+        _bucket_manifest_seed,
+        _ivf_index_processor,
+        _ivf_seeds_dir,
+        _state_meta_read,
+        ivf_purge_takedowns,
+        ivf_retrain_quantizer,
+    )
+
+    emb = load_tables(spark, oracle_sf_dir)["embeddings"].select(
+        "vec_id", "embedding"
+    )
+    embd = emb.select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    nc = ivf_cell_count(embd.count())
+    root = tempfile.mkdtemp(prefix="tailsql_ivf_purge_seeds_")
+    try:
+        seeds_path = f"{root}/seeds"
+        embd.filter(F.col("vec_id") < nc).select(
+            "vec_id", "v", "nrm"
+        ).write.mode("overwrite").parquet(seeds_path)
+        cells = f"{root}/cells"
+        del_root = f"{root}/del"
+        spark.createDataFrame(
+            [], "vec_id long, v array<double>, nrm double, ccell long"
+        ).write.mode("overwrite").parquet(f"{cells}/seed")
+        spark.createDataFrame([], "vec_id long").write.mode(
+            "overwrite"
+        ).parquet(f"{del_root}/seed")
+        _bucket_manifest_seed(spark.createDataFrame([], "x long"), cells)
+        process = _ivf_index_processor(cells, seeds_path, del_root)
+        process(emb.withColumn("op", F.lit("I")), 0)
+
+        meta1 = ivf_retrain_quantizer(spark, cells, seeds_path)
+        assert meta1["seeds_version"] == 1
+        meta2 = ivf_purge_takedowns(spark, cells, del_root)
+        assert int(meta2.get("seeds_version", 0)) == 1, meta2
+        assert _ivf_seeds_dir(cells, seeds_path) == f"{seeds_path}_v1"
+        assert int(_state_meta_read(cells)["seeds_version"]) == 1
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_flat_minhash_resume_after_purge_sees_history(spark, oracle_sf_dir):
+    """r14 review: the flat MinHash processor's history reads must be
+    meta-aware — after stream_minhash_takedown's purge+vacuum folds the
+    live state into base_v1, a resumed stream's new batch must still
+    discover pairs against the PRE-PURGE live history (the plain
+    listing would see only seed + post-purge deltas and silently stop
+    pairing)."""
+    from tailsql_spark.plans.catalog import load_tables
+    from tailsql_spark.plans.streaming_exec import (
+        _bdir,
+        _mh_seed_state,
+        _minhash_batch_processor,
+        expire_del_versions,
+        purge_flat_family,
+    )
+
+    docs = load_tables(spark, oracle_sf_dir)["documents"].select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="tailsql_mhtake_resume_")
+    try:
+        ex_root, sig_root, out_root = _mh_seed_state(docs, root)
+        del_root = f"{root}/del"
+        spark.createDataFrame([], "doc_id long").write.mode("overwrite").parquet(
+            f"{del_root}/seed"
+        )
+        process = _minhash_batch_processor(
+            ex_root, sig_root, out_root, del_root=del_root
+        )
+        two = docs.orderBy("doc_id").limit(2).collect()
+        dead, live = two[0], two[1]
+        process(docs.filter(F.col("doc_id").isin(dead.doc_id, live.doc_id)), 0)
+        # tombstone the first doc, then PHYSICALLY purge + vacuum
+        spark.createDataFrame([(dead.doc_id,)], "doc_id long").write.mode(
+            "overwrite"
+        ).parquet(f"{del_root}/{_bdir(1)}")
+        process(docs.limit(0), 1)
+        dels = spark.createDataFrame([(dead.doc_id,)], "doc_id long")
+        for fam in (ex_root, sig_root):
+            purge_flat_family(spark, fam, dels)
+            expire_del_versions(fam)
+        # resume: a copy of the LIVE doc must still pair against the
+        # purged-but-present history base
+        probe = spark.createDataFrame(
+            [(900002, live.text)], "doc_id long, text string"
+        )
+        process(probe, 2)
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in spark.read.parquet(f"{out_root}/{_bdir(2)}").collect()
+        }
+        assert (live.doc_id, 900002) in pairs, pairs
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
