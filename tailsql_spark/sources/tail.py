@@ -128,10 +128,39 @@ class TailStreamReader(SimpleDataSourceStreamReader):
         return {"pos": 0}
 
     def _read_from(self, pos: int) -> tuple[list[tuple[str]], int]:
-        if not os.path.exists(self.path):
+        try:
+            st = os.stat(self.path)
+        except OSError:
             return [], pos
-        size = os.path.getsize(self.path)
-        if size < pos:  # rotation/truncation → re-open from start
+        size = st.st_size
+        # rotation detection (r14, parity with tailn): size alone
+        # misses a delete-rotated replacement LARGER than the original
+        # (masquerades as growth; the old offset would continue INTO
+        # the new file).  The live reader also tracks inode + first
+        # bytes — inode reuse after unlink+create is routine, and
+        # appends never change the prefix.  In-memory only: across a
+        # restart the bigger-replacement case remains undetectable
+        # (byte positions stay the checkpoint contract).
+        rotated = size < pos
+        if not rotated and pos > 0:
+            try:
+                with open(self.path, "rb") as fh:
+                    prefix = fh.read(64)
+                old_sig = getattr(self, "_sig", b"")
+                rotated = (
+                    getattr(self, "_inode", st.st_ino) != st.st_ino
+                ) or (old_sig != b"" and prefix[: len(old_sig)] != old_sig)
+                self._sig = prefix
+            except OSError:
+                return [], pos
+        else:
+            try:
+                with open(self.path, "rb") as fh:
+                    self._sig = fh.read(64)
+            except OSError:
+                return [], pos
+        self._inode = st.st_ino
+        if rotated:  # rotation/truncation → re-open from start
             pos = 0
         if size == pos:
             return [], pos

@@ -451,3 +451,30 @@ def test_tailn_rotation_replacement_is_capped(tmp_path):
             break
     assert prev[str(log)] == total
     assert got == repl  # exactly once, in order, across many capped slices
+
+
+def test_tailf_bigger_replacement_rotation_detected(tmp_path):
+    """r14 (parity with tailn): a delete-rotated file whose replacement
+    is LARGER than the original must not masquerade as growth — the
+    single-file reader re-opens from 0 (inode + first-bytes signals)
+    instead of continuing the old offset into the new content."""
+    import os
+
+    from tailsql_spark.sources.tail import TailStreamReader
+
+    log = tmp_path / "app.log"
+    log.write_text("old-1\nold-2\n")
+    r = TailStreamReader(str(log), seek_to_end=False,
+                         max_bytes_per_batch=1 << 20)
+    start = r.initialOffset()
+    rows, off = r.read(start)
+    assert [v for (v,) in rows] == ["old-1", "old-2"]
+
+    # delete-rotate with a LARGER replacement
+    os.unlink(log)
+    repl = [f"replacement-line-{i}" for i in range(10)]
+    log.write_text("".join(ln + "\n" for ln in repl))
+    rows2, off2 = r.read(off)
+    got = [v for (v,) in rows2]
+    assert got == repl, got  # from 0, complete — not a mid-file suffix
+    assert off2["pos"] == log.stat().st_size
