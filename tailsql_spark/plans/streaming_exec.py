@@ -4392,6 +4392,54 @@ def ivf_recertify_recall(
     )
 
 
+def ivf_maintain(
+    sess: SparkSession,
+    sf_dir: str,
+    cells_root: str,
+    seeds_path: str,
+    del_root: str | None = None,
+    n_queries: int | None = None,
+) -> dict:
+    """The SCHEDULED IVF maintenance job — the closed loop the drift
+    gate feeds (r14; individually the pieces existed, this is the one
+    entry point an operator actually crons):
+
+    1. physical takedown purge + vacuums (with an empty delete set this
+       is the family's small-file compaction);
+    2. ``ivf_cell_imbalance`` — below the threshold, done;
+    3. past it, ``ivf_retrain_quantizer`` (atomic seeds+cells cutover)
+       + vacuum of the superseded version;
+    4. ``ivf_recertify_recall`` — probe-count escalation until the
+       batch floor holds; its failure raises, leaving the report
+       incomplete and the operator holding a named error.
+
+    Returns the audit report {imbalance_before, retrained[,
+    imbalance_after, n_probes, recall], purged}.  Offline like every
+    fold/purge; each step takes the family lease itself."""
+    from tailsql_spark.operators.similarity import N_QUERIES_IDX
+
+    nq = int(n_queries) if n_queries is not None else N_QUERIES_IDX
+    report: dict = {"purged": False, "retrained": False}
+    if del_root is not None:
+        ivf_purge_takedowns(sess, cells_root, del_root)
+        expire_state_versions(sess, cells_root)
+        expire_del_versions(del_root)
+        report["purged"] = True
+    imb = ivf_cell_imbalance(sess, cells_root)
+    report["imbalance_before"] = float(imb)
+    if imb > IVF_IMBALANCE_MAX:
+        ivf_retrain_quantizer(sess, cells_root, seeds_path, del_root=del_root)
+        expire_state_versions(sess, cells_root)
+        report["retrained"] = True
+        report["imbalance_after"] = float(ivf_cell_imbalance(sess, cells_root))
+        report.update(
+            ivf_recertify_recall(
+                sess, sf_dir, cells_root, seeds_path, nq, del_root=del_root
+            )
+        )
+    return report
+
+
 def stream_ivf_index(
     spark: SparkSession, sf_dir: str, state_root: str | None = None
 ) -> DataFrame:

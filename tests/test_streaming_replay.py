@@ -3177,3 +3177,74 @@ def test_flat_minhash_resume_after_purge_sees_history(spark, oracle_sf_dir):
         assert (live.doc_id, 900002) in pairs, pairs
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_ivf_maintain_closed_loop(spark, oracle_sf_dir):
+    """r14: the one cron-able maintenance entry point — healthy state
+    is a cheap no-op (compaction + gate check, no re-train); a drifted
+    state purges, re-trains, vacuums the superseded version, and
+    re-certifies recall, all through the family lease."""
+    import os
+
+    from tailsql_spark.operators.similarity import (
+        as_double,
+        ivf_cell_count,
+        norm,
+    )
+    from tailsql_spark.plans.catalog import load_tables
+    from tailsql_spark.plans.streaming_exec import (
+        IVF_IMBALANCE_MAX,
+        IVF_RECALL_FLOOR,
+        _bucket_manifest_seed,
+        _ivf_index_processor,
+        ivf_maintain,
+    )
+
+    emb = load_tables(spark, oracle_sf_dir)["embeddings"].select(
+        "vec_id", "embedding"
+    )
+    embd = emb.select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    nc = ivf_cell_count(embd.count())
+    root = tempfile.mkdtemp(prefix="tailsql_ivf_maintain_")
+    try:
+        seeds_path = f"{root}/seeds"
+        # DEGENERATE quantizer: collapse drives the loop through the
+        # re-train branch
+        v0 = embd.filter(F.col("vec_id") == 0).select("v", "nrm")
+        spark.range(int(nc)).select(F.col("id").alias("vec_id")).join(
+            v0
+        ).write.mode("overwrite").parquet(seeds_path)
+        cells = f"{root}/cells"
+        del_root = f"{root}/del"
+        spark.createDataFrame(
+            [], "vec_id long, v array<double>, nrm double, ccell long"
+        ).write.mode("overwrite").parquet(f"{cells}/seed")
+        spark.createDataFrame([], "vec_id long").write.mode(
+            "overwrite"
+        ).parquet(f"{del_root}/seed")
+        _bucket_manifest_seed(spark.createDataFrame([], "x long"), cells)
+        process = _ivf_index_processor(cells, seeds_path, del_root)
+        process(emb.withColumn("op", F.lit("I")), 0)
+
+        report = ivf_maintain(
+            spark, oracle_sf_dir, cells, seeds_path, del_root=del_root
+        )
+        assert report["purged"] and report["retrained"], report
+        assert report["imbalance_before"] > IVF_IMBALANCE_MAX
+        assert report["imbalance_after"] < IVF_IMBALANCE_MAX
+        assert report["recall"] >= IVF_RECALL_FLOOR
+        # superseded versions vacuumed: only the live base + seed +
+        # manifest + lease remain under cells
+        entries = sorted(os.listdir(cells))
+        assert not any(e.startswith("b0") for e in entries), entries
+
+        # a second maintenance pass on the now-healthy state: no re-train
+        report2 = ivf_maintain(
+            spark, oracle_sf_dir, cells, seeds_path, del_root=del_root
+        )
+        assert report2["retrained"] is False, report2
+        assert report2["imbalance_before"] < IVF_IMBALANCE_MAX
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
