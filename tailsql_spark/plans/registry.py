@@ -204,7 +204,14 @@ GRADED_WINDOW: tuple[str, ...] = (
     #  stream_dedup_clusters and the curation rows; the slot goes to
     #  the r11 incremental IVF serving index, previously full-oracle
     #  only)
-    "stream_ivf_index",             # r11: incremental cell-partitioned ANN index
+    # (r14: stream_ivf_index rotated to the local gate after three
+    #  green rounds — its slot goes to the strictly STRONGER
+    #  certification over the SAME incremental machinery: the closed
+    #  drift-maintenance loop — takedown purge, imbalance gate,
+    #  quantizer re-train with atomic cutover, recall re-certification
+    #  — served multiprobe from the RE-TRAINED index, oracle = the
+    #  re-dialed live-seeded geometry recomputed in DuckDB)
+    "stream_ivf_retrain",           # r14: purge→gate→re-train→re-certify, graded
     "dedup_minhash_lsh",
     # (r8 late rotation: dedup_minhash_recall to the local gate — the
     #  recall floor is hard-gated in pytest and the row stays certified
