@@ -4141,6 +4141,16 @@ def _ivf_purge_takedowns_locked(
 #: well before probe cost degenerates).
 IVF_IMBALANCE_MAX = 4.0
 
+#: Lloyd-training sample budget per cell (r14): intermediate re-train
+#: iterations assign at most this many live vectors per target cell
+#: (deterministic xxhash64(vec_id) sample) — the FAISS
+#: train-on-a-sample discipline.  The FINAL assignment always covers
+#: the full live corpus.  At certification scale (sf0.01: 450 live /
+#: 16 cells ≈ 28 per cell) the budget exceeds the corpus and the
+#: sample is a no-op, so the certified walks are unchanged; it engages
+#: exactly where the |V|×|C| quadratic band would otherwise dominate.
+IVF_TRAIN_PER_CELL = 64
+
 
 def ivf_cell_imbalance(sess: SparkSession, cells_root: str) -> float:
     """max/mean cell occupancy of the committed incremental IVF state,
@@ -4212,7 +4222,12 @@ def ivf_retrain_quantizer(
        assignment rule (``assign_cells``' max-cosine/lowest-seed-id —
        training under L2 while serving under cosine would optimize the
        wrong partition), seeded deterministically from the lowest live
-       vec_ids;
+       vec_ids; past ``IVF_TRAIN_PER_CELL`` vectors per cell the
+       mean-update iterations ride a deterministic hash-sample (every
+       iteration is an |V|×|C| assignment and the dial keeps |C| ∝
+       |V|, so full-corpus training grows ~quadratically until the
+       cell cap — the FAISS answer is O(100) training points per
+       centroid and ONE full-corpus assignment, and so is ours);
     3. re-assign every live vector to the new cells and write the
        consolidated ``base_v{N}`` + manifest under the next version —
        the purge discipline with a new quantizer as the point;
@@ -4278,6 +4293,22 @@ def _ivf_retrain_quantizer_locked(
             F.col("nrm").alias("sn"),
         )
     )
+    # TRAIN-SIDE SAMPLE (r14): every Lloyd iteration is an
+    # |V|×|C| assignment, and the dial keeps |C| ∝ |V| — full-corpus
+    # training grows ~quadratically with the corpus until the cell
+    # cap.  The mean updates only need a representative sample (the
+    # FAISS discipline: O(100) training points per centroid), so past
+    # ``IVF_TRAIN_PER_CELL`` live vectors per cell the intermediate
+    # iterations assign a deterministic hash-sample and ONLY the final
+    # assignment — the one that becomes the committed base — pays the
+    # full |V|×|C| pass.  Below the budget (every certification-scale
+    # corpus) the sample is the whole corpus and behavior is
+    # bit-identical to the unsampled walk.
+    train = src
+    sample_n = IVF_TRAIN_PER_CELL * int(nc)
+    if int(n_live) > sample_n:
+        p = int(n_live) // sample_n
+        train = src.filter(F.pmod(F.xxhash64("vec_id"), F.lit(p)) == 0)
     newver = ver + 1
     spool = f"{cells_root}/_retrain_spool_v{newver}"
     assigned = None
@@ -4285,7 +4316,9 @@ def _ivf_retrain_quantizer_locked(
         # lineage truncation per round (the lloyd_loop spool lesson)
         seeds.write.mode("overwrite").parquet(f"{spool}/s{r}")
         seeds = sess.read.parquet(f"{spool}/s{r}")
-        assigned = assign_cells(src, seeds)
+        assigned = assign_cells(
+            src if r == int(n_iters) - 1 else train, seeds
+        )
         if r < int(n_iters) - 1:
             per_el = (
                 assigned.select("cell", F.posexplode("v").alias("pos", "x"))

@@ -3248,3 +3248,87 @@ def test_ivf_maintain_closed_loop(spark, oracle_sf_dir):
         assert report2["imbalance_before"] < IVF_IMBALANCE_MAX
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_ivf_retrain_sampled_training_final_assignment_complete(
+    spark, oracle_sf_dir, monkeypatch
+):
+    """r14: past IVF_TRAIN_PER_CELL live vectors per cell the re-train's
+    mean-update iterations ride a deterministic hash-sample (the FAISS
+    train-on-a-sample discipline — every Lloyd iteration is an |V|x|C|
+    assignment and the dial keeps |C| proportional to |V|, so
+    full-corpus training grows ~quadratically).  The invariants that
+    must survive sampling:
+
+    1. the budget ENGAGES (this test forces it at sf0.01 by shrinking
+       the per-cell budget, the same arithmetic production hits at 10x);
+    2. NO VECTOR LOST: the committed base holds exactly the live corpus;
+    3. the committed quantizer IS the one that assigned the base: a
+       fresh full-corpus assign_cells under the committed seeds
+       reproduces the base's (vec_id, ccell) mapping exactly — the
+       sample may steer the means, but the final full assignment and
+       the committed seeds cut over together;
+    4. the drift gate still closes (imbalance back under the max)."""
+    import tailsql_spark.plans.streaming_exec as SE
+    from tailsql_spark.operators.similarity import (
+        as_double,
+        assign_cells,
+        ivf_cell_count,
+        norm,
+    )
+    from tailsql_spark.plans.catalog import load_tables
+
+    emb = load_tables(spark, oracle_sf_dir)["embeddings"].select(
+        "vec_id", "embedding"
+    )
+    embd = emb.select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    n = embd.count()
+    nc = ivf_cell_count(n)
+    monkeypatch.setattr(SE, "IVF_TRAIN_PER_CELL", 4)
+    assert n > 4 * nc, "budget must engage for this test to bite"
+    root = tempfile.mkdtemp(prefix="tailsql_ivf_sampled_")
+    try:
+        seeds_path = f"{root}/seeds"
+        v0 = embd.filter(F.col("vec_id") == 0).select("v", "nrm")
+        spark.range(int(nc)).select(F.col("id").alias("vec_id")).join(
+            v0
+        ).write.mode("overwrite").parquet(seeds_path)
+        cells = f"{root}/cells"
+        spark.createDataFrame(
+            [], "vec_id long, v array<double>, nrm double, ccell long"
+        ).write.mode("overwrite").parquet(f"{cells}/seed")
+        SE._bucket_manifest_seed(spark.createDataFrame([], "x long"), cells)
+        SE._ivf_index_processor(cells, seeds_path)(emb, 0)
+
+        meta = SE.ivf_retrain_quantizer(spark, cells, seeds_path, n_iters=3)
+
+        man = spark.read.option("recursiveFileLookup", "true").parquet(
+            SE._manifest_dir(cells, int(meta["version"]))
+        )
+        paths = [r.path for r in man.select("path").distinct().collect()]
+        state = spark.read.parquet(*paths).select("vec_id", "ccell")
+        assert state.count() == n  # no vector lost
+        assert (
+            state.select("vec_id").distinct().count() == n
+        )  # ...and none duplicated
+        committed = spark.read.parquet(
+            SE._ivf_seeds_dir(cells, seeds_path)
+        ).select(
+            F.col("vec_id").alias("seed_id"),
+            F.col("v").alias("sv"),
+            F.col("nrm").alias("sn"),
+        )
+        fresh = assign_cells(embd, committed).select(
+            "vec_id", F.col("cell").cast("long").alias("fresh_cell")
+        )
+        mismatched = (
+            state.join(fresh, "vec_id")
+            .filter(F.col("ccell") != F.col("fresh_cell"))
+            .count()
+        )
+        assert mismatched == 0  # committed seeds == the seeds that assigned
+        assert SE.ivf_cell_imbalance(spark, cells) < SE.IVF_IMBALANCE_MAX
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
