@@ -4145,10 +4145,14 @@ IVF_IMBALANCE_MAX = 4.0
 #: iterations assign at most this many live vectors per target cell
 #: (deterministic xxhash64(vec_id) sample) — the FAISS
 #: train-on-a-sample discipline.  The FINAL assignment always covers
-#: the full live corpus.  At certification scale (sf0.01: 450 live /
-#: 16 cells ≈ 28 per cell) the budget exceeds the corpus and the
-#: sample is a no-op, so the certified walks are unchanged; it engages
-#: exactly where the |V|×|C| quadratic band would otherwise dominate.
+#: the full live corpus.  Where it bites: BELOW ``IVF_CELL_MAX`` the
+#: dial keeps occupancy at ≤ IVF_VECS_PER_CELL (32) per cell, under
+#: this budget, so the sample is the corpus and every certified walk
+#: is unchanged; PAST the cap — reached at ~2M vectors, i.e. any
+#: actual 100 TB embedding corpus — |C| freezes, occupancy grows
+#: without bound, and the budget pins each training iteration at
+#: 64·|C| points instead of |V|, leaving exactly ONE unavoidable
+#: full |V|×|C| pass (the committed assignment) per re-train.
 IVF_TRAIN_PER_CELL = 64
 
 
@@ -4222,12 +4226,13 @@ def ivf_retrain_quantizer(
        assignment rule (``assign_cells``' max-cosine/lowest-seed-id —
        training under L2 while serving under cosine would optimize the
        wrong partition), seeded deterministically from the lowest live
-       vec_ids; past ``IVF_TRAIN_PER_CELL`` vectors per cell the
-       mean-update iterations ride a deterministic hash-sample (every
-       iteration is an |V|×|C| assignment and the dial keeps |C| ∝
-       |V|, so full-corpus training grows ~quadratically until the
-       cell cap — the FAISS answer is O(100) training points per
-       centroid and ONE full-corpus assignment, and so is ours);
+       vec_ids; past ``IVF_TRAIN_PER_CELL`` vectors per cell — the
+       post-``IVF_CELL_MAX`` regime, where |C| is frozen and
+       occupancy grows without bound — the mean-update iterations
+       ride a deterministic hash-sample (the FAISS answer: O(100)
+       training points per centroid and ONE full-corpus assignment,
+       and so is ours; below the cap the dial keeps occupancy under
+       the budget and the sample is the whole corpus);
     3. re-assign every live vector to the new cells and write the
        consolidated ``base_v{N}`` + manifest under the next version —
        the purge discipline with a new quantizer as the point;
@@ -4293,17 +4298,17 @@ def _ivf_retrain_quantizer_locked(
             F.col("nrm").alias("sn"),
         )
     )
-    # TRAIN-SIDE SAMPLE (r14): every Lloyd iteration is an
-    # |V|×|C| assignment, and the dial keeps |C| ∝ |V| — full-corpus
-    # training grows ~quadratically with the corpus until the cell
-    # cap.  The mean updates only need a representative sample (the
-    # FAISS discipline: O(100) training points per centroid), so past
-    # ``IVF_TRAIN_PER_CELL`` live vectors per cell the intermediate
-    # iterations assign a deterministic hash-sample and ONLY the final
-    # assignment — the one that becomes the committed base — pays the
-    # full |V|×|C| pass.  Below the budget (every certification-scale
-    # corpus) the sample is the whole corpus and behavior is
-    # bit-identical to the unsampled walk.
+    # TRAIN-SIDE SAMPLE (r14): every Lloyd iteration is an |V|×|C|
+    # assignment.  The mean updates only need a representative sample
+    # (the FAISS discipline: O(100) training points per centroid), so
+    # past ``IVF_TRAIN_PER_CELL`` live vectors per cell — the
+    # post-IVF_CELL_MAX regime, where |C| is frozen and occupancy
+    # grows without bound — the intermediate iterations assign a
+    # deterministic hash-sample and ONLY the final assignment, the
+    # one that becomes the committed base, pays the full |V|×|C|
+    # pass.  Below the cap the dial keeps occupancy under the budget,
+    # the sample is the whole corpus, and behavior is bit-identical
+    # to the unsampled walk.
     train = src
     sample_n = IVF_TRAIN_PER_CELL * int(nc)
     if int(n_live) > sample_n:
