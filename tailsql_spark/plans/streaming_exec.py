@@ -5756,6 +5756,136 @@ REGISTRY["stream_video_dedup"] = QuerySpec(
 )
 
 
+#: Deterministic takedown workload for the standalone video row:
+#: doc_id % 3 == 2 selects videos, and of those the % 5 == 0 residue
+#: is chosen NON-VACUOUS on the match structure, not just the row set
+#: — at sf0.01 it deletes 33 of 166 videos including 2 that sat in
+#: surviving docs' near-dup matches, so 2 surviving rows change their
+#: n_matches/best_match under the takedown (the df-cap/min-shared
+#: recomputation is exercised, not merely a row filter).
+VIDEO_TAKEDOWN_MOD, VIDEO_TAKEDOWN_RESIDUE = 5, 0
+
+_VIDEO_TAKEDOWN_ORACLE = _VIDEO_ORACLE_STREAM.replace(
+    "WHERE CAST(doc_id % 3 AS INT) = 2",
+    "WHERE CAST(doc_id % 3 AS INT) = 2 AND NOT "
+    f"(doc_id % {VIDEO_TAKEDOWN_MOD} = {VIDEO_TAKEDOWN_RESIDUE})",
+)
+assert _VIDEO_TAKEDOWN_ORACLE != _VIDEO_ORACLE_STREAM, (
+    "video takedown oracle: vids-CTE anchor not found — the base oracle "
+    "changed shape; update the rewrite"
+)
+
+
+def stream_video_takedown(
+    spark: SparkSession, sf_dir: str, state_root: str | None = None
+) -> DataFrame:
+    """Takedown-aware STANDALONE video near-dup dedup (r14): the
+    modality state logs were already takedown-purged inside the
+    composed ``stream_curation_takedown``; this row gives the
+    standalone incremental video index the same 'D' path so a
+    deployment running ONLY the video pipeline honors takedowns too.
+    'D' doc_ids land in the tombstone log before the batch's frame
+    postings commit (``_takedown_processor`` — all-state-on-disk
+    invariant), the offline pass physically purges the deleted docs'
+    (doc, band) postings via ``purge_flat_family`` and compacts the
+    tombstone log, and the read-time banded matching runs over the
+    PURGED posting log — certified against the batch video oracle
+    recomputed on the corpus minus the deleted set, chosen so
+    surviving docs' match counts actually change (deleted docs sat in
+    their matches)."""
+    import shutil
+
+    from tailsql_spark.operators.multimodal import (
+        VIDEO_DF_CAP,
+        VIDEO_MIN_SHARED,
+        audio_near_groups,
+        synth_media,
+    )
+
+    media = synth_media(spark, sf_dir).filter(F.col("media_type") == "video")
+    videos = media.select("doc_id", "payload")
+    is_del = (
+        F.col("doc_id") % VIDEO_TAKEDOWN_MOD == VIDEO_TAKEDOWN_RESIDUE
+    )
+    delta = _takedown_delta(videos, is_del)
+    state_root, _owned_state = _resolve_state_root("vidtake", state_root)
+    fp_root = f"{state_root}/fp"
+    del_root = f"{state_root}/del"
+    spark.createDataFrame([], "doc_id long, fh string").write.mode(
+        "overwrite"
+    ).parquet(f"{fp_root}/seed")
+    spark.createDataFrame([], "doc_id long").write.mode("overwrite").parquet(
+        f"{del_root}/seed"
+    )
+    src_dir = _stage_stream_source(
+        delta, "vidtake", state_root, _owned_state, corpus_tag=sf_dir
+    )
+    process = _takedown_processor(
+        _video_fp_batch_processor(fp_root), del_root, key="doc_id"
+    )
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{state_root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _await_or_raise(q, "stream_video_takedown")
+    finally:
+        q.stop()
+
+    # OFFLINE physical purge: frame postings are content (dHashes of
+    # the doc's own sampled frames) — anti-join rewrite under the
+    # {version, folded_below_bid} pointer, tombstone log compacted,
+    # superseded dirs vacuumed; the serve below reads the PURGED log.
+    dels_df = (
+        spark.read.parquet(*_del_state_paths(del_root)).select("doc_id").distinct()
+    )
+    purge_flat_family(spark, fp_root, dels_df, col="doc_id")
+    expire_del_versions(fp_root)
+    _compact_del_log(spark, del_root, "doc_id", None)
+    expire_del_versions(del_root)
+
+    ff = spark.read.parquet(*_flat_state_paths(fp_root))
+    result = audio_near_groups(
+        ff.select("doc_id").distinct(),
+        ff,
+        df_cap=VIDEO_DF_CAP,
+        min_shared=VIDEO_MIN_SHARED,
+    ).withColumnRenamed("n_frames", "n_sig_bands")
+    out = _persist_result(result, "stream_video_takedown")
+    if _owned_state:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        _fs_rmtree(state_root)
+    return out
+
+
+REGISTRY["stream_video_takedown"] = QuerySpec(
+    name="stream_video_takedown",
+    category="streaming-executed",
+    build=stream_video_takedown,
+    oracle=_VIDEO_TAKEDOWN_ORACLE,
+    doc="Takedowns for the STANDALONE incremental video dedup (r14): "
+    "'D' doc_ids land in a per-batch tombstone log committed before "
+    "the batch's frame postings; the offline pass physically purges "
+    "the deleted docs' (doc, band) postings (purge_flat_family under "
+    "the atomic {version, folded_below_bid} pointer) and compacts the "
+    "tombstone log; read-time banded matching runs over the PURGED "
+    "log. Certified against the batch video oracle recomputed minus "
+    "the deleted set (doc_id % 5 = 0 — non-vacuous on the MATCH "
+    "structure: 2 surviving docs lose matched partners, so the "
+    "df-cap/min-shared recomputation is exercised, not just the row "
+    "filter). Completes the takedown story for deployments running a "
+    "single modality pipeline rather than the composed curation DAG "
+    "(whose stream_curation_takedown already purged these logs).",
+)
+
+
 def _unified_batch_processor(text_process, ph_process, a_process, v_process):
     """foreachBatch processor composing the four certified curation
     sub-processors under ONE batch id: the text DAG states over the

@@ -3332,3 +3332,39 @@ def test_ivf_retrain_sampled_training_final_assignment_complete(
         assert SE.ivf_cell_imbalance(spark, cells) < SE.IVF_IMBALANCE_MAX
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_video_takedown_physical_purge_and_vacuum(spark, sf_dir):
+    """r14: the STANDALONE video takedown row (the modality logs were
+    already purged inside the composed curation takedown; this covers
+    the single-pipeline deployment).  After the offline purge the live
+    frame-posting log holds zero deleted-doc rows, no deleted doc is
+    served, and the folded per-batch dirs are physically vacuumed."""
+    import os
+
+    from tailsql_spark.plans.streaming_exec import (
+        VIDEO_TAKEDOWN_MOD,
+        VIDEO_TAKEDOWN_RESIDUE,
+        _flat_state_paths,
+        stream_video_takedown,
+    )
+
+    root = tempfile.mkdtemp(prefix="tailsql_vidtake_purge_")
+    try:
+        out = stream_video_takedown(spark, sf_dir, state_root=root)
+        is_del = (
+            F.col("doc_id") % VIDEO_TAKEDOWN_MOD == VIDEO_TAKEDOWN_RESIDUE
+        )
+        live = spark.read.parquet(*_flat_state_paths(f"{root}/fp"))
+        assert live.count() > 0  # non-trivial state survived
+        _assert_no_rows(live.filter(is_del), "fp: tombstoned rows live")
+        _assert_no_rows(out.filter(is_del), "serve: deleted doc served")
+        for fam in ("fp", "del"):
+            stale = [
+                d
+                for d in os.listdir(f"{root}/{fam}")
+                if d.startswith("b") and d[1:].isdigit()
+            ]
+            assert not stale, (fam, stale)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
