@@ -141,7 +141,13 @@ GRADED_WINDOW: tuple[str, ...] = (
     #  the stateful-accumulation concern is graded by the SCD2 and
     #  curation streaming rows; the slot goes to the r10 video dedup's
     #  incremental twin, completing the driver-graded multimodal triad)
-    "stream_video_dedup",           # r10: replay-idempotent frame-band postings
+    # (r14 late: stream_video_dedup rotated to the local gate after
+    #  four green rounds — its slot goes to the strictly STRONGER
+    #  certification over the SAME incremental machinery: the
+    #  standalone video row WITH the 'D' path and physical posting
+    #  purge, oracle recomputed minus the deleted set and chosen
+    #  non-vacuous on the match structure)
+    "stream_video_takedown",        # r14: standalone modality takedown, graded
     # (r10: stream_dedup_minhash rotated to the local gate after seven
     #  green rounds — the incremental-MinHash machinery stays driver-
     #  graded INSIDE stream_dedup_clusters below and the curation DAG,

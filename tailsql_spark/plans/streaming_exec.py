@@ -5650,6 +5650,118 @@ REGISTRY["stream_audio_fp_dedup"] = QuerySpec(
 )
 
 
+#: Deterministic takedown workload for the standalone audio row:
+#: doc_id % 3 == 1 selects audio, and the % 5 == 2 residue is richly
+#: non-vacuous on the MATCH structure at sf0.01 — 23 deleted docs sat
+#: in surviving docs' fingerprint matches and 121 surviving rows
+#: change their n_matches under the df-cap recomputation.
+AUDIO_TAKEDOWN_MOD, AUDIO_TAKEDOWN_RESIDUE = 5, 2
+
+_AUDIO_TAKEDOWN_ORACLE = _AUDIO_FP_ORACLE_STREAM.replace(
+    "FROM documents WHERE CAST(doc_id % 3 AS INT) = 1",
+    "FROM documents WHERE CAST(doc_id % 3 AS INT) = 1 AND NOT "
+    f"(doc_id % {AUDIO_TAKEDOWN_MOD} = {AUDIO_TAKEDOWN_RESIDUE})",
+)
+assert _AUDIO_TAKEDOWN_ORACLE != _AUDIO_FP_ORACLE_STREAM, (
+    "audio takedown oracle: source-CTE anchor not found — the base "
+    "oracle changed shape; update the rewrite"
+)
+
+
+def stream_audio_takedown(
+    spark: SparkSession, sf_dir: str, state_root: str | None = None
+) -> DataFrame:
+    """Takedown-aware STANDALONE audio-fingerprint dedup (r14): the
+    audio twin of ``stream_video_takedown`` — 'D' doc_ids commit to
+    the tombstone log before the batch's CDC fingerprint postings,
+    the offline pass physically purges the deleted docs' (doc, frame)
+    rows and compacts the log, and the df-capped fingerprint-DB
+    matching serves from the PURGED state, certified against the batch
+    audio oracle recomputed minus the deleted set (which reshuffles
+    the df-capped match structure corpus-wide, not just the row set)."""
+    import shutil
+
+    from tailsql_spark.operators.multimodal import audio_near_groups, synth_media
+
+    media = synth_media(spark, sf_dir).filter(F.col("media_type") == "audio")
+    audio = media.select("doc_id", "payload")
+    is_del = (
+        F.col("doc_id") % AUDIO_TAKEDOWN_MOD == AUDIO_TAKEDOWN_RESIDUE
+    )
+    delta = _takedown_delta(audio, is_del)
+    state_root, _owned_state = _resolve_state_root("audtake", state_root)
+    fp_root = f"{state_root}/fp"
+    del_root = f"{state_root}/del"
+    spark.createDataFrame([], "doc_id long, fh string").write.mode(
+        "overwrite"
+    ).parquet(f"{fp_root}/seed")
+    spark.createDataFrame([], "doc_id long").write.mode("overwrite").parquet(
+        f"{del_root}/seed"
+    )
+    src_dir = _stage_stream_source(
+        delta, "audtake", state_root, _owned_state, corpus_tag=sf_dir
+    )
+    process = _takedown_processor(
+        _audio_fp_batch_processor(fp_root), del_root, key="doc_id"
+    )
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{state_root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _await_or_raise(q, "stream_audio_takedown")
+    finally:
+        q.stop()
+
+    dels_df = (
+        spark.read.parquet(*_del_state_paths(del_root)).select("doc_id").distinct()
+    )
+    purge_flat_family(spark, fp_root, dels_df, col="doc_id")
+    expire_del_versions(fp_root)
+    _compact_del_log(spark, del_root, "doc_id", None)
+    expire_del_versions(del_root)
+
+    ff = spark.read.parquet(*_flat_state_paths(fp_root))
+    result = audio_near_groups(audio.filter(~is_del).select("doc_id"), ff)
+    out = _persist_result(result, "stream_audio_takedown")
+    if _owned_state:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        _fs_rmtree(state_root)
+    return out
+
+
+REGISTRY["stream_audio_takedown"] = QuerySpec(
+    name="stream_audio_takedown",
+    category="streaming-executed",
+    build=stream_audio_takedown,
+    oracle=_AUDIO_TAKEDOWN_ORACLE,
+    doc="Takedowns for the STANDALONE incremental audio-fingerprint "
+    "dedup (r14, twin of stream_video_takedown): 'D' doc_ids land in "
+    "a per-batch tombstone log committed before the batch's CDC "
+    "fingerprint postings; the offline pass physically purges deleted "
+    "docs' (doc, frame) rows (purge_flat_family under the atomic "
+    "{version, folded_below_bid} pointer) and compacts the tombstone "
+    "log; the df-capped fingerprint-DB matching serves from the "
+    "PURGED log. Certified against the batch audio oracle recomputed "
+    "minus the deleted set (doc_id % 5 = 2 — 23 deleted docs sat in "
+    "surviving matches and 121 surviving rows change n_matches under "
+    "the df-cap recomputation: the takedown reshuffles the match "
+    "structure corpus-wide). With video and the composed curation "
+    "row, every modality state log now has a certified 'D' path in "
+    "both standalone and composed deployments (the image/phash log is "
+    "purged inside stream_curation_takedown; its sf0.01 corpus has no "
+    "near-dup groups to re-elect, so a standalone phash row would "
+    "certify only row removal).",
+)
+
+
 # ---------------------------------------------------------------------------
 # incremental video dedup (frame-sampled dHash signatures)
 # ---------------------------------------------------------------------------

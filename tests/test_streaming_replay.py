@@ -3368,3 +3368,37 @@ def test_video_takedown_physical_purge_and_vacuum(spark, sf_dir):
             assert not stale, (fam, stale)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_audio_takedown_physical_purge_and_vacuum(spark, sf_dir):
+    """r14: the standalone audio takedown twin — after the offline
+    purge the live fingerprint log holds zero deleted-doc rows, no
+    deleted doc is served, and folded per-batch dirs are vacuumed."""
+    import os
+
+    from tailsql_spark.plans.streaming_exec import (
+        AUDIO_TAKEDOWN_MOD,
+        AUDIO_TAKEDOWN_RESIDUE,
+        _flat_state_paths,
+        stream_audio_takedown,
+    )
+
+    root = tempfile.mkdtemp(prefix="tailsql_audtake_purge_")
+    try:
+        out = stream_audio_takedown(spark, sf_dir, state_root=root)
+        is_del = (
+            F.col("doc_id") % AUDIO_TAKEDOWN_MOD == AUDIO_TAKEDOWN_RESIDUE
+        )
+        live = spark.read.parquet(*_flat_state_paths(f"{root}/fp"))
+        assert live.count() > 0  # non-trivial state survived
+        _assert_no_rows(live.filter(is_del), "fp: tombstoned rows live")
+        _assert_no_rows(out.filter(is_del), "serve: deleted doc served")
+        for fam in ("fp", "del"):
+            stale = [
+                d
+                for d in os.listdir(f"{root}/{fam}")
+                if d.startswith("b") and d[1:].isdigit()
+            ]
+            assert not stale, (fam, stale)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
