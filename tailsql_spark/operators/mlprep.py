@@ -27,11 +27,72 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from tailsql_spark.plans.catalog import QuerySpec, load_tables
-from tailsql_spark.operators.similarity import N_CELLS, _DUCK_CELLS
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 EMBED_DIM = 64
+
+# --- defined BEFORE the similarity import below (circular-import
+# discipline): operators/similarity's module body imports
+# KMEANS_ITERS + kmeans_cte_parts from THIS module while building the
+# k-means-seeded IVF oracle.  When mlprep loads first, the similarity
+# import below re-enters this partially-initialized module — these two
+# names must already be bound, and kmeans_cte_parts resolves N_CELLS
+# via a function-local import (bound early in similarity's body, so it
+# is available in BOTH import orders).  test_registry's import-order
+# tests cover both directions.
+
+KMEANS_ITERS = 3  # assignments under c0, c1, c2 (2 centroid updates)
+
+
+def kmeans_cte_parts(src: str = "embeddings", pre: str = "") -> list[str]:
+    """Unrolled CTE chain for KMEANS_ITERS Lloyd steps, ending with the
+    final assignment ``a{KMEANS_ITERS}`` (trailing comma on every part,
+    so callers can append further CTEs and a final SELECT).  Shared by
+    the trajectory oracle below and the k-means-seeded IVF oracle in
+    operators/similarity.py — one definition of the walked trajectory.
+
+    Bit-for-bit cross-engine determinism: embeddings quantize to ×1e6
+    BIGINTs once; distances are exact integer sums of squares; centroid
+    updates FLOOR an IEEE-identical double division — so both engines
+    walk the SAME trajectory and the md5 centroid fingerprints match
+    exactly (no float-summation-order hazard anywhere)."""
+    from tailsql_spark.operators.similarity import N_CELLS  # function-local: see circular-import note above
+
+    d = EMBED_DIM
+    parts = [
+        f"WITH {pre}e AS (SELECT vec_id, list_transform(embedding,"
+        " x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS e"
+        f" FROM {src}),",
+        f"c0 AS (SELECT vec_id AS cell, e AS c FROM e WHERE vec_id < {N_CELLS}),",
+    ]
+    for r in range(1, KMEANS_ITERS + 1):
+        parts.append(
+            f"d{r} AS (SELECT e.vec_id, c.cell,"
+            f" CAST(list_sum(list_transform(generate_series(1, {d}),"
+            f" i -> (e.e[i] - c.c[i]) * (e.e[i] - c.c[i]))) AS BIGINT) AS dist"
+            f" FROM e CROSS JOIN c{r - 1} c),"
+        )
+        parts.append(
+            f"a{r} AS (SELECT vec_id, cell, dist FROM"
+            f" (SELECT *, row_number() OVER (PARTITION BY vec_id"
+            f" ORDER BY dist, cell) AS rn FROM d{r}) WHERE rn = 1),"
+        )
+        if r < KMEANS_ITERS:
+            parts.append(
+                f"u{r} AS (SELECT cell, CAST(t.i AS BIGINT) AS pos,"
+                f" CAST(FLOOR(SUM(e.e[t.i + 1]) * 1.0 / COUNT(*)) AS BIGINT) AS v"
+                f" FROM a{r} JOIN e USING (vec_id) CROSS JOIN range({d}) t(i)"
+                f" GROUP BY 1, 2),"
+            )
+            parts.append(
+                f"c{r} AS (SELECT cell, list(v ORDER BY pos) AS c FROM u{r}"
+                f" GROUP BY cell),"
+            )
+    return parts
+
+
+from tailsql_spark.operators.similarity import N_CELLS, _DUCK_CELLS  # noqa: E402 - placed after the definitions similarity needs (see note)
 
 
 def query(name: str, category: str, oracle: str | None, doc: str = ""):
@@ -217,52 +278,6 @@ def grouped_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 # iterative k-means (multi-step Lloyd), certified cross-engine
 # ---------------------------------------------------------------------------
 
-KMEANS_ITERS = 3  # assignments under c0, c1, c2 (2 centroid updates)
-
-
-def kmeans_cte_parts(src: str = "embeddings", pre: str = "") -> list[str]:
-    """Unrolled CTE chain for KMEANS_ITERS Lloyd steps, ending with the
-    final assignment ``a{KMEANS_ITERS}`` (trailing comma on every part,
-    so callers can append further CTEs and a final SELECT).  Shared by
-    the trajectory oracle below and the k-means-seeded IVF oracle in
-    operators/similarity.py — one definition of the walked trajectory.
-
-    Bit-for-bit cross-engine determinism: embeddings quantize to ×1e6
-    BIGINTs once; distances are exact integer sums of squares; centroid
-    updates FLOOR an IEEE-identical double division — so both engines
-    walk the SAME trajectory and the md5 centroid fingerprints match
-    exactly (no float-summation-order hazard anywhere)."""
-    d = EMBED_DIM
-    parts = [
-        f"WITH {pre}e AS (SELECT vec_id, list_transform(embedding,"
-        " x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS e"
-        f" FROM {src}),",
-        f"c0 AS (SELECT vec_id AS cell, e AS c FROM e WHERE vec_id < {N_CELLS}),",
-    ]
-    for r in range(1, KMEANS_ITERS + 1):
-        parts.append(
-            f"d{r} AS (SELECT e.vec_id, c.cell,"
-            f" CAST(list_sum(list_transform(generate_series(1, {d}),"
-            f" i -> (e.e[i] - c.c[i]) * (e.e[i] - c.c[i]))) AS BIGINT) AS dist"
-            f" FROM e CROSS JOIN c{r - 1} c),"
-        )
-        parts.append(
-            f"a{r} AS (SELECT vec_id, cell, dist FROM"
-            f" (SELECT *, row_number() OVER (PARTITION BY vec_id"
-            f" ORDER BY dist, cell) AS rn FROM d{r}) WHERE rn = 1),"
-        )
-        if r < KMEANS_ITERS:
-            parts.append(
-                f"u{r} AS (SELECT cell, CAST(t.i AS BIGINT) AS pos,"
-                f" CAST(FLOOR(SUM(e.e[t.i + 1]) * 1.0 / COUNT(*)) AS BIGINT) AS v"
-                f" FROM a{r} JOIN e USING (vec_id) CROSS JOIN range({d}) t(i)"
-                f" GROUP BY 1, 2),"
-            )
-            parts.append(
-                f"c{r} AS (SELECT cell, list(v ORDER BY pos) AS c FROM u{r}"
-                f" GROUP BY cell),"
-            )
-    return parts
 
 
 def _kmeans_oracle() -> str:

@@ -261,15 +261,36 @@ def assign_cells(vec: DataFrame, seeds: DataFrame) -> DataFrame:
     tests all call this, so the tie-break/rounding rule cannot drift
     between the certified streaming ≡ batch twins.  Keeps ``v``/``nrm``
     so downstream scoring needs no re-join.
-    """
+
+    Expressed as a lexicographic max-struct AGGREGATION rather than a
+    row_number window (r14): ``max(struct(scos, -seed_id, seed_id))``
+    picks the identical winner (highest cosine, then lowest seed id —
+    struct comparison puts a null cosine below every non-null one,
+    matching the window's DESC-nulls-last), but hash-aggregates with
+    MAP-SIDE partial combine: the |V|×|C| candidate stream collapses
+    to one row per vec_id per input partition before the exchange, so
+    the shuffle carries |V| rows instead of sorting |V|×|C| — the
+    difference between a corpus-sized sort and a key-sized exchange
+    when a re-train assigns 10⁹ vectors to 65k cells.  ``v``/``nrm``
+    are constant within a vec_id group, so ``first`` over them is
+    deterministic."""
     cos = dot(F.col("v"), F.col("sv")) / (F.col("nrm") * F.col("sn"))
-    w = W.partitionBy("vec_id").orderBy(F.col("scos").desc(), F.col("seed_id").asc())
     return (
         vec.join(F.broadcast(seeds))
         .withColumn("scos", cos)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("seed_id").alias("cell"), "v", "nrm")
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("scos").alias("s"),
+                    (-F.col("seed_id")).alias("ns"),
+                    F.col("seed_id").alias("seed_id"),
+                )
+            ).alias("b"),
+            F.first("v").alias("v"),
+            F.first("nrm").alias("nrm"),
+        )
+        .select("vec_id", F.col("b.seed_id").alias("cell"), "v", "nrm")
     )
 
 
