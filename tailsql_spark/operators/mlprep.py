@@ -355,10 +355,26 @@ def assign_quantized(emb: DataFrame, cent: DataFrame) -> DataFrame:
     scored = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id", "cell", dist.alias("dist")
     )
-    rn = F.row_number().over(
-        W.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cell"))
+    # lexicographic max-struct aggregation (r14, the assign_cells
+    # rewrite): max(struct(-dist, -cell)) IS min-dist-then-lowest-cell
+    # — exact for BIGINT negation — but partial-aggregates map-side,
+    # so each Lloyd round's exchange carries |V| rows instead of
+    # sorting the full |V|×k candidate stream through a window.
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    (-F.col("dist")).alias("nd"), (-F.col("cell")).alias("nc")
+                )
+            ).alias("b")
+        )
+        .select(
+            "vec_id",
+            (-F.col("b.nc")).alias("cell"),
+            (-F.col("b.nd")).alias("dist"),
+        )
     )
-    return scored.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
 
 
 def lloyd_loop(
