@@ -1937,8 +1937,11 @@ def ivf_probe_plan(qvec: DataFrame, seeds: DataFrame, n_probes: int) -> DataFram
     """Coarse-quantize request vectors against the broadcast seed
     table: each (vec_id, v, nrm) row keeps its ``n_probes``
     max-cosine seeds (ties → lowest seed_id) — rn <= n_probes
-    generalizes assign_cells' rn == 1 under the IDENTICAL ordering
-    rule.  THE single probe-planning definition, shared by the batch
+    generalizes assign_cells' single winner under the IDENTICAL
+    ordering rule (the window stays here because the input is the
+    request-sized query block, not the corpus — assign_cells' agg
+    rewrite matters only corpus-side).  THE single probe-planning
+    definition, shared by the batch
     persisted-index probes and the incremental index's serve."""
     scos = dot(F.col("v"), F.col("sv")) / (F.col("nrm") * F.col("sn"))
     wq = W.partitionBy("vec_id").orderBy(F.col("scos").desc(), F.col("seed_id").asc())
