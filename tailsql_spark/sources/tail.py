@@ -376,6 +376,19 @@ class TailNStreamReader(DataSourceStreamReader):
                 st = os.stat(p)
                 size = st.st_size
                 prev = None if prev_map is None else int(prev_map.get(p, 0))
+                if prev is None and not self.seek_to_end:
+                    # engine call order: Spark 4.x calls latestOffset()
+                    # BEFORE initialOffset() on a fresh query.  For a
+                    # backfill stream the committed start is 0, so the
+                    # very FIRST plan must already honor the cap —
+                    # leaving prev=None here planned the whole
+                    # pre-existing file in one batch, defeating the
+                    # backpressure dial exactly in its documented use
+                    # case (large pre-existing logs).  seek_to_end
+                    # streams keep prev=None: their start is the file
+                    # END, and a capped end below it would misread as
+                    # rotation.
+                    prev = 0
                 # inode change = delete-rotation even when the
                 # replacement is BIGGER than the original (size alone
                 # would masquerade as growth and skip the replacement's

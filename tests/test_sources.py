@@ -478,3 +478,40 @@ def test_tailf_bigger_replacement_rotation_detected(tmp_path):
     got = [v for (v,) in rows2]
     assert got == repl, got  # from 0, complete — not a mid-file suffix
     assert off2["pos"] == log.stat().st_size
+
+
+def test_tailn_engine_call_order_first_plan_is_capped(tmp_path):
+    """r14: Spark 4.x calls latestOffset() BEFORE initialOffset() on a
+    fresh query (the engine order, unlike the direct-driver tests
+    above).  The backfill cap must bind on that very first plan — it
+    planned ENTIRE pre-existing files before this fix, defeating the
+    backpressure dial in exactly its documented use case — while a
+    seek_to_end stream's first plan stays the file end (a capped end
+    below the start would misread as rotation)."""
+    from tailsql_spark.sources.tail import TailNStreamReader
+
+    log = tmp_path / "big.log"
+    lines = [f"line-{i:04d}" for i in range(200)]
+    log.write_text("".join(ln + "\n" for ln in lines))
+    total = log.stat().st_size
+
+    r = TailNStreamReader(str(log), seek_to_end=False, max_bytes_per_batch=256)
+    first = r.latestOffset()  # engine order: no initialOffset() yet
+    assert 0 < first[str(log)] <= 256, first
+
+    # the stream still drains exactly once from that capped first plan
+    prev = r.initialOffset()
+    assert prev == {}
+    seen: list[str] = []
+    for _ in range(1000):
+        end = r.latestOffset() if seen else first
+        if end == prev:
+            break
+        for part in r.partitions(prev, end):
+            seen.extend(v for _p, v in r.read(part))
+        prev = end
+    assert prev[str(log)] == total
+    assert seen == lines
+
+    r2 = TailNStreamReader(str(log), seek_to_end=True, max_bytes_per_batch=256)
+    assert r2.latestOffset()[str(log)] == total  # end-seek: NOT capped
