@@ -238,6 +238,15 @@ def _tailn_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.format("tailn")
         .option("paths", f"{staged_dir}/part-*")
         .option("seek_to_end", "false")  # backfill: the files pre-exist
+        # batch-shaped backfill wants the WHOLE fleet in the one plan
+        # availableNow captures (Spark wraps plain MicroBatchStream
+        # sources' availableNow around a single latestOffset call): an
+        # explicit no-op cap keeps this certified ingest independent
+        # of the live-tail backpressure default (16 MiB/file/batch),
+        # which — since the r14 engine-call-order fix — binds on the
+        # very first plan and would otherwise silently truncate a
+        # future corpus whose staged shards outgrow it
+        .option("max_bytes_per_batch", str(1 << 40))
         .load()
     )
     try:
