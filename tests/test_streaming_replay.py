@@ -3268,7 +3268,13 @@ def test_ivf_retrain_sampled_training_final_assignment_complete(
        reproduces the base's (vec_id, ccell) mapping exactly — the
        sample may steer the means, but the final full assignment and
        the committed seeds cut over together;
-    4. the drift gate still closes (imbalance back under the max)."""
+    4. the drift gate still closes (imbalance back under the max);
+    5. QUALITY survives the sample: recall re-certification reaches
+       the batch floor over the sampled-trained geometry.  Probe
+       escalation is allowed past the usual 4 (the production lever —
+       an 8-per-cell sample at a 500-vector corpus is far noisier per
+       cell than production's 64-per-cell budget, and noisy means cost
+       probes, not correctness; the floor itself is NOT relaxed)."""
     import tailsql_spark.plans.streaming_exec as SE
     from tailsql_spark.operators.similarity import (
         as_double,
@@ -3286,8 +3292,8 @@ def test_ivf_retrain_sampled_training_final_assignment_complete(
     ).withColumn("nrm", norm(F.col("v")))
     n = embd.count()
     nc = ivf_cell_count(n)
-    monkeypatch.setattr(SE, "IVF_TRAIN_PER_CELL", 4)
-    assert n > 4 * nc, "budget must engage for this test to bite"
+    monkeypatch.setattr(SE, "IVF_TRAIN_PER_CELL", 8)
+    assert n > 2 * 8 * nc, "budget must engage for this test to bite"
     root = tempfile.mkdtemp(prefix="tailsql_ivf_sampled_")
     try:
         seeds_path = f"{root}/seeds"
@@ -3330,6 +3336,16 @@ def test_ivf_retrain_sampled_training_final_assignment_complete(
         )
         assert mismatched == 0  # committed seeds == the seeds that assigned
         assert SE.ivf_cell_imbalance(spark, cells) < SE.IVF_IMBALANCE_MAX
+        # 5. QUALITY survives the sample: the re-certification loop
+        #    still reaches the batch recall floor over the sampled-
+        #    trained geometry (probe escalation allowed, as always)
+        from tailsql_spark.operators.similarity import N_QUERIES_IDX
+
+        cert = SE.ivf_recertify_recall(
+            spark, oracle_sf_dir, cells, seeds_path, N_QUERIES_IDX,
+            max_probes=8,
+        )
+        assert cert["recall"] >= SE.IVF_RECALL_FLOOR, cert
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
