@@ -98,3 +98,31 @@ def test_hll_mergeable_within_tolerance(spark, oracle_sf_dir):
     assert set(est) == set(exact)
     for k in exact:
         assert abs(est[k] - exact[k]) / exact[k] < 0.02, (k, est[k], exact[k])
+
+
+def test_operator_modules_import_in_either_order():
+    """r14: importing operators.mlprep BEFORE operators.similarity raised
+    ImportError (similarity's module body pulls kmeans_cte_parts /
+    KMEANS_ITERS from the partially-initialized mlprep); the full suite
+    masked it because some earlier import always loaded similarity
+    first.  Both orders must work — checked in a subprocess so this
+    test can scrub the module cache without disturbing the suite."""
+    import subprocess
+    import sys
+
+    code = (
+        "import importlib, sys\n"
+        "for order in (('mlprep', 'similarity'), ('similarity', 'mlprep')):\n"
+        "    for m in [m for m in list(sys.modules)"
+        " if m.startswith('tailsql_spark')]:\n"
+        "        del sys.modules[m]\n"
+        "    for n in order:\n"
+        "        importlib.import_module(f'tailsql_spark.operators.{n}')\n"
+        "print('BOTH_ORDERS_OK')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=300
+    )
+    assert out.returncode == 0 and "BOTH_ORDERS_OK" in out.stdout, (
+        out.stderr[-2000:]
+    )
