@@ -4501,6 +4501,100 @@ def ivf_maintain(
     return report
 
 
+def bm25_maintain(
+    sess: SparkSession, post_root: str, del_root: str | None = None
+) -> dict:
+    """The SCHEDULED BM25-index maintenance job — the hash-bucketed
+    twin of :func:`ivf_maintain` (r14: one cron-able entry point per
+    serving index, so neither family's upkeep is a recipe scattered
+    across call sites):
+
+    1. no-op FAST PATH: when every committed posting dir is already
+       the consolidated base and the tombstone log holds no unfolded
+       delete dirs, report and return — a healthy index costs two
+       metadata reads, like ivf_maintain's below-gate pass;
+    2. otherwise FORCE the del-aware fold: one consolidated
+       bucket-partitioned base under the next manifest version — the
+       family's small-file compaction, its PHYSICAL takedown purge
+       (fold-time anti-join of the accumulated tombstone set), and its
+       drift response in a single pass, because BM25's drift lever is
+       the bucket DIAL (membership is hashed, not learned — the fold
+       re-dials the bucket count from the live posting count, where
+       the IVF twin must re-train a quantizer and re-certify recall);
+    3. the fold compacts the tombstone log (deduped base + folded
+       horizon; the id SET is retained in full so a 'D' keeps beating
+       a later-arriving 'I'), and the vacuums reclaim every superseded
+       posting version and folded delete dir;
+    4. re-check the purge invariant: with a delete log, the live base
+       must hold ZERO tombstoned postings — a violation raises rather
+       than reporting success.
+
+    Returns {folded, purged, version, nb_before, nb_after, rows}.
+    Offline like every fold (no in-flight bid may exist); the fold
+    takes the family lease itself.  The additive 1-row stat partials
+    are deliberately NOT folded here: they are replay-keyed per batch
+    id, and folding them would double-count a crashed batch's replay."""
+    import os as _os
+
+    from tailsql_spark.operators.textstats import bm25_term_hash_col
+
+    meta0 = _state_meta_read(post_root)
+    ver0 = int(meta0["version"])
+    man = sess.read.option("recursiveFileLookup", "true").parquet(
+        _manifest_dir(post_root, ver0)
+    )
+    # planning-metadata: committed leaf dirs of the posting family
+    paths = [r.path for r in man.select("path").distinct().collect()]  # planning-metadata
+    has_deltas = any("/base_v" not in p for p in paths)
+    has_new_dels = del_root is not None and any(
+        _os.path.basename(p.rstrip("/")).startswith("b")
+        and _os.path.basename(p.rstrip("/"))[1:].isdigit()
+        for p in _del_state_paths(del_root)
+    )
+    report: dict = {
+        "folded": False,
+        "purged": False,
+        "version": ver0,
+        "nb_before": int(meta0.get("nb", 0)),
+        "nb_after": int(meta0.get("nb", 0)),
+        "rows": int(meta0.get("rows", 0)),
+    }
+    if not has_deltas and not has_new_dels:
+        return report  # healthy: base-only state, tombstones folded
+    meta1 = _rebucket_family(
+        sess, post_root, "tb", bm25_term_hash_col("tok"),
+        exclude_bid=10**9, meta=meta0, del_root=del_root, force=True,
+    )
+    expire_state_versions(sess, post_root)
+    if del_root is not None:
+        expire_del_versions(del_root)
+    report.update(
+        folded=True,
+        purged=del_root is not None,
+        version=int(meta1["version"]),
+        nb_after=int(meta1["nb"]),
+        rows=int(meta1.get("rows", report["rows"])),
+    )
+    if del_root is not None:
+        dels = (
+            sess.read.parquet(*_del_state_paths(del_root))
+            .select("doc_id")
+            .distinct()
+        )
+        leaked = (
+            sess.read.parquet(f"{post_root}/base_v{report['version']}")
+            .join(F.broadcast(dels), "doc_id", "left_semi")
+            .count()
+        )
+        if leaked:
+            raise RuntimeError(
+                f"bm25_maintain: purge invariant violated — {leaked} "
+                "tombstoned postings remain in the live base"
+            )
+        report["tombstoned_in_base"] = 0
+    return report
+
+
 def stream_ivf_index(
     spark: SparkSession, sf_dir: str, state_root: str | None = None
 ) -> DataFrame:

@@ -3418,3 +3418,63 @@ def test_audio_takedown_physical_purge_and_vacuum(spark, sf_dir):
             assert not stale, (fam, stale)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_bm25_maintain_closed_loop(spark, oracle_sf_dir):
+    """r14: the one cron-able BM25 maintenance entry point (twin of
+    test_ivf_maintain_closed_loop).  A state with unfolded deltas and
+    tombstones folds + purges (zero tombstoned postings in the base,
+    serve unchanged, superseded dirs vacuumed); a second pass on the
+    now-healthy state is the metadata-only no-op fast path."""
+    import os
+
+    import tailsql_spark.plans.streaming_exec as SE
+    from tailsql_spark.plans.catalog import load_tables
+    from tailsql_spark.plans.streaming_exec import (
+        BM25_TAKEDOWN_MOD,
+        BM25_TAKEDOWN_RESIDUE,
+        _bm25_index_processor,
+        _bm25_index_seed,
+        _bm25_index_serve,
+        bm25_maintain,
+    )
+
+    docs = load_tables(spark, oracle_sf_dir)["documents"].select("doc_id", "text")
+    is_del = F.col("doc_id") % BM25_TAKEDOWN_MOD == BM25_TAKEDOWN_RESIDUE
+    root = tempfile.mkdtemp(prefix="tailsql_bm25_maintain_")
+    try:
+        post_root, stat_root, del_root = _bm25_index_seed(spark, root)
+        process = _bm25_index_processor(post_root, stat_root, del_root)
+        process(docs.filter(F.col("doc_id") % 2 == 0).withColumn("op", F.lit("I")), 0)
+        process(docs.filter(F.col("doc_id") % 2 == 1).withColumn("op", F.lit("I")), 1)
+        process(docs.filter(is_del).withColumn("op", F.lit("D")), 2)
+        baseline = {
+            tuple(r)
+            for r in _bm25_index_serve(spark, post_root, stat_root, del_root).collect()
+        }
+
+        report = bm25_maintain(spark, post_root, del_root=del_root)
+        assert report["folded"] and report["purged"], report
+        assert report["tombstoned_in_base"] == 0
+        ver = report["version"]
+        base = spark.read.parquet(f"{post_root}/base_v{ver}")
+        assert base.count() > 0
+        assert base.filter(is_del).count() == 0  # bytes gone
+        got = {
+            tuple(r)
+            for r in _bm25_index_serve(spark, post_root, stat_root, del_root).collect()
+        }
+        assert got == baseline  # purge is invisible to the serve
+        # vacuumed: no stale per-batch posting dirs
+        stale = [
+            d
+            for d in os.listdir(post_root)
+            if d.startswith("b") and d[1:].isdigit()
+        ]
+        assert not stale, stale
+
+        report2 = bm25_maintain(spark, post_root, del_root=del_root)
+        assert report2["folded"] is False, report2  # healthy: no-op
+        assert report2["version"] == ver
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
