@@ -4534,22 +4534,13 @@ def bm25_maintain(
     takes the family lease itself.  The additive 1-row stat partials
     are deliberately NOT folded here: they are replay-keyed per batch
     id, and folding them would double-count a crashed batch's replay."""
-    import os as _os
-
     from tailsql_spark.operators.textstats import bm25_term_hash_col
 
     meta0 = _state_meta_read(post_root)
     ver0 = int(meta0["version"])
-    man = sess.read.option("recursiveFileLookup", "true").parquet(
-        _manifest_dir(post_root, ver0)
-    )
-    # planning-metadata: committed leaf dirs of the posting family
-    paths = [r.path for r in man.select("path").distinct().collect()]  # planning-metadata
-    has_deltas = any("/base_v" not in p for p in paths)
-    has_new_dels = del_root is not None and any(
-        _os.path.basename(p.rstrip("/")).startswith("b")
-        and _os.path.basename(p.rstrip("/"))[1:].isdigit()
-        for p in _del_state_paths(del_root)
+    has_deltas = _bucketed_has_deltas(sess, post_root, meta0)
+    has_new_dels = del_root is not None and _has_unfolded_batch_dirs(
+        _del_state_paths(del_root)
     )
     report: dict = {
         "folded": False,
@@ -4592,6 +4583,133 @@ def bm25_maintain(
                 "tombstoned postings remain in the live base"
             )
         report["tombstoned_in_base"] = 0
+    return report
+
+
+def _bucketed_has_deltas(sess, root: str, meta: dict | None = None) -> bool:
+    """True when the family's committed manifest lists any leaf dir
+    beyond the consolidated base — i.e. a fold would change the
+    layout.  The no-op fast-path probe shared by :func:`bm25_maintain`
+    and :func:`curation_maintain`; cost is one manifest read."""
+    meta = meta if meta is not None else _state_meta_read(root)
+    man = sess.read.option("recursiveFileLookup", "true").parquet(
+        _manifest_dir(root, int(meta["version"]))
+    )
+    # planning-metadata: committed leaf dirs of the family
+    paths = [r.path for r in man.select("path").distinct().collect()]  # planning-metadata
+    return any("/base_v" not in p for p in paths)
+
+
+def _has_unfolded_batch_dirs(paths: list[str]) -> bool:
+    """True when a {version, folded_below_bid}-pointed family's live
+    path list still holds per-batch ``b<bid>`` dirs (``base_v{N}``
+    starts with 'b' but fails the all-digits test; ``seed`` fails the
+    prefix test)."""
+    import os as _os
+
+    return any(
+        _os.path.basename(p.rstrip("/")).startswith("b")
+        and _os.path.basename(p.rstrip("/"))[1:].isdigit()
+        for p in paths
+    )
+
+
+def curation_maintain(sess: SparkSession, state_root: str) -> dict:
+    """The SCHEDULED maintenance job for the WHOLE unified-curation
+    state composition — the composed twin of :func:`ivf_maintain` and
+    :func:`bm25_maintain` (r14): ONE cron-able entry point that
+    delivers every content-derived family's small-file compaction and
+    physical takedown purge in a single offline pass, instead of a
+    recipe spread across six call sites.  ``stream_curation_takedown``
+    routes its certified offline purge through this function, so the
+    driver's hard gate exercises the exact job an operator crons.
+
+    Layout: the roots ``stream_unified_curation`` /
+    ``stream_curation_takedown`` lay down under ``state_root`` — the
+    bucketed MinHash band/shingle families (``bands``/``ex``), the
+    flat attrs log, the three modality posting logs
+    (``ph``/``fpa``/``fpv``), and the shared tombstone log (``del``).
+    The id-only graph state (edge pairs, label snapshots) is metadata,
+    filtered/recomputed at serve, and is deliberately NOT touched.
+    The standalone takedown families (substring spans, SemDeDup
+    clusters, contamination grams) are separate deployments whose
+    purges are rebuild-style (membership is not monotone under
+    deletion) — see their ``stream_*_takedown`` rows.
+
+    1. no-op FAST PATH per family: base-only layout and no unfolded
+       tombstone dirs → metadata reads only, like its two twins;
+    2. flat families: :func:`purge_flat_family` (anti-join fold) +
+       vacuum;
+    3. bucketed families: forced del-aware :func:`_rebucket_family`
+       (which also compacts the shared tombstone log) + vacuum;
+    4. tombstone-log vacuum, then the purge invariant re-checked from
+       the LIVE state: every family must hold ZERO tombstoned rows —
+       a violation raises rather than reporting success.
+
+    Returns {noop, dels, families: {name: {folded}}, tombstoned_in_live}.
+    Offline like every fold (no in-flight bid may exist); each step
+    takes the family lease itself, so a concurrent run raises."""
+    del_root = f"{state_root}/del"
+    flat_roots = {n: f"{state_root}/{n}" for n in ("attrs", "ph", "fpa", "fpv")}
+    bucketed = {
+        "bands": (f"{state_root}/bands", "bb", F.xxhash64("band_hash")),
+        "ex": (f"{state_root}/ex", "xb", F.col("doc_id")),
+    }
+    has_new_dels = _has_unfolded_batch_dirs(_del_state_paths(del_root))
+    needs: dict[str, bool] = {}
+    for name, root in flat_roots.items():
+        needs[name] = has_new_dels or _has_unfolded_batch_dirs(
+            _flat_state_paths(root)
+        )
+    for name, (root, _c, _k) in bucketed.items():
+        needs[name] = has_new_dels or _bucketed_has_deltas(sess, root)
+    report: dict = {
+        "noop": not any(needs.values()),
+        "families": {n: {"folded": bool(needs[n])} for n in needs},
+    }
+    if report["noop"]:
+        return report  # healthy: base-only everywhere, tombstones folded
+
+    dels_df = (
+        sess.read.parquet(*_del_state_paths(del_root)).select("doc_id").distinct()
+    )
+    report["dels"] = dels_df.count()
+    for name, root in flat_roots.items():
+        if needs[name]:
+            purge_flat_family(sess, root, dels_df)
+            expire_del_versions(root)
+    for name, (root, colname, key) in bucketed.items():
+        if needs[name]:
+            _rebucket_family(
+                sess, root, colname, key, exclude_bid=10**9,
+                meta=_state_meta_read(root), del_root=del_root, force=True,
+            )
+            expire_state_versions(sess, root)
+    expire_del_versions(del_root)
+
+    # purge invariant, re-read from the LIVE (compacted) tombstone log:
+    # zero tombstoned rows may remain in any live content family.
+    dels_live = (
+        sess.read.parquet(*_del_state_paths(del_root)).select("doc_id").distinct()
+    )
+    for name, root in flat_roots.items():
+        live = sess.read.parquet(*_flat_state_paths(root))
+        leaked = live.join(F.broadcast(dels_live), "doc_id", "left_semi").count()
+        if leaked:
+            raise RuntimeError(
+                f"curation_maintain: purge invariant violated — {leaked} "
+                f"tombstoned rows remain in live flat family {name!r}"
+            )
+    for name, (root, _c, _k) in bucketed.items():
+        ver = int(_state_meta_read(root)["version"])
+        base = sess.read.parquet(f"{root}/base_v{ver}")
+        leaked = base.join(F.broadcast(dels_live), "doc_id", "left_semi").count()
+        if leaked:
+            raise RuntimeError(
+                f"curation_maintain: purge invariant violated — {leaked} "
+                f"tombstoned rows remain in live bucketed family {name!r}"
+            )
+    report["tombstoned_in_live"] = 0
     return report
 
 
@@ -6511,32 +6629,19 @@ def stream_curation_takedown(
     finally:
         q.stop()
 
-    # OFFLINE physical purge (stream fully drained): the CONTENT-
-    # DERIVED state families erase the deleted docs' bytes — the
-    # bucketed band/posting families via a forced del-aware fold
-    # (which also compacts the shared tombstone log), the flat
-    # attrs/modality logs via purge_flat_family — then the vacuums
-    # reclaim every superseded dir.  The id-only graph state (edge
-    # pairs, label snapshots) is metadata, filtered/recomputed at
-    # serve; a compliance takedown requires the content-derived rows
-    # gone, and after this block they are.  The certified serve below
-    # runs over the PURGED state — bytes gone, report unchanged.
-    dels_df = (
-        spark.read.parquet(*_del_state_paths(del_root)).select("doc_id").distinct()
-    )
-    for fam in (attrs_root, ph_root, fpa_root, fpv_root):
-        purge_flat_family(spark, fam, dels_df)
-        expire_del_versions(fam)
-    for fam, colname, key in (
-        (bands_root, "bb", F.xxhash64("band_hash")),
-        (ex_root, "xb", F.col("doc_id")),
-    ):
-        _rebucket_family(
-            spark, fam, colname, key, exclude_bid=10**9,
-            meta=_state_meta_read(fam), del_root=del_root, force=True,
-        )
-        expire_state_versions(spark, fam)
-    expire_del_versions(del_root)
+    # OFFLINE physical purge (stream fully drained), routed through
+    # the composed cron entry point `curation_maintain` (r14) so the
+    # driver's hard gate certifies the exact job an operator
+    # schedules: flat attrs/modality logs anti-join-folded, bucketed
+    # band/shingle families del-aware-re-folded (compacting the shared
+    # tombstone log), every superseded dir vacuumed, and the zero-
+    # tombstoned-rows invariant re-checked from live state — a
+    # violation raises rather than serving.  The id-only graph state
+    # (edge pairs, label snapshots) is metadata, filtered/recomputed
+    # at serve; a compliance takedown requires the content-derived
+    # rows gone, and after this call they are.  The certified serve
+    # below runs over the PURGED state — bytes gone, report unchanged.
+    curation_maintain(spark, state_root)
 
     src_live = spark.read.parquet(src_dir).filter(F.col("op") == "I").drop("op")
     result = _unified_curation_serve(

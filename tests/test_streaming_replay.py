@@ -2574,6 +2574,142 @@ def test_curation_takedown_physically_purges_content_state(spark, oracle_sf_dir)
         shutil.rmtree(root, ignore_errors=True)
 
 
+def test_curation_maintain_composed_loop(spark, oracle_sf_dir):
+    """r14: `curation_maintain` is the ONE cron-able maintenance entry
+    point for the whole unified-curation composition — the composed
+    twin of ivf_maintain/bm25_maintain.  End-to-end over a streamed
+    state with takedowns:
+
+    1. a held family lease makes the job REFUSE (raise) before
+       mutating anything;
+    2. the real pass folds/purges every content-derived family —
+       zero tombstoned rows remain in any live state, folded per-batch
+       dirs are vacuumed, the tombstone SET survives compaction;
+    3. the certified serve is IDENTICAL before and after the purge;
+    4. a second pass is a metadata-read NO-OP (healthy fast path)."""
+    import os
+
+    import pytest
+
+    from tailsql_spark.plans.catalog import load_tables
+    from tailsql_spark.plans.streaming_exec import (
+        CURATION_TAKEDOWN_MOD,
+        CURATION_TAKEDOWN_RESIDUE,
+        FamilyLeaseHeld,
+        _audio_fp_batch_processor,
+        _bdir,
+        _cc_batch_processor,
+        _curation_batch_processor,
+        _del_state_paths,
+        _flat_state_paths,
+        _mh_bucketed_seed,
+        _minhash_bucketed_processor,
+        _phash_batch_processor,
+        _state_meta_read,
+        _unified_batch_processor,
+        _unified_curation_serve,
+        _unified_takedown_processor,
+        _video_fp_batch_processor,
+        acquire_family_lease,
+        curation_maintain,
+        release_family_lease,
+    )
+
+    docs = load_tables(spark, oracle_sf_dir)["documents"].select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    is_del = (
+        F.col("doc_id") % CURATION_TAKEDOWN_MOD == CURATION_TAKEDOWN_RESIDUE
+    )
+    root = tempfile.mkdtemp(prefix="tailsql_curmaint_")
+    try:
+        bands_root, ex_root, out_root = _mh_bucketed_seed(
+            docs.select("doc_id", "text"), root
+        )
+        for sub, schema in (
+            ("edges", "id_a long, id_b long"),
+            ("labels", "doc_id long, cluster_id long"),
+            ("attrs", "doc_id long, lang string, fingerprint string, n_tokens long"),
+            ("del", "doc_id long"),
+            ("ph", "doc_id long, b0 long, b1 long, b2 long, b3 long"),
+            ("fpa", "doc_id long, fh string"),
+            ("fpv", "doc_id long, fh string"),
+        ):
+            spark.createDataFrame([], schema).write.mode("overwrite").parquet(
+                f"{root}/{sub}/seed"
+            )
+        del_root = f"{root}/del"
+        process = _unified_takedown_processor(
+            _unified_batch_processor(
+                _curation_batch_processor(
+                    _minhash_bucketed_processor(
+                        bands_root, ex_root, out_root, del_root=del_root
+                    ),
+                    _cc_batch_processor(f"{root}/edges", f"{root}/labels"),
+                    f"{root}/attrs",
+                    out_root,
+                ),
+                _phash_batch_processor(f"{root}/ph"),
+                _audio_fp_batch_processor(f"{root}/fpa"),
+                _video_fp_batch_processor(f"{root}/fpv"),
+            ),
+            del_root,
+        )
+        process(docs.withColumn("op", F.lit("I")), 0)
+        process(docs.filter(is_del).withColumn("op", F.lit("D")), 1)
+
+        def serve_rows():
+            return sorted(
+                map(
+                    tuple,
+                    _unified_curation_serve(
+                        spark, docs,
+                        f"{root}/attrs", f"{root}/labels",
+                        f"{root}/ph", f"{root}/fpa", f"{root}/fpv",
+                        edges_root=f"{root}/edges", del_root=del_root,
+                    ).collect(),
+                )
+            )
+
+        before = serve_rows()
+
+        # 1. a held family lease: the job refuses before mutating
+        acquire_family_lease(f"{root}/attrs", holder="stream:live")
+        with pytest.raises(FamilyLeaseHeld):
+            curation_maintain(spark, root)
+        release_family_lease(f"{root}/attrs")
+
+        # 2. the real pass
+        report = curation_maintain(spark, root)
+        assert report["noop"] is False
+        assert all(f["folded"] for f in report["families"].values()), report
+        assert report["dels"] == docs.filter(is_del).count()
+        assert report["tombstoned_in_live"] == 0
+        mod, res = CURATION_TAKEDOWN_MOD, CURATION_TAKEDOWN_RESIDUE
+        for fam in ("attrs", "ph", "fpa", "fpv"):
+            live = spark.read.parquet(*_flat_state_paths(f"{root}/{fam}"))
+            assert live.filter(F.col("doc_id") % mod == res).count() == 0, fam
+            assert live.count() > 0, fam
+            assert not os.path.exists(f"{root}/{fam}/{_bdir(0)}"), fam
+        for fam in (bands_root, ex_root):
+            ver = _state_meta_read(fam)["version"]
+            base = spark.read.parquet(f"{fam}/base_v{ver}")
+            assert base.filter(F.col("doc_id") % mod == res).count() == 0, fam
+            assert base.count() > 0, fam
+        kept = spark.read.parquet(*_del_state_paths(del_root)).select("doc_id")
+        assert kept.distinct().count() == docs.filter(is_del).count()
+
+        # 3. the certified serve is unchanged by the purge
+        assert serve_rows() == before
+
+        # 4. second pass: healthy fast path, metadata reads only
+        report2 = curation_maintain(spark, root)
+        assert report2["noop"] is True
+        assert not any(f["folded"] for f in report2["families"].values())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_flat_purge_crash_window_invisible(spark, tmp_path):
     """A crash between purge_flat_family's base write and its meta
     commit must leave the new base INVISIBLE: _flat_state_paths reads
