@@ -5594,20 +5594,16 @@ def stream_bm25_takedown(
         _await_or_raise(q, "stream_bm25_takedown")
     finally:
         q.stop()
-    # OFFLINE physical purge (stream drained): force the del-aware
-    # fold regardless of the dial (at certification scale the posting
-    # count never crosses a doubling), compact the tombstone log, and
-    # vacuum — the certified serve below runs over a base with ZERO
-    # tombstoned postings, matching the IVF and curation takedown
-    # rows: every takedown row serves from purged state.
-    from tailsql_spark.operators.textstats import bm25_term_hash_col
-
-    _rebucket_family(
-        spark, post_root, "tb", bm25_term_hash_col("tok"), exclude_bid=10**9,
-        meta=_state_meta_read(post_root), del_root=del_root, force=True,
-    )
-    expire_state_versions(spark, post_root)
-    expire_del_versions(del_root)
+    # OFFLINE physical purge (stream drained), routed through the
+    # cron entry point `bm25_maintain` (r14) so the graded row
+    # certifies the scheduled job itself: the unfolded-delta state
+    # forces the del-aware fold regardless of the dial (at
+    # certification scale the posting count never crosses a doubling),
+    # the tombstone log is compacted, superseded dirs vacuumed, and
+    # the zero-tombstoned-postings invariant re-checked from the live
+    # base — the certified serve below runs over purged state,
+    # matching the IVF and curation takedown rows.
+    bm25_maintain(spark, post_root, del_root=del_root)
     out = _persist_result(
         _bm25_index_serve(spark, post_root, stat_root, del_root),
         "stream_bm25_takedown",
