@@ -956,3 +956,116 @@ def test_audio_cdc_python_matches_duckdb_replay(text):
         ).fetchall()
     ]
     assert got == want, text
+
+
+@settings(
+    max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(data=st.data())
+def test_flat_state_machine_serve_equals_model(spark, data, tmp_path_factory):
+    """The {version, folded_below_bid} flat-state machine, fuzzed: for
+    ANY interleaving of per-batch inserts, tombstone appends, batch
+    replays, physical purges, tombstone-log compactions, and TORN
+    purges (base written, meta never committed), the live serve — flat
+    paths anti-joined against the accumulated delete set — must equal
+    a trivial Python model: the concatenation of every committed
+    batch's rows minus every id ever deleted.  This generalizes the
+    hand-written crash-window/idempotence examples into the guarantee
+    the takedown rows rest on: 'D' beats any later 'I', replay never
+    double-counts, a purge never changes the served multiset, a torn
+    purge is invisible, and compaction never drops a tombstone."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from tailsql_spark.plans.streaming_exec import (
+        _bdir,
+        _compact_del_log,
+        _del_meta_read,
+        _del_state_paths,
+        _flat_state_paths,
+        expire_del_versions,
+        purge_flat_family,
+    )
+
+    base = tmp_path_factory.mktemp("flatprop")
+    fam, dlog = str(base / "fam"), str(base / "del")
+    spark.createDataFrame([], "doc_id long").write.parquet(f"{fam}/seed")
+    spark.createDataFrame([], "doc_id long").write.parquet(f"{dlog}/seed")
+
+    BOGUS = 999_999  # rows only a TORN (uncommitted) purge base holds
+    batches: dict[int, list[int]] = {}  # committed content per bid
+    deleted: set[int] = set()
+    next_bid = 0
+
+    def write_batch(root: str, bid: int, ids: list[int]) -> None:
+        spark.createDataFrame([(i,) for i in ids], "doc_id long").write.mode(
+            "overwrite"
+        ).parquet(f"{root}/{_bdir(bid)}")
+
+    n_ops = data.draw(st.integers(3, 9))
+    did_purge = False
+    for _ in range(n_ops):
+        op = data.draw(
+            st.sampled_from(
+                ["ins", "ins", "del", "purge", "replay", "crash", "compact"]
+            )
+        )
+        if op == "ins":
+            ids = data.draw(st.lists(st.integers(0, 30), min_size=1, max_size=5))
+            write_batch(fam, next_bid, ids)
+            batches[next_bid] = ids
+            next_bid += 1
+        elif op == "del":
+            ids = data.draw(st.lists(st.integers(0, 30), min_size=1, max_size=3))
+            write_batch(dlog, next_bid, ids)
+            deleted.update(ids)
+            next_bid += 1
+        elif op == "purge":
+            dels_df = (
+                spark.read.parquet(*_del_state_paths(dlog))
+                .select("doc_id")
+                .distinct()
+            )
+            purge_flat_family(spark, fam, dels_df)
+            expire_del_versions(fam)
+            did_purge = True
+        elif op == "replay":
+            # a crashed-then-replayed batch rewrites its OWN dir with
+            # identical content — legal only at or above the folded
+            # horizon (folds run offline with the stream drained)
+            horizon = int(_del_meta_read(fam)["folded_below_bid"])
+            live = [b for b in batches if b >= horizon]
+            if live:
+                b = data.draw(st.sampled_from(sorted(live)))
+                write_batch(fam, b, batches[b])
+        elif op == "crash":
+            # torn purge: base written, meta NEVER committed — must be
+            # invisible to every subsequent serve and later overwritten
+            ver = int(_del_meta_read(fam)["version"])
+            spark.createDataFrame([(BOGUS,)], "doc_id long").write.mode(
+                "overwrite"
+            ).parquet(f"{fam}/base_v{ver + 1}")
+        elif op == "compact":
+            _compact_del_log(spark, dlog, "doc_id", None)
+            expire_del_versions(dlog)
+
+    live = spark.read.parquet(*_flat_state_paths(fam))
+    dels = (
+        spark.read.parquet(*_del_state_paths(dlog)).select("doc_id").distinct()
+    )
+    served = sorted(
+        r.doc_id
+        for r in live.join(F.broadcast(dels), "doc_id", "left_anti").collect()
+    )
+    want = sorted(
+        i for ids in batches.values() for i in ids if i not in deleted
+    )
+    assert served == want, (served, want, deleted, did_purge)
+    assert BOGUS not in served
+    # compaction/purge never drops a tombstone: the accumulated id SET
+    # stays complete, so a 'D' keeps beating any later-arriving 'I'
+    kept = {r.doc_id for r in dels.collect()}
+    assert kept == deleted, (kept, deleted)
+
+    shutil.rmtree(str(base), ignore_errors=True)
