@@ -1069,3 +1069,159 @@ def test_flat_state_machine_serve_equals_model(spark, data, tmp_path_factory):
     assert kept == deleted, (kept, deleted)
 
     shutil.rmtree(str(base), ignore_errors=True)
+
+
+@settings(
+    max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(data=st.data())
+def test_bucketed_manifest_state_machine_serve_equals_model(
+    spark, data, tmp_path_factory
+):
+    """The bucketed {manifest version, dial fold} state machine — the
+    layout both serving indexes and the curation band/posting families
+    live on — fuzzed: for ANY interleaving of committed batch appends
+    (data-then-manifest), TORN appends (data written, manifest never
+    committed), replays of live bids, tombstone appends, forced
+    del-aware folds, TORN folds (next base written, meta pointer never
+    swapped), and vacuums, two properties must hold:
+
+    * the manifest-resolved serve anti-joined against the delete set
+      equals the Python model (committed batches minus deleted ids) —
+      torn writes invisible, replays never double-count, folds
+      content-preserving;
+    * the bucket PRUNE is lossless: probing any single key through
+      ``_bucket_manifest_paths`` returns every live row of that key,
+      across mixed base/delta bucket-count tiers."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from tailsql_spark.plans.streaming_exec import (
+        N_STATE_BUCKETS,
+        _bdir,
+        _bucket_manifest_paths,
+        _bucket_manifest_seed,
+        _bucket_manifest_write,
+        _del_state_paths,
+        _rebucket_family,
+        _state_meta_read,
+        expire_del_versions,
+        expire_state_versions,
+    )
+
+    base = tmp_path_factory.mktemp("bucketprop")
+    fam, dlog = str(base / "fam"), str(base / "del")
+    empty = spark.createDataFrame([], "doc_id long, kb long")
+    empty.write.parquet(f"{fam}/seed")
+    _bucket_manifest_seed(empty, fam)
+    spark.createDataFrame([], "doc_id long").write.parquet(f"{dlog}/seed")
+
+    BOGUS = 999_999
+    committed: dict[int, list[int]] = {}
+    since_fold: set[int] = set()
+    deleted: set[int] = set()
+    next_bid = 0
+
+    def write_data(bid: int, ids: list[int]):
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long").withColumn(
+            "kb", F.pmod(F.col("doc_id"), F.lit(N_STATE_BUCKETS))
+        )
+        df.repartition(4, "kb").write.mode("overwrite").partitionBy("kb").parquet(
+            f"{fam}/{_bdir(bid)}"
+        )
+        return df
+
+    n_ops = data.draw(st.integers(3, 8))
+    for _ in range(n_ops):
+        op = data.draw(
+            st.sampled_from(
+                ["ins", "ins", "del", "fold", "replay", "torn_ins", "torn_fold"]
+            )
+        )
+        if op == "ins":
+            ids = data.draw(st.lists(st.integers(0, 30), min_size=1, max_size=5))
+            df = write_data(next_bid, ids)
+            _bucket_manifest_write(
+                df, fam, "kb", next_bid,
+                version=int(_state_meta_read(fam)["version"]),
+            )
+            committed[next_bid] = ids
+            since_fold.add(next_bid)
+            next_bid += 1
+        elif op == "torn_ins":
+            # crash between data write and manifest commit: the batch
+            # must stay invisible forever (readers trust the manifest)
+            write_data(next_bid, [BOGUS])
+            next_bid += 1
+        elif op == "del":
+            ids = data.draw(st.lists(st.integers(0, 30), min_size=1, max_size=3))
+            spark.createDataFrame([(i,) for i in ids], "doc_id long").write.mode(
+                "overwrite"
+            ).parquet(f"{dlog}/{_bdir(next_bid)}")
+            deleted.update(ids)
+            next_bid += 1
+        elif op == "fold":
+            _rebucket_family(
+                spark, fam, "kb", F.col("doc_id"), exclude_bid=10**9,
+                meta=_state_meta_read(fam), del_root=dlog, force=True,
+            )
+            expire_state_versions(spark, fam)
+            expire_del_versions(dlog)
+            since_fold.clear()  # folded bids may never replay (offline rule)
+        elif op == "replay":
+            live = sorted(since_fold)
+            if live:
+                b = data.draw(st.sampled_from(live))
+                df = write_data(b, committed[b])
+                _bucket_manifest_write(
+                    df, fam, "kb", b,
+                    version=int(_state_meta_read(fam)["version"]),
+                )
+        elif op == "torn_fold":
+            # crash after the next base's data write, before the meta
+            # pointer swap: the new base must stay invisible
+            ver = int(_state_meta_read(fam)["version"])
+            spark.createDataFrame([(BOGUS,)], "doc_id long").withColumn(
+                "kb", F.lit(0)
+            ).write.mode("overwrite").partitionBy("kb").parquet(
+                f"{fam}/base_v{ver + 1}"
+            )
+
+    meta = _state_meta_read(fam)
+    dels = (
+        spark.read.parquet(*_del_state_paths(dlog)).select("doc_id").distinct()
+    )
+    all_keys = spark.createDataFrame([(k,) for k in range(31)], "k long")
+    paths = _bucket_manifest_paths(
+        spark, fam, all_keys, None, version=int(meta["version"])
+    )
+    live = spark.read.parquet(*paths).select("doc_id")
+    served = sorted(
+        r.doc_id
+        for r in live.join(F.broadcast(dels), "doc_id", "left_anti").collect()
+    )
+    want = sorted(
+        i for ids in committed.values() for i in ids if i not in deleted
+    )
+    assert served == want, (served, want, deleted)
+    assert BOGUS not in served
+
+    # lossless prune: probing one key reads every live row of that key
+    if want:
+        probe_id = data.draw(st.sampled_from(sorted(set(want))))
+        ppaths = _bucket_manifest_paths(
+            spark, fam,
+            spark.createDataFrame([(probe_id,)], "k long"),
+            None, version=int(meta["version"]),
+        )
+        got = (
+            spark.read.parquet(*ppaths)
+            .filter(F.col("doc_id") == probe_id)
+            .join(F.broadcast(dels), "doc_id", "left_anti")
+            .count()
+        )
+        assert got == want.count(probe_id), (probe_id, got)
+        assert set(ppaths) <= set(paths)
+
+    shutil.rmtree(str(base), ignore_errors=True)
