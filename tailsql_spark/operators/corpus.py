@@ -1538,3 +1538,158 @@ def binned_gate_from_hist(hist: DataFrame) -> DataFrame:
             "n_kept",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# training-shard writer: deterministic global shuffle -> token-balanced shards
+# ---------------------------------------------------------------------------
+
+#: Fixed shard count for the certified row (a production run passes its
+#: own); token-balanced, not doc-balanced — dataloaders consume tokens.
+SHARD_N = 8
+#: Seed folded into the order key: reshuffling an epoch = new seed, and
+#: the key is content-stable (md5 of seed:doc_id), so re-runs and shard
+#: additions reproduce the same order — the sample_stratified_hash
+#: discipline applied to ordering instead of admission.
+SHARD_SEED = "shard1:"
+#: Coarse prefix-sum buckets: the first 3 hex digits of the 15-hex-digit
+#: order key (keys are uniform, so 4096 ~equal buckets) — bucketing by
+#: a PREFIX of the key preserves global order across buckets, which is
+#: what lets the running token sum distribute.
+_SHARD_BUCKET_DIV = 16**12
+
+
+def training_shards_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the training-shard layout once per corpus: the LAST
+    step of the curation pipeline — the dataloader-facing write.  Every
+    doc gets a deterministic pseudo-random order key (md5 of
+    seed:doc_id — the same cross-engine-exact device as every hash
+    band), and shard boundaries cut the key-ordered corpus into
+    ``SHARD_N`` runs of ~equal TOKEN mass, not doc count, so every
+    data-parallel worker pays the same token bill per epoch.
+
+    The global running token sum is the two-level distributed prefix
+    sum from ``sample_weighted_systematic``: an intra-bucket window
+    partitioned by the key's 3-hex-digit prefix (4096 balanced
+    partitions — never a single-partition corpus window) plus one
+    global window over the 4096-row bucket-totals table (metadata-
+    sized; plan-audit allowlisted).  The write is one shuffle by
+    shard_id, partitionBy(shard_id) — at 100 TB swap the final
+    repartition for repartitionByRange(skey) inside each shard to get
+    ordered files; the boundary arithmetic is unchanged.  Idempotent
+    staging keyed on the documents fingerprint."""
+    import os
+
+    from tailsql_spark.plans.connectors import _stage_dir
+
+    root = _stage_dir(sf_dir, "train_shards_v1", src_tables=("documents",))
+    done = os.path.join(root, "_DONE")
+    if os.path.exists(done):
+        return root
+    os.makedirs(root, exist_ok=True)
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "lang", "text")
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        _n_tokens().cast("long").alias("tok"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(SHARD_SEED), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("skey"),
+    ).withColumn("b", F.expr(f"skey DIV {_SHARD_BUCKET_DIV}"))
+    intra = keyed.withColumn(
+        "intra", F.sum("tok").over(W.partitionBy("b").orderBy("skey", "doc_id"))
+    )
+    btot = keyed.groupBy("b").agg(F.sum("tok").alias("bw"))
+    offs = btot.withColumn(
+        "off", F.sum("bw").over(W.orderBy("b")) - F.col("bw")
+    ).select("b", "off")
+    tot = keyed.agg(F.sum("tok").alias("t"))
+    sharded = (
+        intra.join(F.broadcast(offs), "b")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("prior", F.col("intra") + F.col("off") - F.col("tok"))
+        .withColumn(
+            "chunk",
+            F.greatest(F.expr(f"(t + {SHARD_N} - 1) DIV {SHARD_N}"), F.lit(1)),
+        )
+        .withColumn(
+            "shard_id",
+            F.least(F.expr("prior DIV chunk"), F.lit(SHARD_N - 1)).cast("long"),
+        )
+        .select("shard_id", "doc_id", "lang", "tok", "skey", "text")
+    )
+    (
+        sharded.repartition(SHARD_N, "shard_id")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(f"{root}/shards")
+    )
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return root
+
+
+@query(
+    "sink_training_shards",
+    "corpus-pipeline",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST((CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+')) END)
+                    AS BIGINT) AS tok,
+               CAST(('0x' || substr(md5('{SHARD_SEED}' || CAST(doc_id AS VARCHAR)),
+                                    1, 15)) AS BIGINT) AS skey
+        FROM documents
+    ),
+    tot AS (SELECT SUM(tok) AS t FROM toks),
+    cum AS (
+        SELECT doc_id, tok, skey,
+               SUM(tok) OVER (ORDER BY skey, doc_id) - tok AS prior
+        FROM toks
+    ),
+    sh AS (
+        SELECT tok, skey,
+               LEAST(prior // GREATEST((t + {SHARD_N - 1}) // {SHARD_N}, 1),
+                     {SHARD_N - 1}) AS shard_id
+        FROM cum, tot
+    )
+    SELECT CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+           CAST(SUM(skey % 100000007) AS BIGINT) AS key_mod_sum
+    FROM sh GROUP BY 1
+    """,
+    doc="The dataloader-facing WRITE: a deterministic seeded global "
+    "shuffle (content-stable md5 order key — reshuffle = new seed, "
+    "re-run = identical layout) cut into token-BALANCED training "
+    "shards and written partitionBy(shard_id). The running token sum "
+    "is the two-level distributed prefix sum (intra window over 4096 "
+    "key-prefix buckets + one metadata-sized bucket-offsets window), "
+    "never a single-partition corpus window. Certified by CONTENT "
+    "like every sink row: the graded result re-reads the WRITTEN "
+    "files and profiles each shard (doc count, token mass, an exact "
+    "key checksum) against DuckDB's replay of the identical md5/DIV "
+    "boundary arithmetic — so the shard assignment itself, not just "
+    "the summary, is pinned cross-engine.",
+)
+def sink_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = training_shards_path(spark, sf_dir)
+    sh = spark.read.parquet(f"{root}/shards")
+    return (
+        sh.groupBy(F.col("shard_id").cast("long").alias("shard_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok").alias("sum_tokens"),
+            F.sum(F.pmod(F.col("skey"), F.lit(100000007))).alias("key_mod_sum"),
+        )
+    )

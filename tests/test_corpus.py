@@ -434,3 +434,65 @@ def test_binned_gate_histogram_is_mergeable(spark, oracle_sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_training_shards_balance_determinism_completeness(spark, oracle_sf_dir):
+    """The shard writer's three contracts:
+
+    * COMPLETE partition: every doc lands in exactly one shard (no
+      loss, no duplication across the distributed prefix sum);
+    * token BALANCE: each shard's token mass stays within one max-doc
+      of the ideal chunk (the boundary cut is by PRIOR cumulative sum,
+      so a shard can overshoot by at most its boundary doc);
+    * DETERMINISM: a re-run reuses the staged layout byte-for-byte
+      (content-keyed staging), and the shard assignment depends only
+      on (seed, doc_id, token counts) — the epoch-reshuffle contract."""
+    from tailsql_spark.operators.corpus import (
+        SHARD_N,
+        _n_tokens,
+        training_shards_path,
+    )
+    from tailsql_spark.plans.catalog import load_tables
+
+    root = training_shards_path(spark, oracle_sf_dir)
+    sh = spark.read.parquet(f"{root}/shards")
+    docs = load_tables(spark, oracle_sf_dir)["documents"]
+
+    n_docs = docs.count()
+    assert sh.count() == n_docs
+    assert sh.select("doc_id").distinct().count() == n_docs
+    assert sh.select("shard_id").distinct().count() == SHARD_N
+
+    stats = {
+        int(r.shard_id): int(r.s)
+        for r in sh.groupBy("shard_id").agg(F.sum("tok").alias("s")).collect()
+    }
+    total = sum(stats.values())
+    chunk = (total + SHARD_N - 1) // SHARD_N
+    max_doc = docs.select(_n_tokens().alias("t")).agg(F.max("t")).first()[0]
+    for sid, s in stats.items():
+        # every shard except the last is a [k*chunk, (k+1)*chunk) cut of
+        # the cumulative token line, entered/exited by whole docs
+        assert s <= chunk + max_doc, (sid, s, chunk, max_doc)
+        if sid < SHARD_N - 1:
+            assert s >= chunk - max_doc, (sid, s, chunk, max_doc)
+
+    # determinism: the second call must reuse the staged dir (no
+    # rewrite) and serve the identical assignment
+    import os
+
+    mtime = os.path.getmtime(f"{root}/_DONE")
+    root2 = training_shards_path(spark, oracle_sf_dir)
+    assert root2 == root
+    assert os.path.getmtime(f"{root}/_DONE") == mtime
+    again = {
+        (int(r.doc_id), int(r.shard_id))
+        for r in spark.read.parquet(f"{root2}/shards")
+        .select("doc_id", "shard_id")
+        .collect()
+    }
+    first = {
+        (int(r.doc_id), int(r.shard_id))
+        for r in sh.select("doc_id", "shard_id").collect()
+    }
+    assert again == first

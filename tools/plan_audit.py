@@ -66,6 +66,7 @@ _ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     # exclusive prefix sum over PER-BUCKET weight totals
     # (corpus.py 'per-bucket totals' comment) — bounded
     "sample_weighted_systematic": "bucket-totals table (corpus/PPS_BUCKET rows)",
+    "sink_training_shards": "bucket-offsets table (4096 key-prefix rows)",
     # rank offsets over the (cnt, prefix) bucket table — metadata-sized
     # (textstats.py 'distributed rank' comment); the type table itself
     # ranks under a partitioned window
