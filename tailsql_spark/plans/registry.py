@@ -242,7 +242,14 @@ GRADED_WINDOW: tuple[str, ...] = (
     #  slot goes to the previously-unrepresented sampling family)
     # r8: integer-exact weighted systematic (PPS) sampling over a
     # distributed prefix sum — exactly n picks, zero floating point
-    "sample_weighted_systematic",
+    # (r14 late: sample_weighted_systematic rotated to the local gate
+    #  after six green rounds — the distributed-prefix-sum machinery
+    #  stays driver-graded inside the strictly RICHER row that now
+    #  holds the slot: the dataloader-facing token-balanced training
+    #  shard writer, certified by content against DuckDB's replay of
+    #  the identical md5/DIV boundary arithmetic, shipped and rotated
+    #  in the same round per the freeze discipline)
+    "sink_training_shards",
     # similarity / ANN
     # (r9: ann_cosine_topk_arrow rotated to the local gate — ANN is
     #  graded by the complete IVF-PQ stack below and the Arrow path
