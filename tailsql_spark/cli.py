@@ -7,6 +7,11 @@ Flag surface mirrors the reference (``/root/reference/cmd/query.go:
 runs; the reference only stops on SIGINT, ``sql/squeryer.go:34-45``).
 
 ``-d/--db-engine`` is accepted and ignored (engine is Spark SQL).
+
+Beyond the reference's surface, ``maintain`` runs a state family's
+offline upkeep loop (``bm25_maintain`` / ``ivf_maintain`` /
+``curation_maintain``) and prints the audit report as one JSON line —
+the command an operator actually crons.
 """
 
 from __future__ import annotations
@@ -39,11 +44,80 @@ def build_parser() -> argparse.ArgumentParser:
         help="cap rows fetched to the driver per emission (default: unlimited, "
         "reference parity); truncation is marked in the output",
     )
+    m = sub.add_parser(
+        "maintain",
+        help="run a state family's OFFLINE maintenance loop (fold + "
+        "physical takedown purge + vacuum + invariant check; the IVF "
+        "kind adds drift gate -> quantizer re-train -> recall "
+        "re-certification). Cron this; a healthy family is a "
+        "metadata-read no-op. Offline means the family's stream is "
+        "drained — a live fold holds the family lease and the run "
+        "refuses loudly.",
+    )
+    m.add_argument(
+        "kind",
+        choices=["bm25", "ivf", "curation"],
+        help="bm25: postings family; ivf: cell family (re-trainable); "
+        "curation: the whole unified-curation composition",
+    )
+    m.add_argument(
+        "--state-root",
+        required=True,
+        help="family root: the BM25 postings root, the IVF cells root, "
+        "or the curation composition's state root",
+    )
+    m.add_argument("--del-root", default=None, help="tombstone log root")
+    m.add_argument(
+        "--seeds", default=None, help="IVF: quantizer seed-table path"
+    )
+    m.add_argument(
+        "--sf-dir",
+        default=None,
+        help="IVF: corpus dir supplying the recall re-certification queries",
+    )
+    m.add_argument("-l", "--log-level", default="warn")
     return p
+
+
+def _run_maintain(args) -> int:
+    """Dispatch one maintenance pass and print its audit report as ONE
+    JSON line (cron-parseable).  Failures raise — a violated purge
+    invariant or a failed recall floor must land in the operator's
+    error stream, never in a success report."""
+    import json
+
+    from tailsql_spark.plans.streaming_exec import (
+        bm25_maintain,
+        curation_maintain,
+        ivf_maintain,
+    )
+    from tailsql_spark.session import get_spark
+
+    spark = get_spark(app_name="tailsql_spark_maintain")
+    if args.kind == "bm25":
+        report = bm25_maintain(spark, args.state_root, del_root=args.del_root)
+    elif args.kind == "ivf":
+        if not args.seeds or not args.sf_dir:
+            print(
+                "maintain ivf requires --seeds and --sf-dir "
+                "(recall re-certification needs both)",
+                file=sys.stderr,
+            )
+            return 2
+        report = ivf_maintain(
+            spark, args.sf_dir, args.state_root, args.seeds,
+            del_root=args.del_root,
+        )
+    else:
+        report = curation_maintain(spark, args.state_root)
+    print(json.dumps({"kind": args.kind, **report}))
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.cmd == "maintain":
+        return _run_maintain(args)
     from tailsql_spark import config as cfg_mod
     from tailsql_spark.session import get_spark
     from tailsql_spark.streaming.squeryer import SourceSpec, StreamQueryer, run_batch

@@ -185,3 +185,46 @@ db_engine: "duckdb"
     assert rc == 0
     # 3 PHASE_A hits + the extra 19000 line; table formatter golden
     assert "| n" in out and "| 4" in out, out
+
+
+def test_cli_maintain_curation_noop_and_ivf_arg_validation(spark, tmp_path, capsys):
+    """The cron-facing ``maintain`` subcommand: a healthy (seed-only)
+    curation composition is a metadata-read NO-OP reported as one
+    parseable JSON line with exit 0; the IVF kind refuses (exit 2)
+    without the recall re-certification inputs instead of running a
+    re-train it could not certify."""
+    import json
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from tailsql_spark import cli
+    from tailsql_spark.plans.streaming_exec import _bucket_manifest_seed
+
+    root = str(tmp_path / "cur")
+    empty_band = spark.createDataFrame(
+        [], "doc_id long, band_idx int, band_hash string"
+    )
+    empty_band.write.parquet(f"{root}/bands/seed")
+    spark.createDataFrame([], "doc_id long, s string").write.parquet(
+        f"{root}/ex/seed"
+    )
+    _bucket_manifest_seed(empty_band, f"{root}/bands")
+    _bucket_manifest_seed(empty_band, f"{root}/ex")
+    for sub, schema in (
+        ("attrs", "doc_id long, lang string, fingerprint string, n_tokens long"),
+        ("del", "doc_id long"),
+        ("ph", "doc_id long, b0 long, b1 long, b2 long, b3 long"),
+        ("fpa", "doc_id long, fh string"),
+        ("fpv", "doc_id long, fh string"),
+    ):
+        spark.createDataFrame([], schema).write.parquet(f"{root}/{sub}/seed")
+
+    rc = cli.main(["maintain", "curation", "--state-root", root])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    report = json.loads(out)
+    assert rc == 0
+    assert report["kind"] == "curation" and report["noop"] is True
+    assert set(report["families"]) == {"attrs", "ph", "fpa", "fpv", "bands", "ex"}
+
+    rc2 = cli.main(["maintain", "ivf", "--state-root", str(tmp_path / "cells")])
+    assert rc2 == 2
