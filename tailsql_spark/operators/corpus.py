@@ -1588,6 +1588,24 @@ def training_shards_path(spark: SparkSession, sf_dir: str) -> str:
         return root
     os.makedirs(root, exist_ok=True)
     docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "lang", "text")
+    sharded = shard_assignments(docs)
+    (
+        sharded.repartition(SHARD_N, "shard_id")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(f"{root}/shards")
+    )
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return root
+
+
+def shard_assignments(docs: DataFrame) -> DataFrame:
+    """(shard_id, doc_id, lang, tok, skey, text) for every doc — the
+    boundary arithmetic of the shard writer, factored so the plan test
+    can assert its shuffle structure: the only corpus-sized window is
+    PARTITIONED by the key prefix; the single global window runs over
+    the 4096-row bucket-totals table."""
     keyed = docs.select(
         "doc_id",
         "lang",
@@ -1627,15 +1645,7 @@ def training_shards_path(spark: SparkSession, sf_dir: str) -> str:
         )
         .select("shard_id", "doc_id", "lang", "tok", "skey", "text")
     )
-    (
-        sharded.repartition(SHARD_N, "shard_id")
-        .write.mode("overwrite")
-        .partitionBy("shard_id")
-        .parquet(f"{root}/shards")
-    )
-    with open(done, "w") as fh:
-        fh.write("ok")
-    return root
+    return sharded
 
 
 @query(

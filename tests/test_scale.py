@@ -1589,3 +1589,30 @@ def test_no_unallowlisted_global_windows_in_graded_window(spark, oracle_sf_dir):
         if n:
             bad.append(f"{name} x{n}")
     assert bad == [], f"unallowlisted global windows in graded queries: {bad}"
+
+
+def test_training_shards_prefix_sum_never_global_over_corpus(spark, oracle_sf_dir):
+    """The shard writer's distributed prefix sum: the corpus-sized
+    running token sum is a window PARTITIONED by the key prefix, and
+    the ONLY single-partition WindowExec in the plan is the one over
+    the 4096-row bucket-totals table — the shape that survives 100 TB
+    (a global corpus window would funnel every row through one task)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.plan_audit import global_window_count
+
+    from tailsql_spark.operators.corpus import shard_assignments
+    from tailsql_spark.plans.catalog import load_tables
+
+    docs = load_tables(spark, oracle_sf_dir)["documents"].select(
+        "doc_id", "lang", "text"
+    )
+    plan = (
+        shard_assignments(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert global_window_count(plan) == 1, plan  # bucket-offsets only
+    # ...plus the corpus-sized intra window, PARTITIONED by the key
+    # prefix b (windowspecdefinition's leading arg is the partition col)
+    assert "windowspecdefinition(b#" in plan, plan
