@@ -4702,6 +4702,10 @@ def curation_maintain(sess: SparkSession, state_root: str) -> dict:
             )
     for name, (root, _c, _k) in bucketed.items():
         ver = int(_state_meta_read(root)["version"])
+        if ver == 0:
+            # never folded: possible only when the family was seed-only
+            # this pass (needs=False) — no base dir exists to check
+            continue
         base = sess.read.parquet(f"{root}/base_v{ver}")
         leaked = base.join(F.broadcast(dels_live), "doc_id", "left_semi").count()
         if leaked:

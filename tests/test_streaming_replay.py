@@ -3614,3 +3614,52 @@ def test_bm25_maintain_closed_loop(spark, oracle_sf_dir):
         assert report2["version"] == ver
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_curation_maintain_mixed_family_readiness(spark, tmp_path):
+    """r14 review: a pass where only SOME families need work must not
+    trip over the never-folded ones — a seed-only bucketed family has
+    no base dir, so the purge invariant skips it (version 0) instead
+    of raising PATH_NOT_FOUND; the flat family with a delta still
+    folds, and the report marks exactly the worked families."""
+    from tailsql_spark.plans.streaming_exec import (
+        _bdir,
+        _bucket_manifest_seed,
+        _flat_state_paths,
+        curation_maintain,
+    )
+
+    root = str(tmp_path / "cur")
+    empty_band = spark.createDataFrame(
+        [], "doc_id long, band_idx int, band_hash string"
+    )
+    empty_band.write.parquet(f"{root}/bands/seed")
+    spark.createDataFrame([], "doc_id long, s string").write.parquet(
+        f"{root}/ex/seed"
+    )
+    _bucket_manifest_seed(empty_band, f"{root}/bands")
+    _bucket_manifest_seed(empty_band, f"{root}/ex")
+    for sub, schema in (
+        ("attrs", "doc_id long, lang string, fingerprint string, n_tokens long"),
+        ("del", "doc_id long"),
+        ("ph", "doc_id long, b0 long, b1 long, b2 long, b3 long"),
+        ("fpa", "doc_id long, fh string"),
+        ("fpv", "doc_id long, fh string"),
+    ):
+        spark.createDataFrame([], schema).write.parquet(f"{root}/{sub}/seed")
+    # one flat delta, zero deletions, bucketed families seed-only
+    spark.createDataFrame(
+        [(7, "en", "fp7", 3)],
+        "doc_id long, lang string, fingerprint string, n_tokens long",
+    ).write.parquet(f"{root}/attrs/{_bdir(0)}")
+
+    report = curation_maintain(spark, root)
+    assert report["noop"] is False
+    assert report["families"]["attrs"]["folded"] is True
+    assert report["families"]["bands"]["folded"] is False
+    assert report["tombstoned_in_live"] == 0
+    live = spark.read.parquet(*_flat_state_paths(f"{root}/attrs"))
+    assert live.count() == 1
+
+    report2 = curation_maintain(spark, root)
+    assert report2["noop"] is True
