@@ -56,15 +56,16 @@ def build_parser() -> argparse.ArgumentParser:
     )
     m.add_argument(
         "kind",
-        choices=["bm25", "ivf", "curation"],
+        choices=["bm25", "ivf", "curation", "sketch"],
         help="bm25: postings family; ivf: cell family (re-trainable); "
-        "curation: the whole unified-curation composition",
+        "curation: the whole unified-curation composition; sketch: an "
+        "additive-partial sketch/counter log (fold + vacuum)",
     )
     m.add_argument(
         "--state-root",
         required=True,
         help="family root: the BM25 postings root, the IVF cells root, "
-        "or the curation composition's state root",
+        "the curation composition's state root, or the sketch log root",
     )
     m.add_argument("--del-root", default=None, help="tombstone log root")
     m.add_argument(
@@ -74,6 +75,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--sf-dir",
         default=None,
         help="IVF: corpus dir supplying the recall re-certification queries",
+    )
+    m.add_argument(
+        "--family",
+        default=None,
+        help="sketch: which merge algebra the log folds under "
+        "(kmv | hh | cms | hist | cnt)",
     )
     m.add_argument("-l", "--log-level", default="warn")
     return p
@@ -87,13 +94,18 @@ def _run_maintain(args) -> int:
     import json
 
     from tailsql_spark.plans.streaming_exec import (
+        PARTIAL_LOG_FAMILIES,
         bm25_maintain,
         curation_maintain,
         ivf_maintain,
+        sketch_maintain,
     )
     from tailsql_spark.session import get_spark
 
     spark = get_spark(app_name="tailsql_spark_maintain")
+    # honor -l/--log-level (session.py defaults to WARN; a cron'd
+    # maintain run often wants ERROR-only or INFO-verbose output)
+    spark.sparkContext.setLogLevel(args.log_level.upper())
     if args.kind == "bm25":
         report = bm25_maintain(spark, args.state_root, del_root=args.del_root)
     elif args.kind == "ivf":
@@ -108,6 +120,15 @@ def _run_maintain(args) -> int:
             spark, args.sf_dir, args.state_root, args.seeds,
             del_root=args.del_root,
         )
+    elif args.kind == "sketch":
+        if args.family not in PARTIAL_LOG_FAMILIES:
+            print(
+                "maintain sketch requires --family, one of: "
+                + " ".join(sorted(PARTIAL_LOG_FAMILIES)),
+                file=sys.stderr,
+            )
+            return 2
+        report = sketch_maintain(spark, args.state_root, args.family)
     else:
         report = curation_maintain(spark, args.state_root)
     print(json.dumps({"kind": args.kind, **report}))
@@ -137,6 +158,7 @@ def main(argv: list[str] | None = None) -> int:
         )
 
     spark = get_spark(app_name="tailsql_spark_cli")
+    spark.sparkContext.setLogLevel(args.log_level.upper())
     sources = [
         SourceSpec(
             path=f.path,

@@ -1544,13 +1544,15 @@ def binned_gate_from_hist(hist: DataFrame) -> DataFrame:
 # training-shard writer: deterministic global shuffle -> token-balanced shards
 # ---------------------------------------------------------------------------
 
-#: Fixed shard count for the certified row (a production run passes its
-#: own); token-balanced, not doc-balanced — dataloaders consume tokens.
+#: Default shard count — the certified row runs on it; a production run
+#: passes its own via ``training_shards_path(..., n_shards=...)``.
+#: Token-balanced, not doc-balanced — dataloaders consume tokens.
 SHARD_N = 8
-#: Seed folded into the order key: reshuffling an epoch = new seed, and
-#: the key is content-stable (md5 of seed:doc_id), so re-runs and shard
-#: additions reproduce the same order — the sample_stratified_hash
-#: discipline applied to ordering instead of admission.
+#: Default seed folded into the order key: reshuffling an epoch = a new
+#: ``seed=`` argument, and the key is content-stable (md5 of
+#: seed:doc_id), so re-runs and shard additions reproduce the same
+#: order — the sample_stratified_hash discipline applied to ordering
+#: instead of admission.
 SHARD_SEED = "shard1:"
 #: Coarse prefix-sum buckets: the first 3 hex digits of the 15-hex-digit
 #: order key (keys are uniform, so 4096 ~equal buckets) — bucketing by
@@ -1559,14 +1561,22 @@ SHARD_SEED = "shard1:"
 _SHARD_BUCKET_DIV = 16**12
 
 
-def training_shards_path(spark: SparkSession, sf_dir: str) -> str:
+def training_shards_path(
+    spark: SparkSession,
+    sf_dir: str,
+    n_shards: int = SHARD_N,
+    seed: str = SHARD_SEED,
+) -> str:
     """Materialize the training-shard layout once per corpus: the LAST
     step of the curation pipeline — the dataloader-facing write.  Every
     doc gets a deterministic pseudo-random order key (md5 of
     seed:doc_id — the same cross-engine-exact device as every hash
     band), and shard boundaries cut the key-ordered corpus into
-    ``SHARD_N`` runs of ~equal TOKEN mass, not doc count, so every
+    ``n_shards`` runs of ~equal TOKEN mass, not doc count, so every
     data-parallel worker pays the same token bill per epoch.
+    Reshuffling an epoch = a new ``seed``; resizing the worker fleet =
+    a new ``n_shards`` — each (n_shards, seed) pair stages its own
+    layout dir, and the certified row runs on the module defaults.
 
     The global running token sum is the two-level distributed prefix
     sum from ``sample_weighted_systematic``: an intra-bucket window
@@ -1578,19 +1588,25 @@ def training_shards_path(spark: SparkSession, sf_dir: str) -> str:
     repartition for repartitionByRange(skey) inside each shard to get
     ordered files; the boundary arithmetic is unchanged.  Idempotent
     staging keyed on the documents fingerprint."""
+    import hashlib
     import os
 
     from tailsql_spark.plans.connectors import _stage_dir
 
-    root = _stage_dir(sf_dir, "train_shards_v1", src_tables=("documents",))
+    tag = "train_shards_v1"
+    if (int(n_shards), seed) != (SHARD_N, SHARD_SEED):
+        # non-default epochs/fleets stage under their own key so the
+        # cached default layout is never served for a custom request
+        tag = f"{tag}_n{int(n_shards)}_{hashlib.md5(seed.encode()).hexdigest()[:8]}"
+    root = _stage_dir(sf_dir, tag, src_tables=("documents",))
     done = os.path.join(root, "_DONE")
     if os.path.exists(done):
         return root
     os.makedirs(root, exist_ok=True)
     docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "lang", "text")
-    sharded = shard_assignments(docs)
+    sharded = shard_assignments(docs, n_shards=n_shards, seed=seed)
     (
-        sharded.repartition(SHARD_N, "shard_id")
+        sharded.repartition(int(n_shards), "shard_id")
         .write.mode("overwrite")
         .partitionBy("shard_id")
         .parquet(f"{root}/shards")
@@ -1600,12 +1616,17 @@ def training_shards_path(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
-def shard_assignments(docs: DataFrame) -> DataFrame:
+def shard_assignments(
+    docs: DataFrame, n_shards: int = SHARD_N, seed: str = SHARD_SEED
+) -> DataFrame:
     """(shard_id, doc_id, lang, tok, skey, text) for every doc — the
     boundary arithmetic of the shard writer, factored so the plan test
     can assert its shuffle structure: the only corpus-sized window is
     PARTITIONED by the key prefix; the single global window runs over
-    the 4096-row bucket-totals table."""
+    the 4096-row bucket-totals table.  ``seed`` re-keys the shuffle
+    order (epoch reshuffle), ``n_shards`` re-cuts the boundaries
+    (fleet resize); defaults are the certified row's."""
+    n_shards = int(n_shards)
     keyed = docs.select(
         "doc_id",
         "lang",
@@ -1613,7 +1634,7 @@ def shard_assignments(docs: DataFrame) -> DataFrame:
         _n_tokens().cast("long").alias("tok"),
         F.conv(
             F.substring(
-                F.md5(F.concat(F.lit(SHARD_SEED), F.col("doc_id").cast("string"))),
+                F.md5(F.concat(F.lit(seed), F.col("doc_id").cast("string"))),
                 1,
                 15,
             ),
@@ -1637,11 +1658,11 @@ def shard_assignments(docs: DataFrame) -> DataFrame:
         .withColumn("prior", F.col("intra") + F.col("off") - F.col("tok"))
         .withColumn(
             "chunk",
-            F.greatest(F.expr(f"(t + {SHARD_N} - 1) DIV {SHARD_N}"), F.lit(1)),
+            F.greatest(F.expr(f"(t + {n_shards} - 1) DIV {n_shards}"), F.lit(1)),
         )
         .withColumn(
             "shard_id",
-            F.least(F.expr("prior DIV chunk"), F.lit(SHARD_N - 1)).cast("long"),
+            F.least(F.expr("prior DIV chunk"), F.lit(n_shards - 1)).cast("long"),
         )
         .select("shard_id", "doc_id", "lang", "tok", "skey", "text")
     )

@@ -496,3 +496,40 @@ def test_training_shards_balance_determinism_completeness(spark, oracle_sf_dir):
         for r in sh.select("doc_id", "shard_id").collect()
     }
     assert again == first
+
+
+def test_shard_assignments_epoch_reshuffle_and_fleet_resize(spark, sf_dir):
+    """r15 (r14 ADVICE): the documented epoch-reshuffle contract is
+    reachable through the API — a new ``seed`` re-keys the global
+    order (different shard membership, same doc set, same per-shard
+    token-balance discipline) and a new ``n_shards`` re-cuts the
+    boundaries; the defaults stay the certified row's."""
+    from tailsql_spark.operators.corpus import SHARD_N, shard_assignments
+    from tailsql_spark.plans.catalog import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "lang", "text")
+    base = shard_assignments(docs)
+    re_seeded = shard_assignments(docs, seed="shard2:")
+    resized = shard_assignments(docs, n_shards=3)
+
+    n_docs = docs.count()
+    for sh in (base, re_seeded, resized):
+        assert sh.count() == n_docs  # complete: every doc assigned once
+    assert base.select(F.max("shard_id")).first()[0] == SHARD_N - 1
+    assert resized.select(F.max("shard_id")).first()[0] == 3 - 1
+
+    # a new seed genuinely reshuffles: some doc changes shard
+    moved = (
+        base.select("doc_id", "shard_id")
+        .join(
+            re_seeded.select("doc_id", F.col("shard_id").alias("s2")), "doc_id"
+        )
+        .filter(F.col("shard_id") != F.col("s2"))
+        .count()
+    )
+    assert moved > 0
+    # default-args path is unchanged (the certified row's layout)
+    again = shard_assignments(docs)
+    assert sorted(map(tuple, again.select("doc_id", "shard_id").collect())) == sorted(
+        map(tuple, base.select("doc_id", "shard_id").collect())
+    )

@@ -3663,3 +3663,116 @@ def test_curation_maintain_mixed_family_readiness(spark, tmp_path):
 
     report2 = curation_maintain(spark, root)
     assert report2["noop"] is True
+
+
+def test_curation_maintain_purge_freshness_per_family(spark, tmp_path):
+    """r15 (r14 ADVICE): the shared del log can look fully folded (no
+    unfolded delete dirs — one family's mid-stream fold compacted it)
+    while a base-only sibling family still holds the tombstoned bytes.
+    The per-family purge mark must force that sibling's purge instead
+    of letting the composition-level probe report noop."""
+    from tailsql_spark.plans.streaming_exec import (
+        _bdir,
+        _bucket_manifest_seed,
+        _compact_del_log,
+        _flat_state_paths,
+        curation_maintain,
+        expire_del_versions,
+        purge_flat_family,
+    )
+
+    root = str(tmp_path / "cur")
+    empty_band = spark.createDataFrame(
+        [], "doc_id long, band_idx int, band_hash string"
+    )
+    empty_band.write.parquet(f"{root}/bands/seed")
+    spark.createDataFrame([], "doc_id long, s string").write.parquet(
+        f"{root}/ex/seed"
+    )
+    _bucket_manifest_seed(empty_band, f"{root}/bands")
+    _bucket_manifest_seed(empty_band, f"{root}/ex")
+    for sub, schema in (
+        ("attrs", "doc_id long, lang string, fingerprint string, n_tokens long"),
+        ("del", "doc_id long"),
+        ("ph", "doc_id long, b0 long, b1 long, b2 long, b3 long"),
+        ("fpa", "doc_id long, fh string"),
+        ("fpv", "doc_id long, fh string"),
+    ):
+        spark.createDataFrame([], schema).write.parquet(f"{root}/{sub}/seed")
+    # the attrs family holds docs 7 and 8, ALREADY folded to base-only
+    spark.createDataFrame(
+        [(7, "en", "fp7", 3), (8, "en", "fp8", 4)],
+        "doc_id long, lang string, fingerprint string, n_tokens long",
+    ).write.parquet(f"{root}/attrs/{_bdir(0)}")
+    purge_flat_family(
+        spark, f"{root}/attrs", spark.createDataFrame([], "doc_id long")
+    )
+    expire_del_versions(f"{root}/attrs")
+    # a takedown of doc 7 lands AND the del log is compacted + vacuumed
+    # (what a sibling family's mid-stream del-aware fold does): no
+    # unfolded del dirs remain — the r14 probe's blind spot
+    spark.createDataFrame([(7,)], "doc_id long").write.parquet(
+        f"{root}/del/{_bdir(0)}"
+    )
+    _compact_del_log(spark, f"{root}/del", "doc_id", None)
+    expire_del_versions(f"{root}/del")
+
+    report = curation_maintain(spark, root)
+    assert report["noop"] is False, report  # freshness forced the pass
+    assert report["families"]["attrs"]["folded"] is True
+    live = {
+        r.doc_id
+        for r in spark.read.parquet(*_flat_state_paths(f"{root}/attrs")).collect()
+    }
+    assert live == {8}  # doc 7's bytes physically gone
+
+    report2 = curation_maintain(spark, root)
+    assert report2["noop"] is True, report2  # marks recorded: healthy no-op
+
+
+def test_rebucket_family_rereads_meta_inside_lease(spark, oracle_sf_dir):
+    """r15 (r14 ADVICE): a maintain run that snapshotted the family
+    meta BEFORE another run's fold+vacuum must not act on it — the
+    stale manifest version's dirs are already vacuumed and the read
+    would fail with PATH_NOT_FOUND.  `_rebucket_family` now re-reads
+    the pointer inside the lease, so the late run folds the CURRENT
+    version instead."""
+    from tailsql_spark.operators.textstats import bm25_term_hash_col
+    from tailsql_spark.plans.catalog import load_tables
+    from tailsql_spark.plans.streaming_exec import (
+        _bm25_index_processor,
+        _bm25_index_seed,
+        _bm25_index_serve,
+        _rebucket_family,
+        _state_meta_read,
+        bm25_maintain,
+        expire_state_versions,
+    )
+
+    docs = load_tables(spark, oracle_sf_dir)["documents"].select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="tailsql_rebucket_stale_")
+    try:
+        post_root, stat_root, _del = _bm25_index_seed(spark, root)
+        process = _bm25_index_processor(post_root, stat_root)
+        process(docs.limit(200), 0)
+        baseline = {
+            tuple(r) for r in _bm25_index_serve(spark, post_root, stat_root).collect()
+        }
+        stale_meta = _state_meta_read(post_root)  # run B's pre-lease snapshot
+        # run A folds + vacuums first: the v0 manifest dir is reclaimed
+        report = bm25_maintain(spark, post_root)
+        assert report["folded"], report
+        # run B proceeds with its stale snapshot — must succeed by
+        # re-resolving the pointer inside the lease, not read v0 dirs
+        meta2 = _rebucket_family(
+            spark, post_root, "tb", bm25_term_hash_col("tok"),
+            exclude_bid=10**9, meta=stale_meta, force=True,
+        )
+        assert int(meta2["version"]) == int(report["version"]) + 1
+        expire_state_versions(spark, post_root)
+        got = {
+            tuple(r) for r in _bm25_index_serve(spark, post_root, stat_root).collect()
+        }
+        assert got == baseline
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
