@@ -131,7 +131,18 @@ GRADED_WINDOW: tuple[str, ...] = (
     #  certified there with its tombstone variant AND incrementally via
     #  stream_merge_upsert; the slot goes to the leakage-safe temporal
     #  feature join, the storage family's r9 flagship)
-    "join_scd2_point_in_time",
+    # (r15: join_scd2_point_in_time rotated to the local gate after
+    #  five green rounds — the SCD2 machinery stays driver-graded via
+    #  stream_scd2_history (the SAME scd2_merge_apply core, run
+    #  incrementally) and the storage family keeps three driver rows
+    #  (time travel, DPP, BM25 index); the slot goes to the one
+    #  takedown twin that never had a driver-graded row
+    #  (VERDICT r14 "What's missing" #3): the standalone audio-CDC
+    #  deployment's 'D' path + physical fingerprint purge, oracle
+    #  recomputed minus the deleted set and non-vacuous on the match
+    #  structure, completing same-round grading for all six takedown
+    #  families)
+    "stream_audio_takedown",
     # §2E streaming-EXECUTED (availableNow micro-batch, real sinks)
     # (r8: stream_tumbling_counts rotated to the local gate — the
     #  tumbling shape is repped by events_tumbling_1h and the stronger
