@@ -206,6 +206,14 @@ def main() -> None:
         # as that round's query samples
         cal_samples.append(_calibration_sample(spark))
     calibration_sec = round(min(cal_samples), 3)
+    # r15 (VERDICT r14 ask #5): the spread rule that arms the
+    # calibration gate — a min sitting far below the round's median
+    # means one lucky quiet window, and dividing by it would overstate
+    # the normalized ratio; the flag tells the verdict to read the
+    # ratio against the sidecar spreads instead of trusting the point.
+    cal_sorted = sorted(cal_samples)
+    calibration_median_sec = round(cal_sorted[len(cal_sorted) // 2], 3)
+    calibration_spread_flag = calibration_median_sec > 2 * calibration_sec
     per_query = {name: round(min(samples[name]), 3) for name in suite}
     for name in suite:
         print(f"# {name}: {per_query[name]:.3f}s ({rows[name]} rows)", file=sys.stderr)
@@ -265,6 +273,12 @@ def main() -> None:
                 # by this to read drift-normalized round-over-round
                 # deltas (BASELINE.md "round-14 calibration row")
                 "calibration_sec": calibration_sec,
+                # r15: calibration median + spread flag (ask #5) — when
+                # the flag is true, the min-of-5 calibration sat >2x
+                # below the round's median and shared_core_per_cal
+                # must be read against the sidecar spreads, not alone
+                "calibration_median_sec": calibration_median_sec,
+                "calibration_spread_flag": calibration_spread_flag,
                 "shared_core_per_cal": (
                     round(shared_core_sec / calibration_sec, 3)
                     if shared_core_sec is not None and calibration_sec > 0
