@@ -2527,7 +2527,7 @@ class FamilyLeaseHeld(RuntimeError):
 
 
 def acquire_family_lease(
-    root: str, holder: str, ttl_sec: float = LEASE_TTL_SEC
+    root: str, holder: str, ttl_sec: float | None = None
 ) -> None:
     """Take the family's compaction lease via ATOMIC CREATE of
     ``{root}/_lease.json`` (O_CREAT|O_EXCL locally; Hadoop
@@ -2547,6 +2547,12 @@ def acquire_family_lease(
     import time
     import uuid
 
+    if ttl_sec is None:
+        # operator knob (r15): a crash-restart loop (the CLI maintain
+        # soak, an orchestrator with its own liveness signal) may know
+        # the prior holder is dead long before the conservative
+        # module default would reclaim
+        ttl_sec = float(os.environ.get("TAILSQL_LEASE_TTL_SEC", LEASE_TTL_SEC))
     path = f"{root}/_lease.json"
     payload = json.dumps({"holder": holder, "ts": time.time()})
     nonce = uuid.uuid4().hex

@@ -185,10 +185,9 @@ def test_tail_reader_pinned_start_offset(tmp_path):
 def test_tailn_partitioned_reads_and_checkpoint_resume(spark, tmp_path):
     """r13: the planner-partitioned multi-file tail (format 'tailn').
 
-    1. PER-PARTITION READS: each grown file becomes its own input
-       partition (spark_partition_id distinct count == files with new
-       bytes), so the byte ranges are read executor-side, not funneled
-       through the driver;
+    1. EXECUTOR-SIDE READS: grown files' byte ranges are read in input
+       partitions, never funneled through the driver — small whole-file
+       ranges bin-pack into fleet tasks (r15), large files split;
     2. PROVENANCE: rows carry the originating path;
     3. LINE-BOUNDARY DISCIPLINE: a partial trailing line (no newline
        yet) is not consumed until completed;
@@ -238,8 +237,10 @@ def test_tailn_partitioned_reads_and_checkpoint_resume(spark, tmp_path):
     vals = sorted(v for _p, v in got)
     assert vals == ["a1", "a2", "b1"], vals  # partial line unconsumed
     assert {p.rsplit("/", 1)[-1] for p, _v in got} == {"a.log", "b.log"}
-    # one input partition per grown file, read executor-side
-    assert nparts and max(nparts) == 2, nparts
+    # r15: tiny whole-file ranges BIN-PACK into one executor task (the
+    # fleet shape — per-task overhead amortizes across files); the read
+    # is still executor-side with per-row path provenance
+    assert nparts and max(nparts) == 1, nparts
 
     # stream DOWN: complete the partial line, append to a, add a NEW file
     with open(d / "c.log", "a") as fh:
@@ -255,7 +256,7 @@ def test_tailn_partitioned_reads_and_checkpoint_resume(spark, tmp_path):
     # exactly once: no a1/a2/b1 replays; the completed partial arrives whole
     assert vals == ["a3", "c-partial done", "c2", "d1"], vals
     assert {p.rsplit("/", 1)[-1] for p, _v in got} == {"a.log", "c.log", "d.log"}
-    assert nparts and max(nparts) == 3, nparts
+    assert nparts and max(nparts) == 1, nparts  # packed (r15)
 
 
 def test_tailn_per_batch_byte_cap_and_catchup(tmp_path):
@@ -515,3 +516,53 @@ def test_tailn_engine_call_order_first_plan_is_capped(tmp_path):
 
     r2 = TailNStreamReader(str(log), seek_to_end=True, max_bytes_per_batch=256)
     assert r2.latestOffset()[str(log)] == total  # end-seek: NOT capped
+
+
+def test_tailn_fleet_bin_packing(tmp_path):
+    """r15: the fleet planner bin-packs small whole-file ranges into
+    TailFleetPartition tasks (bytes + per-file OPEN_COST up to
+    PACK_TARGET) while large/split ranges keep their own partition —
+    and delivery over the packed plan stays exactly-once, in path
+    order within each file."""
+    from tailsql_spark.sources.tail import (
+        TailFilePartition,
+        TailFleetPartition,
+        TailNStreamReader,
+    )
+
+    d = tmp_path / "fleet"
+    d.mkdir()
+    expect: dict[str, list[str]] = {}
+    for i in range(40):
+        p = d / f"svc-{i:02d}.log"
+        lines = [f"svc{i}-l{j}" for j in range(5)]
+        p.write_text("".join(ln + "\n" for ln in lines))
+        expect[str(p)] = lines
+    big = d / "zz-big.log"
+    big_lines = [f"big-{j:05d}" for j in range(3000)]
+    big.write_text("".join(ln + "\n" for ln in big_lines))
+    expect[str(big)] = big_lines
+
+    r = TailNStreamReader(
+        str(d / "*.log"), seek_to_end=False, max_bytes_per_batch=1 << 30
+    )
+    r.SPLIT_BYTES = 8192       # force the big file to split
+    r.PACK_TARGET = 4 << 10    # tiny budget: several packs at test scale
+    r.OPEN_COST = 64
+    r.initialOffset()
+    end = r.latestOffset()
+    parts = r.partitions({}, end)
+    fleets = [p for p in parts if isinstance(p, TailFleetPartition)]
+    singles = [p for p in parts if isinstance(p, TailFilePartition)]
+    # the 40 tiny files packed into FEWER tasks than files, > 1 pack
+    n_packed = sum(len(p.ranges) for p in fleets)
+    assert n_packed == 40
+    assert 1 < len(fleets) < 40
+    # the big file's splits each kept their own partition
+    assert all(p.path == str(big) for p in singles)
+    assert len(singles) > 1
+    got: dict[str, list[str]] = {}
+    for part in parts:
+        for path, v in r.read(part):
+            got.setdefault(path, []).append(v)
+    assert got == expect  # exactly once, in order per file
