@@ -51,16 +51,32 @@ def _n_tokens():
     return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
 
 
+#: the quality gate's kept-character class, spelled out for
+#: ``translate`` (the codegen'd, regex-free char-class counter):
+#: exactly the [A-Za-z ] the gate always used.
+_ALPHA_KEEP = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz "
+)
+
+
 def quality_gate_attrs(docs: DataFrame) -> DataFrame:
     """Quality-passing docs as ``(doc_id, lang, fingerprint,
     n_tokens)`` — THE single Spark definition of the curation quality
     gate + content fingerprint (twin of the ``q``/``fp`` CTEs in
     ``_CLEAN_CTES``).  Shared by the batch clean pipeline, the
     incremental curation processor, and the replay test, so gate
-    constants cannot drift between them."""
+    constants cannot drift between them.
+
+    The kept-character count comes from ``translate`` (delete the 53
+    kept chars, subtract lengths), NOT ``regexp_replace('[^A-Za-z ]')``
+    — value-identical (r15 A/B: zero differing rows at sf0.1), but the
+    regex built a stripped copy of every document through an
+    interpreted engine and was ~98% of the clean stage's wall at 100×
+    (29.5 s vs 0.68 s for the whole gate, `r15_unified_phase_audit`);
+    translate is a single codegen'd pass with a 53-entry lookup."""
     alpha_ratio = (
-        F.length(F.regexp_replace("text", "[^A-Za-z ]", "")) / F.length("text")
-    )
+        F.length("text") - F.length(F.translate("text", _ALPHA_KEEP, ""))
+    ) / F.length("text")
     return docs.filter((F.col("n_chars") >= 100) & (alpha_ratio >= 0.6)).select(
         "doc_id",
         "lang",
@@ -634,9 +650,10 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_filter_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
+    # same translate-not-regex char-class count as quality_gate_attrs
     alpha_ratio = (
-        F.length(F.regexp_replace("text", "[^A-Za-z ]", "")) / F.length("text")
-    )
+        F.length("text") - F.length(F.translate("text", _ALPHA_KEEP, ""))
+    ) / F.length("text")
     staged = t["documents"].select(
         "lang",
         (F.col("n_chars") >= 100).alias("pass_len"),

@@ -1616,3 +1616,32 @@ def test_training_shards_prefix_sum_never_global_over_corpus(spark, oracle_sf_di
     # ...plus the corpus-sized intra window, PARTITIONED by the key
     # prefix b (windowspecdefinition's leading arg is the partition col)
     assert "windowspecdefinition(b#" in plan, plan
+
+
+def test_arrow_shingle_hashes_match_jvm(spark, oracle_sf_dir):
+    """r15: the big-data branch's Arrow-batched exploded shingle-hash
+    builder must be VALUE-IDENTICAL to the JVM expression chain it
+    replaces (ASCII \\s+ tokenization of space-trimmed lowercased
+    text, per-doc distinct 3-gram shingles, md5[:15] 60-bit hashes) —
+    asserted both ways with exceptAll over every corpus row, so a
+    Python/Java regex or lowercasing divergence fails loudly instead
+    of silently shifting near-dup pairs at scale."""
+    from pyspark.sql import functions as F
+
+    from tailsql_spark.operators.dedup import (
+        doc_shingle_hashes_arrow,
+        doc_shingles,
+        shingle_hash60,
+    )
+    from tailsql_spark.plans.catalog import load_documents_sized
+
+    jvm = (
+        doc_shingles(spark, oracle_sf_dir)
+        .select("doc_id", F.explode_outer("shingles").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .select("doc_id", shingle_hash60(F.col("s")).alias("x"))
+    )
+    arrow = doc_shingle_hashes_arrow(load_documents_sized(spark, oracle_sf_dir))
+    assert jvm.exceptAll(arrow).count() == 0
+    assert arrow.exceptAll(jvm).count() == 0
+    assert arrow.count() == jvm.count() > 0
