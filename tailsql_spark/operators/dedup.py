@@ -427,7 +427,11 @@ def doc_shingle_hashes_arrow(docs: DataFrame) -> DataFrame:
     text (``re.ASCII`` pins Python's ``\\s`` to Java regex's
     ``[ \\t\\n\\x0B\\f\\r]``), 3-gram shingles join on single spaces,
     per-doc dedup via a set, and the hash is the same
-    ``int(md5(gram)[:15], 16)``.
+    ``int(md5(gram)[:15], 16)``.  Known caveat: Python ``str.lower``
+    and UTF8String.toLowerCase can disagree on a handful of unicode
+    edge cases (dotted-I, final sigma); the equality test pins the
+    corpora this repo grades on (pure ASCII), and a unicode deployment
+    should extend it before trusting cross-engine hash parity there.
 
     Why it exists: the HOF gram builder (``transform``+``concat_ws``
     inside ``shingles_col``) runs INTERPRETED — Catalyst does not
