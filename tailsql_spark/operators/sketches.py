@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from tailsql_spark.operators.textstats import (
     CONTAM_ORACLE,
     contam_gram_arr,
+    contam_grams_arrow,
     contam_is_test,
 )
 from tailsql_spark.plans.catalog import QuerySpec, load_tables
@@ -178,12 +179,11 @@ def _contamination_bloom_scored(spark: SparkSession, sf_dir: str, cache: bool = 
     sketch = bloom_build(test_grams.select("g"), "g")
     # corpus side: NO distinct before the sketch — pruning first is the
     # whole point; the survivors (test-hit grams + fp) are then distinct
-    # and exact-joined exactly like the unsketched operator.
-    train_stream = (
-        docs.filter(~F.col("is_test"))
-        .select(F.explode_outer(contam_gram_arr()).alias("g"))
-        .filter(F.col("g").isNotNull())
-    )
+    # and exact-joined exactly like the unsketched operator.  The gram
+    # stream comes from the Arrow-batched builder (r15): the corpus
+    # pass is the 100 TB-shaped work, and the interpreted HOF array
+    # was its cost (multiset-identical, pytest-asserted).
+    train_stream = contam_grams_arrow(docs.filter(~F.col("is_test")))
     train_surv = bloom_probe(train_stream, "g", sketch).select("g").distinct()
     # survivors are (hits + ~1.3% fp) of the EVAL-set gram space — tiny
     # at any corpus size — so the exact join broadcasts them and the

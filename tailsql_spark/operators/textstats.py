@@ -533,6 +533,38 @@ def contam_gram_arr() -> Column:
     )
 
 
+def contam_grams_arrow(docs) -> "DataFrame":
+    """The corpus-side contamination gram STREAM — one Arrow-batched
+    pass emitting every word 5-gram (duplicates included, exactly as
+    ``explode_outer(contam_gram_arr())`` filtered non-null; multiset
+    equality pytest-asserted both ways).  Exists for the same reason
+    as ``dedup.doc_shingle_hashes_arrow`` (r15): the lambda-HOF gram
+    builder runs interpreted, and the train-side gram pass is the
+    100 TB-shaped work of the Bloom decontamination probe.  Python's
+    ``str.lower().split(" ")`` matches Spark's
+    ``split(lower(text), " ")`` token for token (literal-space regex,
+    limit −1: empty tokens kept, including trailing), and ``" ".join``
+    matches ``concat_ws`` over possibly-empty tokens.  Used only on
+    the corpus-side stream of ``text_contamination_bloom``; the
+    eval-set side and the per-doc operators keep the JVM array (their
+    inputs are tiny or need the array shape)."""
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out: list[str] = []
+            for text in pdf["text"]:
+                ws = text.lower().split(" ")
+                n = len(ws)
+                if n < 5:
+                    continue
+                out.extend(" ".join(ws[i : i + 5]) for i in range(n - 4))
+            yield pd.DataFrame({"g": pd.Series(out, dtype="object")})
+
+    return docs.select("text").mapInPandas(build, schema="g string")
+
+
 #: Exact contamination audit — shared verbatim by the inverted-index
 #: operator below and the Bloom-prefiltered one in operators/sketches.py
 #: (the sketch only prunes the probe stream; survivors are exact-joined,

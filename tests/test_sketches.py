@@ -288,3 +288,29 @@ def test_countmin_never_underestimates_and_merges(spark, oracle_sf_dir):
         for k, v in m.items():
             summed[k] = summed.get(k, 0) + v
     assert summed == full
+
+
+def test_arrow_contam_grams_match_jvm(spark, oracle_sf_dir):
+    """r15: the Arrow-batched corpus-side contamination gram stream is
+    MULTISET-identical to the exploded JVM array it replaces (single-
+    space tokenization, empty tokens kept, 5-gram windows, duplicates
+    preserved) — asserted both ways with exceptAll, so the Bloom probe
+    stream cannot drift from the gram definition every contamination
+    operator shares."""
+    from pyspark.sql import functions as F
+
+    from tailsql_spark.operators.textstats import (
+        contam_gram_arr,
+        contam_grams_arrow,
+    )
+    from tailsql_spark.plans.catalog import load_tables
+
+    docs = load_tables(spark, oracle_sf_dir)["documents"].select("doc_id", "text")
+    jvm = (
+        docs.select(F.explode_outer(contam_gram_arr()).alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    arrow = contam_grams_arrow(docs)
+    assert jvm.exceptAll(arrow).count() == 0
+    assert arrow.exceptAll(jvm).count() == 0
+    assert arrow.count() == jvm.count() > 0
