@@ -203,25 +203,16 @@ BROADCAST_INPUT_BYTES = 256 << 20
 def _small_input(sf_dir: str, table: str = "documents") -> bool:
     """Plan-time size gate from the source parquet footprint — the
     stand-in for catalog statistics on a real cluster.  Never runs a
-    Spark job.  Directory-shaped tables (every staged/production
-    layout) sum their files: ``os.path.getsize`` on a directory
-    returns the dirent size (~KB), which silently routed ANY
-    multi-file corpus — however large — to the broadcast branch
-    (r15, surfaced by the 100× phase audit)."""
+    Spark job.  Directory-aware via ``catalog.source_bytes`` (r15
+    found ``os.path.getsize`` on a directory returns the dirent size
+    and routed ANY multi-file corpus to the broadcast branch; r16
+    centralized the fix so ``load_documents_sized`` gets it too)."""
     import os
 
-    p = os.path.join(sf_dir, f"{table}.parquet")
-    try:
-        if os.path.isdir(p):
-            total = 0
-            with os.scandir(p) as it:
-                for e in it:
-                    if e.is_file():
-                        total += e.stat().st_size
-            return total < BROADCAST_INPUT_BYTES
-        return os.path.getsize(p) < BROADCAST_INPUT_BYTES
-    except OSError:
-        return False
+    from tailsql_spark.plans.catalog import source_bytes
+
+    nbytes = source_bytes(os.path.join(sf_dir, f"{table}.parquet"))
+    return 0 < nbytes < BROADCAST_INPUT_BYTES
 
 
 def band_long(sig: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
@@ -419,30 +410,30 @@ def _minhash_small_pipeline(ex: DataFrame) -> DataFrame:
 
 def doc_shingle_hashes_arrow(docs: DataFrame) -> DataFrame:
     """The exploded (doc_id, x) distinct-shingle 60-bit hash table in
-    ONE Arrow-batched pass — the big-data branch's ``ex`` builder
-    (r15).  Value-identical to the JVM expression chain
-    ``shingle_hash60(explode(shingles_col(text)))`` (asserted by
-    ``test_arrow_shingle_hashes_match_jvm`` over every corpus row):
-    tokens are split on ASCII ``\\s+`` runs of space-trimmed lowercased
-    text (``re.ASCII`` pins Python's ``\\s`` to Java regex's
-    ``[ \\t\\n\\x0B\\f\\r]``), 3-gram shingles join on single spaces,
+    ONE Arrow-batched pass — the shared ``ex`` builder feeding BOTH
+    minhash batch branches since r15 (broadcast and shuffled; only the
+    streaming processors keep ``shingles_col`` — their per-batch
+    frames are small by construction).  Value-identical to the JVM
+    expression chain ``shingle_hash60(explode(shingles_col(text)))``
+    (asserted by ``test_arrow_shingle_hashes_match_jvm`` over every
+    corpus row, ASCII and unicode): the case fold runs JVM-SIDE
+    (``F.lower`` BEFORE the mapInPandas boundary, r16) so the two
+    paths share one lowering by construction — Python ``str.lower``
+    and ``UTF8String.toLowerCase`` disagree on dotted-I / final-sigma
+    style edge cases, so the Arrow stage must never lower.  Inside the
+    batch: tokens split on ASCII ``\\s+`` runs of space-trimmed text
+    (``re.ASCII`` pins Python's ``\\s`` to Java regex's
+    ``[ \\t\\n\\x0B\\f\\r]`` — both engines' defaults are the ASCII
+    class, unicode-safe), 3-gram shingles join on single spaces,
     per-doc dedup via a set, and the hash is the same
-    ``int(md5(gram)[:15], 16)``.  Known caveat: Python ``str.lower``
-    and UTF8String.toLowerCase can disagree on a handful of unicode
-    edge cases (dotted-I, final sigma); the equality test pins the
-    corpora this repo grades on (pure ASCII), and a unicode deployment
-    should extend it before trusting cross-engine hash parity there.
+    ``int(md5(utf8(gram))[:15], 16)``.
 
     Why it exists: the HOF gram builder (``transform``+``concat_ws``
     inside ``shingles_col``) runs INTERPRETED — Catalyst does not
     codegen lambda HOFs — and at 100× sf0.1 the ``ex`` stage measured
     59.9 s of the pair stage's 66 s (26M shingles at ~14k/s/core).
     The same work in one mapInPandas (C-regex tokenize, hashlib md5)
-    is ~6× faster and is the production decode shape anyway.  Used
-    ONLY on the big-data branch: the small/graded/bench branch keeps
-    its measured job-count-minimal JVM plan (and the streaming
-    processors keep ``shingles_col`` — their per-batch frames are
-    small by construction)."""
+    is ~6× faster and is the production decode shape anyway."""
 
     def build(batches):
         import hashlib
@@ -455,7 +446,7 @@ def doc_shingle_hashes_arrow(docs: DataFrame) -> DataFrame:
             ids: list[int] = []
             xs: list[int] = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = [t for t in ws.split(text.lower().strip(" ")) if t]
+                toks = [t for t in ws.split(text.strip(" ")) if t]
                 n = len(toks)
                 if n < 3:
                     continue
@@ -475,7 +466,9 @@ def doc_shingle_hashes_arrow(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    # the ONE lowering, JVM-side: cross-engine hash parity then cannot
+    # depend on Python-vs-JVM unicode case-fold differences
+    return docs.select("doc_id", F.lower("text").alias("text")).mapInPandas(
         build, schema="doc_id long, x long"
     )
 

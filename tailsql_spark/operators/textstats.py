@@ -540,14 +540,21 @@ def contam_grams_arrow(docs) -> "DataFrame":
     equality pytest-asserted both ways).  Exists for the same reason
     as ``dedup.doc_shingle_hashes_arrow`` (r15): the lambda-HOF gram
     builder runs interpreted, and the train-side gram pass is the
-    100 TB-shaped work of the Bloom decontamination probe.  Python's
-    ``str.lower().split(" ")`` matches Spark's
-    ``split(lower(text), " ")`` token for token (literal-space regex,
-    limit −1: empty tokens kept, including trailing), and ``" ".join``
-    matches ``concat_ws`` over possibly-empty tokens.  Used only on
-    the corpus-side stream of ``text_contamination_bloom``; the
-    eval-set side and the per-doc operators keep the JVM array (their
-    inputs are tiny or need the array shape)."""
+    100 TB-shaped work of the Bloom decontamination probe.  The case
+    fold runs JVM-SIDE (``F.lower`` before the mapInPandas boundary,
+    r16) so this stream and the eval-set side's
+    ``split(lower(text), " ")`` share ONE lowering by construction —
+    Python ``str.lower`` and ``UTF8String.toLowerCase`` disagree on
+    dotted-I / final-sigma style edge cases, and a silent corpus-vs-
+    eval gram mismatch here would MISS real contamination.  Inside the
+    batch, Python ``str.split(" ")`` matches Spark's literal-space
+    split (limit −1: empty tokens kept, including trailing — no
+    unicode involvement in a literal-byte split) and ``" ".join``
+    matches ``concat_ws`` over possibly-empty tokens; multiset
+    equality is pytest-asserted on ASCII AND unicode corpora.  Used
+    only on the corpus-side stream of ``text_contamination_bloom``;
+    the eval-set side and the per-doc operators keep the JVM array
+    (their inputs are tiny or need the array shape)."""
 
     def build(batches):
         import pandas as pd
@@ -555,14 +562,17 @@ def contam_grams_arrow(docs) -> "DataFrame":
         for pdf in batches:
             out: list[str] = []
             for text in pdf["text"]:
-                ws = text.lower().split(" ")
+                ws = text.split(" ")
                 n = len(ws)
                 if n < 5:
                     continue
                 out.extend(" ".join(ws[i : i + 5]) for i in range(n - 4))
             yield pd.DataFrame({"g": pd.Series(out, dtype="object")})
 
-    return docs.select("text").mapInPandas(build, schema="g string")
+    # the ONE lowering, JVM-side (see docstring)
+    return docs.select(F.lower("text").alias("text")).mapInPandas(
+        build, schema="g string"
+    )
 
 
 #: Exact contamination audit — shared verbatim by the inverted-index

@@ -278,6 +278,28 @@ def materialize_result(df: DataFrame, name: str, key: str) -> DataFrame:
     return spark.read.parquet(dest)
 
 
+def source_bytes(path: str) -> int:
+    """Plan-time parquet footprint in bytes — the stand-in for catalog
+    statistics on a real cluster.  Directory-shaped tables (every
+    staged/production layout) sum their files: ``os.path.getsize`` on
+    a directory returns the dirent size (~KB), which silently
+    mis-sized ANY multi-file corpus (r15 found this in dedup's
+    broadcast gate; r16 routes every size gate through here)."""
+    import os
+
+    try:
+        if os.path.isdir(path):
+            total = 0
+            with os.scandir(path) as it:
+                for e in it:
+                    if e.is_file():
+                        total += e.stat().st_size
+            return total
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
 def load_documents_sized(
     spark: SparkSession, sf_dir: str, bytes_per_task: int = 16 * 1024
 ) -> DataFrame:
@@ -288,14 +310,12 @@ def load_documents_sized(
     small local file reads as ONE partition and would serialize the
     pipeline.  Split from input BYTES, not core count (~16 KB of
     compressed text per task — measured in operators/dedup.py's
-    tokenizer A/B), capped at the session's parallelism."""
-    import os
-
+    tokenizer A/B), capped at the session's parallelism.  Sizing is
+    directory-aware via :func:`source_bytes` (r16): a multi-file
+    corpus previously read the dirent size and collapsed the target
+    to the floor of 2 partitions."""
     docs = load_tables(spark, sf_dir)["documents"]
-    try:
-        nbytes = os.path.getsize(f"{sf_dir}/documents.parquet")
-    except OSError:
-        nbytes = 0
+    nbytes = source_bytes(f"{sf_dir}/documents.parquet")
     par = spark.sparkContext.defaultParallelism
     target = max(2, min(par, nbytes // bytes_per_task or 2))
     if docs.rdd.getNumPartitions() < target:

@@ -4616,18 +4616,25 @@ def _bucketed_has_deltas(sess, root: str, meta: dict | None = None) -> bool:
     return any("/base_v" not in p for p in paths)
 
 
-def _has_unfolded_batch_dirs(paths: list[str]) -> bool:
-    """True when a {version, folded_below_bid}-pointed family's live
-    path list still holds per-batch ``b<bid>`` dirs (``base_v{N}``
-    starts with 'b' but fails the all-digits test; ``seed`` fails the
-    prefix test)."""
+def _n_batch_dirs(paths: list[str]) -> int:
+    """Count of per-batch ``b<bid>`` dirs in a live path list
+    (``base_v{N}`` starts with 'b' but fails the all-digits test;
+    ``seed`` fails the prefix test) — the number a maintenance report
+    should call "unfolded delta dirs"."""
     import os as _os
 
-    return any(
-        _os.path.basename(p.rstrip("/")).startswith("b")
-        and _os.path.basename(p.rstrip("/"))[1:].isdigit()
+    return sum(
+        1
         for p in paths
+        if _os.path.basename(p.rstrip("/")).startswith("b")
+        and _os.path.basename(p.rstrip("/"))[1:].isdigit()
     )
+
+
+def _has_unfolded_batch_dirs(paths: list[str]) -> bool:
+    """True when a {version, folded_below_bid}-pointed family's live
+    path list still holds per-batch ``b<bid>`` dirs."""
+    return _n_batch_dirs(paths) > 0
 
 
 def _del_log_signature(del_root: str) -> dict:
@@ -4967,7 +4974,9 @@ def sketch_maintain(sess, root: str, family: str) -> dict:
         "family": family,
         "noop": False,
         "folded": False,
-        "dirs_before": len(before) - 1,  # minus the schema seed
+        # count only b##### delta dirs: seed and base_v{N} are not
+        # "unfolded work", so a healthy post-fold log reports 0 (r16)
+        "dirs_before": _n_batch_dirs(before),
     }
     if not _has_unfolded_batch_dirs(before):
         report["noop"] = True
@@ -4980,7 +4989,7 @@ def sketch_maintain(sess, root: str, family: str) -> dict:
     report.update(
         folded=True,
         version=int(meta["version"]),
-        dirs_after=len(_flat_state_paths(root)) - 1,
+        dirs_after=_n_batch_dirs(_flat_state_paths(root)),
         expired=len(expired),
     )
     return report

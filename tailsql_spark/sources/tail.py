@@ -378,8 +378,15 @@ class TailNStreamReader(DataSourceStreamReader):
             try:
                 with os.scandir(d) as it:
                     for e in it:
+                        # glob parity: glob never matches dot-prefixed
+                        # names unless the pattern leads with '.', and
+                        # a directory can't be tailed (r16)
+                        if e.name.startswith(".") and not pat.startswith("."):
+                            continue
                         if fnmatch.fnmatch(e.name, pat):
                             try:
+                                if not e.is_file():
+                                    continue
                                 out.append((e.path, e.stat()))
                             except OSError:
                                 continue
