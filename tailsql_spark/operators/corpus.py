@@ -156,6 +156,143 @@ def query(name: str, category: str, oracle: str | None, doc: str = ""):
     return deco
 
 
+# ---------------------------------------------------------------------------
+# multilingual quality gate (r16 — VERDICT r15 ask #3)
+# ---------------------------------------------------------------------------
+
+#: Unicode script blocks as EXPLICIT codepoint ranges, not ``\\p{script}``
+#: classes: Java regex (Spark) and RE2 (the DuckDB oracle) both accept
+#: literal bracket ranges with identical semantics, while named script
+#: classes track each engine's Unicode tables and can skew between
+#: versions.  Order matters — it is the deterministic argmax tie-break
+#: in BOTH engines (an all-space doc ties every script at 1.0 and
+#: resolves to the first entry).  The blocks cover the scripts of
+#: ~90% of web text; a deployment extends the dict — every derived
+#: expression and the oracle SQL regenerate from it.
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": "A-Za-zÀ-ɏ",
+    "greek": "Ͱ-Ͽἀ-῿",
+    "cyrillic": "Ѐ-ӿ",
+    "arabic": "؀-ۿ",
+    "devanagari": "ऀ-ॿ",
+    "kana": "぀-ヿ",
+    "han": "一-鿿",
+    "hangul": "가-힯",
+}
+
+#: the gate thresholds the Latin gate always used, shared verbatim
+_GATE_MIN_CHARS = 100
+_GATE_MIN_RATIO = 0.6
+
+
+def unicode_gate_rows(docs: DataFrame) -> DataFrame:
+    """Per-document multilingual quality-gate attributes: each doc is
+    scored against ITS OWN dominant script's statistics instead of the
+    Latin-only ``[A-Za-z ]`` class that zeroes out non-Latin text.
+
+    Per script s: ``ratio_s = regexp_count(text, '[<s-ranges> ]') /
+    length(text)`` (spaces count as kept, exactly as the Latin gate's
+    class does); ``best_script`` is the argmax in :data:`SCRIPT_RANGES`
+    order; ``pass_unicode`` applies the gate thresholds to the BEST
+    ratio; ``pass_latin`` is the existing translate-based Latin gate
+    verbatim, so the row IS the attrition comparison.  All arithmetic
+    is integer-count / integer-length double division — bit-identical
+    across engines — and the exported ratio is floor-micro-units (the
+    repo's round-policy-free fixed-point rule).
+
+    Scale note: K script classes = K interpreted regex passes over the
+    text (regexp_count does not codegen).  Fine for a dedicated gate
+    query; a 100 TB curation run folds these counts into its existing
+    Arrow decode pass or swaps small blocks (Latin/Greek/Cyrillic are
+    enumerable) to the translate trick — the certified row pins the
+    SEMANTICS either way.  The composed curation report keeps the
+    Latin gate because this synthetic corpus is ASCII by construction;
+    a multilingual deployment swaps ``quality_gate_attrs``'s predicate
+    for ``pass_unicode = 1``."""
+    L = F.length("text")
+    order = list(SCRIPT_RANGES)
+    ratios = {
+        s: F.when(
+            L > 0,
+            F.regexp_count(F.col("text"), F.lit(f"[{SCRIPT_RANGES[s]} ]")) / L,
+        ).otherwise(F.lit(0.0))
+        for s in order
+    }
+    best = F.greatest(*[ratios[s] for s in order])
+    best_script = F.coalesce(
+        *[F.when(ratios[s] == best, F.lit(s)) for s in order]
+    )
+    alpha_ratio = F.when(
+        L > 0, (L - F.length(F.translate("text", _ALPHA_KEEP, ""))) / L
+    ).otherwise(F.lit(0.0))
+    gate = F.col("n_chars") >= _GATE_MIN_CHARS
+    return docs.select(
+        "doc_id",
+        "lang",
+        best_script.alias("best_script"),
+        F.floor(best * 1000000).cast("long").alias("ratio_micro"),
+        (gate & (best >= _GATE_MIN_RATIO)).cast("int").alias("pass_unicode"),
+        (gate & (alpha_ratio >= _GATE_MIN_RATIO)).cast("int").alias("pass_latin"),
+    )
+
+
+def _unicode_gate_oracle() -> str:
+    """DuckDB twin of :func:`unicode_gate_rows`, regenerated from the
+    same :data:`SCRIPT_RANGES` dict so the two engines cannot drift."""
+    order = list(SCRIPT_RANGES)
+    ratio_cols = ",\n               ".join(
+        "CASE WHEN length(text) = 0 THEN 0.0 ELSE"
+        f" len(regexp_extract_all(text, '[{SCRIPT_RANGES[s]} ]')) * 1.0"
+        f" / length(text) END AS r_{s}"
+        for s in order
+    )
+    best = "GREATEST(" + ", ".join(f"r_{s}" for s in order) + ")"
+    best_script = (
+        "CASE "
+        + " ".join(f"WHEN r_{s} = best THEN '{s}'" for s in order)
+        + " END"
+    )
+    return f"""
+    WITH r AS (
+        SELECT doc_id, lang, n_chars, text,
+               {ratio_cols}
+        FROM documents
+    ),
+    b AS (SELECT *, {best} AS best FROM r)
+    SELECT doc_id, lang,
+           {best_script} AS best_script,
+           CAST(FLOOR(best * 1000000) AS BIGINT) AS ratio_micro,
+           CAST(n_chars >= {_GATE_MIN_CHARS} AND best >= {_GATE_MIN_RATIO}
+                AS INT) AS pass_unicode,
+           CAST(n_chars >= {_GATE_MIN_CHARS} AND (CASE WHEN length(text) = 0
+                THEN 0.0 ELSE len(regexp_extract_all(text, '[A-Za-z ]')) * 1.0
+                / length(text) END) >= {_GATE_MIN_RATIO}
+                AS INT) AS pass_latin
+    FROM b
+    """
+
+
+@query(
+    "corpus_quality_gate_unicode",
+    "corpus-pipeline",
+    _unicode_gate_oracle(),
+    doc="Multilingual-honest quality gate: per-document dominant-script "
+    "detection over explicit Unicode block ranges (identical bracket-"
+    "class semantics in Java regex and RE2 — no \\p{script} version "
+    "skew), kept-char ratio scored against the doc's OWN script, and "
+    "the legacy Latin gate carried alongside so the row quantifies the "
+    "Latin gate's attrition on non-Latin corpora (it zeroes out every "
+    "CJK/Cyrillic/Arabic doc; this gate passes them on their script's "
+    "statistics). Composes with text_langid: best_script is the "
+    "script-level check of the n-gram language guess. All counts are "
+    "single-pass regexp_count per block; ratios are integer/integer "
+    "double division and export as floor-micro fixed point, so both "
+    "engines agree bitwise.",
+)
+def corpus_quality_gate_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return unicode_gate_rows(load_tables(spark, sf_dir)["documents"])
+
+
 #: clean-pipeline oracle, split into shareable parts so the full
 #: curation composition (corpus_curation_survivors) reuses ONE
 #: definition of the quality gate / exact dedup / split rule.
