@@ -82,6 +82,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="sketch: which merge algebra the log folds under "
         "(kmv | hh | cms | hist | cnt)",
     )
+    m.add_argument(
+        "--wait-ingest",
+        type=float,
+        default=0.0,
+        metavar="SEC",
+        help="curation: wait up to SEC seconds for the composition-root "
+        "lease instead of refusing — the co-scheduled mode where a LIVE "
+        "stream_unified_curation holds the root per batch and this pass "
+        "folds strictly between committed batches (r16)",
+    )
     m.add_argument("-l", "--log-level", default="warn")
     return p
 
@@ -130,7 +140,9 @@ def _run_maintain(args) -> int:
             return 2
         report = sketch_maintain(spark, args.state_root, args.family)
     else:
-        report = curation_maintain(spark, args.state_root)
+        report = curation_maintain(
+            spark, args.state_root, wait_ingest_sec=args.wait_ingest
+        )
     print(json.dumps({"kind": args.kind, **report}))
     return 0
 

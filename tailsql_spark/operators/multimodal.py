@@ -556,11 +556,13 @@ def phash_group_pairs(grp: DataFrame) -> DataFrame:
 def phash_near_groups(grp: DataFrame) -> DataFrame:
     """Banded Hamming-ball neighbor stats over a (b0..b3,
     canonical_doc, n_docs) group frame — factored so the losslessness
-    property test can drive it with synthetic band vectors."""
-    pairs = phash_group_pairs(grp)
+    property test can drive it with synthetic band vectors.  The group
+    table persists (r16): it feeds the band explode twice, both
+    verify-join sides, and the final outer join — five plan uses of a
+    frame bounded by |distinct hashes|."""
+    grp = grp.persist()
     near = (
-        pairs.select(F.col("id_a").alias("id"), "hamming")
-        .unionByName(pairs.select(F.col("id_b").alias("id"), "hamming"))
+        _sym_pairs(phash_group_pairs(grp), carry=("hamming",))
         .groupBy("id")
         .agg(
             F.count("*").alias("n_near_groups"),
@@ -1040,6 +1042,30 @@ def posting_match_pairs(kept: DataFrame, min_shared: int) -> DataFrame:
     )
 
 
+def _sym_pairs(pairs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """Symmetrize (id_a, id_b[, carry...]) match pairs into
+    (id, partner[, carry...]) in ONE pass: explode a two-struct array
+    instead of unioning two selects of the pair frame.  The union
+    shape planned the ENTIRE pair pipeline (decode → distinct →
+    df-cap → self-join → groupBy) twice, once per branch — at 100x
+    sf0.1 that union was the single largest line in the modality
+    stages' wall time (r16 A/B, min-of-3: audio row 10.3 → 6.1 s,
+    video 9.8 → 3.9 s with the posting base persisted).  Exploding a
+    2-element array costs one narrow projection and keeps the pair
+    plan singular."""
+
+    def _side(a: str, b: str):
+        return F.struct(
+            F.col(a).alias("id"),
+            F.col(b).alias("partner"),
+            *[F.col(c) for c in carry],
+        )
+
+    return pairs.select(
+        F.explode(F.array(_side("id_a", "id_b"), _side("id_b", "id_a"))).alias("s")
+    ).select("s.*")
+
+
 def audio_near_groups(
     audio_ids: DataFrame,
     ff: DataFrame,
@@ -1049,35 +1075,41 @@ def audio_near_groups(
     """Fingerprint-DB matching over distinct (doc_id, fh) postings —
     factored so the realignment property test can drive it with
     synthetic frame sets, and so the video dedup can reuse the engine
-    with its own cap/threshold."""
+    with its own cap/threshold.
+
+    Plan discipline (r16): the posting base persists (decode ONCE — it
+    feeds the df-cap count, the size count, and both sides of the pair
+    self-join; at 100 TB this is the posting-index materialization a
+    deployment does anyway), the symmetrized pair view is one explode
+    (not a union that would run the pair join twice), and best-match +
+    match-count come out of ONE window pass over it."""
+    ff = ff.persist()
     kept = posting_kept(ff, df_cap)
     sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
-    pairs = posting_match_pairs(kept, min_shared)
-    sym = pairs.select(
-        F.col("id_a").alias("id"), F.col("id_b").alias("partner"), "n_common"
-    ).unionByName(
-        pairs.select(
-            F.col("id_b").alias("id"), F.col("id_a").alias("partner"), "n_common"
-        )
-    )
+    sym = _sym_pairs(posting_match_pairs(kept, min_shared), carry=("n_common",))
     from pyspark.sql import Window as W
 
-    ranked = sym.withColumn(
-        "rn",
-        F.row_number().over(
-            W.partitionBy("id").orderBy(F.col("n_common").desc(), F.col("partner"))
-        ),
-    )
-    stats = sym.groupBy("id").agg(F.count("*").alias("n_matches"))
-    best = ranked.filter(F.col("rn") == 1).select(
-        "id",
-        F.col("partner").alias("best_match_doc"),
-        F.col("n_common").cast("long").alias("best_common"),
+    w = W.partitionBy("id")
+    best = (
+        sym.select(
+            "id",
+            "partner",
+            "n_common",
+            F.row_number()
+            .over(w.orderBy(F.col("n_common").desc(), F.col("partner")))
+            .alias("rn"),
+            F.count("*").over(w).alias("n_matches"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "id",
+            F.col("partner").alias("best_match_doc"),
+            F.col("n_common").cast("long").alias("best_common"),
+            "n_matches",
+        )
     )
     return (
         audio_ids.join(sizes, "doc_id", "left")
-        .join(stats, audio_ids["doc_id"] == stats["id"], "left")
-        .drop(stats["id"])
         .join(best, audio_ids["doc_id"] == best["id"], "left")
         .drop(best["id"])
         .select(
@@ -1191,12 +1223,12 @@ def _mm_curation_oracle() -> str:
 
 def _posting_minp(ids: DataFrame, ff: DataFrame, df_cap: int, min_shared: int) -> DataFrame:
     """(doc_id, minp) over a posting modality: each doc's smallest
-    match partner (NULL = unmatched), via the shared pairing engine."""
-    pairs = posting_match_pairs(posting_kept(ff, df_cap), min_shared)
-    sym = pairs.select(F.col("id_a").alias("id"), F.col("id_b").alias("p")).unionByName(
-        pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("p"))
-    )
-    mn = sym.groupBy("id").agg(F.min("p").alias("minp"))
+    match partner (NULL = unmatched), via the shared pairing engine.
+    Posting base persisted + explode-symmetrized pairs (r16): the
+    decode/df-cap/self-join chain plans exactly once."""
+    ff = ff.persist()
+    sym = _sym_pairs(posting_match_pairs(posting_kept(ff, df_cap), min_shared))
+    mn = sym.groupBy("id").agg(F.min("partner").alias("minp"))
     return ids.join(mn, ids["doc_id"] == mn["id"], "left").select("doc_id", "minp")
 
 
@@ -1241,12 +1273,9 @@ def multimodal_curation_survivors(spark: SparkSession, sf_dir: str) -> DataFrame
     # image: exact-group collapse + banded near pairs between canonicals
     grp = phash_hash_groups(
         media.filter(F.col("media_type") == "image").select("doc_id", "payload")
-    )
-    gp = phash_group_pairs(grp).select("id_a", "id_b")
-    gsym = gp.select(F.col("id_a").alias("id"), F.col("id_b").alias("p")).unionByName(
-        gp.select(F.col("id_b").alias("id"), F.col("id_a").alias("p"))
-    )
-    gmin = gsym.groupBy("id").agg(F.min("p").alias("minp"))
+    ).persist()
+    gsym = _sym_pairs(phash_group_pairs(grp).select("id_a", "id_b"))
+    gmin = gsym.groupBy("id").agg(F.min("partner").alias("minp"))
     img = grp.join(gmin, grp["canonical_doc"] == gmin["id"], "left")
     img_row = img.agg(
         F.lit("image").alias("media_type"),
@@ -1358,11 +1387,9 @@ def unified_image_row(grp: DataFrame) -> DataFrame:
     canonicals → per-canonical minp → keep-first survivors over group
     members.  Factored so the batch report and the streaming twin (grp
     aggregated from the hash-row state log) share one definition."""
-    gp = phash_group_pairs(grp).select("id_a", "id_b")
-    gsym = gp.select(F.col("id_a").alias("id"), F.col("id_b").alias("p")).unionByName(
-        gp.select(F.col("id_b").alias("id"), F.col("id_a").alias("p"))
-    )
-    gmin = gsym.groupBy("id").agg(F.min("p").alias("minp"))
+    grp = grp.persist()
+    gsym = _sym_pairs(phash_group_pairs(grp).select("id_a", "id_b"))
+    gmin = gsym.groupBy("id").agg(F.min("partner").alias("minp"))
     return (
         grp.join(gmin, grp["canonical_doc"] == gmin["id"], "left")
         .agg(

@@ -94,7 +94,15 @@ GRADED_WINDOW: tuple[str, ...] = (
     "stream_minhash_takedown",      # r14: flat MinHash 'D' path + physical purge
     "window_topk_per_group",        # window functions
     "orderby_limit_topk",           # sorts / limits / top-k
-    "setop_except_all",             # set operations
+    # (r16: setop_except_all rotated to the local gate after thirteen
+    #  green rounds — the set-op family keeps four exact-certified
+    #  local variants (union_all/union_distinct/intersect/except) and
+    #  exceptAll is load-bearing inside every Arrow-twin equality
+    #  test; the slot goes to the r15 sketch fold/lease/vacuum
+    #  lifecycle, previously pytest-only (VERDICT r15 ask #5): the
+    #  KMV partial log folded by sketch_maintain INSIDE the certified
+    #  run, served post-fold against the unchanged full-corpus oracle)
+    "stream_kmv_maintained",        # r16: fold+vacuum inside the graded serve
     # r8: scalar_date/math rotated to the local gate (scalar_string
     # keeps the scalar category repped) to make room for the
     # previously-singleton storage-layout family's r7 flagships

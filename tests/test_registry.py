@@ -11,7 +11,7 @@ from tailsql_spark.plans.registry import (
     REGISTRY,
 )
 
-EXPECTED_TOTAL = 270  # r14 adds sink_training_shards, stream_tailn_pipeline, stream_minhash_takedown, stream_substr_takedown, stream_contam_takedown, stream_semdedup_takedown, stream_ivf_retrain, stream_video_takedown, stream_audio_takedown; r13 adds stream_curation_takedown; r12 adds stream_bm25_takedown, stream_ivf_takedown; r11 adds ann_ivf_multiprobe_topk_indexed, ann_ivf_indexed_recall_at_k, stream_bm25_index, stream_ivf_index, corpus_unified_curation, stream_unified_curation; r10 adds sink_bm25_index, text_bm25_topk_indexed, multimodal_video_dedup, stream_video_dedup, sink_ivf_index, ann_ivf_topk_indexed, multimodal_curation_survivors; r9 adds corpus_quality_percentile_binned + stream_quality_gate_binned + join_scd2_point_in_time + events_rate_anomaly + stream_rate_anomaly; multimodal_phash_dedup, text_unigram_lm_train, text_unigram_tokenize, stream_scd2_history, multimodal_audio_fp_dedup, text_bm25_topk, stream_bm25_topk, stream_phash_dedup, stream_audio_fp_dedup; r8: corpus_decontaminated; r8: stream_countmin_sketch; r8: agg_countmin_sketch; r8: events_watermark_lateness; r8: text_zipf_slope; r8: join_dynamic_partition_pruning; r8 late additions: join_bloom_pruned, join_banded_range, sink_scd2_history, text_heavy_hitters, quality_profile_columns, dedup_url_canonical, sample_weighted_systematic, stream_heavy_hitters (earlier r8: sink_merge_upsert, sink_merge_delete_tombstones, stream_merge_upsert, stream_dedup_minhash_bucketed, sink_snapshot_time_travel, agg_kmv_set_ops, stream_kmv_sketch, text_bpe_train_batched, corpus_quality_percentile_approx, corpus_length_bucket_batches, quality_logreg_gate)
+EXPECTED_TOTAL = 272  # r16 adds corpus_quality_gate_unicode, stream_kmv_maintained; r14 adds sink_training_shards, stream_tailn_pipeline, stream_minhash_takedown, stream_substr_takedown, stream_contam_takedown, stream_semdedup_takedown, stream_ivf_retrain, stream_video_takedown, stream_audio_takedown; r13 adds stream_curation_takedown; r12 adds stream_bm25_takedown, stream_ivf_takedown; r11 adds ann_ivf_multiprobe_topk_indexed, ann_ivf_indexed_recall_at_k, stream_bm25_index, stream_ivf_index, corpus_unified_curation, stream_unified_curation; r10 adds sink_bm25_index, text_bm25_topk_indexed, multimodal_video_dedup, stream_video_dedup, sink_ivf_index, ann_ivf_topk_indexed, multimodal_curation_survivors; r9 adds corpus_quality_percentile_binned + stream_quality_gate_binned + join_scd2_point_in_time + events_rate_anomaly + stream_rate_anomaly; multimodal_phash_dedup, text_unigram_lm_train, text_unigram_tokenize, stream_scd2_history, multimodal_audio_fp_dedup, text_bm25_topk, stream_bm25_topk, stream_phash_dedup, stream_audio_fp_dedup; r8: corpus_decontaminated; r8: stream_countmin_sketch; r8: agg_countmin_sketch; r8: events_watermark_lateness; r8: text_zipf_slope; r8: join_dynamic_partition_pruning; r8 late additions: join_bloom_pruned, join_banded_range, sink_scd2_history, text_heavy_hitters, quality_profile_columns, dedup_url_canonical, sample_weighted_systematic, stream_heavy_hitters (earlier r8: sink_merge_upsert, sink_merge_delete_tombstones, stream_merge_upsert, stream_dedup_minhash_bucketed, sink_snapshot_time_travel, agg_kmv_set_ops, stream_kmv_sketch, text_bpe_train_batched, corpus_quality_percentile_approx, corpus_length_bucket_batches, quality_logreg_gate)
 
 
 def test_no_silent_import_failures():

@@ -19,7 +19,7 @@ to exactly one stage:
   video      frame-sig band postings -> df-capped pair gen -> survivors
 
 Prints a per-stage x per-factor table and writes
-tools/measurements/r15_unified_phase_audit.json.
+tools/measurements/r16_unified_phase_audit.json.
 
 Usage: python tools/unified_phase_audit.py [--factors 1,10,30,100]
 """
@@ -166,7 +166,7 @@ def main() -> None:
 
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "tools", "measurements", "r15_unified_phase_audit.json",
+        "tools", "measurements", "r16_unified_phase_audit.json",
     )
     with open(out_path, "w") as fh:
         json.dump(results, fh, indent=1)
