@@ -343,6 +343,17 @@ PHASH_BANDS = 4
 PHASH_HAMMING_MAX = PHASH_BANDS - 1
 
 
+def _big_corpus(sf_dir: str) -> bool:
+    """Plan-time size gate for the modality engines' persist dials —
+    dedup's broadcast-branch gate reused verbatim (r16): persist the
+    posting/group bases only when the source corpus is past the
+    measured crossover where avoided recompute beats the cache
+    barrier."""
+    from tailsql_spark.operators.dedup import _small_input
+
+    return not _small_input(sf_dir)
+
+
 def _phash_bands_from_pixels(px: list) -> tuple:
     """4x16-bit dHash bands from a row-major 9x8 pixel list."""
     bands = [0, 0, 0, 0]
@@ -469,7 +480,7 @@ _PHASH_ORACLE = f"""
 )
 def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synth_media(spark, sf_dir).filter(F.col("media_type") == "image")
-    return phash_near_groups(phash_hash_groups(media))
+    return phash_near_groups(phash_hash_groups(media), persist_grp=_big_corpus(sf_dir))
 
 
 def phash_rows(images: DataFrame) -> DataFrame:
@@ -553,14 +564,16 @@ def phash_group_pairs(grp: DataFrame) -> DataFrame:
     )
 
 
-def phash_near_groups(grp: DataFrame) -> DataFrame:
+def phash_near_groups(grp: DataFrame, persist_grp: bool = False) -> DataFrame:
     """Banded Hamming-ball neighbor stats over a (b0..b3,
     canonical_doc, n_docs) group frame — factored so the losslessness
-    property test can drive it with synthetic band vectors.  The group
-    table persists (r16): it feeds the band explode twice, both
-    verify-join sides, and the final outer join — five plan uses of a
-    frame bounded by |distinct hashes|."""
-    grp = grp.persist()
+    property test can drive it with synthetic band vectors.
+    ``persist_grp`` caches the group table (it feeds the band explode
+    twice, both verify-join sides, and the final outer join — five
+    plan uses of a frame bounded by |distinct hashes|) — size-gated by
+    the caller, see :func:`audio_near_groups`."""
+    if persist_grp:
+        grp = grp.persist()
     near = (
         _sym_pairs(phash_group_pairs(grp), carry=("hamming",))
         .groupBy("id")
@@ -764,7 +777,10 @@ _AUDIO_FP_ORACLE = f"""
 )
 def multimodal_audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synth_media(spark, sf_dir).filter(F.col("media_type") == "audio")
-    return audio_near_groups(media.select("doc_id"), audio_posting_rows(media))
+    return audio_near_groups(
+        media.select("doc_id"), audio_posting_rows(media),
+        persist_base=_big_corpus(sf_dir),
+    )
 
 
 def audio_posting_rows(audio: DataFrame) -> DataFrame:
@@ -1007,7 +1023,9 @@ def multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synth_media(spark, sf_dir).filter(F.col("media_type") == "video")
     post = video_band_postings(media.select("doc_id", "payload"))
     return audio_near_groups(
-        media.select("doc_id"), post, df_cap=VIDEO_DF_CAP, min_shared=VIDEO_MIN_SHARED
+        media.select("doc_id"), post,
+        df_cap=VIDEO_DF_CAP, min_shared=VIDEO_MIN_SHARED,
+        persist_base=_big_corpus(sf_dir),
     ).withColumnRenamed("n_frames", "n_sig_bands")
 
 
@@ -1071,19 +1089,27 @@ def audio_near_groups(
     ff: DataFrame,
     df_cap: int = AUDIO_DF_CAP,
     min_shared: int = AUDIO_MIN_SHARED,
+    persist_base: bool = False,
 ) -> DataFrame:
     """Fingerprint-DB matching over distinct (doc_id, fh) postings —
     factored so the realignment property test can drive it with
     synthetic frame sets, and so the video dedup can reuse the engine
     with its own cap/threshold.
 
-    Plan discipline (r16): the posting base persists (decode ONCE — it
-    feeds the df-cap count, the size count, and both sides of the pair
-    self-join; at 100 TB this is the posting-index materialization a
-    deployment does anyway), the symmetrized pair view is one explode
-    (not a union that would run the pair join twice), and best-match +
-    match-count come out of ONE window pass over it."""
-    ff = ff.persist()
+    Plan discipline (r16): the symmetrized pair view is one explode
+    (not a union that would plan the pair join twice — a win at every
+    scale: video row 1.97 → 1.76 s at sf0.1, 9.8 → 5.0 s at 100×),
+    and best-match + match-count come out of ONE window pass over it.
+    ``persist_base`` additionally persists the posting base (decode
+    ONCE — it feeds the df-cap count, the size count, and both sides
+    of the pair self-join; at 100 TB this is the posting-index
+    materialization a deployment does anyway) — SIZE-GATED by the
+    caller because the barrier + cache write costs more than the
+    avoided recompute on small inputs (measured at sf0.1: persist
+    2.46 s vs 1.76 s without; at 100×: 3.9 s with vs 5.0 s without —
+    the same crossover as dedup's broadcast/shuffled branch)."""
+    if persist_base:
+        ff = ff.persist()
     kept = posting_kept(ff, df_cap)
     sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
     sym = _sym_pairs(posting_match_pairs(kept, min_shared), carry=("n_common",))
@@ -1221,12 +1247,20 @@ def _mm_curation_oracle() -> str:
     """
 
 
-def _posting_minp(ids: DataFrame, ff: DataFrame, df_cap: int, min_shared: int) -> DataFrame:
+def _posting_minp(
+    ids: DataFrame,
+    ff: DataFrame,
+    df_cap: int,
+    min_shared: int,
+    persist_base: bool = False,
+) -> DataFrame:
     """(doc_id, minp) over a posting modality: each doc's smallest
     match partner (NULL = unmatched), via the shared pairing engine.
-    Posting base persisted + explode-symmetrized pairs (r16): the
-    decode/df-cap/self-join chain plans exactly once."""
-    ff = ff.persist()
+    Explode-symmetrized pairs (r16): the pair join plans exactly once.
+    ``persist_base`` caches the posting table (decode once) — size-
+    gated by the caller, see :func:`audio_near_groups`."""
+    if persist_base:
+        ff = ff.persist()
     sym = _sym_pairs(posting_match_pairs(posting_kept(ff, df_cap), min_shared))
     mn = sym.groupBy("id").agg(F.min("partner").alias("minp"))
     return ids.join(mn, ids["doc_id"] == mn["id"], "left").select("doc_id", "minp")
@@ -1270,10 +1304,13 @@ def _keepfirst_row(tag: str, flags: DataFrame) -> DataFrame:
 )
 def multimodal_curation_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synth_media(spark, sf_dir)
+    big = _big_corpus(sf_dir)
     # image: exact-group collapse + banded near pairs between canonicals
     grp = phash_hash_groups(
         media.filter(F.col("media_type") == "image").select("doc_id", "payload")
-    ).persist()
+    )
+    if big:
+        grp = grp.persist()
     gsym = _sym_pairs(phash_group_pairs(grp).select("id_a", "id_b"))
     gmin = gsym.groupBy("id").agg(F.min("partner").alias("minp"))
     img = grp.join(gmin, grp["canonical_doc"] == gmin["id"], "left")
@@ -1297,7 +1334,7 @@ def multimodal_curation_survivors(spark: SparkSession, sf_dir: str) -> DataFrame
         "audio",
         _posting_minp(
             audio.select("doc_id"), audio_posting_rows(audio),
-            AUDIO_DF_CAP, AUDIO_MIN_SHARED,
+            AUDIO_DF_CAP, AUDIO_MIN_SHARED, persist_base=big,
         ),
     )
     video = media.filter(F.col("media_type") == "video").select("doc_id", "payload")
@@ -1305,7 +1342,7 @@ def multimodal_curation_survivors(spark: SparkSession, sf_dir: str) -> DataFrame
         "video",
         _posting_minp(
             video.select("doc_id"), video_band_postings(video),
-            VIDEO_DF_CAP, VIDEO_MIN_SHARED,
+            VIDEO_DF_CAP, VIDEO_MIN_SHARED, persist_base=big,
         ),
     )
     return img_row.unionByName(audio_row).unionByName(video_row)
@@ -1381,13 +1418,16 @@ def _unified_media_row(tag: str, flags: DataFrame) -> DataFrame:
     )
 
 
-def unified_image_row(grp: DataFrame) -> DataFrame:
+def unified_image_row(grp: DataFrame, persist_grp: bool = False) -> DataFrame:
     """The image row of the unified report from dHash exact groups
     (b0..b3, canonical_doc, n_docs): banded near pairs between
     canonicals → per-canonical minp → keep-first survivors over group
     members.  Factored so the batch report and the streaming twin (grp
-    aggregated from the hash-row state log) share one definition."""
-    grp = grp.persist()
+    aggregated from the hash-row state log) share one definition.
+    ``persist_grp`` is size-gated by the caller (see
+    :func:`audio_near_groups`)."""
+    if persist_grp:
+        grp = grp.persist()
     gsym = _sym_pairs(phash_group_pairs(grp).select("id_a", "id_b"))
     gmin = gsym.groupBy("id").agg(F.min("partner").alias("minp"))
     return (
@@ -1437,17 +1477,19 @@ def corpus_unified_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_row = unified_text_row(cleaned, labels, docs)
     # modalities: the exact multimodal_curation_survivors engines
     media = synth_media(spark, sf_dir)
+    big = _big_corpus(sf_dir)
     img_row = unified_image_row(
         phash_hash_groups(
             media.filter(F.col("media_type") == "image").select("doc_id", "payload")
-        )
+        ),
+        persist_grp=big,
     )
     audio = media.filter(F.col("media_type") == "audio").select("doc_id", "payload")
     audio_row = _unified_media_row(
         "audio",
         _posting_minp(
             audio.select("doc_id"), audio_posting_rows(audio),
-            AUDIO_DF_CAP, AUDIO_MIN_SHARED,
+            AUDIO_DF_CAP, AUDIO_MIN_SHARED, persist_base=big,
         ),
     )
     video = media.filter(F.col("media_type") == "video").select("doc_id", "payload")
@@ -1455,7 +1497,7 @@ def corpus_unified_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "video",
         _posting_minp(
             video.select("doc_id"), video_band_postings(video),
-            VIDEO_DF_CAP, VIDEO_MIN_SHARED,
+            VIDEO_DF_CAP, VIDEO_MIN_SHARED, persist_base=big,
         ),
     )
     return (

@@ -423,10 +423,47 @@ class TailNStreamReader(DataSourceStreamReader):
             self._last_end = dict(out)
         return out
 
+    def _probe_prefixes(self, scan: list) -> dict:
+        """64-byte prefix per scanned file (the rotation signature
+        probe) — the ONLY per-file read a steady-state trigger does.
+        Returns {path: bytes | None}; None marks a file that vanished
+        between scan and probe (the established OSError tolerance).
+
+        SERIAL by default, deliberately: on local disk the probe is a
+        warm-page-cache open+read — ~7 us of mostly GIL-held work —
+        and a thread pool makes it strictly WORSE (r16 A/B, 10k files:
+        serial 0.07 s, 4 threads 1.5 s, 16 threads 3.1 s — classic GIL
+        thrash on non-blocking 'syscalls').  The measured serial knee
+        is therefore the honest per-driver fleet cap: ~14 us/file
+        steady state, ~1.4 s/trigger at 100k files (SCALING.md r16).
+        On a HIGH-LATENCY filesystem (NFS/FUSE-mounted object store)
+        each probe genuinely blocks and threads do help — that
+        deployment sets TAILSQL_PROBE_POOL to a worker count and this
+        seam fans out; it is a dial, not a default, because the local
+        measurement says the default must be serial."""
+        import os as _os
+
+        def probe(p: str):
+            try:
+                with open(p, "rb") as fh:
+                    return p, fh.read(64)
+            except OSError:
+                return p, None
+
+        workers = int(_os.environ.get("TAILSQL_PROBE_POOL", "0"))
+        if workers <= 1 or len(scan) < 64:
+            return dict(probe(p) for p, _ in scan)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            return dict(ex.map(probe, [p for p, _ in scan], chunksize=64))
+
     def latestOffset(self) -> dict:
         out: dict[str, int] = {}
         prev_map = self._last_end
-        for p, st in self._scan():
+        scan = self._scan()
+        prefixes = self._probe_prefixes(scan)
+        for p, st in scan:
             try:
                 size = st.st_size
                 prev = None if prev_map is None else int(prev_map.get(p, 0))
@@ -470,8 +507,9 @@ class TailNStreamReader(DataSourceStreamReader):
                 # prefix probe below still runs every trigger — only
                 # the backscan is skipped, and only when it provably
                 # recomputes last trigger's answer.
-                with open(p, "rb") as fh:
-                    prefix = fh.read(64)
+                prefix = prefixes.get(p)
+                if prefix is None:
+                    continue  # vanished between scan and probe
                 old_sig = self._sig.get(p, b"")
                 rotated = (
                     p in self._inode and self._inode[p] != st.st_ino

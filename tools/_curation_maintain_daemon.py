@@ -31,7 +31,25 @@ def main() -> None:
         n += 1
         print(json.dumps({"ev": "start", "pass": n, "ts": time.time()}), flush=True)
         t0 = time.perf_counter()
-        report = curation_maintain(spark, state_root, wait_ingest_sec=600.0)
+        try:
+            report = curation_maintain(spark, state_root, wait_ingest_sec=600.0)
+        except Exception as e:  # noqa: BLE001 — cron semantics: log, retry next tick
+            # e.g. a prior kill -9's family lease is still inside its
+            # TTL: this pass fails loudly, the NEXT tick reclaims it
+            print(
+                json.dumps(
+                    {
+                        "ev": "error",
+                        "pass": n,
+                        "sec": round(time.perf_counter() - t0, 2),
+                        "err": repr(e)[:200],
+                        "ts": time.time(),
+                    }
+                ),
+                flush=True,
+            )
+            time.sleep(interval)
+            continue
         print(
             json.dumps(
                 {

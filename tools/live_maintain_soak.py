@@ -89,8 +89,6 @@ def main() -> None:
 
     os.environ["TAILSQL_LEASE_TTL_SEC"] = LEASE_TTL
 
-    from pyspark.sql import functions as F
-
     from tailsql_spark.plans.catalog import load_tables
     from tailsql_spark.plans.registry import REGISTRY
     from tailsql_spark.plans.streaming_exec import (
@@ -103,14 +101,15 @@ def main() -> None:
     spark = get_spark(app_name="tailsql_live_maintain_soak")
     spark.sparkContext.setLogLevel("ERROR")
 
-    docs = (
-        load_tables(spark, args.sf)["documents"]
-        .select("doc_id", "lang", "text", "n_chars")
-        .orderBy("doc_id")
-    )
-    n_docs = docs.count()
+    full_docs = load_tables(spark, args.sf)["documents"].orderBy("doc_id")
+    full_schema = full_docs.schema
+    full_rows = full_docs.collect()  # sf0.01 = 5k rows: driver feed plan only
+    docs = full_docs.select("doc_id", "lang", "text", "n_chars")
+    n_docs = len(full_rows)
     per_batch = max(1, n_docs // args.batches)
-    rows = docs.collect()  # sf0.01 = 5k rows: driver-held feed plan only
+    rows = [
+        (r["doc_id"], r["lang"], r["text"], r["n_chars"]) for r in full_rows
+    ]
     all_tables = sorted(
         os.path.basename(p).replace(".parquet", "")
         for p in glob.glob(f"{args.sf}/*.parquet")
@@ -167,7 +166,7 @@ def main() -> None:
             daemon_log.append(ev)
             if ev["ev"] == "start":
                 daemon_open_pass.append(ev)
-            elif ev["ev"] == "done" and daemon_open_pass:
+            elif ev["ev"] in ("done", "error") and daemon_open_pass:
                 daemon_open_pass.pop()
 
     pump = threading.Thread(target=_pump, args=(daemon,), daemon=True)
@@ -261,7 +260,9 @@ def main() -> None:
                     s = f"{args.sf}/{tbl}.parquet"
                     d = f"{tmp_sf}/{tbl}.parquet"
                     if tbl == "documents":
-                        spark.createDataFrame(rows[:fed], schema).write.parquet(d)
+                        spark.createDataFrame(
+                            full_rows[:fed], full_schema
+                        ).write.parquet(d)
                     elif os.path.isfile(s):
                         shutil.copy(s, d)
                     else:
@@ -316,6 +317,7 @@ def main() -> None:
             if passes
             else None,
             "n_noop": sum(1 for p in passes if p.get("noop")),
+            "n_error": sum(1 for e in daemon_log if e["ev"] == "error"),
         },
         "kill": kill_record,
         "checkpoints": checkpoint_results,

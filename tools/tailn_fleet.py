@@ -19,7 +19,7 @@ thousand-service deployment alternates between:
 
 No Spark session: the reader is driven directly (it is plain driver
 Python), so the numbers are the planning loop and nothing else.
-Writes tools/measurements/r15_tailn_fleet.json.
+Writes tools/measurements/r16_tailn_fleet.json.
 
 Usage: python tools/tailn_fleet.py [--fleets 1000,3000,10000]
                                    [--lines-per-file 50] [--reps 5]
@@ -60,7 +60,7 @@ def _time_plans(reader, reps: int) -> list[float]:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--fleets", default="1000,3000,10000")
+    ap.add_argument("--fleets", default="1000,10000,100000")
     ap.add_argument("--lines-per-file", type=int, default=50)
     ap.add_argument("--reps", type=int, default=5)
     args = ap.parse_args()
@@ -117,7 +117,7 @@ def main() -> None:
         }
         out_path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "tools", "measurements", "r15_tailn_fleet.json",
+            "tools", "measurements", "r16_tailn_fleet.json",
         )
         with open(out_path, "w") as fh:
             json.dump(out, fh, indent=1)

@@ -53,6 +53,7 @@ def main() -> None:
     from tailsql_spark.operators.graphs import connected_components
     from tailsql_spark.operators.multimodal import (
         AUDIO_DF_CAP,
+        _big_corpus,
         AUDIO_MIN_SHARED,
         VIDEO_DF_CAP,
         VIDEO_MIN_SHARED,
@@ -123,12 +124,15 @@ def main() -> None:
                 lambda: unified_text_row(cleaned, labels, docs).collect(),
             )
             media = synth_media(spark, sf)
+            big = _big_corpus(sf)  # the registry queries' own size gate
             img = media.filter(F.col("media_type") == "image").select(
                 "doc_id", "payload"
             )
             _, phases["image"] = timed(
                 "image", factor,
-                lambda: unified_image_row(phash_hash_groups(img)).collect(),
+                lambda: unified_image_row(
+                    phash_hash_groups(img), persist_grp=big
+                ).collect(),
             )
             audio = media.filter(F.col("media_type") == "audio").select(
                 "doc_id", "payload"
@@ -139,7 +143,7 @@ def main() -> None:
                     "audio",
                     _posting_minp(
                         audio.select("doc_id"), audio_posting_rows(audio),
-                        AUDIO_DF_CAP, AUDIO_MIN_SHARED,
+                        AUDIO_DF_CAP, AUDIO_MIN_SHARED, persist_base=big,
                     ),
                 ).collect(),
             )
@@ -152,7 +156,7 @@ def main() -> None:
                     "video",
                     _posting_minp(
                         video.select("doc_id"), video_band_postings(video),
-                        VIDEO_DF_CAP, VIDEO_MIN_SHARED,
+                        VIDEO_DF_CAP, VIDEO_MIN_SHARED, persist_base=big,
                     ),
                 ).collect(),
             )
