@@ -343,15 +343,24 @@ PHASH_BANDS = 4
 PHASH_HAMMING_MAX = PHASH_BANDS - 1
 
 
+#: persist-dial crossover for the modality engines (r16): below this
+#: source footprint the cache barrier costs more than the avoided
+#: recompute (measured at sf0.1, 0.6 MB: video row 2.46 s persisted vs
+#: 1.76 s pipelined), above it decode-once wins (measured at 100x,
+#: 84 MB: 3.9 s persisted vs 5.0 s).  Its own dial, NOT dedup's 256 MB
+#: broadcast gate — that one answers "does the band table fit on the
+#: driver", this one answers "is the decode worth materializing".
+PERSIST_INPUT_BYTES = 4 << 20
+
+
 def _big_corpus(sf_dir: str) -> bool:
     """Plan-time size gate for the modality engines' persist dials —
-    dedup's broadcast-branch gate reused verbatim (r16): persist the
-    posting/group bases only when the source corpus is past the
-    measured crossover where avoided recompute beats the cache
-    barrier."""
-    from tailsql_spark.operators.dedup import _small_input
+    the same source-footprint discipline as dedup's broadcast gate
+    (directory-aware via ``catalog.source_bytes``), with the persist
+    crossover threshold above."""
+    from tailsql_spark.plans.catalog import source_bytes
 
-    return not _small_input(sf_dir)
+    return source_bytes(f"{sf_dir}/documents.parquet") >= PERSIST_INPUT_BYTES
 
 
 def _phash_bands_from_pixels(px: list) -> tuple:
