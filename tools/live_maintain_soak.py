@@ -196,9 +196,19 @@ def main() -> None:
         fed = hi
         harvest_progress()
         # keep the feeder slightly ahead but bounded: wait while the
-        # backlog exceeds ~8 files so batch timings reflect steady state
+        # backlog exceeds ~8 files so batch timings reflect steady
+        # state.  Committed = MAX batch id + 1, never a count: Spark
+        # retains only the last ~100 commit-log entries
+        # (minBatchesToRetain), so len(listing) plateaus at ~100 and a
+        # count-based test spins forever past batch ~108 (found live
+        # in the first 500-batch run).
         while True:
-            committed = len(glob.glob(f"{state_root}/ckpt/commits/*"))
+            ids = [
+                int(os.path.basename(p))
+                for p in glob.glob(f"{state_root}/ckpt/commits/*")
+                if os.path.basename(p).isdigit()
+            ]
+            committed = (max(ids) + 1) if ids else 0
             if b + 1 - committed <= 8:
                 break
             time.sleep(0.2)
