@@ -219,3 +219,47 @@ def test_hh_fold_preserves_candidate_superset_and_rescan(spark, tmp_path):
 def test_sketch_maintain_unknown_family_raises(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown family"):
         sketch_maintain(spark, str(tmp_path), "nope")
+
+
+def test_wait_family_lease_serializes(tmp_path):
+    """r16: the blocking acquire used by live-interleaved maintenance —
+    a waiter blocks while the lease is held, proceeds the moment it is
+    released, and times out (re-raising FamilyLeaseHeld) when the
+    holder never lets go within the budget."""
+    import threading
+    import time
+
+    import pytest
+
+    from tailsql_spark.plans.streaming_exec import (
+        FamilyLeaseHeld,
+        acquire_family_lease,
+        release_family_lease,
+        wait_family_lease,
+    )
+
+    root = str(tmp_path / "fam")
+    import os
+
+    os.makedirs(root)
+    acquire_family_lease(root, holder="ingest:b1")
+    got = []
+
+    def waiter():
+        wait_family_lease(root, holder="maintain", timeout_sec=30, poll_sec=0.05)
+        got.append(time.monotonic())
+        release_family_lease(root)
+
+    t = threading.Thread(target=waiter)
+    t.start()
+    time.sleep(0.4)
+    assert not got  # still blocked while ingest holds the root
+    t0 = time.monotonic()
+    release_family_lease(root)
+    t.join(timeout=10)
+    assert got and got[0] - t0 < 5  # proceeded promptly on release
+    # timeout path: a fresh holder that never releases
+    acquire_family_lease(root, holder="ingest:b2")
+    with pytest.raises(FamilyLeaseHeld):
+        wait_family_lease(root, holder="maintain", timeout_sec=0.3, poll_sec=0.05)
+    release_family_lease(root)
