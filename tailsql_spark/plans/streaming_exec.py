@@ -6718,6 +6718,13 @@ def _unified_curation_layout(spark: SparkSession, docs: DataFrame, state_root: s
         spark.createDataFrame([], "doc_id long, fh string").write.mode(
             "overwrite"
         ).parquet(f"{r}/seed")
+    # the tombstone log is part of the layout even with no takedown
+    # traffic (r16): curation_maintain reads it unconditionally, so a
+    # co-scheduled maintenance pass against a takedown-free deployment
+    # must find an (empty) seeded log, not FileNotFoundError
+    spark.createDataFrame([], "doc_id long").write.mode("overwrite").parquet(
+        f"{state_root}/del/seed"
+    )
 
     process = _unified_batch_processor(
         _curation_batch_processor(

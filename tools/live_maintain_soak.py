@@ -328,6 +328,9 @@ def main() -> None:
             else None,
             "n_noop": sum(1 for p in passes if p.get("noop")),
             "n_error": sum(1 for e in daemon_log if e["ev"] == "error"),
+            "error_samples": [
+                e for e in daemon_log if e["ev"] == "error"
+            ][:3],
         },
         "kill": kill_record,
         "checkpoints": checkpoint_results,
