@@ -180,11 +180,12 @@ def connected_components(
             label0 = (
                 label0.unionByName(seed).groupBy("node").agg(F.min("label").alias("label"))
             )
+        # NO standalone emptiness count (r17): an empty label table
+        # falls through round 1 as sum(chg)=NULL and breaks below —
+        # the guard action cost one job per call for a case the loop
+        # already handles (measured ~0.2 s at sf0.1, where the whole
+        # CC is action-barrier-bound: 4 eager jobs, rounds=1).
         labels, labels_ids = _ckpt(label0)
-        if labels.count() == 0:
-            return labels.select(
-                F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
-            )
         for _ in range(max_iter):
             neighbor = (
                 edges.join(labels, edges["v"] == labels["node"])
@@ -213,7 +214,9 @@ def connected_components(
             # is 2 rounds, not O(rounds)
             _release(labels_ids)
             labels, labels_ids = new, new_ids
-            if changed == 0:
+            # sum(chg) is NULL on an empty label table (no edges) —
+            # that is converged too, not a straggling round
+            if not changed:
                 break
         else:
             raise RuntimeError(

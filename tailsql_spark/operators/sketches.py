@@ -121,7 +121,6 @@ def bloom_probe(
     "text_contamination_bloom",
     "text-analysis",
     CONTAM_ORACLE,
-    plan=lambda s, d: _contamination_bloom_scored(s, d, cache=False)[0],
     doc="The SAME contamination audit as text_contamination_overlap, "
     "restructured for the 100 TB asymmetry: the TEST-set grams (tiny) "
     "build a broadcast Bloom sketch, the corpus-side gram stream is "
@@ -132,25 +131,23 @@ def bloom_probe(
     "distinct-shuffle of train grams shrinks to (hits + ~2% fp).",
 )
 def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    result, caches = _contamination_bloom_scored(spark, sf_dir)
-    # materialize-and-release (the PageRank lesson): the result is
-    # test-set-sized (one row per eval doc), so write it out and drop
-    # the cache in a finally — a bench-headline query must not leak
-    # a session-lifetime cache per run.
-    from tailsql_spark.plans.catalog import materialize_result, sf_key
-
-    try:
-        return materialize_result(result, "text_contamination_bloom", key=sf_key(sf_dir))
-    finally:
-        for frame in caches:
-            frame.unpersist()
+    return _contamination_bloom_scored(spark, sf_dir)
 
 
-def _contamination_bloom_scored(spark: SparkSession, sf_dir: str, cache: bool = True):
-    """(result, caches): the sketch-pruned contamination computation
-    plus the frames it pins — the query materializes result and
-    releases the caches; the plan audit passes ``cache=False`` (it
-    never materializes, so a persist would leak for the session)."""
+def _contamination_bloom_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-pruned contamination computation, fully LAZY.
+
+    r17: the old shape persisted ``test_grams`` (it feeds the sketch
+    build and the final join) and then had to materialize the result
+    to parquet so the cache could be released — a persist-fill action,
+    a distributed write and a re-read per run.  Dropping both and
+    letting the test-split gram pipeline evaluate twice is faster at
+    bench scale (interleaved min-of-5 at sf0.1: 1.81 s vs 2.49 s) and
+    a wash at 30× (8.99 vs 9.36 s min-of-3) — the second test-side
+    pass pipelines into the final join, while the persist was a
+    barrier plus a corpus-proportional cache (the 'test' split is a
+    fixed ~10%% FRACTION of the corpus, so caching its exploded grams
+    never bounded by eval-set size anyway)."""
     from tailsql_spark.plans.catalog import load_documents_sized
 
     # bytes-sized split: the gram builder is an interpreted HOF and the
@@ -160,19 +157,14 @@ def _contamination_bloom_scored(spark: SparkSession, sf_dir: str, cache: bool = 
     docs = load_documents_sized(spark, sf_dir).select(
         "doc_id", contam_is_test().alias("is_test"), F.col("text")
     )
-    # test_grams is read twice (sketch build + final join) and is
-    # eval-set-tiny — persist it so the interpreted gram pipeline over
-    # the test split runs once.
     test_grams = (
         docs.filter(F.col("is_test"))
         .select("doc_id", F.explode_outer(contam_gram_arr()).alias("g"))
         .filter(F.col("g").isNotNull())
         .distinct()
     )
-    if cache:
-        test_grams = test_grams.persist()
-    # build the sketch straight off the cached (doc_id, g) rows: bit_or
-    # is idempotent, so the per-doc duplicates a global distinct would
+    # build the sketch straight off the (doc_id, g) rows: bit_or is
+    # idempotent, so the per-doc duplicates a global distinct would
     # remove set the same bits (r7 job audit — the extra distinct was a
     # pure wasted exchange); and with the blocked layout the word table
     # feeds exactly ONE broadcast build, so persisting it buys nothing.
@@ -188,7 +180,7 @@ def _contamination_bloom_scored(spark: SparkSession, sf_dir: str, cache: bool = 
     # survivors are (hits + ~1.3% fp) of the EVAL-set gram space — tiny
     # at any corpus size — so the exact join broadcasts them and the
     # test-gram side never shuffles.
-    result = (
+    return (
         test_grams.join(F.broadcast(train_surv.withColumn("hit", F.lit(1))), "g", "left")
         .groupBy("doc_id")
         .agg(
@@ -199,7 +191,6 @@ def _contamination_bloom_scored(spark: SparkSession, sf_dir: str, cache: bool = 
             ).alias("contamination_pct"),
         )
     )
-    return result, ((test_grams,) if cache else ())
 
 
 # ---------------------------------------------------------------------------
