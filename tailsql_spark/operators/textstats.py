@@ -2184,11 +2184,6 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.split(F.lower("text"), " ").alias("ws")
     )
     dl = docs.select("doc_id", F.size("ws").cast("long").alias("dl"))
-    tf = (
-        docs.select("doc_id", F.explode("ws").alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("tf"))
-    )
     qterms = spark.createDataFrame(
         [
             (qid, q, tok)
@@ -2197,15 +2192,26 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "qid string, query string, tok string",
     )
+    # r17 (guide §2.3 — filter before the exchange): the broadcast
+    # query-term semi-join prunes the exploded token stream BEFORE the
+    # (doc, tok) groupBy, so the tf shuffle carries only query-term
+    # postings instead of the full corpus vocabulary (the old plan
+    # aggregated every token and threw the non-matches away one join
+    # later).  tf is then already query-term-only, so dfreq needs no
+    # second semi-join.  Values unchanged (the pruned rows never
+    # contributed to any surviving aggregate); sf0.1 min-of-5
+    # interleaved: 1.70 s vs 1.95 s.
+    toks = docs.select("doc_id", F.explode("ws").alias("tok"))
+    tf = (
+        toks.join(F.broadcast(qterms.select("tok").distinct()), "tok", "left_semi")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
     matched = tf.join(F.broadcast(qterms), "tok")
-    dfreq = (
-        tf.join(F.broadcast(qterms.select("tok").distinct()), "tok", "left_semi")
-        .groupBy("tok")
-        .agg(F.count("*").alias("df"))
-    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
     return bm25_rank(matched.join(dl, "doc_id"), dfreq, stats)
 
 
