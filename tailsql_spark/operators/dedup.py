@@ -341,7 +341,7 @@ def dedup_minhash_lsh_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pipeline(spark, sf_dir, small=False, force_shuffle=True)
 
 
-def _minhash_small_pipeline(ex: DataFrame) -> DataFrame:
+def _minhash_small_pipeline(sig: DataFrame) -> DataFrame:
     """Size-gated small-corpus MinHash plan: ONE linear dataflow.
 
     At test/bench scale the pipeline is job-launch bound, not task
@@ -374,8 +374,12 @@ def _minhash_small_pipeline(ex: DataFrame) -> DataFrame:
     own oracle row (``dedup_minhash_lsh_shuffled``).  Both reduce to
     the same signature/band/threshold definitions, so results are
     identical by construction up to plan shape.
+
+    r17: ``sig`` arrives as the Arrow-computed per-doc signature frame
+    (:func:`doc_minhash_sigs_arrow` with sets — bit-identical to the
+    old explode + groupBy, pytest-asserted), so the ONE shuffle left
+    in this branch is the band groupBy.
     """
-    sig = minhash_signatures(ex, with_sets=True)
     long = band_long(sig, carry=("n_sh", "xs"))
     buckets = (
         long.groupBy("band_idx", "band_hash")
@@ -436,29 +440,15 @@ def doc_shingle_hashes_arrow(docs: DataFrame) -> DataFrame:
     is ~6× faster and is the production decode shape anyway."""
 
     def build(batches):
-        import hashlib
-        import re
-
         import pandas as pd
 
-        ws = re.compile(r"\s+", re.ASCII)
         for pdf in batches:
             ids: list[int] = []
             xs: list[int] = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = [t for t in ws.split(text.strip(" ")) if t]
-                n = len(toks)
-                if n < 3:
-                    continue
-                seen: set[str] = set()
-                for i in range(n - 2):
-                    g = f"{toks[i]} {toks[i + 1]} {toks[i + 2]}"
-                    if g not in seen:
-                        seen.add(g)
-                        ids.append(doc_id)
-                        xs.append(
-                            int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
-                        )
+                hs = _distinct_shingle_hashes(text)
+                ids.extend([doc_id] * len(hs))
+                xs.extend(hs)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
@@ -470,6 +460,113 @@ def doc_shingle_hashes_arrow(docs: DataFrame) -> DataFrame:
     # depend on Python-vs-JVM unicode case-fold differences
     return docs.select("doc_id", F.lower("text").alias("text")).mapInPandas(
         build, schema="doc_id long, x long"
+    )
+
+
+#: compiled once per worker import — ``re.ASCII`` pins Python's ``\s``
+#: to Java regex's default class (see doc_shingle_hashes_arrow).
+_WS_ASCII = None
+
+
+def _distinct_shingle_hashes(text: str) -> list:
+    """Distinct 3-gram 60-bit shingle hashes of ONE (already JVM-
+    lowered) document, in first-occurrence order — THE shared tokenize
+    + hash body of both Arrow shingle builders
+    (:func:`doc_shingle_hashes_arrow` and
+    :func:`doc_minhash_sigs_arrow`), factored so the unicode-parity
+    and value-equality guarantees proven for one transfer to the other
+    by construction."""
+    global _WS_ASCII
+    if _WS_ASCII is None:
+        import re
+
+        _WS_ASCII = re.compile(r"\s+", re.ASCII)
+    import hashlib
+
+    toks = [t for t in _WS_ASCII.split(text.strip(" ")) if t]
+    n = len(toks)
+    if n < 3:
+        return []
+    seen: set = set()
+    out: list = []
+    for i in range(n - 2):
+        g = f"{toks[i]} {toks[i + 1]} {toks[i + 2]}"
+        if g not in seen:
+            seen.add(g)
+            out.append(int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16))
+    return out
+
+
+def doc_minhash_sigs_arrow(docs: DataFrame, with_sets: bool = False) -> DataFrame:
+    """Per-doc MinHash signatures (doc_id, h0..h15, n_sh[, xs])
+    computed ENTIRELY inside the Arrow stage — the r17 small-branch
+    signature builder.
+
+    Why (guide §2.3 'aggregate before you shuffle' + §4.2): a document
+    is one row, so every one of its shingles is already in the task
+    that decoded it — the per-permutation minima need NO exchange at
+    all.  The previous shape shipped the exploded (doc_id, x) table
+    (52× the doc count at sf0.1) across the Python→JVM boundary and
+    then paid a doc_id groupBy with 16 min aggregates; this one moves
+    |docs| rows and does the minima in one vectorized numpy pass
+    (exact int64: the MINHASH_COEFFS contract pins a < 2^31 and
+    x % P < 2^31, so a·xm + b < 2^62 never overflows — the identical
+    bound the JVM expression relies on).  Signatures are bit-identical
+    to ``minhash_signatures(doc_shingle_hashes_arrow(docs))``
+    (pytest-asserted over ASCII and unicode corpora; the tokenize +
+    md5 body IS the shared :func:`_distinct_shingle_hashes`).
+    Interleaved min-of-5 at sf0.1: full small pipeline 1.06 s vs
+    1.21 s.
+
+    ``with_sets`` carries the distinct shingle-hash set (``xs``) for
+    the small branch's fused bucket verification.  The big-data branch
+    keeps the exploded index + groupBy (its verification probes the
+    materialized inverted index, and partial aggregation already
+    reduces its shuffle to one row per doc)."""
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        A = np.array([a for a, _ in MINHASH_COEFFS], dtype="int64")[:, None]
+        B = np.array([b for _, b in MINHASH_COEFFS], dtype="int64")[:, None]
+        for pdf in batches:
+            ids: list = []
+            hmins: list = []
+            nsh: list = []
+            xss: list = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                hs = _distinct_shingle_hashes(text)
+                if not hs:
+                    continue
+                xs = np.array(hs, dtype="int64")
+                xm = xs % MINHASH_P
+                ids.append(doc_id)
+                hmins.append(((A * xm[None, :] + B) % MINHASH_P).min(axis=1))
+                nsh.append(len(hs))
+                if with_sets:
+                    xss.append(hs)
+            cols = {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                **{
+                    f"h{i}": pd.Series([h[i] for h in hmins], dtype="int64")
+                    for i in range(N_HASHES)
+                },
+                "n_sh": pd.Series(nsh, dtype="int64"),
+            }
+            if with_sets:
+                cols["xs"] = pd.Series(xss, dtype="object")
+            yield pd.DataFrame(cols)
+
+    schema = (
+        "doc_id long, "
+        + ", ".join(f"h{i} long" for i in range(N_HASHES))
+        + ", n_sh long"
+        + (", xs array<long>" if with_sets else "")
+    )
+    # the ONE lowering, JVM-side — same contract as doc_shingle_hashes_arrow
+    return docs.select("doc_id", F.lower("text").alias("text")).mapInPandas(
+        build, schema=schema
     )
 
 
@@ -501,12 +598,17 @@ def _minhash_pipeline(
     # cache-friendly, ~5× smaller than gram strings).
     from tailsql_spark.plans.catalog import load_documents_sized
 
-    ex = doc_shingle_hashes_arrow(load_documents_sized(spark, sf_dir))
     if small and not force_shuffle:
         # Below the size gate the job-count-minimal plan wins (see
-        # _minhash_small_pipeline); ex has a single consumer there, so
-        # it is not persisted — the signature groupBy IS the one pass.
-        return _minhash_small_pipeline(ex)
+        # _minhash_small_pipeline); r17: signatures come straight out
+        # of the Arrow stage (per-doc minima need no exchange — a
+        # doc's shingles never leave the task that decoded it), so the
+        # Python→JVM transfer is |docs| signature rows, not the
+        # exploded shingle table.
+        return _minhash_small_pipeline(
+            doc_minhash_sigs_arrow(load_documents_sized(spark, sf_dir), with_sets=True)
+        )
+    ex = doc_shingle_hashes_arrow(load_documents_sized(spark, sf_dir))
     ex = ex.persist()
     # NO materialization barrier — decided on measured numbers THREE
     # times now. Round-5 re-A/B (min-of-5, interleaved, post shingle-

@@ -1645,3 +1645,31 @@ def test_arrow_shingle_hashes_match_jvm(spark, oracle_sf_dir):
     assert jvm.exceptAll(arrow).count() == 0
     assert arrow.exceptAll(jvm).count() == 0
     assert arrow.count() == jvm.count() > 0
+
+
+def test_arrow_minhash_sigs_match_groupby(spark, oracle_sf_dir):
+    """r17: the small-branch Arrow per-doc signature builder (numpy
+    minima inside the shingle stage — no exploded transfer, no doc_id
+    groupBy) must be BIT-IDENTICAL to the explode + groupBy signature
+    chain over the real corpus: same h0..h15, same n_sh, same shingle
+    set per doc."""
+    from tailsql_spark.operators.dedup import (
+        N_HASHES,
+        doc_minhash_sigs_arrow,
+        doc_shingle_hashes_arrow,
+        minhash_signatures,
+    )
+    from tailsql_spark.plans.catalog import load_documents_sized
+
+    docs = load_documents_sized(spark, oracle_sf_dir)
+    cols = ["doc_id", *[f"h{i}" for i in range(N_HASHES)], "n_sh"]
+    jvm = (
+        minhash_signatures(doc_shingle_hashes_arrow(docs), with_sets=True)
+        .select(cols + [F.sort_array("xs").alias("xs")])
+    )
+    arrow = doc_minhash_sigs_arrow(docs, with_sets=True).select(
+        cols + [F.sort_array("xs").alias("xs")]
+    )
+    assert jvm.exceptAll(arrow).count() == 0
+    assert arrow.exceptAll(jvm).count() == 0
+    assert arrow.count() == jvm.count() > 0

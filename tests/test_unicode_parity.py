@@ -132,3 +132,33 @@ def test_jvm_lowering_is_the_contract(spark):
         F.lower("t").alias("l")
     ).head()[0]
     assert ist == "i̇zmi̇r"
+
+
+def test_arrow_minhash_sigs_match_groupby_unicode(spark):
+    """r17 Arrow per-doc signature builder ≡ the explode + groupBy
+    signature chain on non-ASCII text: h0..h15 and n_sh bit-identical,
+    and the carried xs set equal as a SET per doc (collect_set order
+    is arbitrary on the JVM side; array_intersect, the only consumer,
+    is order-insensitive)."""
+    from tailsql_spark.operators.dedup import (
+        doc_minhash_sigs_arrow,
+        doc_shingle_hashes_arrow,
+        minhash_signatures,
+        N_HASHES,
+    )
+
+    docs = _docs(spark)
+    cols = ["doc_id", *[f"h{i}" for i in range(N_HASHES)], "n_sh"]
+    jvm = minhash_signatures(doc_shingle_hashes_arrow(docs), with_sets=True)
+    arrow = doc_minhash_sigs_arrow(docs, with_sets=True)
+    a = jvm.select(cols).toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = arrow.select(cols).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert len(a) > 0
+    sets_jvm = {
+        r["doc_id"]: frozenset(r["xs"]) for r in jvm.select("doc_id", "xs").collect()
+    }
+    sets_arrow = {
+        r["doc_id"]: frozenset(r["xs"]) for r in arrow.select("doc_id", "xs").collect()
+    }
+    assert sets_jvm == sets_arrow
