@@ -2671,9 +2671,38 @@ def _fs_rmfile(path: str) -> None:
     fs.delete(jpath, False)
 
 
-def release_family_lease(root: str) -> None:
-    """Drop the family's compaction lease (idempotent)."""
-    _fs_rmfile(f"{root}/_lease.json")
+def release_family_lease(root: str, holder: str | None = None) -> None:
+    """Drop the family's compaction lease (idempotent).
+
+    r17 (ADVICE r16): with ``holder`` given, the release verifies the
+    lease file still names THIS holder before removing it.  Without
+    the check, a holder whose pass outlived the TTL — judged dead and
+    reclaimed by a waiter — would, in its ``finally``, delete the
+    RECLAIMANT's fresh lease and silently drop the mutual exclusion
+    the root lease exists for.  A mismatched holder is logged and
+    left alone (the reclaim was legitimate: this process lost the
+    lease the moment it was judged stale); an unreadable/torn lease
+    is removed as before (it cannot be a healthy reclaimant's — the
+    acquire writes atomically)."""
+    import json
+
+    path = f"{root}/_lease.json"
+    if holder is not None:
+        try:
+            held = json.loads(_fs_read_text(path))
+        except Exception:
+            held = None  # missing or torn: fall through to the delete
+        if held is not None and held.get("holder") != holder:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "release_family_lease(%s): lease now held by %r, not %r — "
+                "this holder was TTL-reclaimed mid-pass; leaving the "
+                "reclaimant's lease in place",
+                root, held.get("holder"), holder,
+            )
+            return
+    _fs_rmfile(path)
 
 
 def wait_family_lease(
@@ -2777,7 +2806,8 @@ def _rebucket_family(
         new_nb = int(meta["nb"])
     # the fold MUTATES versioned state: take the family lease for its
     # duration so a concurrent offline purge cannot interleave (r14)
-    acquire_family_lease(root, holder=f"fold:b{int(exclude_bid)}")
+    _holder = f"fold:b{int(exclude_bid)}"
+    acquire_family_lease(root, holder=_holder)
     try:
         # r15 (ADVICE): re-resolve the family pointer INSIDE the lease —
         # a caller-provided pre-lease snapshot goes stale when another
@@ -2825,7 +2855,7 @@ def _rebucket_family(
         meta = {"version": ver, "nb": new_nb, "rows": int(meta["rows"])}
         _state_meta_write(root, meta)  # the commit point
     finally:
-        release_family_lease(root)
+        release_family_lease(root, holder=_holder)
     return meta
 
 
@@ -2929,17 +2959,15 @@ def _compact_del_log(sess, root: str, col: str, exclude_bid: int | None) -> None
     (r14): one del log can serve several families whose folds fire
     independently, so concurrent compactions of the LOG itself must
     serialize."""
-    acquire_family_lease(
-        root,
-        # bid-keyed when called from a fold so a crashed fold's REPLAY
-        # re-enters its own lease; pid-keyed for offline (bid-less)
-        # compactions so concurrent offline runs conflict loudly
-        holder=(
-            f"del-compact:b{int(exclude_bid)}"
-            if exclude_bid is not None
-            else f"del-compact:{__import__('os').getpid()}"
-        ),
+    # bid-keyed when called from a fold so a crashed fold's REPLAY
+    # re-enters its own lease; pid-keyed for offline (bid-less)
+    # compactions so concurrent offline runs conflict loudly
+    _holder = (
+        f"del-compact:b{int(exclude_bid)}"
+        if exclude_bid is not None
+        else f"del-compact:{__import__('os').getpid()}"
     )
+    acquire_family_lease(root, holder=_holder)
     try:
         ver = int(_del_meta_read(root)["version"]) + 1
         dels = (
@@ -2966,7 +2994,7 @@ def _compact_del_log(sess, root: str, col: str, exclude_bid: int | None) -> None
             json.dumps({"version": int(ver), "folded_below_bid": folded_below}),
         )
     finally:
-        release_family_lease(root)
+        release_family_lease(root, holder=_holder)
 
 
 def _max_bid(root: str) -> int:
@@ -3034,13 +3062,14 @@ def purge_flat_family(sess, root: str, dels, col: str = "doc_id") -> None:
     purge just erased)."""
     import os
 
-    acquire_family_lease(root, holder=f"flat-purge:{os.getpid()}")
+    _holder = f"flat-purge:{os.getpid()}"
+    acquire_family_lease(root, holder=_holder)
     try:
         live = sess.read.parquet(*_flat_state_paths(root))
         purged = live.join(F.broadcast(dels.select(col)), col, "left_anti")
         _rewrite_flat_family_locked(sess, root, purged)
     finally:
-        release_family_lease(root)
+        release_family_lease(root, holder=_holder)
 
 
 def _rewrite_flat_family(sess, root: str, frame) -> None:
@@ -3061,11 +3090,12 @@ def _rewrite_flat_family(sess, root: str, frame) -> None:
     a DIFFERENT (already-purged) family are unaffected."""
     import os
 
-    acquire_family_lease(root, holder=f"flat-rewrite:{os.getpid()}")
+    _holder = f"flat-rewrite:{os.getpid()}"
+    acquire_family_lease(root, holder=_holder)
     try:
         _rewrite_flat_family_locked(sess, root, frame)
     finally:
-        release_family_lease(root)
+        release_family_lease(root, holder=_holder)
 
 
 def _rewrite_flat_family_locked(sess, root: str, frame) -> None:
@@ -4199,11 +4229,12 @@ def ivf_purge_takedowns(sess: SparkSession, cells_root: str, del_root: str) -> d
     the scheduled purge doubles as its small-file compaction — live
     files collapse to one base tier regardless of how many batches
     have landed, serve unchanged."""
-    acquire_family_lease(cells_root, holder=f"ivf-purge:{__import__('os').getpid()}")
+    _holder = f"ivf-purge:{__import__('os').getpid()}"
+    acquire_family_lease(cells_root, holder=_holder)
     try:
         return _ivf_purge_takedowns_locked(sess, cells_root, del_root)
     finally:
-        release_family_lease(cells_root)
+        release_family_lease(cells_root, holder=_holder)
 
 
 def _ivf_purge_takedowns_locked(
@@ -4371,13 +4402,14 @@ def ivf_retrain_quantizer(
     is the caller's gate (pytest drives ``_recall_vs_brute`` over the
     re-trained serve; the drift test asserts imbalance back under the
     threshold)."""
-    acquire_family_lease(cells_root, holder=f"ivf-retrain:{__import__('os').getpid()}")
+    _holder = f"ivf-retrain:{__import__('os').getpid()}"
+    acquire_family_lease(cells_root, holder=_holder)
     try:
         return _ivf_retrain_quantizer_locked(
             sess, cells_root, seeds_path, del_root, n_iters
         )
     finally:
-        release_family_lease(cells_root)
+        release_family_lease(cells_root, holder=_holder)
 
 
 def _ivf_retrain_quantizer_locked(
@@ -4857,7 +4889,7 @@ def curation_maintain(
     try:
         return _curation_maintain_locked(sess, state_root)
     finally:
-        release_family_lease(state_root)
+        release_family_lease(state_root, holder=holder)
 
 
 def _curation_maintain_locked(sess: SparkSession, state_root: str) -> dict:
@@ -5065,14 +5097,15 @@ def fold_partial_log(sess, root: str, family: str) -> None:
     never while the family's stream is live."""
     import os
 
-    acquire_family_lease(root, holder=f"partial-fold:{os.getpid()}")
+    _holder = f"partial-fold:{os.getpid()}"
+    acquire_family_lease(root, holder=_holder)
     try:
         folded = PARTIAL_LOG_FAMILIES[family](
             sess.read.parquet(*_flat_state_paths(root))
         )
         _rewrite_flat_family_locked(sess, root, folded)
     finally:
-        release_family_lease(root)
+        release_family_lease(root, holder=_holder)
 
 
 def sketch_maintain(sess, root: str, family: str) -> dict:
@@ -6647,9 +6680,23 @@ def _unified_batch_processor(
     from tailsql_spark.operators.multimodal import synth_media_rows
 
     def process(batch_df, batch_id):
+        # r17 (ADVICE r16): the ingest holder is PID-FREE — an
+        # exactly-once replay of the same batch id after a driver
+        # crash-restart must hit acquire's same-holder fast reclaim
+        # immediately; with the pid baked in, the replayed batch was a
+        # stranger to its own stale lease and had to wait out the TTL
+        # (default 3600 s) against a 600 s wait budget, failing the
+        # restarted query for up to an hour.  Two live processes
+        # replaying one bid is excluded by the streaming checkpoint
+        # lock, so the pid added no safety.  The wait budget is also
+        # dialable now (TAILSQL_LEASE_WAIT_SEC, ADVICE r16 low #4) for
+        # deployments whose maintain passes exceed 600 s.
+        _ingest_holder = f"ingest:b{batch_id}"
         if ingest_lease_root is not None:
             wait_family_lease(
-                ingest_lease_root, holder=f"ingest:b{batch_id}:{_os.getpid()}"
+                ingest_lease_root,
+                holder=_ingest_holder,
+                timeout_sec=float(_os.environ.get("TAILSQL_LEASE_WAIT_SEC", 600.0)),
             )
         try:
             text_process(batch_df, batch_id)
@@ -6674,7 +6721,7 @@ def _unified_batch_processor(
             )
         finally:
             if ingest_lease_root is not None:
-                release_family_lease(ingest_lease_root)
+                release_family_lease(ingest_lease_root, holder=_ingest_holder)
 
     return process
 

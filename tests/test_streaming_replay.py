@@ -3205,6 +3205,43 @@ def test_family_lease_guards_folds_and_purges(spark, tmp_path):
     _compact_del_log(spark, dlog, "doc_id", None)
 
 
+def test_release_family_lease_verifies_holder(tmp_path):
+    """r17 (ADVICE r16): a holder whose pass outlived the TTL is
+    reclaimed by a waiter; the misjudged holder's ``finally`` then
+    calls release.  With ``holder`` passed, the release must verify
+    the lease file still names THIS holder and leave a reclaimant's
+    fresh lease alone — an unconditional delete would silently drop
+    the reclaimant's mutual exclusion."""
+    import json
+    import time
+
+    from tailsql_spark.plans.streaming_exec import (
+        FamilyLeaseHeld,
+        acquire_family_lease,
+        release_family_lease,
+    )
+
+    root = str(tmp_path / "fam")
+    (tmp_path / "fam").mkdir()
+    # slow holder A takes the lease; then a waiter B TTL-reclaims it
+    acquire_family_lease(root, holder="fold:A")
+    with open(f"{root}/_lease.json", "w") as fh:
+        fh.write(json.dumps({"holder": "fold:B", "ts": time.time()}))
+    # A's finally fires late: must NOT delete B's lease
+    release_family_lease(root, holder="fold:A")
+    import pytest
+
+    with pytest.raises(FamilyLeaseHeld):
+        acquire_family_lease(root, holder="fold:C")
+    # B's own release (matching holder) removes it
+    release_family_lease(root, holder="fold:B")
+    acquire_family_lease(root, holder="fold:C")
+    # holderless release keeps the unconditional-delete behavior
+    release_family_lease(root)
+    # release with holder on a MISSING lease is an idempotent no-op
+    release_family_lease(root, holder="fold:C")
+
+
 def test_ivf_purge_preserves_retrained_quantizer(spark, oracle_sf_dir):
     """r14 review: a routine ivf_purge_takedowns after a re-train must
     carry seeds_version through its meta commit — dropping it reverts

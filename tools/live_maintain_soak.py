@@ -261,7 +261,7 @@ def main() -> None:
                     )
                 )
             finally:
-                release_family_lease(state_root)
+                release_family_lease(state_root, holder="checkpoint-serve")
             # batch twin: the graded query over a corpus dir holding
             # exactly the fed prefix (other tables borrowed verbatim)
             tmp_sf = tempfile.mkdtemp(prefix="tailsql_prefix_sf_")
