@@ -317,18 +317,40 @@ _MINHASH_ORACLE = f"""
     "dedup_minhash_lsh",
     "dedup",
     _MINHASH_ORACLE,
+    plan=lambda s, d: _minhash_pipeline(s, d, small=_small_input(d)),
     doc="MinHash(16)+LSH(4 bands × 4 rows) near-duplicate pairs, verified "
     "at true Jaccard ≥ 0.8. shingle→signature→band→bucket-join: linear "
     "passes + one equi-join; no O(n²) stage.",
 )
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _minhash_pipeline(spark, sf_dir, small=_small_input(sf_dir))
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, caches: list | None = None
+) -> DataFrame:
+    """r17 (guide §5): the big branch's ``ex``/``sig`` persists must
+    not outlive the build on a long-lived driver.  Standalone (no
+    ``caches``), the pair-sized result is materialized and the caches
+    released — the ``_capped_pair_query`` discipline; a composing
+    caller (the unified curation text branch) passes its own list and
+    owns the release.  At every testdata SF the small branch runs, no
+    persist happens, and the plan is byte-identical."""
+    owns = caches is None
+    c: list = [] if owns else caches
+    out = _minhash_pipeline(spark, sf_dir, small=_small_input(sf_dir), caches=c)
+    if not owns or not c:
+        return out
+    from tailsql_spark.plans.catalog import materialize_result, sf_key
+
+    try:
+        return materialize_result(out, "dedup_minhash_lsh", key=sf_key(sf_dir))
+    finally:
+        for h in c:
+            h.unpersist()
 
 
 @query(
     "dedup_minhash_lsh_shuffled",
     "dedup",
     _MINHASH_ORACLE,
+    plan=lambda s, d: _minhash_pipeline(s, d, small=False, force_shuffle=True),
     doc="The SAME MinHash+LSH pipeline pinned to its big-data branch: "
     "no broadcast under the size gate, band self-join and shingle "
     "verification as shuffled equi-joins (shuffle_hash-hinted so the "
@@ -338,7 +360,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "round-4 gap where only its plan SHAPE was tested.",
 )
 def dedup_minhash_lsh_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _minhash_pipeline(spark, sf_dir, small=False, force_shuffle=True)
+    caches: list = []
+    out = _minhash_pipeline(
+        spark, sf_dir, small=False, force_shuffle=True, caches=caches
+    )
+    from tailsql_spark.plans.catalog import materialize_result, sf_key
+
+    try:
+        return materialize_result(out, "dedup_minhash_lsh_shuffled", key=sf_key(sf_dir))
+    finally:
+        for h in caches:
+            h.unpersist()
 
 
 def _minhash_small_pipeline(sig: DataFrame) -> DataFrame:
@@ -571,7 +603,11 @@ def doc_minhash_sigs_arrow(docs: DataFrame, with_sets: bool = False) -> DataFram
 
 
 def _minhash_pipeline(
-    spark: SparkSession, sf_dir: str, small: bool, force_shuffle: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    small: bool,
+    force_shuffle: bool = False,
+    caches: list | None = None,
 ) -> DataFrame:
     # What to cache is the whole ballgame here, because the tokenizer
     # (split + higher-order transform) is interpreted, not codegen'd,
@@ -610,6 +646,8 @@ def _minhash_pipeline(
         )
     ex = doc_shingle_hashes_arrow(load_documents_sized(spark, sf_dir))
     ex = ex.persist()
+    if caches is not None:
+        caches.append(ex)
     # NO materialization barrier — decided on measured numbers THREE
     # times now. Round-5 re-A/B (min-of-5, interleaved, post shingle-
     # hash-at-explode): none 1.762 s / ex-barrier 1.772 s / sig-barrier
@@ -628,6 +666,8 @@ def _minhash_pipeline(
     # than the occasional double-compute it prevents. sig and ex stay
     # lazily persisted; first evaluation fills both caches.
     sig = minhash_signatures(ex).persist()
+    if caches is not None:
+        caches.append(sig)
     cand = lsh_candidate_pairs(sig, hint_broadcast=False, force_shuffle=force_shuffle)
     # |A|,|B| come from the signature groupBy (n_sh), not a second full
     # pass over ex. The set sizes are attached to the TINY candidate

@@ -66,6 +66,7 @@ def connected_components(
     max_iter: int = MAX_CC_ITERS,
     checkpoint_dir: str | None = None,
     seed_labels: DataFrame | None = None,
+    caches: list | None = None,
 ) -> DataFrame:
     """``(id_a, id_b)`` undirected pairs → ``(doc_id, cluster_id)``
     where ``cluster_id`` is the minimum member id of the node's
@@ -105,6 +106,14 @@ def connected_components(
     component, so min-propagation converges to the identical fixpoint
     (min member id) in O(1) rounds instead of O(diameter). Purely an
     accelerator; never changes the result.
+
+    ``caches`` (r17, guide §5): the returned frame reads the FINAL
+    round's localCheckpoint blocks, which otherwise linger in the
+    context's persistent-RDD map for the session lifetime.  A caller
+    that MATERIALIZES the result can pass a list; an ``.unpersist()``
+    handle for those final blocks is appended for release after the
+    materialization (reliable-checkpoint mode appends nothing — files
+    are the checkpoint_dir's lifecycle).
     """
     spark = pairs.sparkSession
     sc = spark.sparkContext
@@ -223,6 +232,16 @@ def connected_components(
                 f"connected_components: no fixpoint in {max_iter} rounds "
                 "(component diameter exceeds the bound — raise max_iter)"
             )
+        if caches is not None and labels_ids:
+
+            class _FinalBlocks:
+                def __init__(self, ids: set):
+                    self._ids = ids
+
+                def unpersist(self) -> None:
+                    _release(self._ids)
+
+            caches.append(_FinalBlocks(labels_ids))
         return labels.select(
             F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
         )

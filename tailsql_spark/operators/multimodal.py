@@ -469,6 +469,10 @@ _PHASH_ORACLE = f"""
     "multimodal_phash_dedup",
     "multimodal",
     _PHASH_ORACLE,
+    plan=lambda s, d: phash_near_groups(
+        phash_hash_groups(synth_media(s, d).filter(F.col("media_type") == "image")),
+        persist_grp=_big_corpus(d),
+    ),
     doc="Perceptual-hash (dHash) image near-dup dedup — the image-side "
     "twin of MinHash that any multimodal training corpus runs: payloads "
     "hash to 64-bit dHashes in an Arrow-batched mapInPandas stage (real "
@@ -490,7 +494,33 @@ _PHASH_ORACLE = f"""
 )
 def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synth_media(spark, sf_dir).filter(F.col("media_type") == "image")
-    return phash_near_groups(phash_hash_groups(media), persist_grp=_big_corpus(sf_dir))
+    caches: list = []
+    out = phash_near_groups(
+        phash_hash_groups(media), persist_grp=_big_corpus(sf_dir), caches=caches
+    )
+    return _materialize_release(out, "multimodal_phash_dedup", sf_dir, caches)
+
+
+def _materialize_release(
+    df: DataFrame, name: str, sf_dir: str, caches: list
+) -> DataFrame:
+    """Release the size-gated persists a query build registered (r17,
+    ADVICE r16 / guide §5): the registry queries return lazy frames, so
+    a persist inside the build would otherwise leak MEMORY_AND_DISK
+    blocks per big-corpus invocation on a long-lived driver.  With any
+    cache registered, the (report-sized) result is materialized through
+    the session warehouse — the ``_capped_pair_query`` discipline — and
+    every handle unpersisted; with none (the bench/test sizes), the
+    frame passes through untouched and the plan is byte-identical."""
+    if not caches:
+        return df
+    from tailsql_spark.plans.catalog import materialize_result, sf_key
+
+    try:
+        return materialize_result(df, name, key=sf_key(sf_dir))
+    finally:
+        for c in caches:
+            c.unpersist()
 
 
 def phash_rows(images: DataFrame) -> DataFrame:
@@ -574,16 +604,23 @@ def phash_group_pairs(grp: DataFrame) -> DataFrame:
     )
 
 
-def phash_near_groups(grp: DataFrame, persist_grp: bool = False) -> DataFrame:
+def phash_near_groups(
+    grp: DataFrame, persist_grp: bool = False, caches: list | None = None
+) -> DataFrame:
     """Banded Hamming-ball neighbor stats over a (b0..b3,
     canonical_doc, n_docs) group frame — factored so the losslessness
     property test can drive it with synthetic band vectors.
     ``persist_grp`` caches the group table (it feeds the band explode
     twice, both verify-join sides, and the final outer join — five
     plan uses of a frame bounded by |distinct hashes|) — size-gated by
-    the caller, see :func:`audio_near_groups`."""
+    the caller, see :func:`audio_near_groups`.  ``caches`` collects the
+    persisted handle so the query entry point can release it after the
+    result is materialized (r17, guide §5: a long-lived driver must not
+    leak MEMORY_AND_DISK blocks per invocation)."""
     if persist_grp:
         grp = grp.persist()
+        if caches is not None:
+            caches.append(grp)
     near = (
         _sym_pairs(phash_group_pairs(grp), carry=("hamming",))
         .groupBy("id")
@@ -762,6 +799,13 @@ _AUDIO_FP_ORACLE = f"""
     "multimodal_audio_fp_dedup",
     "multimodal",
     _AUDIO_FP_ORACLE,
+    plan=lambda s, d: audio_near_groups(
+        synth_media(s, d).filter(F.col("media_type") == "audio").select("doc_id"),
+        audio_posting_rows(
+            synth_media(s, d).filter(F.col("media_type") == "audio")
+        ),
+        persist_base=_big_corpus(d),
+    ),
     doc="Audio fingerprint near-dup dedup — the audio-side twin of "
     "MinHash/dHash, built on CONTENT-DEFINED CHUNKING (the FastCDC "
     "idea): the Arrow-batched decode stage tokenizes each payload "
@@ -787,10 +831,12 @@ _AUDIO_FP_ORACLE = f"""
 )
 def multimodal_audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synth_media(spark, sf_dir).filter(F.col("media_type") == "audio")
-    return audio_near_groups(
+    caches: list = []
+    out = audio_near_groups(
         media.select("doc_id"), audio_posting_rows(media),
-        persist_base=_big_corpus(sf_dir),
+        persist_base=_big_corpus(sf_dir), caches=caches,
     )
+    return _materialize_release(out, "multimodal_audio_fp_dedup", sf_dir, caches)
 
 
 def audio_posting_rows(audio: DataFrame) -> DataFrame:
@@ -1005,6 +1051,17 @@ _VIDEO_ORACLE = f"""
     "multimodal_video_dedup",
     "multimodal",
     _VIDEO_ORACLE,
+    plan=lambda s, d: audio_near_groups(
+        synth_media(s, d).filter(F.col("media_type") == "video").select("doc_id"),
+        video_band_postings(
+            synth_media(s, d)
+            .filter(F.col("media_type") == "video")
+            .select("doc_id", "payload")
+        ),
+        df_cap=VIDEO_DF_CAP,
+        min_shared=VIDEO_MIN_SHARED,
+        persist_base=_big_corpus(d),
+    ).withColumnRenamed("n_frames", "n_sig_bands"),
     doc="Video near-dup dedup — the last member of the multimodal "
     "dedup triad (text MinHash / image dHash / audio CDC): each video "
     "decodes only its SAMPLED frames (every "
@@ -1032,11 +1089,13 @@ _VIDEO_ORACLE = f"""
 def multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synth_media(spark, sf_dir).filter(F.col("media_type") == "video")
     post = video_band_postings(media.select("doc_id", "payload"))
-    return audio_near_groups(
+    caches: list = []
+    out = audio_near_groups(
         media.select("doc_id"), post,
         df_cap=VIDEO_DF_CAP, min_shared=VIDEO_MIN_SHARED,
-        persist_base=_big_corpus(sf_dir),
+        persist_base=_big_corpus(sf_dir), caches=caches,
     ).withColumnRenamed("n_frames", "n_sig_bands")
+    return _materialize_release(out, "multimodal_video_dedup", sf_dir, caches)
 
 
 def posting_kept(ff: DataFrame, df_cap: int) -> DataFrame:
@@ -1100,6 +1159,7 @@ def audio_near_groups(
     df_cap: int = AUDIO_DF_CAP,
     min_shared: int = AUDIO_MIN_SHARED,
     persist_base: bool = False,
+    caches: list | None = None,
 ) -> DataFrame:
     """Fingerprint-DB matching over distinct (doc_id, fh) postings —
     factored so the realignment property test can drive it with
@@ -1117,9 +1177,13 @@ def audio_near_groups(
     caller because the barrier + cache write costs more than the
     avoided recompute on small inputs (measured at sf0.1: persist
     2.46 s vs 1.76 s without; at 100×: 3.9 s with vs 5.0 s without —
-    the same crossover as dedup's broadcast/shuffled branch)."""
+    the same crossover as dedup's broadcast/shuffled branch).
+    ``caches`` collects the persisted handle for caller-side release
+    (r17, guide §5 — see :func:`phash_near_groups`)."""
     if persist_base:
         ff = ff.persist()
+        if caches is not None:
+            caches.append(ff)
     kept = posting_kept(ff, df_cap)
     sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
     sym = _sym_pairs(posting_match_pairs(kept, min_shared), carry=("n_common",))
@@ -1263,14 +1327,18 @@ def _posting_minp(
     df_cap: int,
     min_shared: int,
     persist_base: bool = False,
+    caches: list | None = None,
 ) -> DataFrame:
     """(doc_id, minp) over a posting modality: each doc's smallest
     match partner (NULL = unmatched), via the shared pairing engine.
     Explode-symmetrized pairs (r16): the pair join plans exactly once.
     ``persist_base`` caches the posting table (decode once) — size-
-    gated by the caller, see :func:`audio_near_groups`."""
+    gated by the caller, see :func:`audio_near_groups`; ``caches``
+    collects the handle for caller-side release (r17, guide §5)."""
     if persist_base:
         ff = ff.persist()
+        if caches is not None:
+            caches.append(ff)
     sym = _sym_pairs(posting_match_pairs(posting_kept(ff, df_cap), min_shared))
     mn = sym.groupBy("id").agg(F.min("partner").alias("minp"))
     return ids.join(mn, ids["doc_id"] == mn["id"], "left").select("doc_id", "minp")
@@ -1293,6 +1361,7 @@ def _keepfirst_row(tag: str, flags: DataFrame) -> DataFrame:
     "multimodal_curation_survivors",
     "multimodal",
     _mm_curation_oracle(),
+    plan=lambda s, d: _mm_curation_frame(s, d),
     doc="The corpus-level MULTIMODAL curation report — the composed row "
     "the text family already has (corpus_curation_survivors), extended "
     "across modalities: every payload runs its modality's near-dup "
@@ -1313,6 +1382,14 @@ def _keepfirst_row(tag: str, flags: DataFrame) -> DataFrame:
     "report is three 1-row aggregates.",
 )
 def multimodal_curation_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    caches: list = []
+    out = _mm_curation_frame(spark, sf_dir, caches=caches)
+    return _materialize_release(out, "multimodal_curation_survivors", sf_dir, caches)
+
+
+def _mm_curation_frame(
+    spark: SparkSession, sf_dir: str, caches: list | None = None
+) -> DataFrame:
     media = synth_media(spark, sf_dir)
     big = _big_corpus(sf_dir)
     # image: exact-group collapse + banded near pairs between canonicals
@@ -1321,6 +1398,8 @@ def multimodal_curation_survivors(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     if big:
         grp = grp.persist()
+        if caches is not None:
+            caches.append(grp)
     gsym = _sym_pairs(phash_group_pairs(grp).select("id_a", "id_b"))
     gmin = gsym.groupBy("id").agg(F.min("partner").alias("minp"))
     img = grp.join(gmin, grp["canonical_doc"] == gmin["id"], "left")
@@ -1344,7 +1423,7 @@ def multimodal_curation_survivors(spark: SparkSession, sf_dir: str) -> DataFrame
         "audio",
         _posting_minp(
             audio.select("doc_id"), audio_posting_rows(audio),
-            AUDIO_DF_CAP, AUDIO_MIN_SHARED, persist_base=big,
+            AUDIO_DF_CAP, AUDIO_MIN_SHARED, persist_base=big, caches=caches,
         ),
     )
     video = media.filter(F.col("media_type") == "video").select("doc_id", "payload")
@@ -1352,7 +1431,7 @@ def multimodal_curation_survivors(spark: SparkSession, sf_dir: str) -> DataFrame
         "video",
         _posting_minp(
             video.select("doc_id"), video_band_postings(video),
-            VIDEO_DF_CAP, VIDEO_MIN_SHARED, persist_base=big,
+            VIDEO_DF_CAP, VIDEO_MIN_SHARED, persist_base=big, caches=caches,
         ),
     )
     return img_row.unionByName(audio_row).unionByName(video_row)
@@ -1428,16 +1507,21 @@ def _unified_media_row(tag: str, flags: DataFrame) -> DataFrame:
     )
 
 
-def unified_image_row(grp: DataFrame, persist_grp: bool = False) -> DataFrame:
+def unified_image_row(
+    grp: DataFrame, persist_grp: bool = False, caches: list | None = None
+) -> DataFrame:
     """The image row of the unified report from dHash exact groups
     (b0..b3, canonical_doc, n_docs): banded near pairs between
     canonicals → per-canonical minp → keep-first survivors over group
     members.  Factored so the batch report and the streaming twin (grp
     aggregated from the hash-row state log) share one definition.
     ``persist_grp`` is size-gated by the caller (see
-    :func:`audio_near_groups`)."""
+    :func:`audio_near_groups`); ``caches`` collects the handle for
+    caller-side release (r17, guide §5)."""
     if persist_grp:
         grp = grp.persist()
+        if caches is not None:
+            caches.append(grp)
     gsym = _sym_pairs(phash_group_pairs(grp).select("id_a", "id_b"))
     gmin = gsym.groupBy("id").agg(F.min("partner").alias("minp"))
     return (
@@ -1455,10 +1539,15 @@ def unified_image_row(grp: DataFrame, persist_grp: bool = False) -> DataFrame:
     )
 
 
-def _unified_branch_builders(spark: SparkSession, sf_dir: str) -> dict:
+def _unified_branch_builders(
+    spark: SparkSession, sf_dir: str, caches: dict[str, list] | None = None
+) -> dict:
     """The four INDEPENDENT branch-row builders of the unified report
     (text DAG, image, audio, video), factored so the threaded build
-    and the lazy plan twin compose the identical definitions."""
+    and the lazy plan twin compose the identical definitions.
+    ``caches`` (r17, guide §5) collects each branch's size-gated
+    persisted handles under its tag so the threaded build can release
+    them once the branch row is materialized."""
     from tailsql_spark.operators.corpus import corpus_clean_pipeline, unified_text_row
     from tailsql_spark.operators.dedup import dedup_minhash_lsh
     from tailsql_spark.operators.graphs import connected_components
@@ -1467,10 +1556,16 @@ def _unified_branch_builders(spark: SparkSession, sf_dir: str) -> dict:
     media = synth_media(spark, sf_dir)
     big = _big_corpus(sf_dir)
 
+    def _c(tag: str) -> list | None:
+        return None if caches is None else caches.setdefault(tag, [])
+
     def text_row() -> DataFrame:
         # text: the exact corpus_curation_survivors composition, totaled
         cleaned = corpus_clean_pipeline(spark, sf_dir)
-        labels = connected_components(dedup_minhash_lsh(spark, sf_dir))
+        labels = connected_components(
+            dedup_minhash_lsh(spark, sf_dir, caches=_c("text")),
+            caches=_c("text"),
+        )
         return unified_text_row(cleaned, labels, docs)
 
     def img_row() -> DataFrame:
@@ -1479,6 +1574,7 @@ def _unified_branch_builders(spark: SparkSession, sf_dir: str) -> dict:
                 media.filter(F.col("media_type") == "image").select("doc_id", "payload")
             ),
             persist_grp=big,
+            caches=_c("image"),
         )
 
     def audio_row() -> DataFrame:
@@ -1488,6 +1584,7 @@ def _unified_branch_builders(spark: SparkSession, sf_dir: str) -> dict:
             _posting_minp(
                 audio.select("doc_id"), audio_posting_rows(audio),
                 AUDIO_DF_CAP, AUDIO_MIN_SHARED, persist_base=big,
+                caches=_c("audio"),
             ),
         )
 
@@ -1498,6 +1595,7 @@ def _unified_branch_builders(spark: SparkSession, sf_dir: str) -> dict:
             _posting_minp(
                 video.select("doc_id"), video_band_postings(video),
                 VIDEO_DF_CAP, VIDEO_MIN_SHARED, persist_base=big,
+                caches=_c("video"),
             ),
         )
 
@@ -1559,7 +1657,8 @@ def corpus_unified_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from tailsql_spark.plans.catalog import sf_key
 
-    builders = _unified_branch_builders(spark, sf_dir)
+    caches: dict[str, list] = {}
+    builders = _unified_branch_builders(spark, sf_dir, caches=caches)
     wh = spark.conf.get("spark.sql.warehouse.dir")
     dest = f"{wh.rstrip('/')}/tailsql_results/corpus_unified_curation_{sf_key(sf_dir)}"
     errs: list[BaseException] = []
@@ -1570,6 +1669,12 @@ def corpus_unified_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             build().write.mode("overwrite").parquet(f"{dest}/{tag}")
         except BaseException as e:  # noqa: BLE001 — re-raised on the main thread
             errs.append(e)
+        finally:
+            # r17 (guide §5): the branch row is on disk — release the
+            # branch's size-gated persists so repeated invocations on a
+            # long-lived driver cannot accumulate cache blocks
+            for h in caches.get(tag, []):
+                h.unpersist()
 
     threads = [
         threading.Thread(

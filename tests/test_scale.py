@@ -290,7 +290,9 @@ def test_minhash_shuffled_branch_differential(spark, oracle_sf_dir):
 
     bcast = REGISTRY["dedup_minhash_lsh"].build(spark, oracle_sf_dir)
     shuf = REGISTRY["dedup_minhash_lsh_shuffled"].build(spark, oracle_sf_dir)
-    p = _plan(shuf)
+    # r17: the build materializes-and-releases its caches (guide §5),
+    # so the executed DATAFLOW's shape is read from the plan twin
+    p = _plan(REGISTRY["dedup_minhash_lsh_shuffled"].plan(spark, oracle_sf_dir))
     # the band self-join and shingle verification run shuffled...
     assert "ShuffledHashJoin" in p, p
     # ...while the collision-sized candidate set still broadcasts (that
