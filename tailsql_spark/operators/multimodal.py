@@ -847,26 +847,30 @@ def audio_posting_rows(audio: DataFrame) -> DataFrame:
 
     def fingerprint(batches):
         for pdf in batches:
-            ids, idxs, fhs = [], [], []
+            ids, fhs = [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                for i, fh in enumerate(
-                    audio_fingerprint_frames(audio_tokens(bytes(payload)))
-                ):
+                for fh in audio_fingerprint_frames(audio_tokens(bytes(payload))):
                     ids.append(doc_id)
-                    idxs.append(i)
-                    fhs.append(fh)
+                    # r17 (guide §2.3): the 15-hex frame hash is exactly
+                    # 60 bits by construction (audio_fingerprint_frames
+                    # truncates md5 to 15 nibbles "so the hex fits
+                    # signed int64"), so int(fh, 16) is an INJECTIVE
+                    # re-encoding — every downstream use (df-cap groupBy,
+                    # anti-join, pair equi-join) only tests fh equality,
+                    # and 8-byte long keys shuffle ~half the bytes of
+                    # 15-char strings.  The streaming twin keeps its own
+                    # string-typed state log; its results are fh-free so
+                    # the two representations never meet.
+                    fhs.append(int(fh, 16))
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
-                    "frame_idx": pd.Series(idxs, dtype="int64"),
-                    "fh": pd.Series(fhs, dtype="object"),
+                    "fh": pd.Series(fhs, dtype="int64"),
                 }
             )
 
-    fp = audio.mapInPandas(
-        fingerprint, schema="doc_id long, frame_idx long, fh string"
-    )
-    return fp.select("doc_id", "fh").distinct()
+    fp = audio.mapInPandas(fingerprint, schema="doc_id long, fh long")
+    return fp.distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -949,12 +953,18 @@ def video_frame_bands(payload: bytes, frame_idx: int) -> tuple:
     return phash_bands(seg.encode("utf-8"), force_fake=True)
 
 
-def _video_band_postings_pdf(pdf):
+def _video_band_postings_pdf(pdf, as_long: bool = False):
     """(doc_id, fh) band postings for one Arrow batch of video payloads:
     frame count = 1 + chars // VIDEO_FRAME_CHARS (content-derived, so a
     sampled frame always covers real payload), sampled every
     VIDEO_FRAME_STEP (the multimodal_frame_sample stride), each frame's
-    4 dHash bands posted as 'band_idx:band_value' strings."""
+    4 dHash bands posted as 'band_idx:band_value' strings — or, with
+    ``as_long`` (r17, guide §2.3), as the INJECTIVE 18-bit long
+    ``band_idx * 2**16 + band_value`` (bands are 16-bit by the dHash
+    construction, band_idx < 4): downstream only tests fh equality, so
+    the narrower key shuffles fewer bytes.  The streaming state log
+    keeps the string form (its on-disk schema is pinned); the two
+    representations never meet — both ends' results are fh-free."""
     ids: list = []
     fhs: list = []
     for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -963,9 +973,12 @@ def _video_band_postings_pdf(pdf):
         for fi in range(0, n_frames, VIDEO_FRAME_STEP):
             for k, b in enumerate(video_frame_bands(p, fi)):
                 ids.append(doc_id)
-                fhs.append(f"{k}:{b}")
+                fhs.append((k << 16) | b if as_long else f"{k}:{b}")
     return pd.DataFrame(
-        {"doc_id": pd.Series(ids, dtype="int64"), "fh": pd.Series(fhs, dtype="object")}
+        {
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "fh": pd.Series(fhs, dtype="int64" if as_long else "object"),
+        }
     )
 
 
@@ -976,9 +989,9 @@ def video_band_postings(videos: DataFrame) -> DataFrame:
 
     def emit(batches):
         for pdf in batches:
-            yield _video_band_postings_pdf(pdf)
+            yield _video_band_postings_pdf(pdf, as_long=True)
 
-    return videos.mapInPandas(emit, schema="doc_id long, fh string").distinct()
+    return videos.mapInPandas(emit, schema="doc_id long, fh long").distinct()
 
 
 def _video_fh_sql() -> str:

@@ -429,3 +429,55 @@ def test_video_near_groups_exact_dup_and_threshold(spark):
     assert out[1].best_match_doc == 2 and out[2].best_match_doc == 1
     assert out[1].best_common == n_postings[1] == n_postings[2]
     assert out[3].n_matches == 0 and out[3].best_match_doc is None
+
+
+def test_long_posting_keys_bit_identical_to_string_forms(spark):
+    """r17 narrowed the batch posting shuffle keys (guide §2.3): audio
+    fh = int(hex15, 16) (15 md5 nibbles = 60 bits, injective into
+    int64), video fh = band_idx * 2**16 + band_value (bands are 16-bit,
+    injective).  Pin both encodings bit-identical to the string
+    definitions the oracles replay, over real decode paths."""
+    import pandas as pd
+
+    from tailsql_spark.operators.multimodal import (
+        _video_band_postings_pdf,
+        audio_fingerprint_frames,
+        audio_posting_rows,
+        audio_tokens,
+    )
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+        (3, "solo"),
+        (4, "shared scene content across two clips " * 12),
+        (5, "shared scene content across two clips " * 12 + " trailer"),
+    ]
+    # audio: the Spark builder's long keys == int(hex frames, 16)
+    audio = spark.createDataFrame(
+        [(i, bytearray(t.encode("utf-8"))) for i, t in texts],
+        "doc_id long, payload binary",
+    )
+    got = {(r.doc_id, r.fh) for r in audio_posting_rows(audio).collect()}
+    want = {
+        (i, int(fh, 16))
+        for i, t in texts
+        for fh in audio_fingerprint_frames(audio_tokens(t.encode("utf-8")))
+    }
+    assert got == want
+    assert audio_posting_rows(audio).schema["fh"].dataType.typeName() == "long"
+    # video: as_long postings decode exactly to the string postings
+    pdf = pd.DataFrame(
+        {
+            "doc_id": pd.Series([i for i, _ in texts], dtype="int64"),
+            "payload": [t.encode("utf-8") for _, t in texts],
+        }
+    )
+    s = _video_band_postings_pdf(pdf)
+    lg = _video_band_postings_pdf(pdf, as_long=True)
+    dec = {
+        (d, f"{fh >> 16}:{fh & 0xFFFF}")
+        for d, fh in zip(lg["doc_id"], lg["fh"])
+    }
+    assert dec == set(zip(s["doc_id"], s["fh"]))
+    assert str(lg["fh"].dtype) == "int64"
