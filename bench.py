@@ -153,6 +153,38 @@ def main() -> None:
     from tailsql_spark.plans.registry import REGISTRY
     from tailsql_spark.session import get_spark
 
+    # r17 (VERDICT r16 ask #5, solo-run discipline): two of r16's bench
+    # runs were contaminated by concurrent Spark work on the box.  Scan
+    # for live Spark driver JVMs BEFORE starting ours; record the count
+    # in the headline JSON so a contaminated run is self-labelling, and
+    # refuse outright only under SPARK_GRAFT_SOLO_STRICT=1 (refusal is
+    # opt-in: the grading driver may legitimately run this bench from a
+    # harness that keeps its own JVM alive, and a lost BENCH artifact is
+    # worse than a flagged one).
+    concurrent_spark = 0
+    try:
+        import subprocess
+
+        out = subprocess.run(
+            ["ps", "-eo", "cmd"], capture_output=True, text=True, timeout=10
+        ).stdout
+        concurrent_spark = sum(
+            1
+            for line in out.splitlines()
+            if "org.apache.spark.deploy.SparkSubmit" in line
+        )
+    except Exception:
+        concurrent_spark = -1  # scan unavailable; never block the bench
+    if concurrent_spark > 0:
+        print(
+            f"# WARNING: {concurrent_spark} live Spark driver JVM(s) detected — "
+            "samples may be contaminated (solo-run discipline)",
+            file=sys.stderr,
+        )
+        if os.environ.get("SPARK_GRAFT_SOLO_STRICT") == "1":
+            print("# SPARK_GRAFT_SOLO_STRICT=1: refusing to run", file=sys.stderr)
+            sys.exit(3)
+
     spark = get_spark(app_name="tailsql_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -227,6 +259,21 @@ def main() -> None:
     shared_core_sec = (
         round(sum(per_query[q] for q in core), 3) if len(core) == len(SHARED_CORE) else None
     )
+    # r17 (VERDICT r16 ask #5): a median-based twin of the normalized
+    # ratio, immune to min-of-5 luck — per interleaved ROUND sum the
+    # shared-core samples (round subtotals ride one box condition),
+    # take the median subtotal over the median calibration.  The
+    # regression rule (BASELINE.md): a real regression moves BOTH
+    # shared_core_per_cal and this median ratio beyond the bands.
+    shared_core_per_cal_median = None
+    if shared_core_sec is not None and calibration_median_sec > 0:
+        round_subtotals = sorted(
+            sum(samples[q][r] for q in core) for r in range(len(cal_samples))
+        )
+        shared_core_median_sec = round_subtotals[len(round_subtotals) // 2]
+        shared_core_per_cal_median = round(
+            shared_core_median_sec / calibration_median_sec, 3
+        )
     # Full sample sets go to a SIDECAR file, not stdout: in round 10 the
     # single JSON line (21 queries x 5-sample arrays) outgrew the
     # driver's tail capture and BENCH_r10.json recorded "parsed": null —
@@ -284,6 +331,12 @@ def main() -> None:
                     if shared_core_sec is not None and calibration_sec > 0
                     else None
                 ),
+                # r17 (ask #5): median-twin of the ratio — a regression
+                # requires BOTH ratios to move beyond the sample bands
+                "shared_core_per_cal_median": shared_core_per_cal_median,
+                # r17 (ask #5): live Spark driver JVMs seen at startup
+                # (0 = solo run; -1 = scan unavailable)
+                "concurrent_spark_at_start": concurrent_spark,
                 "timing": "min_of_5_interleaved_rounds",
             }
         )
