@@ -22,10 +22,12 @@ stream; this one runs them together, for real, in separate processes:
   ``corpus_unified_curation`` over a corpus dir holding exactly the
   fed prefix — serve ≡ batch under interleaved maintenance.
 
-Writes tools/measurements/r16_live_maintain_soak.json with per-batch
+Writes tools/measurements/r17_live_maintain_soak.json with per-batch
 durations (median / p95 / first-vs-last-100 trend — the flatness
 evidence), maintain pass log, the kill/recovery record, and the
-checkpoint equality results.
+checkpoint equality results; a failed checkpoint records both sides'
+rows and a per-family column diff (r17 — self-diagnosing on
+inequality).
 
 Usage: python tools/live_maintain_soak.py [--batches 500]
            [--maintain-every 45] [--sf /root/testdata/sf0.01]
@@ -287,14 +289,33 @@ def main() -> None:
                 )
             finally:
                 shutil.rmtree(tmp_sf, ignore_errors=True)
-            checkpoint_results.append(
-                {
-                    "batch": b + 1,
-                    "docs_fed": fed,
-                    "serve_eq_batch": serve == batch,
-                    "rows": serve,
-                }
-            )
+            ck = {
+                "batch": b + 1,
+                "docs_fed": fed,
+                "serve_eq_batch": serve == batch,
+                "rows": serve,
+            }
+            if serve != batch:
+                # r17 (VERDICT r16 ask #2): a failed checkpoint must
+                # name the family and columns — record BOTH sides and
+                # a per-family column diff so the artifact is the
+                # diagnosis, not just the verdict
+                cols = ["media_type", "n_total", "n_survivors", "n_tokens"]
+                sv = {r[0]: r for r in serve}
+                bt = {r[0]: r for r in batch}
+                diff = {}
+                for fam in sorted(set(sv) | set(bt)):
+                    a, c = sv.get(fam), bt.get(fam)
+                    if a != c:
+                        diff[fam] = {
+                            cols[i]: {"serve": a[i] if a else None,
+                                      "batch": c[i] if c else None}
+                            for i in range(len(cols))
+                            if (a[i] if a else None) != (c[i] if c else None)
+                        }
+                ck["batch_rows"] = batch
+                ck["family_diff"] = diff
+            checkpoint_results.append(ck)
             print(
                 f"# checkpoint @ batch {b + 1}: serve==batch -> {serve == batch}",
                 file=sys.stderr,
@@ -338,7 +359,7 @@ def main() -> None:
             c["serve_eq_batch"] for c in checkpoint_results
         ),
     }
-    path = os.path.join(REPO, "tools", "measurements", "r16_live_maintain_soak.json")
+    path = os.path.join(REPO, "tools", "measurements", "r17_live_maintain_soak.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out))

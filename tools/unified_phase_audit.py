@@ -170,7 +170,7 @@ def main() -> None:
 
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "tools", "measurements", "r16_unified_phase_audit.json",
+        "tools", "measurements", "r17_unified_phase_audit.json",
     )
     with open(out_path, "w") as fh:
         json.dump(results, fh, indent=1)
