@@ -106,7 +106,14 @@ GRADED_WINDOW: tuple[str, ...] = (
     # r8: scalar_date/math rotated to the local gate (scalar_string
     # keeps the scalar category repped) to make room for the
     # previously-singleton storage-layout family's r7 flagships
-    "scalar_string_funcs",          # scalar functions
+    # (r17: scalar_string_funcs rotated to the local gate after
+    #  fifteen green rounds — VERDICT r16 ask #4: the scalar-function
+    #  surface stays driver-graded through the multilingual quality
+    #  gate below, whose per-script blocks are exactly single-pass
+    #  regexp_count / integer-division / fixed-point-export scalar
+    #  chains over every Unicode script class, i.e. the same surface
+    #  exercised harder and on the deployment-shaped path)
+    "corpus_quality_gate_unicode",  # scalar functions + multilingual gate
     # (r9: sink_zorder_skipping rotated to the local gate — row-group
     #  skipping stays certified there with the sorted variant; the
     #  slot goes to governed-history time travel)
