@@ -166,12 +166,17 @@ def main() -> None:
         import subprocess
 
         out = subprocess.run(
-            ["ps", "-eo", "cmd"], capture_output=True, text=True, timeout=10
+            ["ps", "-eo", "comm,args"], capture_output=True, text=True, timeout=10
         ).stdout
+        # match only processes whose EXECUTABLE is java: a shell or grep
+        # whose argument string merely mentions the class name (e.g. a
+        # harness wrapper that also inspects for Spark JVMs) is not a
+        # live driver and must not flag the run as contaminated
         concurrent_spark = sum(
             1
             for line in out.splitlines()
-            if "org.apache.spark.deploy.SparkSubmit" in line
+            if line.split(None, 1)[0].endswith("java")
+            and "org.apache.spark.deploy.SparkSubmit" in line
         )
     except Exception:
         concurrent_spark = -1  # scan unavailable; never block the bench

@@ -53,6 +53,37 @@ REGISTRY: dict[str, QuerySpec] = {}
 BLOOM_M_BITS = 1 << 20
 BLOOM_K = 2
 
+#: r17 scale fix: the contamination TEST split is a fixed ~10% FRACTION
+#: of the corpus, so its gram population grows linearly with corpus
+#: size — a fixed 2^20-bit sketch saturates (every word all-ones) past
+#: ~10× sf0.1 and prunes NOTHING, and the survivor set the exact join
+#: broadcasts becomes corpus-sized (measured: driver broadcast OOM at
+#: 100×, 16 GB driver).  Two dials, both result-invariant (fp rate and
+#: join strategy only change how many false survivors die in the exact
+#: join, never which rows come out):
+#:   * the sketch is sized from the source parquet footprint — one bit
+#:     per source byte ≈ 16 bits per test-split gram (text ≈ 4× the
+#:     zstd parquet bytes, grams ≈ bytes/6, test split 10%) — clamped
+#:     to [2^20, 2^27] so the word table stays ≤ 2M rows, a safe
+#:     broadcast at any corpus size;
+#:   * the survivor attach broadcasts only while the corpus source is
+#:     under GRAM_BROADCAST_BYTES; past it the survivors go through a
+#:     plain equi-join (SMJ/AQE) — survivors scale with the test gram
+#:     space here, so an unconditional broadcast hint is wrong at
+#:     100 TB no matter how well the sketch prunes.
+GRAM_BROADCAST_BYTES = 64 << 20
+
+
+def _contam_bloom_bits(sf_dir: str) -> int:
+    """Sketch size from the corpus footprint (plan-time, no Spark job;
+    directory-aware via ``catalog.source_bytes``)."""
+    import os
+
+    from tailsql_spark.plans.catalog import source_bytes
+
+    nbytes = source_bytes(os.path.join(sf_dir, "documents.parquet"))
+    return 1 << max(20, min(27, nbytes.bit_length()))
+
 
 def query(name: str, category: str, oracle: str | None, doc: str = "", plan=None):
     def deco(fn):
@@ -168,7 +199,8 @@ def _contamination_bloom_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     # remove set the same bits (r7 job audit — the extra distinct was a
     # pure wasted exchange); and with the blocked layout the word table
     # feeds exactly ONE broadcast build, so persisting it buys nothing.
-    sketch = bloom_build(test_grams.select("g"), "g")
+    m_bits = _contam_bloom_bits(sf_dir)
+    sketch = bloom_build(test_grams.select("g"), "g", m_bits=m_bits)
     # corpus side: NO distinct before the sketch — pruning first is the
     # whole point; the survivors (test-hit grams + fp) are then distinct
     # and exact-joined exactly like the unsketched operator.  The gram
@@ -176,12 +208,25 @@ def _contamination_bloom_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass is the 100 TB-shaped work, and the interpreted HOF array
     # was its cost (multiset-identical, pytest-asserted).
     train_stream = contam_grams_arrow(docs.filter(~F.col("is_test")))
-    train_surv = bloom_probe(train_stream, "g", sketch).select("g").distinct()
-    # survivors are (hits + ~1.3% fp) of the EVAL-set gram space — tiny
-    # at any corpus size — so the exact join broadcasts them and the
-    # test-gram side never shuffles.
+    train_surv = bloom_probe(
+        train_stream, "g", sketch, m_bits=m_bits
+    ).select("g").distinct()
+    # survivors are (hits + fp) of the EVAL-set gram space.  That space
+    # is a ~10% fraction of the corpus in this data model, so it is
+    # broadcast-safe only while the corpus is small: under the gate the
+    # exact join broadcasts the survivors and the test-gram side never
+    # shuffles; past it both sides take the plain equi-join (SMJ, AQE
+    # skew-split) — the scale-honest shape (guide §3.1).
+    import os
+
+    from tailsql_spark.plans.catalog import source_bytes
+
+    surv = train_surv.withColumn("hit", F.lit(1))
+    src_bytes = source_bytes(os.path.join(sf_dir, "documents.parquet"))
+    if 0 < src_bytes < GRAM_BROADCAST_BYTES:
+        surv = F.broadcast(surv)
     return (
-        test_grams.join(F.broadcast(train_surv.withColumn("hit", F.lit(1))), "g", "left")
+        test_grams.join(surv, "g", "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),

@@ -47,6 +47,56 @@ def test_contamination_bloom_equals_exact(spark, oracle_sf_dir):
     assert exact == sketched
 
 
+def test_contamination_bloom_big_corpus_branch_equals_exact(spark, oracle_sf_dir, monkeypatch):
+    """r17 scale fix: past GRAM_BROADCAST_BYTES the survivor attach
+    drops its broadcast hint (the survivor set scales with the test
+    gram space — a ~10% corpus fraction here — so the hint OOMs the
+    driver at 100×) and the sketch is sized from the source footprint.
+    Force both big-corpus dials at sf0.01 and require the result
+    identical to the exact operator: fp rate and join strategy may
+    only change plan cost, never rows."""
+    from tailsql_spark.operators import sketches as S
+    from tailsql_spark.plans.registry import REGISTRY
+
+    monkeypatch.setattr(S, "GRAM_BROADCAST_BYTES", 0)       # join branch
+    monkeypatch.setattr(S, "_contam_bloom_bits", lambda sf_dir: 1 << 24)
+    sketched = sorted(
+        REGISTRY["text_contamination_bloom"].build(spark, oracle_sf_dir).collect()
+    )
+    # with the HINT gone the planner is free again — at sf0.01 it will
+    # auto-broadcast the tiny survivor side (which is fine: that choice
+    # is size-estimate-driven, so at 100 TB it flips to SMJ on its own,
+    # unlike the unconditional hint this fix removed).  To assert the
+    # hint is really gone, capture the plan with auto-broadcast off.
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            REGISTRY["text_contamination_bloom"]
+            .build(spark, oracle_sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    exact = sorted(
+        REGISTRY["text_contamination_overlap"].build(spark, oracle_sf_dir).collect()
+    )
+    assert exact == sketched
+    # the gate really took the non-broadcast path for the survivor
+    # attach: the final left join on g must not be a BroadcastHashJoin
+    # (the word-table probe join on _bw_idx stays broadcast by design)
+    import re
+
+    g_joins = [
+        ln
+        for ln in plan.splitlines()
+        if "Join" in ln and re.search(r"\[g#\d+\]", ln)
+    ]
+    assert g_joins and all("Broadcast" not in ln for ln in g_joins), g_joins
+
+
 def test_bloom_probe_plan_broadcasts_and_never_shuffles_probe(spark):
     member = spark.range(0, 100).select(F.col("id").cast("string").alias("v"))
     probe = spark.range(0, 1000).select(F.col("id").cast("string").alias("v"))
