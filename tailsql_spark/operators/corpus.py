@@ -105,15 +105,26 @@ def clean_keep_attrs(attrs: DataFrame) -> DataFrame:
     )
 
 
-def unified_text_row(cleaned: DataFrame, labels: DataFrame, docs: DataFrame) -> DataFrame:
+def unified_text_row(
+    cleaned: DataFrame,
+    labels: DataFrame,
+    docs: DataFrame,
+    hint_broadcast: bool = True,
+) -> DataFrame:
     """The text row of the corpus-wide unified curation report:
     (media_type='text', n_total, n_survivors, n_tokens) — near-dup
     survivor filter over the cleaned corpus (the survivor_budgets rule)
     totaled against the raw document count.  Factored so the batch
     report (corpus_unified_curation) and its streaming twin share one
-    definition."""
+    definition.  ``hint_broadcast``: the label table is clustered docs
+    only — small vs the corpus but linear IN it, so callers gate the
+    hint on their source footprint (``dedup._small_input`` /
+    state-log bytes); past the gate the planner/AQE picks the join
+    from real sizes (r17, guide §3.1)."""
     lab = labels.select(F.col("doc_id").alias("l_doc"), "cluster_id")
-    j = cleaned.join(F.broadcast(lab), cleaned["doc_id"] == F.col("l_doc"), "left")
+    if hint_broadcast:
+        lab = F.broadcast(lab)
+    j = cleaned.join(lab, cleaned["doc_id"] == F.col("l_doc"), "left")
     survivor = F.col("l_doc").isNull() | (F.col("l_doc") == F.col("cluster_id"))
     tot = docs.agg(F.count("*").alias("n_total"))
     return (
@@ -127,14 +138,20 @@ def unified_text_row(cleaned: DataFrame, labels: DataFrame, docs: DataFrame) -> 
     )
 
 
-def survivor_budgets(cleaned: DataFrame, labels: DataFrame) -> DataFrame:
+def survivor_budgets(
+    cleaned: DataFrame, labels: DataFrame, hint_broadcast: bool = True
+) -> DataFrame:
     """Near-dup survivor drop + per-(lang, split) budgets: keep docs
     absent from the cluster label table or equal to their cluster's
     min-id member, then aggregate doc and token counts.  ``labels`` is
-    ``(doc_id, cluster_id)`` — tiny vs the corpus, so it broadcasts
-    and the cleaned corpus is never reshuffled."""
+    ``(doc_id, cluster_id)`` — small vs the corpus but linear in it,
+    so the broadcast hint is caller-gated (``hint_broadcast``, r17):
+    under the gate the cleaned corpus is never reshuffled; past it
+    the planner/AQE picks the join from real sizes."""
     lab = labels.select(F.col("doc_id").alias("l_doc"), "cluster_id")
-    j = cleaned.join(F.broadcast(lab), cleaned["doc_id"] == F.col("l_doc"), "left")
+    if hint_broadcast:
+        lab = F.broadcast(lab)
+    j = cleaned.join(lab, cleaned["doc_id"] == F.col("l_doc"), "left")
     survivor = F.col("l_doc").isNull() | (F.col("l_doc") == F.col("cluster_id"))
     return (
         j.filter(survivor)
@@ -1181,12 +1198,12 @@ def _curation_oracle() -> str:
     "is never reshuffled after its one dedup groupBy.",
 )
 def corpus_curation_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tailsql_spark.operators.dedup import dedup_minhash_lsh
+    from tailsql_spark.operators.dedup import _small_input, dedup_minhash_lsh
     from tailsql_spark.operators.graphs import connected_components
 
     cleaned = corpus_clean_pipeline(spark, sf_dir)
     labels = connected_components(dedup_minhash_lsh(spark, sf_dir))
-    return survivor_budgets(cleaned, labels)
+    return survivor_budgets(cleaned, labels, hint_broadcast=_small_input(sf_dir))
 
 
 # ---------------------------------------------------------------------------

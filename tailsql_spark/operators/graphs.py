@@ -326,14 +326,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "materialization step of a 100 TB dedup pass.",
 )
 def dedup_survivor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tailsql_spark.operators.dedup import _small_input
+
     t = load_tables(spark, sf_dir)
     labels = connected_components(dedup_minhash_lsh(spark, sf_dir))
     docs = t["documents"].select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
-    j = docs.join(
-        F.broadcast(labels.withColumnRenamed("doc_id", "l_doc")),
-        docs["doc_id"] == F.col("l_doc"),
-        "left",
-    )
+    # the label table is clustered docs only — linear in the corpus, so
+    # the broadcast hint is size-gated like every label attach (r17)
+    lab = labels.withColumnRenamed("doc_id", "l_doc")
+    if _small_input(sf_dir):
+        lab = F.broadcast(lab)
+    j = docs.join(lab, docs["doc_id"] == F.col("l_doc"), "left")
     survivor = F.col("l_doc").isNull() | (F.col("l_doc") == F.col("cluster_id"))
     return j.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
@@ -579,9 +582,17 @@ def _triangle_frames(spark: SparkSession, sf_dir: str, cache: bool = True):
     )
     deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
     dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("degv"))
+    # degree tables are candidate-graph-vertex-sized (linear in the
+    # corpus): hint only under the source-size gate (r17, guide §3.1),
+    # and only at THIS join site — ``deg`` is reused as the left side
+    # of the final left join, where a broadcast hint is unsupported
+    # (build side must be right) and would be noisily dropped
+    from tailsql_spark.operators.dedup import _small_input
+
+    small = _small_input(sf_dir)
     o = (
-        sym.join(F.broadcast(deg), "u")
-        .join(F.broadcast(dv), "v")
+        sym.join(F.broadcast(deg) if small else deg, "u")
+        .join(F.broadcast(dv) if small else dv, "v")
         .filter(
             (F.col("deg") < F.col("degv"))
             | ((F.col("deg") == F.col("degv")) & (F.col("u") < F.col("v")))

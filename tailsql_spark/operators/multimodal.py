@@ -1562,7 +1562,7 @@ def _unified_branch_builders(
     persisted handles under its tag so the threaded build can release
     them once the branch row is materialized."""
     from tailsql_spark.operators.corpus import corpus_clean_pipeline, unified_text_row
-    from tailsql_spark.operators.dedup import dedup_minhash_lsh
+    from tailsql_spark.operators.dedup import _small_input, dedup_minhash_lsh
     from tailsql_spark.operators.graphs import connected_components
 
     docs = load_tables(spark, sf_dir)["documents"]
@@ -1579,7 +1579,9 @@ def _unified_branch_builders(
             dedup_minhash_lsh(spark, sf_dir, caches=_c("text")),
             caches=_c("text"),
         )
-        return unified_text_row(cleaned, labels, docs)
+        return unified_text_row(
+            cleaned, labels, docs, hint_broadcast=_small_input(sf_dir)
+        )
 
     def img_row() -> DataFrame:
         return unified_image_row(

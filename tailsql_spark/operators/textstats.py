@@ -377,8 +377,15 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vocab = toks.groupBy("term").agg(F.count("*").alias("cnt"))
     tot = vocab.agg(F.sum("cnt").alias("total"))
+    # the vocabulary grows with the corpus (Heaps' law, unbounded with
+    # noise/unicode): broadcast-hint it only under the source-size
+    # gate; past it the planner/AQE picks the join (r17, guide §3.1)
+    from tailsql_spark.operators.dedup import _small_input
+
+    if _small_input(sf_dir):
+        vocab = F.broadcast(vocab)
     return (
-        toks.join(F.broadcast(vocab), "term")
+        toks.join(vocab, "term")
         .join(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
@@ -1349,8 +1356,14 @@ def _bpe_tokenize_counts(spark: SparkSession, sf_dir: str, cache: bool = True):
         .select("doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"))
         .filter(F.length("w") >= 1)
     )
+    # nsyms is one row per distinct corpus word — vocabulary-sized, so
+    # the hint is size-gated like every vocab attach (r17, guide §3.1)
+    from tailsql_spark.operators.dedup import _small_input
+
+    if _small_input(sf_dir):
+        nsyms = F.broadcast(nsyms)
     out = (
-        dwords.join(F.broadcast(nsyms), "w", "left")
+        dwords.join(nsyms, "w", "left")
         .groupBy("doc_id")
         .agg(
             F.sum(
@@ -1457,13 +1470,19 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("bcnt"))
     u1 = uni.select(F.col("term").alias("w1"), F.col("cnt").alias("u1cnt"))
     u2 = uni.select(F.col("term").alias("w2"), F.col("cnt").alias("u2cnt"))
+    # uni/bigram count tables grow with the corpus vocabulary: hint
+    # only under the source-size gate (r17, guide §3.1); tot is 1 row
+    from tailsql_spark.operators.dedup import _small_input
+
+    if _small_input(sf_dir):
+        bi, u1, u2 = F.broadcast(bi), F.broadcast(u1), F.broadcast(u2)
     p = F.when(
         F.col("bcnt").isNotNull(), F.col("bcnt") * F.lit(1.0) / F.col("u1cnt")
     ).otherwise(F.lit(BACKOFF) * F.col("u2cnt") * F.lit(1.0) / F.col("total"))
     return (
-        pairs.join(F.broadcast(bi), ["w1", "w2"], "left")
-        .join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
+        pairs.join(bi, ["w1", "w2"], "left")
+        .join(u1, "w1")
+        .join(u2, "w2")
         .join(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(

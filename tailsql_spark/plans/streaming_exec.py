@@ -2037,11 +2037,20 @@ def stream_curation_survivors(
         q.stop()
 
     from tailsql_spark.operators.corpus import clean_keep_attrs, survivor_budgets
+    from tailsql_spark.operators.dedup import BROADCAST_INPUT_BYTES
+    from tailsql_spark.plans.catalog import source_bytes
 
     attrs = spark.read.parquet(*_mh_state_paths(attrs_root))
     cleaned = clean_keep_attrs(attrs)
-    labels = spark.read.parquet(_latest_snapshot_path(labels_root, None))
-    result = survivor_budgets(cleaned, labels)
+    # the label snapshot grows with everything ingested: gate the
+    # broadcast hint on its actual on-disk footprint (r17, guide §3.1)
+    lab_path = _latest_snapshot_path(labels_root, None)
+    labels = spark.read.parquet(lab_path)
+    result = survivor_budgets(
+        cleaned,
+        labels,
+        hint_broadcast=0 < source_bytes(lab_path) < BROADCAST_INPUT_BYTES,
+    )
     out = _persist_result(result, "stream_curation_survivors")
     if _owned_state:
         shutil.rmtree(src_dir, ignore_errors=True)
@@ -6923,6 +6932,12 @@ def _unified_curation_serve(
         return df if dels is None else df.join(F.broadcast(dels), "doc_id", "left_anti")
 
     cleaned = clean_keep_attrs(_live(spark.read.parquet(*_flat_state_paths(attrs_root))))
+    # the label side grows with everything ingested: gate the broadcast
+    # hint on the on-disk footprint of whichever state feeds it —
+    # the surviving edge log or the label snapshot (r17, guide §3.1)
+    from tailsql_spark.operators.dedup import BROADCAST_INPUT_BYTES
+    from tailsql_spark.plans.catalog import source_bytes
+
     if del_root is not None and edges_root is not None:
         edges = spark.read.parquet(*_mh_state_paths(edges_root))
         edges = edges.join(
@@ -6931,9 +6946,17 @@ def _unified_curation_serve(
             F.broadcast(dels.select(F.col("doc_id").alias("id_b"))), "id_b", "left_anti"
         )
         labels = connected_components(edges)
+        _lab_bytes = sum(source_bytes(p) for p in _mh_state_paths(edges_root))
     else:
-        labels = spark.read.parquet(_latest_snapshot_path(labels_root, None))
-    text_row = unified_text_row(cleaned, labels, src_docs)
+        _lab_path = _latest_snapshot_path(labels_root, None)
+        labels = spark.read.parquet(_lab_path)
+        _lab_bytes = source_bytes(_lab_path)
+    text_row = unified_text_row(
+        cleaned,
+        labels,
+        src_docs,
+        hint_broadcast=0 < _lab_bytes < BROADCAST_INPUT_BYTES,
+    )
     media_all = synth_media_rows(src_docs)
     bcols = [f"b{k}" for k in range(PHASH_BANDS)]
     grp = (

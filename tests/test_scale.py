@@ -1675,3 +1675,54 @@ def test_arrow_minhash_sigs_match_groupby(spark, oracle_sf_dir):
     assert jvm.exceptAll(arrow).count() == 0
     assert arrow.exceptAll(jvm).count() == 0
     assert arrow.count() == jvm.count() > 0
+
+
+def test_corpus_proportional_broadcast_hints_are_size_gated(
+    spark, oracle_sf_dir, monkeypatch
+):
+    """r17: every broadcast hint whose side grows WITH the corpus —
+    dedup cluster labels (survivor attaches), the corpus vocabulary /
+    bigram count tables, the BPE symbol table, the candidate-graph
+    degree tables — follows the plan-time size gate
+    (``dedup._small_input``).  Forcing the gate OFF must leave every
+    result IDENTICAL (a hint may only change cost, never rows), and
+    the label attach must really lose its hint (probed with
+    auto-broadcast disabled, the established gate-test discipline)."""
+    from tailsql_spark.operators import dedup
+    from tailsql_spark.plans.registry import REGISTRY
+
+    names = [
+        "corpus_curation_survivors",
+        "dedup_survivor_stats",
+        "text_unigram_surprisal",
+        "text_bigram_surprisal",
+        "text_bpe_tokenize",
+        "graph_triangle_counts",
+    ]
+    before = {
+        n: sorted(map(tuple, REGISTRY[n].build(spark, oracle_sf_dir).collect()))
+        for n in names
+    }
+    monkeypatch.setattr(dedup, "BROADCAST_INPUT_BYTES", 0)  # every gate OFF
+    for n in names:
+        got = sorted(map(tuple, REGISTRY[n].build(spark, oracle_sf_dir).collect()))
+        assert got == before[n], n
+        assert len(got) > 0, n
+    # the hint is really gone: with auto-broadcast off, the survivor
+    # label attach (join on l_doc) must not plan as a broadcast join
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = (
+            REGISTRY["dedup_survivor_stats"]
+            .build(spark, oracle_sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    lab_joins = [
+        ln for ln in p.splitlines() if "Join" in ln and "l_doc" in ln
+    ]
+    assert lab_joins and all("Broadcast" not in ln for ln in lab_joins), p
