@@ -849,19 +849,34 @@ def audio_posting_rows(audio: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, fhs = [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                for fh in audio_fingerprint_frames(audio_tokens(bytes(payload))):
+                # r17 (guide §2.3): the 15-hex frame hash is exactly
+                # 60 bits by construction (audio_fingerprint_frames
+                # truncates md5 to 15 nibbles "so the hex fits
+                # signed int64"), so int(fh, 16) is an INJECTIVE
+                # re-encoding — every downstream use (df-cap groupBy,
+                # anti-join, pair equi-join) only tests fh equality,
+                # and 8-byte long keys shuffle ~half the bytes of
+                # 15-char strings.  The streaming twin keeps its own
+                # string-typed state log; its results are fh-free so
+                # the two representations never meet.
+                # r17 §10 (guide §2.4): the (doc_id, fh) DISTINCT is
+                # per-doc LOCAL by construction — a doc is ONE input
+                # row, decoded entirely inside this batch — so dedup
+                # happens here (a per-doc set, sorted for
+                # deterministic output under task retry) and the
+                # downstream .distinct()'s full-posting-table
+                # Exchange disappears.  Duplicates also die BEFORE
+                # the Arrow→JVM transfer instead of after it.
+                for fh in sorted(
+                    {
+                        int(fh, 16)
+                        for fh in audio_fingerprint_frames(
+                            audio_tokens(bytes(payload))
+                        )
+                    }
+                ):
                     ids.append(doc_id)
-                    # r17 (guide §2.3): the 15-hex frame hash is exactly
-                    # 60 bits by construction (audio_fingerprint_frames
-                    # truncates md5 to 15 nibbles "so the hex fits
-                    # signed int64"), so int(fh, 16) is an INJECTIVE
-                    # re-encoding — every downstream use (df-cap groupBy,
-                    # anti-join, pair equi-join) only tests fh equality,
-                    # and 8-byte long keys shuffle ~half the bytes of
-                    # 15-char strings.  The streaming twin keeps its own
-                    # string-typed state log; its results are fh-free so
-                    # the two representations never meet.
-                    fhs.append(int(fh, 16))
+                    fhs.append(fh)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
@@ -869,8 +884,7 @@ def audio_posting_rows(audio: DataFrame) -> DataFrame:
                 }
             )
 
-    fp = audio.mapInPandas(fingerprint, schema="doc_id long, fh long")
-    return fp.distinct()
+    return audio.mapInPandas(fingerprint, schema="doc_id long, fh long")
 
 
 # ---------------------------------------------------------------------------
@@ -989,9 +1003,18 @@ def video_band_postings(videos: DataFrame) -> DataFrame:
 
     def emit(batches):
         for pdf in batches:
-            yield _video_band_postings_pdf(pdf, as_long=True)
+            # r17 §10 (guide §2.4): every video's bands are emitted
+            # inside ONE output pdf (a video is one input row), so
+            # per-batch drop_duplicates IS the exact (doc_id, fh)
+            # dedup and the downstream .distinct()'s
+            # full-posting-table Exchange disappears; duplicates die
+            # before the Arrow→JVM transfer.  (The streaming state
+            # writer calls `_video_band_postings_pdf` directly and
+            # keeps its own distinct — its log stores distinct
+            # postings either way.)
+            yield _video_band_postings_pdf(pdf, as_long=True).drop_duplicates()
 
-    return videos.mapInPandas(emit, schema="doc_id long, fh long").distinct()
+    return videos.mapInPandas(emit, schema="doc_id long, fh long")
 
 
 def _video_fh_sql() -> str:

@@ -481,3 +481,64 @@ def test_long_posting_keys_bit_identical_to_string_forms(spark):
     }
     assert dec == set(zip(s["doc_id"], s["fh"]))
     assert str(lg["fh"].dtype) == "int64"
+
+
+def test_posting_builders_dedup_in_stage(spark):
+    """r17 §10: the audio/video posting builders dedup (doc_id, fh)
+    INSIDE the Arrow stage — a doc is one input row, so the distinct
+    is per-doc local and needs no Spark-side shuffle.  Pin (a) the
+    output duplicate-free, (b) multiset-identical to the old
+    mapInPandas(raw).distinct() formulation, (c) the builder plan
+    Exchange-free.  The corpus plants heavy IN-DOC repetition so the
+    raw emission genuinely contains duplicates."""
+    import pandas as pd
+
+    from tailsql_spark.operators.multimodal import (
+        _video_band_postings_pdf,
+        audio_fingerprint_frames,
+        audio_posting_rows,
+        audio_tokens,
+        video_band_postings,
+    )
+
+    texts = [
+        (1, "loop segment alpha beta gamma delta " * 30),
+        (2, "loop segment alpha beta gamma delta " * 30 + " coda"),
+        (3, "x y z w " * 50),
+    ]
+    rows = [(i, bytearray(t.encode("utf-8"))) for i, t in texts]
+    audio = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    # raw (duplicate-carrying) emission really has duplicates
+    n_raw = sum(
+        len(audio_fingerprint_frames(audio_tokens(t.encode("utf-8"))))
+        for _, t in texts
+    )
+    built = audio_posting_rows(audio)
+    got = built.collect()
+    assert n_raw > len(got), "corpus must plant in-doc duplicate frames"
+    # duplicate-free and equal to the old Spark-side distinct
+    want = {
+        (i, int(fh, 16))
+        for i, t in texts
+        for fh in audio_fingerprint_frames(audio_tokens(t.encode("utf-8")))
+    }
+    assert len(got) == len(want) and {(r.doc_id, r.fh) for r in got} == want
+    plan = built._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    video = spark.createDataFrame(rows, "doc_id long, payload binary")
+    vbuilt = video_band_postings(video)
+    vgot = vbuilt.collect()
+    vpdf = pd.DataFrame(
+        {
+            "doc_id": pd.Series([i for i, _ in texts], dtype="int64"),
+            "payload": [t.encode("utf-8") for _, t in texts],
+        }
+    )
+    vraw = _video_band_postings_pdf(vpdf, as_long=True)
+    assert len(vraw) > len(vgot), "corpus must plant in-doc duplicate bands"
+    vwant = set(map(tuple, vraw.drop_duplicates().itertuples(index=False)))
+    assert len(vgot) == len(vwant) and {(r.doc_id, r.fh) for r in vgot} == vwant
+    vplan = vbuilt._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in vplan, vplan
